@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The settings below are the ones that matter at 100 TB and cost nothing
+locally:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast demotion) — ``spark.sql.adaptive.*``;
+- Arrow for every pandas-UDF boundary (allocation, forecasting,
+  similarity operators are Arrow-batched, never row-at-a-time);
+- UTC session timezone so results are reproducible and comparable
+  against external engines (DuckDB oracle, downstream warehouses);
+- shuffle partitions sized to the local core count — on a real
+  cluster AQE coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def build_session(
+    app_name: str = "candy-store-etl-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    On a cluster, drop the ``.master`` call and submit with
+    ``spark-submit``; every other setting carries over unchanged.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,56 @@
+"""Readers for the driver-generated TPC-H-ish parquet testdata.
+
+Parquet carries its own schema, so these readers stay declarative and
+let Catalyst do column pruning / predicate pushdown into the scan. At
+cluster scale the same calls read a partitioned directory tree
+(``.../date=.../*.parquet``) and get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor; fact tables shuffle on their join keys.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TPCH_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        # read natively; read nanos as long and convert via integer
+        # division (a double division would lose precision above 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API surface."""
+    for name in TPCH_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

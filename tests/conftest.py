@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candy_store_etl_spark.session import build_session  # noqa: E402
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_SF_CORRECTNESS", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session("candy-store-etl-tests", cpus=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_smoke() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_correctness() -> str:
+    return SF_CORRECTNESS
