@@ -1,0 +1,132 @@
+"""Greedy first-come-first-served inventory allocation — distributed.
+
+Reference parity: `/root/reference/src/data_processor.py:188-262` runs
+a sequential Python loop over *all* line items collected to the driver
+(dict of product→stock, scan in source order, cancel when insufficient,
+stock carries across days). That design is O(dataset) driver memory.
+
+Key insight (SURVEY.md §2.3, verified by simulation): allocation for
+one product is independent of every other product, so the global
+sequential scan is exactly equivalent to
+
+    repartition by product → sort each product's items by a global
+    sequence key → per-product greedy scan.
+
+This operator implements that as ``groupBy(product).applyInPandas``:
+fully parallel across products, no driver state, Arrow-batched. The
+per-group recurrence is non-linear (a cancelled item must NOT
+decrement stock), so a pure-SQL window cumsum cannot express it —
+grouped-map pandas is the right Spark primitive.
+
+At 100 TB: the shuffle is one hash partition on the product key; skew
+(one hot product) is bounded by per-product item counts, and the AQE
+skew-join splitting doesn't apply to groupBy — for a pathologically
+hot key, pre-split by (product, coarse seq range) and chain the
+carry-over stock, which this module leaves to the caller.
+
+The ordering key must be explicit and deterministic. The reference's
+implicit policy is file order; we require the caller to pass
+``order_by`` columns (e.g. ``["file_date", "row_in_file"]`` for
+reference parity, or ``["timestamp", "order_id", "item_index"]`` as
+the documented saner policy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+ALLOCATED_COL = "allocated_qty"
+CANCELLED_COL = "cancelled"
+_STOCK_COL = "__initial_stock"
+
+
+def allocate_greedy(
+    items: DataFrame,
+    stock: DataFrame,
+    *,
+    product_col: str = "product_id",
+    qty_col: str = "qty",
+    stock_col: str = "stock",
+    order_by: Sequence[str] = ("seq",),
+) -> DataFrame:
+    """Allocate ``items[qty_col]`` against per-product stock, greedily,
+    in ``order_by`` order within each product.
+
+    Returns the input columns plus ``allocated_qty`` (= qty if filled,
+    0 if cancelled) and ``cancelled`` (0/1). Stock never goes negative;
+    an unfillable item is skipped whole (no partial fills), matching
+    the reference (`data_processor.py:216-235`).
+    """
+    for c in (product_col, qty_col, *order_by):
+        if c not in items.columns:
+            raise ValueError(f"items is missing required column {c!r}")
+    if product_col not in stock.columns or stock_col not in stock.columns:
+        raise ValueError(f"stock needs columns {product_col!r}, {stock_col!r}")
+
+    stock_small = stock.select(
+        F.col(product_col),
+        F.col(stock_col).cast("long").alias(_STOCK_COL),
+    )
+    # Dimension-sized in practice (catalog of products) → broadcast;
+    # items missing from the stock table get 0 available.
+    joined = items.join(F.broadcast(stock_small), on=product_col, how="left")
+
+    out_schema = StructType(
+        items.schema.fields
+        + [
+            StructField(ALLOCATED_COL, IntegerType(), False),
+            StructField(CANCELLED_COL, IntegerType(), False),
+        ]
+    )
+    order_cols = list(order_by)
+    item_cols = list(items.columns)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        remaining = int(pdf[_STOCK_COL].iloc[0]) if pd.notna(pdf[_STOCK_COL].iloc[0]) else 0
+        qty = pdf[qty_col].to_numpy()
+        allocated = [0] * len(pdf)
+        for i, q in enumerate(qty):
+            q = int(q)
+            if 0 <= q <= remaining:
+                allocated[i] = q
+                remaining -= q
+        out = pdf[item_cols].copy()
+        out[ALLOCATED_COL] = allocated
+        out[CANCELLED_COL] = [
+            1 if (a == 0 and int(q) > 0) else 0 for a, q in zip(allocated, qty)
+        ]
+        return out
+
+    return joined.groupBy(product_col).applyInPandas(scan, out_schema)
+
+
+def final_stock(
+    allocated_items: DataFrame,
+    stock: DataFrame,
+    *,
+    product_col: str = "product_id",
+    stock_col: str = "stock",
+) -> DataFrame:
+    """Post-allocation stock per product: initial − Σ allocated.
+
+    Replaces the reference's driver-side write-back + left-join merge
+    (`data_processor.py:240-259`) with one aggregate.
+    """
+    used = allocated_items.groupBy(product_col).agg(
+        F.sum(ALLOCATED_COL).alias("__used")
+    )
+    return (
+        stock.join(used, on=product_col, how="left")
+        .withColumn(
+            "current_stock",
+            (F.col(stock_col) - F.coalesce(F.col("__used"), F.lit(0))).cast("int"),
+        )
+        .drop("__used")
+    )
