@@ -1,0 +1,55 @@
+"""Text-analysis column expressions — pure built-in functions.
+
+Everything here stays JVM-side inside whole-stage codegen: no Python
+UDFs in the hot path. These are the building blocks for the
+documents-table operators (token counting, quality scoring, language
+heuristics, fingerprinting) that a training-data pipeline runs over
+billions of documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (collapses runs, drops empties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_chars(toks: Column) -> Column:
+    """Total characters across tokens (exact integer arithmetic)."""
+    return F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("long")
+
+
+def avg_token_len(toks: Column) -> Column:
+    return token_chars(toks) / F.size(toks)
+
+
+def distinct_ratio(toks: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def stopword_ratio(toks: Column, stopwords: Sequence[str]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = list(stopwords)
+    return F.size(F.filter(toks, lambda x: x.isin(*sw))) / F.size(toks)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Overlapping n-word shingles (the MinHash/Jaccard unit).
+
+    Documents shorter than ``n`` tokens yield a single whole-document
+    shingle so they still participate in dedup.
+    """
+    joined = F.concat_ws(" ", toks)
+    shingled = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) <= n, F.array(joined)).otherwise(shingled)

@@ -1,0 +1,226 @@
+"""Scalable document deduplication operators.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+- **exact**: hash-groupBy on a content fingerprint (one shuffle on the
+  hash — perfectly balanced keys).
+- **MinHash + LSH**: shingle → per-permutation min-hash → band → bucket
+  join. Candidate generation never compares all pairs; the only
+  shuffle is on (band, bucket-hash), and true near-dups collide with
+  probability 1-(1-s^r)^b.
+- **SimHash**: 64-bit fingerprint whose Hamming distance tracks cosine
+  similarity of the token multiset; chunk-band join finds all pairs
+  within Hamming ≤ 3 (pigeonhole over 4 chunks).
+- **embedding cosine**: see operators/similarity.py.
+
+Everything below is built-in Spark expressions (xxhash64, higher-order
+array functions) — no Python in the per-row hot path.
+
+Reference context: the candy-store pipeline's only dedup is
+``dropDuplicates`` on order headers (`data_processor.py:320`); these
+operators are the north-star extension (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Survivor table: one row per distinct normalized content."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(fp.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id + minhash signature (array<long>, one element per permutation).
+
+    Permutation j is the keyed hash ``xxhash64(shingle, j)``; the
+    signature element is the min over the document's distinct shingles.
+    """
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+
+    def perm_min(j: int):
+        # One-parameter lambda only: a second parameter would be bound
+        # to the array index by Spark, silently shadowing the closure.
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+
+    sig = F.array(*[perm_min(j) for j in range(num_perm)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
+
+    Shuffle key is (band_index, band_hash) — a document lands in
+    ``bands`` buckets, and only bucket-mates are ever paired.
+    """
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows_per_band = num_perm // bands
+    band_hashes = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        "id",
+        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature positions."""
+    sa = signatures.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = signatures.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    match_frac = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", match_frac.alias("est_jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs above ``threshold``."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    return minhash_similarity(cands, sigs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 48  # signed-long-safe; 4 chunks of 12 bits for banding
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document SimHash fingerprint (token-level, 48-bit).
+
+    bit b of the fingerprint = sign of Σ_tokens (±1 depending on bit b
+    of xxhash64(token)). Computed as one explode + one groupBy with 48
+    conditional sums — all JVM-side.
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = toked.groupBy("id").agg(*bit_sums)
+    fp: Column = F.lit(0).cast("long")
+    for b in range(_SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs within Hamming ≤ max_hamming of each other.
+
+    Banding: 4 chunks of 12 bits — any pair with ≤3 differing bits
+    shares at least one identical chunk (pigeonhole), so the chunk
+    join finds every such pair without comparing all pairs.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 12 * i).bitwiseAND(
+                        F.lit(0xFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

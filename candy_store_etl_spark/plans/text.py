@@ -1,1 +1,268 @@
-"""Filled in incrementally."""
+"""Text-analysis + dedup queries over the documents table — the
+training-data-pipeline surface (BASELINE.json north star), all
+JVM-side built-ins with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_token_len,
+    distinct_ratio,
+    stopword_ratio,
+    token_chars,
+    tokens,
+)
+from ..sources.tpch import load_table
+from .registry import register
+from .relational import SQL_FROUND, fround
+
+# DuckDB twin of functions.text.tokens (whitespace split, no empties).
+_SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+_FILLER = ("a", "the", "big", "small", "slow", "fast")
+_SQL_FILLER = "('a','the','big','small','slow','fast')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS total_token_chars,
+           {SQL_FROUND("CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) * 1.0 / len(toks)", 4)}
+             AS avg_token_len
+    FROM tok
+    """,
+    doc="Token counting over documents (whitespace tokenizer) — "
+    "LLM-pipeline text stats, pure built-ins.",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+        token_chars(t).alias("total_token_chars"),
+        fround(avg_token_len(t), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+             len(list_filter(toks, x -> x IN {_SQL_FILLER})) * 1.0 / len(toks)
+               AS filler_ratio,
+             LEAST(len(toks) / 40.0, 1.0) AS length_score
+      FROM tok
+    )
+    SELECT doc_id,
+           {SQL_FROUND("distinct_ratio", 6)} AS distinct_ratio,
+           {SQL_FROUND("filler_ratio", 6)} AS filler_ratio,
+           {SQL_FROUND(
+        "0.5 * distinct_ratio + 0.3 * length_score + 0.2 * (1.0 - filler_ratio)", 6)}
+             AS quality_score
+    FROM feats
+    """,
+    doc="Document quality scoring: lexical diversity + length + filler "
+    "penalty (the classic pre-training quality filter shape).",
+    tags=("text", "quality"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    dr = distinct_ratio(t)
+    fr = stopword_ratio(t, _FILLER)
+    length_score = F.least(F.size(t) / 40.0, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        fround(dr, 6).alias("distinct_ratio"),
+        fround(fr, 6).alias("filler_ratio"),
+        fround(0.5 * dr + 0.3 * length_score + 0.2 * (1.0 - fr), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+# Marker vocabularies for the n-gram language-ID heuristic. The corpus
+# is synthetic word-soup, so the "languages" are defined by marker
+# token sets — the operator shape (per-language hit counting + argmax
+# with deterministic tie-break) is exactly a real lang-ID heuristic.
+_MARKERS = {
+    "en": ("join", "scan", "hash"),
+    "es": ("merge", "batch"),
+    "de": ("row", "column"),
+    "fr": ("filter", "group"),
+    "zh": ("customer", "order"),
+}
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+            f" AS h_{lg}"
+            for lg, ms in _MARKERS.items()
+        )}
+      FROM tok
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+             WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh'
+           END AS detected_lang
+    FROM hits
+    """,
+    doc="Language-ID heuristic: marker-token hit counts + argmax with "
+    "fixed priority tie-break — n-gram lang-ID shape, pure built-ins.",
+    tags=("text", "langid"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+
+    def marker_hits(ms):
+        # NB: the lambda must take exactly one parameter — Spark binds a
+        # Column to every lambda arg, so `lambda x, ms=ms:` breaks.
+        return F.size(F.filter(t, lambda x: x.isin(*ms)))
+
+    hits = {lg: marker_hits(ms) for lg, ms in _MARKERS.items()}
+    detected = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["zh"]),
+            "en",
+        )
+        .when(
+            (hits["es"] >= hits["de"])
+            & (hits["es"] >= hits["fr"])
+            & (hits["es"] >= hits["zh"]),
+            "es",
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["zh"]), "de")
+        .when(hits["fr"] >= hits["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), detected.alias("detected_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+    doc="Normalized content fingerprint (md5 of lowercased text) — the "
+    "exact-dedup key for document-level dedup.",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on the content fingerprint, keep the "
+    "lowest doc_id (deterministic survivor policy).",
+    tags=("text", "dedup"),
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), F.col("doc_id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@register(
+    "token_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    flat AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tok),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM flat a JOIN flat b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {SQL_FROUND("i * 1.0 / (sa.n + sb.n - i)", 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    doc="Exact token-set Jaccard near-dup pairs (restricted id range — "
+    "the all-pairs ground truth; the scale path is MinHash-LSH).",
+    tags=("text", "dedup", "jaccard"),
+)
+def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    flat = tok.select("doc_id", F.explode("toks").alias("t"))
+    sizes = tok.select("doc_id", F.size("toks").cast("long").alias("n"))
+    a = flat.alias("a")
+    b = flat.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
+    )

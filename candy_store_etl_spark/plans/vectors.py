@@ -1,1 +1,148 @@
-"""Filled in incrementally."""
+"""Embedding similarity-search + near-dup queries (BASELINE.json
+north-star surface) over the embeddings table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..operators.dedup import minhash_dedup_pairs, simhash_neardup_pairs
+from ..operators.similarity import cosine_topk_blockwise, cosine_topk_lsh
+from ..sources.tpch import load_table
+from .registry import register
+from .relational import SQL_FROUND, fround
+
+# DuckDB twins of functions.vectors (explicit double math, same
+# left-to-right fold as Spark's aggregate()).
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)} / "
+        f"({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)}))"
+    )
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {SQL_FROUND(_sql_cosine("e.embedding", "q.qe"), 6)} AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Exact top-k cosine neighbors of a query vector via built-in "
+    "zip_with/aggregate (JVM-side) — the ANN correctness baseline.",
+    tags=("vectors", "ann"),
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    e = emb.filter(F.col("vec_id") != 0)
+    sim = cosine_similarity(
+        to_double_array(F.col("embedding")), to_double_array(F.col("qe"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", fround(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {SQL_FROUND(_sql_cosine("a.embedding", "b.embedding"), 6)} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs (restricted id range = exact "
+    "ground truth; scale path is hyperplane LSH in operators/similarity).",
+    tags=("vectors", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b", fround(sim, 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "ann_topk_blockwise",
+    oracle=None,
+    doc="Exact top-k via numpy-matmul mapInPandas (the throughput tier; "
+    "equality with ann_topk_cosine is pinned in tests/test_similarity).",
+    tags=("vectors", "ann", "mapInPandas"),
+)
+def ann_topk_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_blockwise(
+        emb.filter(F.col("vec_id") != 0), query, k=10
+    )
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=None,
+    doc="Approximate top-k: random-hyperplane LSH bucket prefilter + "
+    "exact rerank (multi-probe Hamming-1); recall pinned in tests.",
+    tags=("vectors", "ann", "lsh"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8
+    )
+
+
+@register(
+    "minhash_neardup_pairs",
+    oracle=None,
+    doc="MinHash-LSH near-dup candidate pairs over documents "
+    "(shingle→minhash→band→bucket-join); recall vs exact Jaccard "
+    "pinned in tests/test_dedup.",
+    tags=("text", "dedup", "minhash"),
+)
+def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4
+    )
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=None,
+    doc="SimHash near-dup pairs (48-bit fingerprint, chunk-band join, "
+    "Hamming ≤ 3) — all JVM-side expressions.",
+    tags=("text", "dedup", "simhash"),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)

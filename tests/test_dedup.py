@@ -1,0 +1,119 @@
+"""Dedup operator semantics: MinHash-LSH recall against exact Jaccard,
+SimHash fingerprint sanity, exact-dedup survivor policy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.functions.text import tokens, word_shingles
+from candy_store_etl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " tonight"),                      # near dup of 0
+        (3, "completely different words about spark query engines here"),
+        (4, "completely different words about spark query engines there"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def exact_jaccard_pairs(spark, docs, shingle_n=3):
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), shingle_n)).alias("sh"),
+    )
+    a = tok.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = tok.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("j"))
+        .collect()
+    }
+
+
+def test_exact_dedup_survivor_policy(spark):
+    docs = _docs(spark)
+    res = {r.keep_id: r.dup_count for r in
+           exact_dedup(docs, "doc_id", "text").collect()}
+    assert res[0] == 2          # docs 0 and 1 collapse, keep lowest id
+    assert 1 not in res
+    assert res[2] == 1
+
+
+def test_minhash_signature_positions_differ(spark):
+    """Regression: permutation seeds must vary per position (the
+    two-arg-lambda bug made all 64 positions identical)."""
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", num_perm=16)
+    row = sigs.first()
+    assert len(set(row.signature)) > 1
+
+
+def test_minhash_finds_true_neardups(spark):
+    docs = _docs(spark)
+    truth = exact_jaccard_pairs(spark, docs)
+    high = {p for p, j in truth.items() if j >= 0.5}
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", num_perm=64, bands=32, threshold=0.4
+        ).collect()
+    }
+    # exact dup pair must always be found; near-dups with J>=0.5 should
+    # be found with 32 bands of 2 rows (collision prob ≈ 1-(1-J^2)^32)
+    assert (0, 1) in got
+    missed = high - got
+    assert not missed, f"missed true near-dup pairs: {missed}"
+    # no wildly-false positives: every reported pair has true J >= 0.2
+    false = {p for p in got if truth.get(p, 0.0) < 0.2}
+    assert not false, f"false positives: {false}"
+
+
+def test_lsh_band_count(spark):
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", num_perm=16)
+    cands = lsh_candidate_pairs(sigs, num_perm=16, bands=4)
+    assert (0, 1) in {(r.id_a, r.id_b) for r in cands.collect()}
+
+
+def test_simhash_identical_and_near_docs(spark):
+    docs = _docs(spark)
+    fps = {r.id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]                       # identical text
+    assert fps[0] != fps[3]                       # different text
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    # the chunk-band pigeonhole guarantees recall only for hamming ≤ 3:
+    # identical docs and the one-suffix-token variant qualify
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    # relative ordering: near-dup (3,4) is closer than unrelated (3,5)
+    def ham(a, b):
+        return bin(fps[a] ^ fps[b]).count("1")
+
+    assert ham(3, 4) < ham(3, 5)
+
+
+def test_minhash_bands_must_divide(spark):
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", num_perm=16)
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(sigs, num_perm=16, bands=5)

@@ -1,0 +1,56 @@
+"""Similarity search: blockwise numpy path must equal the expression
+path exactly; LSH path must hit decent recall on the testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.operators.similarity import (
+    cosine_topk_blockwise,
+    cosine_topk_lsh,
+    hyperplane_planes,
+    query_probe_buckets,
+)
+from candy_store_etl_spark.plans import QUERIES
+from candy_store_etl_spark.plans.registry import _ensure_loaded
+from candy_store_etl_spark.sources.tpch import load_table
+
+_ensure_loaded()
+
+
+def test_blockwise_matches_expression_topk(spark, sf_smoke):
+    expr_rows = QUERIES["ann_topk_cosine"].fn(spark, sf_smoke).collect()
+    block_rows = QUERIES["ann_topk_blockwise"].fn(spark, sf_smoke).collect()
+    assert [r.vec_id for r in expr_rows] == [r.vec_id for r in block_rows]
+    for e, b in zip(expr_rows, block_rows):
+        assert abs(e.cosine_sim - b.cosine_sim) < 1e-6
+
+
+def test_lsh_recall_on_testdata(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in
+             cosine_topk_blockwise(rest, query, k=10).collect()}
+    approx = {r.vec_id for r in
+              cosine_topk_lsh(rest, query, k=10, n_planes=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random gaussian embeddings are LSH-hostile; multi-probe hamming-1
+    # with 8 planes still has to find a meaningful fraction
+    assert recall >= 0.3, f"recall {recall}"
+    assert len(approx) == 10
+
+
+def test_lsh_probe_buckets():
+    planes = hyperplane_planes(64, n_planes=8, seed=42)
+    probes = query_probe_buckets([1.0] * 64, planes)
+    assert len(probes) == 9 and len(set(probes)) == 9
+    assert all(0 <= p < 2**8 for p in probes)
+
+
+def test_blockwise_zero_norm_query_rejected(spark, sf_smoke):
+    import pytest
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="zero norm"):
+        cosine_topk_blockwise(emb, [0.0] * 64, k=5)
