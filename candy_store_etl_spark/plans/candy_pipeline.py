@@ -1,0 +1,227 @@
+"""The candy-store pipeline: the reference's five output relations as
+one single-scan, fully-distributed Spark pipeline.
+
+Reference lifecycle (`/root/reference/src/main.py:146-201`,
+`data_processor.py`): per-day Mongo scan → explode items → null-qty
+filter → price join → **driver-side** greedy allocation → per-order
+rollup → a SECOND full scan for headers → daily summary (two grouped
+passes + join) → Prophet forecast on collected arrays.
+
+This pipeline produces byte-compatible outputs with one scan of the
+transactions, zero ``collect()`` of fact data, and the allocation
+running distributed (operators/allocation.py):
+
+    transactions ──┬─ headers (dedup) ────────────┐
+                   └─ posexplode items → filter → ⋈ products(price,cost)
+                        → allocate_greedy (groupBy product)
+                        → line_items ─ rollup per order ─ ⋈ headers → orders
+                                     └ final_stock → products_updated
+                        orders ⋈ order profit → daily_summary → forecast
+
+Ordering policy: the reference's scan order is *file order* (SURVEY
+§2.3 — its README claims chronological, but simulation proves file
+order). We pin ``seq = (day_idx, row_in_file, item_idx)`` for golden
+parity, and expose ``order_by`` for the documented saner policy
+``(timestamp, order_id, item_idx)``.
+
+Known reference bugs fixed here (SURVEY §2.2 op-15, §2.9):
+- daily_summary date format ``yyyy-MM-dd`` (golden answers), not the
+  unpadded ``yyyy-M-dd`` the reference emits;
+- forecaster fits on real dates, not a today-anchored synthetic index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.allocation import allocate_greedy, final_stock
+from ..sources.candy import read_transactions
+from ..timeseries.forecast import forecast_wide
+
+_ROUND2 = lambda c: F.round(c, 2)  # noqa: E731 — reference money rounding
+
+
+def load_daily_transactions(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """Read per-day transaction files with a deterministic sequence key.
+
+    Each multiLine JSON file is a single split, so
+    ``monotonically_increasing_id`` enumerates rows in file order
+    within each day. At production scale, transactions live
+    date-partitioned in parquet and ``seq`` is a real ingest column —
+    this reader exists for source parity with the reference's per-day
+    Mongo collections.
+    """
+    days = []
+    for day_idx, path in enumerate(paths):
+        days.append(
+            read_transactions(spark, path)
+            .withColumn("day_idx", F.lit(day_idx))
+            .withColumn("row_in_file", F.monotonically_increasing_id())
+        )
+    out = days[0]
+    for d in days[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def build_line_items(
+    transactions: DataFrame, products: DataFrame
+) -> DataFrame:
+    """order_line_items with allocation applied (reference
+    `data_processor.py:136-287`, minus the driver round-trip)."""
+    items = (
+        transactions.select(
+            F.col("transaction_id").alias("order_id"),
+            "day_idx",
+            "row_in_file",
+            F.posexplode("items").alias("item_idx", "item"),
+        )
+        .select(
+            "order_id",
+            "day_idx",
+            "row_in_file",
+            "item_idx",
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.qty").alias("qty"),
+        )
+        # null-qty items are dropped BEFORE pricing (reference :179);
+        # a transaction whose items are all null vanishes entirely.
+        .filter(F.col("qty").isNotNull())
+    )
+    priced = items.join(
+        F.broadcast(
+            products.select(
+                "product_id",
+                F.col("sales_price").cast("double").alias("unit_price"),
+                F.col("cost_to_make").cast("double").alias("cost_to_make"),
+            )
+        ),
+        "product_id",
+    )
+    stock = products.select("product_id", "stock")
+    allocated = allocate_greedy(
+        priced,
+        stock,
+        product_col="product_id",
+        qty_col="qty",
+        stock_col="stock",
+        order_by=("day_idx", "row_in_file", "item_idx"),
+    )
+    return allocated.select(
+        "order_id",
+        "product_id",
+        F.col("allocated_qty").alias("quantity"),
+        "unit_price",
+        _ROUND2(F.col("allocated_qty") * F.col("unit_price")).alias("line_total"),
+        F.col("cost_to_make"),
+        "day_idx",
+        "row_in_file",
+    )
+
+
+def build_products_updated(
+    line_items: DataFrame, products: DataFrame
+) -> DataFrame:
+    """Final stock per product (reference products_updated.csv)."""
+    used = line_items.groupBy("product_id").agg(
+        F.sum("quantity").alias("__used")
+    )
+    return (
+        products.join(used, "product_id", "left")
+        .select(
+            "product_id",
+            "product_name",
+            (F.col("stock") - F.coalesce("__used", F.lit(0)))
+            .cast("int")
+            .alias("current_stock"),
+        )
+        .orderBy("product_id")
+    )
+
+
+def build_orders(
+    line_items: DataFrame, transactions: DataFrame
+) -> DataFrame:
+    """Per-order rollup ⋈ headers — ONE transactions scan (the
+    reference re-reads every day's collection a second time,
+    `data_processor.py:310-326`)."""
+    rollup = line_items.groupBy("order_id").agg(
+        _ROUND2(F.sum("line_total")).alias("total_amount"),
+        F.count(F.lit(1)).alias("num_items"),  # counts cancelled rows too
+    )
+    headers = transactions.select(
+        F.col("transaction_id").alias("order_id"),
+        F.col("timestamp").alias("order_datetime"),
+        "customer_id",
+    ).dropDuplicates(["order_id"])
+    return (
+        rollup.join(headers, "order_id")
+        .select(
+            "order_id", "order_datetime", "customer_id", "total_amount", "num_items"
+        )
+        .orderBy("order_id")
+    )
+
+
+def build_daily_summary(
+    orders: DataFrame, line_items: DataFrame
+) -> DataFrame:
+    """Per-day orders/sales/profit in one grouped pass per side
+    (reference runs two grouped passes + join; op 22-25)."""
+    profit_per_order = line_items.groupBy("order_id").agg(
+        F.sum(
+            F.col("line_total") - F.col("quantity") * F.col("cost_to_make")
+        ).alias("order_profit")
+    )
+    return (
+        orders.join(profit_per_order, "order_id", "left")
+        .groupBy(F.to_date("order_datetime").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            _ROUND2(F.sum("total_amount")).alias("total_sales"),
+            _ROUND2(F.sum("order_profit")).alias("total_profit"),
+        )
+        .orderBy("date")
+        # golden answers use padded months; the reference's yyyy-M-dd
+        # is a bug (SURVEY §2.2 op-15)
+        .withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+    )
+
+
+def build_forecast(daily_summary: DataFrame, horizon: int = 1) -> DataFrame:
+    """Next-day sales/profit forecast (reference sales_profit_forecast)."""
+    return forecast_wide(
+        daily_summary.select(
+            F.to_date("date").alias("date"), "total_sales", "total_profit"
+        ),
+        date_col="date",
+        metric_cols=["total_sales", "total_profit"],
+        horizon=horizon,
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transaction_paths: list[str],
+    products: DataFrame,
+) -> dict[str, DataFrame]:
+    """All five reference outputs from one transactions scan."""
+    txns = load_daily_transactions(spark, transaction_paths)
+    line_items = build_line_items(txns, products)
+    # line_items feeds four downstream outputs → cache the (small
+    # relative to source) derived relation instead of re-deriving
+    line_items = line_items.cache()
+    orders = build_orders(line_items, txns)
+    daily = build_daily_summary(orders, line_items)
+    return {
+        "order_line_items": line_items.select(
+            "order_id", "product_id", "quantity", "unit_price", "line_total"
+        ).orderBy("order_id", "product_id"),
+        "products_updated": build_products_updated(line_items, products),
+        "orders": orders,
+        "daily_summary": daily,
+        "sales_profit_forecast": build_forecast(daily),
+    }
