@@ -1,0 +1,147 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Large-scale training pipelines treat media as opaque ``binary``
+columns + a typed metadata struct, processed by Arrow-batched
+``mapInPandas`` stages so bytes never take the row-at-a-time Python
+path. This module implements that plumbing for real — schemas, batch
+iteration, partition sizing — while the actual codecs are STUBBED:
+this container has no image/audio libraries, so ``decode_media``
+ships a clearly-marked deterministic fake (hash-derived dimensions)
+and raises ``NotImplementedError`` when a real codec is requested.
+
+Swap ``_fake_decode`` for Pillow/torchaudio/pyav in a real deployment;
+nothing else changes — the Spark-side contract (schema in, schema out,
+bounded batch memory) is what this module pins down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("source", StringType(), True),
+                    StructField("n_bytes", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def attach_media_column(
+    df: DataFrame, id_col: str, payload_col: str, *, mime: str = "image/fake"
+) -> DataFrame:
+    """Wrap an existing column's bytes as a media row (binary+meta)."""
+    content = F.encode(F.col(payload_col).cast("string"), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit("synthetic").alias("source"),
+            F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(buf: bytes, n_features: int) -> tuple[int, int, int, np.ndarray]:
+    """DETERMINISTIC FAKE decoder (no codec libs in this container).
+
+    Dimensions derive from a content digest; "features" are a seeded
+    byte histogram — stable across runs and machines, so tests can
+    assert exact values. A real deployment replaces this function.
+    """
+    digest = hashlib.sha256(buf).digest()
+    width = 16 + digest[0] % 64
+    height = 16 + digest[1] % 64
+    n_frames = 1 + digest[2] % 8
+    hist, _ = np.histogram(
+        np.frombuffer(buf, dtype=np.uint8), bins=n_features, range=(0, 256)
+    )
+    denom = max(len(buf), 1)
+    return width, height, n_frames, (hist / denom).astype(np.float32)
+
+
+def decode_media(
+    media: DataFrame, *, n_features: int = 16, codec: str = "fake"
+) -> DataFrame:
+    """binary → (dims, frame count, feature vector), Arrow-batched.
+
+    ``codec='fake'`` is the only implementation available here; any
+    real codec name raises until its library is installed.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs a media library not present in this "
+            "container; only the deterministic 'fake' codec is available"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                w, h, nf, feat = _fake_decode(bytes(buf), n_features)
+                rows.append((mid, w, h, nf, feat.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames", "features"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def sample_frames(decoded: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: one row per kept frame index.
+
+    With a real video codec the content column would ride along; the
+    index fan-out (the Spark-side shape: explode, no shuffle) is real.
+    """
+    return decoded.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    )

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.allocation import allocate_greedy
+from ..operators.multimodal import attach_media_column, decode_media
 from ..sources.tpch import load_table
+from ..timeseries.forecast import forecast_metrics
 from .registry import register
 from .relational import SQL_FROUND, fround
 
@@ -188,3 +190,45 @@ def linear_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_intercept("y", "x") + F.regr_slope("y", "x") * (F.max("x") + 1), 2
         ).alias("next_day_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map seasonal forecaster (reference §2.9 Prophet surface) and
+# multimodal decode plumbing — both rows-only (non-SQL-expressible).
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_forecast_daily_value",
+    oracle=None,
+    doc="Trend + weekday-seasonal forecast per event_type via "
+    "applyInPandas (deterministic Prophet replacement; fits on real "
+    "dates, emits in-sample MAE/MSE — time_series.py:16-67 parity).",
+    tags=("timeseries", "applyInPandas"),
+)
+def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("date"), "event_type")
+        .agg((F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias("y"))
+        .groupBy("date")
+        .pivot("event_type")
+        .sum("y")
+        .na.fill(0.0)
+    )
+    metric_cols = [c for c in daily.columns if c != "date"]
+    return forecast_metrics(
+        daily, date_col="date", metric_cols=metric_cols, horizon=3
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,
+    doc="Binary media column -> decoded dims + feature vector via "
+    "Arrow-batched mapInPandas (codec stubbed deterministically; "
+    "Spark-side schema/batch plumbing real — tests/test_multimodal).",
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text")
+    return decode_media(media, n_features=16)

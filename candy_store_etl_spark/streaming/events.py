@@ -1,0 +1,185 @@
+"""Structured Streaming surface (SURVEY.md §2.8 — absent in the
+reference, first-class here).
+
+The reference's daily batch loop (`data_processor.py:172`) is a
+hand-rolled incremental pipeline; its idiomatic Spark form is a
+streaming source + watermarked windows + keyed state:
+
+- ``stream_events``: file-source stream over the events table (in
+  production: Kafka with the same downstream plan).
+- ``windowed_event_stats``: tumbling-window aggregate with an explicit
+  watermark. Late-data policy (the reference has none, so we define
+  one): events later than the watermark are DROPPED; everything within
+  it is aggregated exactly-once per window+type.
+- ``streaming_inventory_allocation``: the allocation operator's
+  streaming twin — per-product running stock via
+  ``applyInPandasWithState``, batch-order-deterministic within each
+  micro-batch. State is one long per product, so a 1000-executor
+  cluster holds the whole catalog trivially.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# explicit schema — a streaming source must never infer (and events.ts
+# is parquet TIMESTAMP(NANOS), read as long then converted, matching
+# sources/tpch.py)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("ts", LongType(), False),  # nanos as long
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_stats(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (append-mode compatible)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, *, output_mode: str = "append"
+) -> None:
+    """Drive a bounded stream to completion into a memory table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming: running inventory allocation.
+# ---------------------------------------------------------------------------
+ALLOC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("product_id", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("qty", IntegerType(), False),
+        StructField("allocated_qty", IntegerType(), False),
+        StructField("cancelled", IntegerType(), False),
+        StructField("event_time", TimestampType(), True),
+    ]
+)
+ALLOC_STATE_SCHEMA = StructType([StructField("remaining", LongType(), False)])
+
+
+def make_allocation_fn(initial_stock: dict[int, int]):
+    """Build the per-group stateful function. ``initial_stock`` is a
+    small catalog map shipped in the task closure (broadcast-sized)."""
+
+    def allocate(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (product_id,) = key
+        if state.exists:
+            (remaining,) = state.get
+        else:
+            remaining = int(initial_stock.get(product_id, 0))
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq", kind="mergesort")
+            allocated = []
+            cancelled = []
+            for q in pdf["qty"].astype(int):
+                if 0 <= q <= remaining:
+                    allocated.append(q)
+                    cancelled.append(0)
+                    remaining -= q
+                else:
+                    allocated.append(0)
+                    cancelled.append(1 if q > 0 else 0)
+            res = pdf[["product_id", "seq", "qty", "event_time"]].copy()
+            res["allocated_qty"] = allocated
+            res["cancelled"] = cancelled
+            out.append(
+                res[
+                    [
+                        "product_id",
+                        "seq",
+                        "qty",
+                        "allocated_qty",
+                        "cancelled",
+                        "event_time",
+                    ]
+                ]
+            )
+        state.update((int(remaining),))
+        yield from out
+
+    return allocate
+
+
+def streaming_inventory_allocation(
+    stream: DataFrame,
+    initial_stock: dict[int, int],
+) -> DataFrame:
+    """Running greedy allocation over a stream of
+    (product_id, seq, qty, event_time) — state carries across
+    micro-batches exactly like the reference's inventory carries
+    across days (`data_processor.py:240-259`)."""
+    return stream.groupBy("product_id").applyInPandasWithState(
+        make_allocation_fn(initial_stock),
+        outputStructType=ALLOC_OUTPUT_SCHEMA,
+        stateStructType=ALLOC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

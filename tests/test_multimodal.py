@@ -1,0 +1,59 @@
+"""Multimodal plumbing: schema contract, determinism, batch shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.operators.multimodal import (
+    attach_media_column,
+    decode_media,
+    sample_frames,
+)
+from candy_store_etl_spark.sources.tpch import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return attach_media_column(docs, "doc_id", "text")
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+    row = media.first()
+    assert isinstance(row.content, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.content)
+
+
+def test_decode_deterministic(media):
+    a = {r.media_id: (r.width, r.height, r.n_frames, tuple(r.features))
+         for r in decode_media(media, n_features=8).collect()}
+    b = {r.media_id: (r.width, r.height, r.n_frames, tuple(r.features))
+         for r in decode_media(media, n_features=8).collect()}
+    assert a == b
+    w, h, nf, feats = next(iter(a.values()))
+    assert 16 <= w < 80 and 16 <= h < 80 and 1 <= nf <= 8
+    assert len(feats) == 8
+    assert abs(sum(feats) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_real_codec_is_stubbed(media):
+    with pytest.raises(NotImplementedError, match="fake"):
+        decode_media(media, codec="pillow")
+
+
+def test_frame_sampling_fanout(spark, media):
+    decoded = decode_media(media)
+    frames = sample_frames(decoded, every_k=2)
+    joined = (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("kept"), F.max("frame_idx").alias("mx"))
+        .join(decoded.select("media_id", "n_frames"), "media_id")
+    )
+    bad = joined.filter(
+        (F.col("kept") != ((F.col("n_frames") + 1) / 2).cast("int"))
+        | (F.col("mx") >= F.col("n_frames"))
+    ).count()
+    assert bad == 0

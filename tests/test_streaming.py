@@ -1,0 +1,87 @@
+"""Streaming surface: batch/stream agreement for windowed aggregation,
+state carry-over across micro-batches for allocation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.plans import QUERIES
+from candy_store_etl_spark.plans.registry import _ensure_loaded
+from candy_store_etl_spark.streaming.events import (
+    stream_events,
+    streaming_inventory_allocation,
+    run_stream_to_memory,
+    windowed_event_stats,
+)
+
+_ensure_loaded()
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_smoke):
+    """Stage the events parquet as a one-file stream directory."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_smoke, "events.parquet"), d / "events.parquet"
+    )
+    return str(d)
+
+
+def test_stream_matches_batch_hourly_stats(spark, sf_smoke, events_dir):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+    run_stream_to_memory(agg, "hourly_out", output_mode="append")
+    got = {
+        (r.bucket_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n, r.total_value)
+        for r in QUERIES["hourly_event_stats"].fn(spark, sf_smoke).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows must be emitted
+    assert got, "stream produced no output"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream={v} batch={want[k]}"
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_streaming_allocation_state_across_batches(spark, tmp_path):
+    # two micro-batches (maxFilesPerTrigger=1) against stock that runs
+    # out in the second → state must carry
+    rows1 = [(7, 1, 6), (7, 2, 6)]
+    rows2 = [(7, 3, 6), (7, 4, 1)]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(
+            [(p, s, q, None) for p, s, q in rows],
+            "product_id long, seq long, qty int, event_time timestamp",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "alloc_in"))
+    stream = (
+        spark.readStream.schema(
+            "product_id long, seq long, qty int, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "alloc_in"))
+    )
+    out = streaming_inventory_allocation(stream, {7: 13})
+    run_stream_to_memory(out, "alloc_out", output_mode="append")
+    got = {
+        r.seq: (r.allocated_qty, r.cancelled)
+        for r in spark.sql("SELECT * FROM alloc_out").collect()
+    }
+    assert len(got) == 4
+    # 13 units: within-batch order is by seq; across batches state
+    # carries. 6+6 allocated leaves 1; third 6 cancelled; final 1 fits.
+    assert sum(a for a, _ in got.values()) <= 13
+    assert got[4] == (1, 0) or got[3] == (6, 0)
+    total_alloc = sum(a for a, _ in got.values())
+    total_cancel = sum(c for _, c in got.values())
+    assert total_alloc == 13 and total_cancel == 1
