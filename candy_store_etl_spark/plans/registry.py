@@ -65,5 +65,6 @@ def _ensure_loaded() -> None:
     from . import text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import extended  # noqa: F401
 
     _LOADED = True
