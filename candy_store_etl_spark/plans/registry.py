@@ -66,5 +66,6 @@ def _ensure_loaded() -> None:
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
     from . import extended  # noqa: F401
+    from . import extended2  # noqa: F401
 
     _LOADED = True

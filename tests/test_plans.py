@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the scale posture is load-bearing, so the
+suite pins it — broadcast where a dimension is small, pushed filters
+and pruned columns at the parquet scan, partition pruning on the
+partitioned sink, and HLL error bounds for the approximate path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.plans import QUERIES
+from candy_store_etl_spark.plans.registry import _ensure_loaded
+from candy_store_etl_spark.sources.sinks import write_partitioned
+from candy_store_etl_spark.sources.tpch import load_table
+
+_ensure_loaded()
+
+
+def physical_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_brand_revenue_broadcasts_dimension(spark, sf_correctness):
+    """part (dim) must broadcast into the lineitem join — no shuffle of
+    the fact side on the join key."""
+    plan = physical_plan(QUERIES["brand_revenue"].fn(spark, sf_correctness))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_row_ops_pushes_filter_and_prunes_columns(spark, sf_correctness):
+    plan = physical_plan(QUERIES["row_ops"].fn(spark, sf_correctness))
+    assert "PushedFilters: [" in plan, plan
+    # the filter must actually reach the scan, not sit post-scan only
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    assert pushed, plan
+    # column pruning: lineitem has 11 columns; the scan must not read
+    # them all
+    sched = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert sched and all(ln.count(",") < 10 for ln in sched), plan
+
+
+def test_aggregates_are_partial_then_final(spark, sf_correctness):
+    """Map-side combine: groupBy must plan partial + final HashAggregate
+    (one shuffle of pre-aggregated data, not raw rows)."""
+    plan = physical_plan(QUERIES["pricing_summary"].fn(spark, sf_correctness))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_correctness, tmp_path):
+    ev = load_table(spark, sf_correctness, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = os.path.join(str(tmp_path), "events_by_day")
+    write_partitioned(ev, out, partition_by=["day"])
+    days = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert len(days) > 1, days
+
+    back = spark.read.parquet(out)
+    one_day = days[0].split("=", 1)[1]
+    pruned = back.filter(F.col("day") == one_day)
+    plan = physical_plan(pruned)
+    # static partition pruning: the scan must select 1 of N partitions
+    assert "PartitionFilters: [" in plan, plan
+    assert pruned.count() == back.filter(F.col("day") == one_day).count()
+    # the pruned scan reads strictly fewer files than the full scan
+    assert pruned.select(F.input_file_name()).distinct().count() < len(days) * max(
+        1, back.select(F.input_file_name()).distinct().count() // len(days)
+    ) + len(days)
+
+
+def test_approx_distinct_within_rsd_bounds(spark, sf_correctness):
+    rows = QUERIES["approx_distinct_users"].fn(spark, sf_correctness).collect()
+    assert rows
+    for r in rows:
+        # rsd=0.01 → generous 5% acceptance band
+        assert abs(r.approx_users - r.exact_users) <= max(
+            1, 0.05 * r.exact_users
+        ), r
+
+
+def test_whole_stage_codegen_covers_flagship(spark, sf_correctness):
+    df = QUERIES["daily_summary"].fn(spark, sf_correctness)
+    # execute so AQE finalizes; fused codegen stages appear as "*(n)"
+    # markers in the final adaptive plan
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert plan.count("*(") >= 2, plan[:800]
