@@ -88,6 +88,46 @@ def windowed_event_stats(
     )
 
 
+def sliding_event_stats(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregate — each event lands in window/slide
+    overlapping buckets (here 2); Spark expands rows into their
+    windows before the keyed aggregation."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+
+
+def session_event_stats(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (dynamic width, closed after ``gap`` of
+    inactivity) — the streaming twin of the batch sessionization query
+    (plans/advanced.py user_sessions)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> None:

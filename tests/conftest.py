@@ -14,8 +14,13 @@ SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_SF_CORRECTNESS", "/root/testdata/sf
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = build_session("candy-store-etl-tests", cpus=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = build_session(
+        "candy-store-etl-tests",
+        cpus=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

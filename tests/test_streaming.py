@@ -53,6 +53,54 @@ def test_stream_matches_batch_hourly_stats(spark, sf_smoke, events_dir):
     assert len(got) >= 0.9 * len(want)
 
 
+def test_streaming_sessions_match_batch_islands(spark, sf_smoke):
+    """Emitted (watermark-closed) streaming sessions must agree exactly
+    with the batch gaps-and-islands computation of the same rule."""
+    from pyspark.sql import Window
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in QUERIES["streaming_session_windows"]
+        .fn(spark, sf_smoke)
+        .collect()
+    }
+    assert got, "no sessions emitted"
+
+    ev = load_table(spark, sf_smoke, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = 30 * 60
+    marked = ev.select("user_id", "ts").withColumn(
+        "new_s",
+        (
+            F.coalesce(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+                F.lit(gap_s * 1_000_000),
+            )
+            >= gap_s * 1_000_000
+        ).cast("int"),
+    )
+    sessions = (
+        marked.withColumn(
+            "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in sessions.collect()
+    }
+    for k, v in got.items():
+        assert want.get(k) == v, f"session {k}: stream={v} batch={want.get(k)}"
+    assert len(got) >= 0.5 * len(want)
+
+
 def test_streaming_allocation_state_across_batches(spark, tmp_path):
     # two micro-batches (maxFilesPerTrigger=1) against stock that runs
     # out in the second → state must carry
