@@ -124,6 +124,131 @@ def query_probe_buckets(query: Sequence[float], planes: np.ndarray) -> list[int]
     return [base] + [base ^ (1 << i) for i in range(planes.shape[0])]
 
 
+def _centroid_seeds(
+    emb: DataFrame, n_centroids: int, *, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic seed centroids: the n lowest-id vectors spaced by
+    a modulus — no RNG, stable across runs and engines."""
+    n_rows = emb.count()
+    stride = max(1, n_rows // n_centroids)
+    seeds = (
+        emb.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.asarray([r[0] for r in seeds], dtype=np.float64)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (by cosine) list id per vector — one numpy
+    matmul per Arrow batch, no shuffle."""
+    c = centroids.astype(np.float64)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("list_id", LongType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "list_id": lists})
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    *,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement of the deterministic seeds.
+
+    Each iteration: assign (mapInPandas matmul) → mean per (list, dim)
+    via posexplode + groupBy — the only driver-sized materialization is
+    the k×dim centroid matrix itself.
+    """
+    cents = _centroid_seeds(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+        sums = (
+            emb.join(assigned, id_col)
+            .select("list_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("v").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.list_id, np.zeros(cents.shape[1]))[r.pos] = r.s
+            cnt[r.list_id] = r.n
+        for lid, vec in acc.items():
+            if cnt.get(lid, 0) > 0:
+                new[lid] = vec / cnt[lid]
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new / norms
+    return cents
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF ANN: partition vectors into coarse centroid lists, search
+    only the query's ``n_probe`` nearest lists, rerank exactly.
+
+    The scale shape: centroid training touches each vector twice,
+    assignment is an embarrassingly parallel matmul, and every query
+    after that scans ~``n_probe/n_centroids`` of the data. The inverted
+    lists would be persisted (partitioned by ``list_id``) in a real
+    deployment so queries prune partitions instead of re-assigning.
+    """
+    first = emb.select(vec_col).first()
+    if first is None:
+        return cosine_topk_blockwise(emb, query, k, id_col=id_col, vec_col=vec_col)
+    cents = ivf_train(
+        emb,
+        n_centroids,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    q = _as_unit(query)
+    probes = np.argsort(-(cents @ q), kind="stable")[:n_probe].tolist()
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    candidate_ids = assigned.filter(
+        F.col("list_id").isin([int(p) for p in probes])
+    ).select(id_col)
+    candidates = emb.join(candidate_ids, on=id_col, how="left_semi")
+    return cosine_topk_blockwise(candidates, query, k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query: Sequence[float],

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..operators.dedup import minhash_dedup_pairs, simhash_neardup_pairs
-from ..operators.similarity import cosine_topk_blockwise, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_blockwise,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from ..sources.tpch import load_table
 from .registry import register
 from .relational import SQL_FROUND, fround
@@ -118,6 +122,27 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return cosine_topk_lsh(
         emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=None,
+    doc="Approximate top-k via IVF: deterministic-seed k-means coarse "
+    "quantizer (distributed Lloyd iterations), nearest-list "
+    "assignment, n-probe search + exact rerank; recall pinned in "
+    "tests/test_similarity.",
+    tags=("vectors", "ann", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") != 0),
+        query,
+        k=10,
+        n_centroids=16,
+        n_probe=4,
     )
 
 
