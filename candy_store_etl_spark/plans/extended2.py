@@ -350,6 +350,44 @@ def salted_nation_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The SQL entry point: the same engine drives plain ANSI SQL over
+# registered views (spark.sql), planning identically to the DataFrame
+# API — one query exercises that surface end-to-end.
+# ---------------------------------------------------------------------------
+# one string, two engines — so every literal is spelled in the dialect
+# intersection (e.g. CAST AS DOUBLE instead of a 100.0 divisor, which
+# Spark SQL types as DECIMAL(3,1) but the DataFrame API as double)
+_SQL_API_QUERY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100
+         AS sum_base_price,
+       CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+            AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_api_pricing",
+    oracle=_SQL_API_QUERY,
+    doc="TPC-H Q1 shape submitted as RAW SQL through spark.sql over "
+    "registered views — the DuckDB oracle runs the IDENTICAL string, "
+    "proving the SQL entry point plans the same semantics as the "
+    "DataFrame API.",
+    tags=("sql_api", "agg"),
+)
+def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_QUERY)
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HyperLogLog++) — inherently non-exact, so
 # rows-only at the gate; the pytest suite bounds it against the exact
 # count (tests/test_approx.py).

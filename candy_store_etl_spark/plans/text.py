@@ -217,6 +217,115 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, text, n_chars, md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    survivors AS (
+      SELECT doc_id, text, n_chars
+      FROM fp
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    tok AS (
+      SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM survivors
+    ),
+    feats AS (
+      SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS dr,
+             len(list_filter(toks, x -> x IN {_SQL_FILLER})) * 1.0 / len(toks)
+               AS fr,
+             LEAST(len(toks) / 40.0, 1.0) AS ls,
+             {", ".join(
+                 f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+                 f" AS h_{lg}"
+                 for lg, ms in _MARKERS.items()
+             )}
+      FROM tok
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {SQL_FROUND("0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr)", 6)}
+             AS quality_score,
+           CASE
+             WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+             WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh'
+           END AS detected_lang
+    FROM feats
+    WHERE n_tokens >= 5
+      AND 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr) >= 0.5
+    """,
+    doc="End-to-end corpus curation in ONE scan: exact dedup (content "
+    "fingerprint, lowest-id survivor) → quality scoring → quality + "
+    "length filters → language ID. The composite form of the LLM "
+    "training-data pipeline — every stage is a narrow projection so "
+    "Catalyst fuses it into a single pass over the corpus plus one "
+    "shuffle for the dedup window.",
+    tags=("text", "pipeline", "dedup", "quality", "langid"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    t = tokens(F.col("text"))
+    dr = distinct_ratio(t)
+    fr = stopword_ratio(t, _FILLER)
+    ls = F.least(F.size(t) / 40.0, F.lit(1.0))
+    quality = 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr)
+
+    def marker_hits(ms):
+        return F.size(F.filter(t, lambda x: x.isin(*ms)))
+
+    hits = {lg: marker_hits(ms) for lg, ms in _MARKERS.items()}
+    detected = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["zh"]),
+            "en",
+        )
+        .when(
+            (hits["es"] >= hits["de"])
+            & (hits["es"] >= hits["fr"])
+            & (hits["es"] >= hits["zh"]),
+            "es",
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["zh"]), "de")
+        .when(hits["fr"] >= hits["zh"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        survivors.select(
+            "doc_id",
+            "n_chars",
+            F.size(t).cast("long").alias("n_tokens"),
+            quality.alias("__q"),
+            detected.alias("detected_lang"),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("__q") >= 0.5))
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            fround(F.col("__q"), 6).alias("quality_score"),
+            "detected_lang",
+        )
+    )
+
+
+@register(
     "token_jaccard_pairs",
     oracle=f"""
     WITH tok AS (
