@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,6 +143,93 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): per-user
+# running totals. The successor to applyInPandasWithState — typed state
+# handles (Value/List/Map), timers, and TTL; requires the RocksDB state
+# store provider (STREAMING_STATE_CONF below) AND the `protobuf`
+# python package (the state server protocol) — absent in minimal
+# environments, where tests importorskip it and
+# streaming_inventory_allocation (applyInPandasWithState, no protobuf
+# dependency) remains the exercised stateful path.
+# ---------------------------------------------------------------------------
+RUNNING_TOTAL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("batch_events", LongType(), False),
+        StructField("total_events", LongType(), False),
+        StructField("total_value", DoubleType(), False),
+    ]
+)
+
+STREAMING_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+}
+
+
+def _running_total_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType(), False),
+                        StructField("cents", LongType(), False),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._state.get()
+            n, cents = (prev[0], prev[1]) if prev is not None else (0, 0)
+            batch_n = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                # integer-cents accumulation — exact across batches
+                cents += int(
+                    (pdf["value"].astype(float) * 100 + 0.5)
+                    .pipe(np.floor)
+                    .astype("int64")
+                    .sum()
+                )
+            n += batch_n
+            self._state.update((n, cents))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "batch_events": [batch_n],
+                    "total_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotal()
+
+
+def streaming_running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user cumulative event count/value across micro-batches via
+    the typed-state API (one ValueState row per user — 10^9 users is
+    ordinary RocksDB state-store load spread over the cluster)."""
+    return stream.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_running_total_processor(),
+        outputStructType=RUNNING_TOTAL_OUTPUT,
+        outputMode="append",
+        timeMode="None",
+    )
 
 
 # ---------------------------------------------------------------------------

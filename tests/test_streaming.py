@@ -101,6 +101,53 @@ def test_streaming_sessions_match_batch_islands(spark, sf_smoke):
     assert len(got) >= 0.5 * len(want)
 
 
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas: per-user totals must accumulate
+    across micro-batches and end equal to the batch aggregate."""
+    # the typed-state API speaks protobuf to the state server; absent
+    # in this container → the operator is surface-gated (events.py)
+    pytest.importorskip("google.protobuf.descriptor")
+    from candy_store_etl_spark.streaming.events import (
+        STREAMING_STATE_CONF,
+        streaming_running_user_totals,
+    )
+
+    rows1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    rows2 = [(1, 1.5), (2, 2.5), (3, 7.0)]
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(str(tmp_path / "tws_in"))
+
+    prev = {
+        k: spark.conf.get(k, None) for k in STREAMING_STATE_CONF
+    }
+    for k, v in STREAMING_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "tws_in"))
+        )
+        out = streaming_running_user_totals(stream)
+        run_stream_to_memory(out, "tws_out", output_mode="append")
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    # last emission per user = cumulative total
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(
+            final.get(r.user_id, (0, 0.0)), (r.total_events, r.total_value)
+        )
+    assert final[1] == (3, 31.5)
+    assert final[2] == (2, 7.5)
+    assert final[3] == (1, 7.0)
+
+
 def test_streaming_allocation_state_across_batches(spark, tmp_path):
     # two micro-batches (maxFilesPerTrigger=1) against stock that runs
     # out in the second → state must carry
