@@ -32,6 +32,8 @@ Known reference bugs fixed here (SURVEY §2.2 op-15, §2.9):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,24 +49,27 @@ def load_daily_transactions(
 ) -> DataFrame:
     """Read per-day transaction files with a deterministic sequence key.
 
-    Each multiLine JSON file is a single split, so
-    ``monotonically_increasing_id`` enumerates rows in file order
-    within each day. At production scale, transactions live
-    date-partitioned in parquet and ``seq`` is a real ingest column —
-    this reader exists for source parity with the reference's per-day
-    Mongo collections.
+    ONE multi-path scan (a per-file loop of reads costs a py4j round
+    trip + listing job per day and unions N plans); ``day_idx`` is
+    recovered from the file name, and — each multiLine JSON file being
+    a single split — ``monotonically_increasing_id`` enumerates rows
+    in file order within each day. At production scale, transactions
+    live date-partitioned in parquet and ``seq`` is a real ingest
+    column — this reader exists for source parity with the reference's
+    per-day Mongo collections.
     """
-    days = []
-    for day_idx, path in enumerate(paths):
-        days.append(
-            read_transactions(spark, path)
-            .withColumn("day_idx", F.lit(day_idx))
-            .withColumn("row_in_file", F.monotonically_increasing_id())
+    names = F.array(*[F.lit(os.path.basename(p)) for p in paths])
+    return (
+        read_transactions(spark, paths)
+        .withColumn(
+            "day_idx",
+            F.array_position(
+                names, F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            - 1,
         )
-    out = days[0]
-    for d in days[1:]:
-        out = out.unionByName(d)
-    return out
+        .withColumn("row_in_file", F.monotonically_increasing_id())
+    )
 
 
 def build_line_items(
@@ -214,8 +219,11 @@ def run_pipeline(
     # line_items feeds four downstream outputs → cache the (small
     # relative to source) derived relation instead of re-deriving
     line_items = line_items.cache()
-    orders = build_orders(line_items, txns)
-    daily = build_daily_summary(orders, line_items)
+    # orders and the daily summary are each consumed twice more
+    # (daily ← orders; forecast ← daily); caching them cuts the
+    # re-derivation chain back to the JSON scan on every output
+    orders = build_orders(line_items, txns).cache()
+    daily = build_daily_summary(orders, line_items).cache()
     return {
         "order_line_items": line_items.select(
             "order_id", "product_id", "quantity", "unit_price", "line_total"

@@ -74,10 +74,12 @@ CUSTOMERS_SCHEMA = StructType(
 )
 
 
-def read_transactions(spark: SparkSession, path: str) -> DataFrame:
+def read_transactions(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
     """Read transaction JSON (array-of-docs files → ``multiLine``).
 
-    ``path`` may be a glob covering many days; at scale, store the
+    ``path`` may be a glob or list covering many days; at scale, store the
     files date-partitioned (``.../date=YYYYMMDD/``) so a ``WHERE date
     BETWEEN`` prunes partitions instead of a per-day driver loop
     (reference anti-pattern, `data_processor.py:172`).
