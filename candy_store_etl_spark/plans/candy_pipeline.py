@@ -208,6 +208,45 @@ def build_forecast(daily_summary: DataFrame, horizon: int = 1) -> DataFrame:
     )
 
 
+def run_pipeline_staged(
+    spark: SparkSession,
+    transaction_paths: list[str],
+    products: DataFrame,
+    workdir: str,
+) -> dict[str, DataFrame]:
+    """The multi-stage (DAG/orchestrator) form of the pipeline.
+
+    The reference's Airflow variant passes intermediates between tasks
+    as session temp views, which do not survive the per-task
+    SparkSessions it creates — structurally broken
+    (`candy_store_pipeline_dag.py:147,162,171,198,206-207`; SURVEY
+    §3.3). Here every stage boundary is persisted parquet: any stage
+    can run in its own session/process/cluster and resume from the
+    previous stage's files.
+    """
+    from ..sources.sinks import write_partitioned
+
+    stage1 = os.path.join(workdir, "line_items")
+    txns = load_daily_transactions(spark, transaction_paths)
+    write_partitioned(build_line_items(txns, products), stage1)
+
+    line_items = spark.read.parquet(stage1)
+    stage2 = os.path.join(workdir, "orders")
+    write_partitioned(build_orders(line_items, txns), stage2)
+
+    orders = spark.read.parquet(stage2)
+    daily = build_daily_summary(orders, line_items)
+    return {
+        "order_line_items": line_items.select(
+            "order_id", "product_id", "quantity", "unit_price", "line_total"
+        ).orderBy("order_id", "product_id"),
+        "products_updated": build_products_updated(line_items, products),
+        "orders": orders.orderBy("order_id"),
+        "daily_summary": daily,
+        "sales_profit_forecast": build_forecast(daily),
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     transaction_paths: list[str],

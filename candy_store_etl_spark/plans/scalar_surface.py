@@ -101,6 +101,70 @@ def token_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join-kind completions: FULL OUTER (both sides keep unmatched rows)
+# and CROSS (cartesian) — the two kinds the rest of the catalog
+# doesn't exercise.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_full_outer",
+    oracle=f"""
+    WITH rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+    ), per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(rich.c_custkey, per_cust.o_custkey) AS custkey,
+           {SQL_FROUND("rich.c_acctbal", 2)} AS acctbal,
+           per_cust.n_orders AS n_orders
+    FROM rich FULL OUTER JOIN per_cust
+      ON rich.c_custkey = per_cust.o_custkey
+    """,
+    doc="FULL OUTER join — unmatched rows survive on BOTH sides "
+    "(rich customers with no orders AND order-makers outside the "
+    "filtered dimension), null-filled.",
+    tags=("join", "full_outer"),
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return rich.join(
+        per_cust, rich.c_custkey == per_cust.o_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        fround(F.col("c_acctbal"), 2).alias("acctbal"),
+        "n_orders",
+    )
+
+
+@register(
+    "region_pairs_cross",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    """,
+    doc="Cross join (explicit cartesian) — bounded to dimension-sized "
+    "inputs; Spark requires the explicit crossJoin call, which is the "
+    "right API friction for an operator that is quadratic by design.",
+    tags=("join", "cross"),
+)
+def region_pairs_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") != F.col("region_b"))
+
+
+# ---------------------------------------------------------------------------
 # Datetime part family over order dates.
 # ---------------------------------------------------------------------------
 @register(
