@@ -133,6 +133,86 @@ def decode_media(
     )
 
 
+def plan_resize(
+    decoded: DataFrame, *, max_side: int = 32
+) -> DataFrame:
+    """Resize planning: aspect-preserving target geometry, JVM-side.
+
+    The geometry (scale factor, rounded target dims, skip flag for
+    already-small media) is pure column arithmetic computed at scan
+    speed; only the pixel resample itself belongs in the codec UDF —
+    which is stubbed here like ``decode_media``. Splitting it this way
+    means the cheap decision ("is a resize even needed?") never pays
+    the Python boundary, and the expensive stage receives exact
+    output dims.
+    """
+    longest = F.greatest("width", "height")
+    scale = F.when(longest <= max_side, F.lit(1.0)).otherwise(
+        F.lit(max_side) / longest
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.ceil(F.col("width") * scale).cast("int").alias("target_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("target_height"),
+        (longest <= max_side).alias("skip_resize"),
+    )
+
+
+def resize_media(
+    media: DataFrame, *, max_side: int = 32, codec: str = "fake"
+) -> DataFrame:
+    """binary + plan → resized binary (STUB — same contract as
+    ``decode_media``: real codecs slot into the mapInPandas stage)."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs a media library not present in this "
+            "container; only the deterministic 'fake' codec is available"
+        )
+    plan = plan_resize(decode_media(media), max_side=max_side)
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("target_width", IntegerType(), True),
+            StructField("target_height", IntegerType(), True),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # fake resample: truncate the buffer proportionally to the
+            # area ratio — deterministic, size-monotone, codec-shaped
+            out = []
+            for mid, buf, tw, th, w, h in zip(
+                pdf["media_id"],
+                pdf["content"],
+                pdf["target_width"],
+                pdf["target_height"],
+                pdf["width"],
+                pdf["height"],
+            ):
+                if buf is None:
+                    out.append((mid, tw, th, None))
+                    continue
+                ratio = (tw * th) / max(w * h, 1)
+                keep = max(1, int(len(buf) * min(ratio, 1.0)))
+                out.append((mid, tw, th, bytes(buf)[:keep]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "target_width", "target_height", "content"],
+            )
+
+    joined = media.select("media_id", "content").join(plan, "media_id")
+    return joined.select(
+        "media_id", "content", "target_width", "target_height", "width", "height"
+    ).mapInPandas(resample, out_schema)
+
+
 def sample_frames(decoded: DataFrame, every_k: int = 2) -> DataFrame:
     """Frame-sampling plumbing: one row per kept frame index.
 

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.allocation import allocate_greedy
-from ..operators.multimodal import attach_media_column, decode_media
+from ..operators.multimodal import (
+    attach_media_column,
+    decode_media,
+    resize_media,
+)
 from ..sources.tpch import load_table
 from ..timeseries.forecast import forecast_metrics
 from .registry import register
@@ -232,3 +236,18 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_column(docs, "doc_id", "text")
     return decode_media(media, n_features=16)
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,
+    doc="Media resize as two stages: aspect-preserving geometry planned "
+    "JVM-side (scale/target dims/skip flag at scan speed), pixel "
+    "resample in the Arrow-batched codec stage (stubbed; contract "
+    "pinned in tests/test_multimodal).",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text")
+    return resize_media(media, max_side=32)

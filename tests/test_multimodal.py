@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from candy_store_etl_spark.operators.multimodal import (
     attach_media_column,
     decode_media,
+    plan_resize,
+    resize_media,
     sample_frames,
 )
 from candy_store_etl_spark.sources.tpch import load_table
@@ -57,3 +59,32 @@ def test_frame_sampling_fanout(spark, media):
         | (F.col("mx") >= F.col("n_frames"))
     ).count()
     assert bad == 0
+
+
+def test_resize_plan_geometry(media):
+    plan = plan_resize(decode_media(media), max_side=32)
+    for r in plan.collect():
+        assert max(r.target_width, r.target_height) <= 32
+        if r.skip_resize:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+        else:
+            # aspect ratio preserved within ceil-rounding
+            assert abs(
+                r.target_width / r.width - r.target_height / r.height
+            ) <= 1.0 / min(r.width, r.height) + 1e-9
+        assert r.target_width >= 1 and r.target_height >= 1
+
+
+def test_resize_media_stub_contract(media):
+    out = resize_media(media, max_side=32)
+    rows = {r.media_id: r for r in out.collect()}
+    orig = {r.media_id: len(bytes(r.content)) for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for mid, r in rows.items():
+        assert len(bytes(r.content)) <= orig[mid]
+        assert max(r.target_width, r.target_height) <= 32
+
+
+def test_resize_real_codec_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        resize_media(media, codec="pillow")
