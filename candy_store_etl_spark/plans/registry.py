@@ -69,5 +69,6 @@ def _ensure_loaded() -> None:
     from . import extended2  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import scalar_surface  # noqa: F401
+    from . import extended3  # noqa: F401
 
     _LOADED = True
