@@ -76,6 +76,82 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# explode_outer: the null-preserving flatten (a row with a NULL/empty
+# array survives with a NULL element). Nulls are manufactured on a
+# deterministic subset since the testdata is fully populated.
+# ---------------------------------------------------------------------------
+@register(
+    "explode_outer_head3",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != '')[1:3]
+             END AS head3
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, u.tok AS tok
+    FROM t LEFT JOIN LATERAL (SELECT unnest(head3) AS tok) u ON TRUE
+    """,
+    doc="explode_outer — null-preserving UNNEST: rows whose array is "
+    "NULL survive with a NULL element (plain explode drops them, the "
+    "semantics difference that silently loses documents in a flatten "
+    "stage); oracle spells it as LEFT JOIN LATERAL unnest.",
+    tags=("nested", "explode_outer"),
+)
+def explode_outer_head3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    head3 = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+        F.slice(tokens(F.col("text")), 1, 3)
+    )
+    return docs.select("doc_id", head3.alias("head3")).select(
+        "doc_id", F.explode_outer("head3").alias("tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-navigation windows: first_value / last_value / nth_value with
+# an explicit full-partition frame (the default frame stops at the
+# CURRENT ROW, a classic last_value trap — pinned here).
+# ---------------------------------------------------------------------------
+@register(
+    "user_first_last_events",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value/nth_value with an explicit UNBOUNDED "
+    "frame — the default frame ends at CURRENT ROW, which silently "
+    "turns last_value into 'current value'; the engine always pins "
+    "the frame. Total order (ts, event_id) makes results exact.",
+    tags=("window", "navigation"),
+)
+def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
 # Collection aggregates: collect_set → sorted array, and the string
 # aggregation form. Sorting makes the nondeterministic collection
 # order canonical — the only way collection aggs can be oracle-checked.
