@@ -85,6 +85,51 @@ def test_approx_distinct_within_rsd_bounds(spark, sf_correctness):
         ), r
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The config-level skew path the docs claim: one hot key must be
+    split by AQE (SortMergeJoin(skew=true)) instead of straggling."""
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in skew_conf}
+    for k, v in skew_conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            spark.range(500_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(100_000).select(
+                    (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1200]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_whole_stage_codegen_covers_flagship(spark, sf_correctness):
     df = QUERIES["daily_summary"].fn(spark, sf_correctness)
     # execute so AQE finalizes; fused codegen stages appear as "*(n)"
