@@ -117,3 +117,66 @@ def test_minhash_bands_must_divide(spark):
 
     with pytest.raises(ValueError, match="divide"):
         lsh_candidate_pairs(sigs, num_perm=16, bands=5)
+
+
+def test_minhash_precision_recall_on_testdata(spark, sf_correctness):
+    """Estimator-quality pin on real testdata: MinHash pairs vs the
+    exact shingle-Jaccard ground truth (computed in DuckDB). A
+    correlated permutation family (e.g. sequential a + j*b) inflates
+    false positives ~5x and must fail here."""
+    import os
+
+    import duckdb
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_correctness, 'documents.parquet')}')"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.execute(
+            r"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x != '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                 ELSE list_transform(generate_series(1, len(tk)-2),
+                                     i -> array_to_string(tk[i:i+2], ' '))
+                 END AS shingles
+          FROM tok
+        ), ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        flat AS (SELECT doc_id, unnest(s) AS sg FROM ds),
+        sizes AS (SELECT doc_id, len(s) AS n FROM ds),
+        inter AS (
+          SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+          FROM flat a JOIN flat b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1,2
+        )
+        SELECT da, db FROM inter
+        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.4
+        """
+        ).fetchall()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            load_table(spark, sf_correctness, "documents"),
+            "doc_id",
+            "text",
+            num_perm=64,
+            bands=16,
+            threshold=0.4,
+        ).collect()
+    }
+    assert truth, "ground truth unexpectedly empty"
+    precision = len(got & truth) / max(len(got), 1)
+    recall = len(got & truth) / len(truth)
+    assert precision >= 0.8, f"precision {precision:.2f} ({len(got)} pairs)"
+    assert recall >= 0.8, f"recall {recall:.2f}"
