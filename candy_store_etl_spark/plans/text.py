@@ -227,6 +227,78 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish subword pattern, spelled in the regex dialect intersection:
+# letter runs, single digits, any other non-space symbol.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe,
+             {_SQL_TOKENS} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+           {SQL_FROUND("len(bpe) * 1.0 / len(ws)", 4)} AS fertility
+    FROM tok
+    """,
+    doc="BPE-ish token counting: subword regex (letter runs / digits / "
+    "symbols) next to the whitespace count, with the fertility ratio "
+    "(subwords per word) — the pre-training cost estimator shape.",
+    tags=("text", "tokens", "bpe"),
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    ws = tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id", bpe.alias("bpe"), ws.alias("ws")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("n_bpe_tokens"),
+        F.size("ws").cast("long").alias("n_ws_tokens"),
+        fround(F.size("bpe") * F.lit(1.0) / F.size("ws"), 4).alias("fertility"),
+    )
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(7, list_transform(
+               toks, x -> CAST(length(x) * 131 + unicode(x) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1073741824
+           ) AS BIGINT) AS rolling_fp
+    FROM tok
+    """,
+    doc="Rolling (polynomial) fingerprint over the token stream — "
+    "order-SENSITIVE unlike the md5 set fingerprint: permuted "
+    "documents hash differently. Accumulator stays < 2^35 via mod "
+    "2^30 each step (ANSI-overflow-safe), identical fold both "
+    "engines.",
+    tags=("text", "fingerprint", "rolling"),
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"), "doc_id")
+    per_tok = F.transform(
+        "toks", lambda x: (F.length(x) * 131 + F.ascii(x)).cast("long")
+    )
+    fp = F.aggregate(
+        per_tok,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1073741824,
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
 @register(
     "corpus_curation",
     oracle=f"""
