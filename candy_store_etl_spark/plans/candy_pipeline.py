@@ -247,6 +247,75 @@ def run_pipeline_staged(
     }
 
 
+def run_allocation_streaming(
+    spark: SparkSession,
+    transaction_paths: list[str],
+    products: DataFrame,
+    workdir: str,
+    *,
+    table_name: str = "candy_alloc_stream",
+) -> DataFrame:
+    """The daily batch loop as Structured Streaming (SURVEY §2.8).
+
+    Each day's file becomes one micro-batch through the stateful
+    allocation (``applyInPandasWithState``) — state is the running
+    per-product stock, exactly the reference's inventory carry-over
+    (`data_processor.py:240-259`) but held by the state store instead
+    of a driver dict. Returns the allocation result table; equality
+    with the batch pipeline is pinned in tests/test_streaming.py.
+
+    In production the staging step disappears — transactions arrive as
+    Kafka/file micro-batches already; this function replays history
+    through the same plan.
+    """
+    from ..streaming.events import (
+        run_stream_to_memory,
+        streaming_inventory_allocation,
+    )
+
+    stage = os.path.join(workdir, "txn_stream")
+    os.makedirs(stage, exist_ok=True)
+    for i, p in enumerate(transaction_paths):
+        day = (
+            read_transactions(spark, p)
+            .withColumn("row_in_file", F.monotonically_increasing_id())
+            .select(
+                "row_in_file",
+                F.posexplode("items").alias("item_idx", "item"),
+            )
+            .select(
+                F.col("item.product_id").cast("long").alias("product_id"),
+                (F.col("row_in_file") * 1024 + F.col("item_idx")).alias("seq"),
+                F.col("item.qty").alias("qty"),
+                F.lit(None).cast("timestamp").alias("event_time"),
+            )
+            .filter(F.col("qty").isNotNull())
+        )
+        # one file per day, name-ordered → maxFilesPerTrigger=1 replays
+        # the daily loop in order
+        tmp = os.path.join(stage, f"_day_{i:02d}")
+        day.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil as _shutil
+
+        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        _shutil.move(part, os.path.join(stage, f"{i:02d}.parquet"))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+    stock0 = {int(r.product_id): int(r.stock) for r in products.collect()}
+    stream = (
+        spark.readStream.schema(
+            "product_id long, seq long, qty int, event_time timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    out = streaming_inventory_allocation(stream, stock0)
+    run_stream_to_memory(out, table_name, output_mode="append")
+    return spark.table(table_name)
+
+
 def run_pipeline(
     spark: SparkSession,
     transaction_paths: list[str],

@@ -138,65 +138,20 @@ def test_streaming_allocation_matches_batch_pipeline(spark, tmp_path):
         for r in batch["products_updated"].collect()
     }
 
-    # stage each day as one parquet file, lexicographic = day order, so
-    # maxFilesPerTrigger=1 replays the daily loop as micro-batches
-    stream_dir = tmp_path / "txn_stream"
-    stream_dir.mkdir()
-    from candy_store_etl_spark.sources.candy import read_transactions
-
-    for i, p in enumerate(paths):
-        day = (
-            read_transactions(spark, p)
-            .withColumn("row_in_file", F.monotonically_increasing_id())
-            .select(
-                F.col("transaction_id").alias("order_id"),
-                "row_in_file",
-                F.posexplode("items").alias("item_idx", "item"),
-            )
-            .select(
-                F.col("item.product_id").cast("long").alias("product_id"),
-                (
-                    F.col("row_in_file") * 1024 + F.col("item_idx")
-                ).alias("seq"),
-                F.col("item.qty").alias("qty"),
-                F.lit(None).cast("timestamp").alias("event_time"),
-            )
-            .filter(F.col("qty").isNotNull())
-        )
-        day.coalesce(1).write.mode("overwrite").parquet(
-            str(stream_dir / f"day_{i:02d}")
-        )
-    # flatten: one file per day, name-ordered
-    import glob as _glob
-    import shutil as _shutil
-
-    flat = tmp_path / "txn_stream_flat"
-    flat.mkdir()
-    for i in range(len(paths)):
-        (part,) = _glob.glob(str(stream_dir / f"day_{i:02d}" / "part-*.parquet"))
-        _shutil.copy(part, flat / f"{i:02d}.parquet")
-
-    stock0 = {
-        int(r.product_id): int(r.stock) for r in products.collect()
-    }
-    stream = (
-        spark.readStream.schema(
-            "product_id long, seq long, qty int, event_time timestamp"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(str(flat))
+    from candy_store_etl_spark.plans.candy_pipeline import (
+        run_allocation_streaming,
     )
-    out = streaming_inventory_allocation(stream, stock0)
-    run_stream_to_memory(out, "candy_alloc_stream", output_mode="append")
+
+    result = run_allocation_streaming(
+        spark, paths, products, str(tmp_path / "work")
+    )
     got = (
-        spark.sql(
-            "SELECT product_id, SUM(allocated_qty) AS q "
-            "FROM candy_alloc_stream GROUP BY product_id"
-        )
+        result.groupBy("product_id")
+        .agg(F.sum("allocated_qty").alias("q"))
         .collect()
     )
     got_alloc = {r.product_id: r.q for r in got}
+    stock0 = {int(r.product_id): int(r.stock) for r in products.collect()}
     assert got_alloc == {
         k: v for k, v in want_alloc.items() if k in got_alloc
     } and set(got_alloc) == set(want_alloc), (
