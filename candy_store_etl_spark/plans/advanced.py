@@ -152,6 +152,61 @@ def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The same as-of join through the COGROUPED-MAP surface (one
+# pd.merge_asof per user) — same oracle, so both encodings are proven
+# equivalent at the gate.
+@register(
+    "purchase_asof_signup_cogrouped",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join via cogroup().applyInPandas (pd.merge_asof per "
+    "user) — the third grouped-pandas surface and the template for "
+    "asof variants built-ins can't express (nearest match, tolerance "
+    "bands); oracle-identical to the window encoding.",
+    tags=("join", "asof", "cogroup"),
+)
+def purchase_asof_signup_cogrouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..operators.asof import asof_join_cogrouped
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_raw")
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("user_id", LongType(), True),
+            StructField("purchase_ts", TimestampType(), True),
+            StructField("signup_ts", TimestampType(), True),
+        ]
+    )
+    return asof_join_cogrouped(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="signup_raw",
+        out_col="signup_ts",
+        schema=schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forecasting (reference §2.9): per-series linear trend, next-day
 # prediction. The reference fits Prophet driver-side on collected NumPy
