@@ -79,6 +79,51 @@ def cosine_topk_blockwise(
     ).limit(k)
 
 
+def cosine_topk_arrow(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via ``mapInArrow`` — the zero-copy tier below
+    mapInPandas: RecordBatches go straight from the JVM to numpy with
+    no pandas Series materialization, which matters when the batch is
+    dominated by a wide array column. Results are identical to
+    ``cosine_topk_blockwise`` (pinned in tests)."""
+    import pyarrow as pa
+
+    q = _as_unit(query)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cosine_sim", DoubleType(), False),
+        ]
+    )
+
+    def scan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            arr = batch.column(1)
+            # ListArray → (n, dim) without per-row python objects
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(len(ids), -1).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ q) / norms
+            top = np.argsort(-sims, kind="stable")[:k]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[top]), pa.array(sims[top])],
+                names=[id_col, "cosine_sim"],
+            )
+
+    partials = emb.select(id_col, vec_col).mapInArrow(scan, out_schema)
+    return partials.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
 def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (unit rows)."""
     rng = np.random.default_rng(seed)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..operators.dedup import minhash_dedup_pairs, simhash_neardup_pairs
 from ..operators.similarity import (
+    cosine_topk_arrow,
     cosine_topk_blockwise,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -123,6 +124,20 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(
         emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8
     )
+
+
+@register(
+    "ann_topk_arrow",
+    oracle=None,
+    doc="Exact top-k via mapInArrow (zero-copy RecordBatch→numpy, no "
+    "pandas materialization of the wide array column); equality with "
+    "the pandas and expression tiers pinned in tests/test_similarity.",
+    tags=("vectors", "ann", "mapInArrow"),
+)
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
 @register(

@@ -41,6 +41,14 @@ def test_lsh_recall_on_testdata(spark, sf_smoke):
     assert len(approx) == 10
 
 
+def test_arrow_matches_blockwise_topk(spark, sf_smoke):
+    expr_rows = QUERIES["ann_topk_blockwise"].fn(spark, sf_smoke).collect()
+    arrow_rows = QUERIES["ann_topk_arrow"].fn(spark, sf_smoke).collect()
+    assert [r.vec_id for r in expr_rows] == [r.vec_id for r in arrow_rows]
+    for e, a in zip(expr_rows, arrow_rows):
+        assert abs(e.cosine_sim - a.cosine_sim) < 1e-9
+
+
 def test_ivf_recall_on_testdata(spark, sf_smoke):
     from candy_store_etl_spark.operators.similarity import cosine_topk_ivf
 
