@@ -129,6 +129,32 @@ def session_event_stats(
     )
 
 
+def run_stream_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    *,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drive a bounded stream through ``foreachBatch`` to completion.
+
+    ``foreachBatch(fn(batch_df, epoch_id))`` is the composition point
+    between streaming and every batch sink the engine has: the
+    function receives each micro-batch as a plain DataFrame and can
+    write partitioned parquet, upsert into a bucketed table, or call
+    any pipeline stage. Spark retries a failed epoch with the SAME
+    epoch_id — idempotent writes keyed on it give effective
+    exactly-once into non-transactional sinks.
+    """
+    writer = stream_df.writeStream.foreachBatch(batch_fn)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> None:

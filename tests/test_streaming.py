@@ -101,6 +101,41 @@ def test_streaming_sessions_match_batch_islands(spark, sf_smoke):
     assert len(got) >= 0.5 * len(want)
 
 
+def test_foreach_batch_writes_epoch_partitioned_parquet(spark, tmp_path):
+    """foreachBatch: each micro-batch lands as one idempotent
+    epoch-keyed parquet partition; the union equals the input."""
+    from candy_store_etl_spark.streaming.events import run_stream_foreach_batch
+
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(5)], "k long, v double"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "fb_in"))
+
+    out_dir = str(tmp_path / "fb_out")
+
+    def sink(batch_df, epoch_id: int) -> None:
+        # epoch-keyed overwrite → a retried epoch rewrites, never dups
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "fb_in"))
+    )
+    run_stream_foreach_batch(
+        stream, sink, checkpoint_dir=str(tmp_path / "fb_ckpt")
+    )
+    back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/epoch=*")
+    assert back.count() == 15
+    assert sorted(r.k for r in back.collect()) == sorted(
+        i * 10 + j for i in range(3) for j in range(5)
+    )
+    epochs = {r.epoch for r in back.select("epoch").distinct().collect()}
+    assert len(epochs) == 3
+
+
 REF_DATA = "/root/reference/data/dataset_5"
 
 
