@@ -259,6 +259,100 @@ def streaming_running_user_totals(stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time timeouts: abandoned-session detection. State that EMITS
+# ON SILENCE — the watermark passing (last activity + gap) fires the
+# timeout callback, the pattern polling-based batch jobs can't express
+# incrementally.
+# ---------------------------------------------------------------------------
+ABANDONED_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("last_ts", TimestampType(), True),
+        StructField("n_events", LongType(), False),
+        StructField("abandoned", IntegerType(), False),
+    ]
+)
+ABANDONED_STATE = StructType(
+    [
+        StructField("last_us", LongType(), False),
+        StructField("n", LongType(), False),
+    ]
+)
+
+
+def make_abandoned_fn(gap_seconds: int, closing_type: str = "purchase"):
+    def track(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # silence: the watermark passed last activity + gap with no
+            # closing event → emit the abandoned session, drop state
+            last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [int(n)],
+                    "abandoned": [1],
+                }
+            )
+            return
+        last_us, n = state.get if state.exists else (0, 0)
+        closed = False
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1000))
+            if (pdf["event_type"] == closing_type).any():
+                closed = True
+        if closed:
+            # converted: emit immediately, clear state
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [int(n)],
+                    "abandoned": [0],
+                }
+            )
+        else:
+            state.update((int(last_us), int(n)))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return track
+
+
+def abandoned_sessions(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    gap_seconds: int = 1800,
+    closing_type: str = "purchase",
+) -> DataFrame:
+    """Per-user abandonment: a session with no ``closing_type`` event
+    within ``gap`` of its last activity emits with ``abandoned=1`` when
+    the watermark passes the deadline; a closing event emits
+    ``abandoned=0`` immediately."""
+    return (
+        stream.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_abandoned_fn(gap_seconds, closing_type),
+            outputStructType=ABANDONED_OUTPUT,
+            stateStructType=ABANDONED_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming: running inventory allocation.
 # ---------------------------------------------------------------------------
 ALLOC_OUTPUT_SCHEMA = StructType(

@@ -101,6 +101,48 @@ def test_streaming_sessions_match_batch_islands(spark, sf_smoke):
     assert len(got) >= 0.5 * len(want)
 
 
+def test_event_time_timeout_flags_abandoned_sessions(spark, tmp_path):
+    """EventTimeTimeout: a user with no purchase within the gap emits
+    abandoned=1 once the watermark passes their deadline; a purchaser
+    emits abandoned=0 immediately."""
+    import datetime as dt
+
+    from candy_store_etl_spark.streaming.events import abandoned_sessions
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def rows(*specs):
+        return [
+            (uid, t0 + dt.timedelta(minutes=m), etype) for uid, m, etype in specs
+        ]
+
+    # batch 1: user 1 browses; user 2 browses then purchases
+    b1 = rows((1, 0, "view"), (1, 2, "view"), (2, 1, "view"), (2, 3, "purchase"))
+    # batch 2: user 3 events far in the future → watermark jumps past
+    # user 1's (last activity + 30m) deadline
+    b2 = rows((3, 120, "view"), (3, 125, "view"))
+    for i, b in enumerate([b1, b2]):
+        spark.createDataFrame(
+            b, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ab_in"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ab_in"))
+    )
+    out = abandoned_sessions(stream, gap="30 minutes", gap_seconds=1800)
+    run_stream_to_memory(out, "abandoned_out", output_mode="append")
+    got = {
+        r.user_id: (r.abandoned, r.n_events)
+        for r in spark.sql("SELECT * FROM abandoned_out").collect()
+    }
+    assert got.get(2) == (0, 2), got  # purchased → converted
+    assert got.get(1) == (1, 2), got  # silent past deadline → abandoned
+    # user 3's deadline is never passed by the final watermark → no row
+    assert 3 not in got or got[3][0] == 1
+
+
 def test_foreach_batch_writes_epoch_partitioned_parquet(spark, tmp_path):
     """foreachBatch: each micro-batch lands as one idempotent
     epoch-keyed parquet partition; the union equals the input."""
