@@ -152,6 +152,62 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-agg pandas UDF: a custom aggregate over Arrow batches —
+# the fourth pandas-UDF shape (after scalar, grouped-map, cogrouped).
+# Geometric mean has an exact SQL identity (exp(avg(ln x))) → oracled.
+# ---------------------------------------------------------------------------
+def _mean_udafs():
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    def amean(v):
+        # exact integer-cents mean — order-free, matches the SQL twin
+        cents = np.floor(v.to_numpy(dtype=np.float64) * 100 + 0.5).astype(np.int64)
+        return float(int(cents.sum()) / (100.0 * len(cents)))
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # signature hints into strings, which the inferring form rejects.
+    # Both means are pandas UDAFs — Spark disallows mixing grouped-agg
+    # pandas UDFs with JVM aggregates in one agg().
+    return (
+        pandas_udf(geomean, "double", PandasUDFType.GROUPED_AGG),
+        pandas_udf(amean, "double", PandasUDFType.GROUPED_AGG),
+    )
+
+
+@register(
+    "brand_price_geomean",
+    oracle="""
+    SELECT p_brand,
+           FLOOR(exp(avg(ln(p_retailprice))) * 100) / 100 AS geo_mean,
+           SUM(FLOOR(p_retailprice * 100 + 0.5)) / (100.0 * COUNT(*))
+             AS arith_mean
+    FROM part GROUP BY p_brand
+    """,
+    doc="Grouped-agg pandas UDF (Arrow-batched custom aggregate, the "
+    "fourth pandas-UDF shape) computing the geometric mean, checked "
+    "against its SQL identity exp(avg(ln x)). Stabilization differs "
+    "by column: the arithmetic mean of 2-dp money is an exact "
+    "integer-cents ratio (its true value CAN sit on a rounding "
+    "boundary, so round-half-up there is engine-noise-sensitive); "
+    "the transcendental geo-mean is truncated at 2 dp, where it is "
+    "never within float noise of a cent boundary.",
+    tags=("agg", "pandas_udf", "grouped_agg"),
+)
+def brand_price_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    geomean, amean = _mean_udafs()
+    return p.groupBy("p_brand").agg(
+        (F.floor(geomean("p_retailprice") * 100) / 100).alias("geo_mean"),
+        amean("p_retailprice").alias("arith_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Collection aggregates: collect_set → sorted array, and the string
 # aggregation form. Sorting makes the nondeterministic collection
 # order canonical — the only way collection aggs can be oracle-checked.
