@@ -1,0 +1,49 @@
+"""Whole-catalog physical-plan audit: no query may silently regress
+into a slow shape. Row-at-a-time Python, nested-loop/cartesian joins,
+and excessive shuffles are each allowed ONLY where the operator's
+design documents them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+
+# the row-at-a-time tier by design (Python UDTF demo)
+ALLOW_ROW_PYTHON = {"doc_bigrams_udtf"}
+# single-broadcast-row compare or documented all-pairs ground truth
+ALLOW_NESTED_LOOP = {
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "region_pairs_cross",
+}
+# iterative/multi-stage by design
+MAX_EXCHANGES = 4
+
+BATCH_QUERIES = sorted(
+    n for n, s in QUERIES.items() if "streaming" not in s.tags
+)
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_plan_shape(spark, sf_correctness, name):
+    df = QUERIES[name].fn(spark, sf_correctness)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    if name not in ALLOW_ROW_PYTHON:
+        assert "BatchEvalPython" not in tree, (
+            f"{name}: row-at-a-time Python UDF in the plan:\n{tree}"
+        )
+    if name not in ALLOW_NESTED_LOOP:
+        assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
+        assert "BroadcastNestedLoopJoin" not in tree, f"{name}:\n{tree}"
+    n_exchange = len(re.findall(r"[+:]- Exchange", tree))
+    assert n_exchange <= MAX_EXCHANGES, (
+        f"{name}: {n_exchange} shuffles (max {MAX_EXCHANGES}):\n{tree}"
+    )
