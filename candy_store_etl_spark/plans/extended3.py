@@ -152,6 +152,49 @@ def user_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rollup cascade: the continuous-aggregate pattern — daily stats are
+# computed FROM the hourly aggregate, not from raw events. At 100 TB
+# the hourly tier is what you persist (and incrementally maintain via
+# the streaming twin); every coarser rollup reads it instead of
+# rescanning the fact table. The oracle computes daily DIRECTLY from
+# raw events, proving the cascade loses nothing (counts/sums compose;
+# distincts would need sketch merges — approx_distinct_users).
+# ---------------------------------------------------------------------------
+@register(
+    "daily_from_hourly_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(FLOOR(value * 100 + 0.5)) / 100.0 AS total_value,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             AS active_hours
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Rollup cascade: daily per-type stats computed FROM the hourly "
+    "aggregate tier (counts and cents-sums compose exactly; active-"
+    "hours falls out as a count of hourly rows). Oracle aggregates "
+    "raw events directly — the cascade is provably lossless.",
+    tags=("agg", "time", "rollup_cascade"),
+)
+def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("cents"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+            F.count(F.lit(1)).alias("active_hours"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouped-agg pandas UDF: a custom aggregate over Arrow batches —
 # the fourth pandas-UDF shape (after scalar, grouped-map, cogrouped).
 # Geometric mean has an exact SQL identity (exp(avg(ln x))) → oracled.
