@@ -21,8 +21,10 @@ grouped-map pandas is the right Spark primitive.
 At 100 TB: the shuffle is one hash partition on the product key; skew
 (one hot product) is bounded by per-product item counts, and the AQE
 skew-join splitting doesn't apply to groupBy — for a pathologically
-hot key, pre-split by (product, coarse seq range) and chain the
-carry-over stock, which this module leaves to the caller.
+hot key use ``allocate_greedy_chained``, which pre-splits every
+product into order-contiguous chunks (spillable window ntile, not an
+in-memory pandas group) and chains the carry-over stock between
+chunk rounds; result identical to the single pass.
 
 The ordering key must be explicit and deterministic. The reference's
 implicit policy is file order; we require the caller to pass
@@ -105,6 +107,64 @@ def allocate_greedy(
         return out
 
     return joined.groupBy(product_col).applyInPandas(scan, out_schema)
+
+
+def allocate_greedy_chained(
+    items: DataFrame,
+    stock: DataFrame,
+    *,
+    chunks: int = 4,
+    product_col: str = "product_id",
+    qty_col: str = "qty",
+    stock_col: str = "stock",
+    order_by: Sequence[str] = ("seq",),
+) -> DataFrame:
+    """Hot-key form of ``allocate_greedy``: bounded memory per task.
+
+    ``allocate_greedy`` holds one product's items in a single pandas
+    frame — fine until one pathological product owns a billion rows.
+    This variant splits every product's items into ``chunks``
+    order-contiguous slices (``ntile`` over the ordering key) and runs
+    the greedy scan chunk-round by chunk-round, chaining the remaining
+    stock between rounds exactly like the inventory carries across the
+    reference's days. Each round is fully distributed; driver state is
+    just the loop counter. Result is provably identical to the
+    single-pass scan (pinned in tests/test_allocation.py) because
+    greedy allocation composes: scanning [chunk1; chunk2] equals
+    scanning chunk2 with chunk1's remaining stock.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(product_col).orderBy(
+        *[F.col(c) for c in order_by]
+    )
+    chunked = items.withColumn("__chunk", F.ntile(chunks).over(w))
+    remaining = stock.select(product_col, F.col(stock_col).cast("long").alias(stock_col))
+    outs: list[DataFrame] = []
+    for k in range(1, chunks + 1):
+        part = chunked.filter(F.col("__chunk") == k).drop("__chunk")
+        out_k = allocate_greedy(
+            part,
+            remaining,
+            product_col=product_col,
+            qty_col=qty_col,
+            stock_col=stock_col,
+            order_by=order_by,
+        ).cache()
+        outs.append(out_k)
+        remaining = (
+            final_stock(
+                out_k, remaining, product_col=product_col, stock_col=stock_col
+            )
+            .select(
+                product_col, F.col("current_stock").cast("long").alias(stock_col)
+            )
+            .cache()
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
 
 
 def final_stock(

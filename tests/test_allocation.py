@@ -156,3 +156,37 @@ def spark_prop(spark):
     # hypothesis + spark: reuse the session-scoped fixture under a
     # module alias (keeps hypothesis from re-creating sessions)
     return spark
+
+
+def test_chained_equals_single_pass(spark):
+    """allocate_greedy_chained must produce identical allocations to
+    the single-pass scan, including on a pathologically hot product."""
+    from candy_store_etl_spark.operators.allocation import (
+        allocate_greedy,
+        allocate_greedy_chained,
+    )
+
+    rows = []
+    # hot product 1: 200 items, stock runs out partway
+    for s in range(200):
+        rows.append((1, s, 3))
+    # regular products
+    for p in range(2, 12):
+        for s in range(5):
+            rows.append((p, s, p))
+    items = spark.createDataFrame(rows, "product_id int, seq int, qty int")
+    stock = spark.createDataFrame(
+        [(1, 250)] + [(p, p * 3) for p in range(2, 12)],
+        "product_id int, stock int",
+    )
+    single = {
+        (r.product_id, r.seq): (r.allocated_qty, r.cancelled)
+        for r in allocate_greedy(items, stock).collect()
+    }
+    chained = {
+        (r.product_id, r.seq): (r.allocated_qty, r.cancelled)
+        for r in allocate_greedy_chained(items, stock, chunks=4).collect()
+    }
+    assert chained == single
+    # sanity: the hot product did run out (cancellations exist)
+    assert any(c == 1 for (p, _), (a, c) in single.items() if p == 1)
