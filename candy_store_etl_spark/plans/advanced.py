@@ -55,6 +55,39 @@ def inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inventory_allocation_chained",
+    oracle=None,
+    doc="Hot-key form of the allocation: items pre-split into order-"
+    "contiguous chunks (spillable ntile window), remaining stock "
+    "chained between distributed rounds — identical results to the "
+    "single pass (tests/test_allocation.py), bounded task memory for "
+    "a pathologically hot product.",
+    tags=("stateful", "applyInPandas", "skew"),
+)
+def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.allocation import allocate_greedy_chained
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_extendedprice",
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    stock = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"),
+        (F.col("p_size") * 40).alias("stock"),
+    )
+    return allocate_greedy_chained(
+        li,
+        stock,
+        chunks=4,
+        order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization: gap-based sessions over the event stream — the batch
 # twin of streaming session windows (SURVEY §2.8 gap).

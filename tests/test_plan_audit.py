@@ -21,7 +21,9 @@ ALLOW_NESTED_LOOP = {
     "embedding_neardup_pairs",
     "region_pairs_cross",
 }
-# iterative/multi-stage by design
+# iterative/multi-stage by design: K chained chunk-rounds, each with
+# its own window + grouped-map exchange
+ALLOW_MANY_EXCHANGES = {"inventory_allocation_chained"}
 MAX_EXCHANGES = 4
 
 BATCH_QUERIES = sorted(
@@ -43,7 +45,8 @@ def test_plan_shape(spark, sf_correctness, name):
     if name not in ALLOW_NESTED_LOOP:
         assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
         assert "BroadcastNestedLoopJoin" not in tree, f"{name}:\n{tree}"
-    n_exchange = len(re.findall(r"[+:]- Exchange", tree))
-    assert n_exchange <= MAX_EXCHANGES, (
-        f"{name}: {n_exchange} shuffles (max {MAX_EXCHANGES}):\n{tree}"
-    )
+    if name not in ALLOW_MANY_EXCHANGES:
+        n_exchange = len(re.findall(r"[+:]- Exchange", tree))
+        assert n_exchange <= MAX_EXCHANGES, (
+            f"{name}: {n_exchange} shuffles (max {MAX_EXCHANGES}):\n{tree}"
+        )
