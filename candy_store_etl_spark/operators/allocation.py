@@ -138,7 +138,9 @@ def allocate_greedy_chained(
     w = Window.partitionBy(product_col).orderBy(
         *[F.col(c) for c in order_by]
     )
-    chunked = items.withColumn("__chunk", F.ntile(chunks).over(w))
+    # cache: every round filters this frame — uncached, each round
+    # would redo the scan + ntile window
+    chunked = items.withColumn("__chunk", F.ntile(chunks).over(w)).cache()
     remaining = stock.select(product_col, F.col(stock_col).cast("long").alias(stock_col))
     outs: list[DataFrame] = []
     for k in range(1, chunks + 1):

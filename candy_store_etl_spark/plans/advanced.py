@@ -80,10 +80,11 @@ def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("product_id"),
         (F.col("p_size") * 40).alias("stock"),
     )
+    # 2 chunks keeps the gate fast; the equivalence test runs 4
     return allocate_greedy_chained(
         li,
         stock,
-        chunks=4,
+        chunks=2,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
     )
 
