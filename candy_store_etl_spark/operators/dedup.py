@@ -43,6 +43,41 @@ def exact_dedup(
     )
 
 
+def _token_hashes(toks: Column) -> Column:
+    """32-bit xxhash64 per token. MUST be staged as its own projection
+    (aliased column) before windowing — ``_shingle_hashes`` references
+    its input once per window position, and Catalyst does not CSE a
+    duplicated ``transform`` subtree, so inlining this expression makes
+    shingling O(len²) (measured 2.5x slower end-to-end at sf0.1)."""
+    mask = F.lit(0xFFFFFFFF)
+    return F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(mask))
+
+
+def _shingle_hashes(th: Column, n: int = 3) -> Column:
+    """32-bit hash per n-token shingle, built by hash-combining the
+    per-token hashes from ``_token_hashes`` — no per-window string
+    materialization (the ``concat_ws`` form was the dominant signature
+    cost at sf0.1). ``th`` must be a bound column (see above). Each
+    combine step re-masks to 32 bits so ANSI long arithmetic cannot
+    overflow. Documents shorter than ``n`` tokens hash their whole
+    token list so they still participate in dedup.
+    """
+    mask = F.lit(0xFFFFFFFF)
+
+    def combine(acc: Column, nxt: Column) -> Column:
+        return (acc * 131 + nxt).bitwiseAND(mask)
+
+    def window_hash(i: Column) -> Column:
+        h = F.element_at(th, i + 1)
+        for k in range(1, n):
+            h = combine(h, F.element_at(th, i + 1 + k))
+        return h
+
+    whole = F.aggregate(th, F.lit(0).cast("long"), combine)
+    shingled = F.transform(F.sequence(F.lit(0), F.size(th) - n), window_hash)
+    return F.when(F.size(th) <= n, F.array(whole)).otherwise(shingled)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -76,12 +111,16 @@ def minhash_signatures(
     a_mult = rng.integers(0, 1 << 29, size=num_perm) * 2 + 1  # odd, < 2^30
     b_add = rng.integers(0, 1 << 32, size=num_perm)
     mask = F.lit(0xFFFFFFFF)
-    flat = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
+        _token_hashes(tokens(F.col(text_col))).alias("th"),
+    )
+    flat = hashed.select(
+        "id",
         F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
-        ).alias("s"),
-    ).select("id", F.xxhash64("s").bitwiseAND(mask).alias("h"))
+            F.array_distinct(_shingle_hashes(F.col("th"), shingle_n))
+        ).alias("h"),
+    )
     mins = [
         F.min(
             (F.lit(int(a_mult[j])) * F.col("h") + F.lit(int(b_add[j]))).bitwiseAND(
