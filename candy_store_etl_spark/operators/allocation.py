@@ -113,7 +113,8 @@ def allocate_greedy_chained(
     items: DataFrame,
     stock: DataFrame,
     *,
-    chunks: int = 4,
+    chunks: int | str = "auto",
+    target_chunk_rows: int = 1_000_000,
     product_col: str = "product_id",
     qty_col: str = "qty",
     stock_col: str = "stock",
@@ -132,8 +133,37 @@ def allocate_greedy_chained(
     single-pass scan (pinned in tests/test_allocation.py) because
     greedy allocation composes: scanning [chunk1; chunk2] equals
     scanning chunk2 with chunk1's remaining stock.
+
+    ``chunks="auto"`` sizes the round count from the data the way AQE
+    sizes shuffle partitions from runtime stats: one cheap count
+    aggregate finds the hottest product, and the chunk count is
+    ``ceil(hottest / target_chunk_rows)`` clamped to [1, 64] — so a
+    skew-free dataset degenerates to the plain single pass (zero extra
+    rounds) and a pathological key gets exactly the rounds it needs.
+    ``target_chunk_rows`` is the per-task pandas-frame budget; the
+    default (1M rows ≈ low hundreds of MB Arrow-side) fits default
+    executor memory.
     """
     from pyspark.sql import Window
+
+    if chunks == "auto":
+        hottest = (
+            items.groupBy(product_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+            or 0
+        )
+        chunks = max(1, min(64, -(-int(hottest) // target_chunk_rows)))
+    if chunks == 1:
+        return allocate_greedy(
+            items,
+            stock,
+            product_col=product_col,
+            qty_col=qty_col,
+            stock_col=stock_col,
+            order_by=order_by,
+        )
 
     w = Window.partitionBy(product_col).orderBy(
         *[F.col(c) for c in order_by]

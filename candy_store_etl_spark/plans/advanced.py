@@ -80,7 +80,8 @@ def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("product_id"),
         (F.col("p_size") * 40).alias("stock"),
     )
-    # 2 chunks keeps the gate fast; the equivalence test runs 4
+    # static 2 so the gate always exercises the chained path; in
+    # production use chunks="auto" (sizes rounds from the hottest key)
     return allocate_greedy_chained(
         li,
         stock,

@@ -190,3 +190,33 @@ def test_chained_equals_single_pass(spark):
     assert chained == single
     # sanity: the hot product did run out (cancellations exist)
     assert any(c == 1 for (p, _), (a, c) in single.items() if p == 1)
+
+    # chunks="auto" with a tight per-task row budget must force real
+    # chaining (hottest product has 200 rows -> ceil(200/64) = 4
+    # rounds) and still match the single pass exactly
+    auto = {
+        (r.product_id, r.seq): (r.allocated_qty, r.cancelled)
+        for r in allocate_greedy_chained(
+            items, stock, target_chunk_rows=64
+        ).collect()
+    }
+    assert auto == single
+
+
+def test_chained_auto_degenerates_to_single_pass(spark):
+    """With the default 1M-row budget, auto mode on a small dataset
+    must pick 1 chunk and return the plain applyInPandas plan — no
+    ntile window, no union of rounds."""
+    from candy_store_etl_spark.operators.allocation import (
+        allocate_greedy_chained,
+    )
+
+    items = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 5), (2, 0, 3)], "product_id int, seq int, qty int"
+    )
+    stock = spark.createDataFrame([(1, 7), (2, 9)], "product_id int, stock int")
+    df = allocate_greedy_chained(items, stock)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "ntile" not in plan.lower()
+    got = {(r.product_id, r.seq): r.allocated_qty for r in df.collect()}
+    assert got == {(1, 0): 5, (1, 1): 0, (2, 0): 3}
