@@ -322,7 +322,9 @@ def run_pipeline(
     products: DataFrame,
 ) -> dict[str, DataFrame]:
     """All five reference outputs from one transactions scan."""
-    txns = load_daily_transactions(spark, transaction_paths)
+    # txns is consumed twice (line items + order headers) — cached, the
+    # multiLine JSON parse happens once instead of per-consumer
+    txns = load_daily_transactions(spark, transaction_paths).cache()
     line_items = build_line_items(txns, products)
     # line_items feeds four downstream outputs → cache the (small
     # relative to source) derived relation instead of re-deriving
