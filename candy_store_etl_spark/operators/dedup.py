@@ -213,10 +213,15 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs above ``threshold``."""
+    """End-to-end MinHash-LSH near-dup pairs above ``threshold``.
+
+    The signature relation feeds three consumers (band buckets + both
+    sides of the similarity join); cached, the shingle+min-agg pass runs
+    once instead of three times (~40% of end-to-end time at sf0.1).
+    """
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
-    )
+    ).cache()
     cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
     return minhash_similarity(cands, sigs).filter(
         F.col("est_jaccard") >= threshold

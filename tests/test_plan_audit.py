@@ -25,6 +25,11 @@ ALLOW_NESTED_LOOP = {
 # its own window + grouped-map exchange
 ALLOW_MANY_EXCHANGES = {"inventory_allocation_chained"}
 MAX_EXCHANGES = 4
+# per-query overrides where the default cap miscounts BY DESIGN:
+# minhash caches the signature relation, and the formatted plan
+# re-prints the cache-fill subtree (with its exchange) under each of
+# the three consumers — executed once, counted thrice.
+EXCHANGE_CAP_OVERRIDES = {"minhash_neardup_pairs": 6}
 
 BATCH_QUERIES = sorted(
     n for n, s in QUERIES.items() if "streaming" not in s.tags
@@ -33,6 +38,10 @@ BATCH_QUERIES = sorted(
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_plan_shape(spark, sf_correctness, name):
+    # plans are cache-state-dependent (CacheManager substitutes
+    # InMemoryRelation by logical-plan match, and earlier tests may
+    # have warmed identical plans) — audit the cold shape
+    spark.catalog.clearCache()
     df = QUERIES[name].fn(spark, sf_correctness)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -46,7 +55,8 @@ def test_plan_shape(spark, sf_correctness, name):
         assert "CartesianProduct" not in tree, f"{name}:\n{tree}"
         assert "BroadcastNestedLoopJoin" not in tree, f"{name}:\n{tree}"
     if name not in ALLOW_MANY_EXCHANGES:
+        cap = EXCHANGE_CAP_OVERRIDES.get(name, MAX_EXCHANGES)
         n_exchange = len(re.findall(r"[+:]- Exchange", tree))
-        assert n_exchange <= MAX_EXCHANGES, (
-            f"{name}: {n_exchange} shuffles (max {MAX_EXCHANGES}):\n{tree}"
+        assert n_exchange <= cap, (
+            f"{name}: {n_exchange} shuffles (max {cap}):\n{tree}"
         )
