@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.events import (
+    dedup_event_stream,
     run_stream_to_memory,
     session_event_stats,
     sliding_event_stats,
@@ -99,6 +100,23 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(agg, "csetl_streaming_sliding", output_mode="complete")
     return spark.table("csetl_streaming_sliding")
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication (dropDuplicates on the state store) "
+    "driven to completion and hash-checked against batch DISTINCT — "
+    "only the key columns are emitted, so the result is deterministic; "
+    "the bounded-state production variant is "
+    "dropDuplicatesWithinWatermark (dedup_event_stream "
+    "within_watermark=True).",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_event_stream(_events_stream(spark, sf_dir))
+    run_stream_to_memory(deduped, "csetl_streaming_dedup", output_mode="append")
+    return spark.table("csetl_streaming_dedup")
 
 
 @register(

@@ -107,6 +107,40 @@ def sliding_event_stats(
     )
 
 
+def dedup_event_stream(
+    stream: DataFrame,
+    *,
+    keys: Iterable[str] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming deduplication — the state-store twin of batch
+    ``SELECT DISTINCT`` (and of operators/dedup.exact_dedup).
+
+    The first arrival per key survives; later duplicates are suppressed
+    by the keyed state store. Only the key columns are emitted, because
+    the surviving row's other attributes depend on arrival order —
+    projecting them away makes the result deterministic and exactly
+    equal to batch DISTINCT over the same input.
+
+    ``within_watermark=False`` (default): global dedup; state never
+    expires (keys exclude the event-time column), which is the exact
+    semantics the correctness gate checks on a bounded replay.
+    ``within_watermark=True``: ``dropDuplicatesWithinWatermark`` — the
+    100 TB production variant; state lives only for the watermark
+    delay, so it bounds memory and suppresses duplicates that arrive
+    within the delay (a key recurring later is emitted again).
+    """
+    keys = list(keys)
+    wm = stream.withWatermark("ts", watermark)
+    deduped = (
+        wm.dropDuplicatesWithinWatermark(keys)
+        if within_watermark
+        else wm.dropDuplicates(keys)
+    )
+    return deduped.select(*keys)
+
+
 def session_event_stats(
     stream: DataFrame,
     *,

@@ -53,6 +53,42 @@ def test_stream_matches_batch_hourly_stats(spark, sf_smoke, events_dir):
     assert len(got) >= 0.9 * len(want)
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_smoke, events_dir):
+    """Streaming dropDuplicates (key columns only) must equal batch
+    SELECT DISTINCT exactly; the bounded-state withinWatermark variant
+    agrees on a single-batch replay (all duplicates arrive inside the
+    delay)."""
+    from candy_store_etl_spark.sources.tpch import load_table
+    from candy_store_etl_spark.streaming.events import dedup_event_stream
+
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_smoke, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    exact = dedup_event_stream(stream_events(spark, events_dir))
+    run_stream_to_memory(exact, "dedup_exact_out", output_mode="append")
+    got = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM dedup_exact_out").collect()
+    }
+    assert got == want
+    # no duplicate emissions
+    assert spark.sql("SELECT COUNT(*) c FROM dedup_exact_out").first().c == len(want)
+
+    bounded = dedup_event_stream(
+        stream_events(spark, events_dir), within_watermark=True
+    )
+    run_stream_to_memory(bounded, "dedup_wm_out", output_mode="append")
+    got_wm = {
+        (r.user_id, r.event_type)
+        for r in spark.sql("SELECT * FROM dedup_wm_out").collect()
+    }
+    assert got_wm == want
+
+
 def test_streaming_sessions_match_batch_islands(spark, sf_smoke):
     """Emitted (watermark-closed) streaming sessions must agree exactly
     with the batch gaps-and-islands computation of the same rule."""
