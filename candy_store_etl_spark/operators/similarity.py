@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -158,6 +159,110 @@ def lsh_bucket_ids(
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
 
     return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def lsh_signature_chunks(
+    emb: DataFrame,
+    planes: np.ndarray,
+    *,
+    n_chunks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_val) — the hyperplane sign signature split
+    into ``n_chunks`` bands for SimHash-style banding. One Arrow batch
+    pass; ``n_chunks`` output rows per vector."""
+    p = planes.astype(np.float64)
+    n_planes = p.shape[0]
+    if n_planes % n_chunks:
+        raise ValueError(f"n_chunks={n_chunks} must divide n_planes={n_planes}")
+    bits_per = n_planes // n_chunks
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("chunk_idx", IntegerType(), False),
+            StructField("chunk_val", LongType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(bits_per, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = ((mat @ p.T) > 0).astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for c in range(n_chunks):
+                vals = (
+                    bits[:, c * bits_per : (c + 1) * bits_per] * weights
+                ).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids, "chunk_idx": c, "chunk_val": vals}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_planes: int = 16,
+    n_chunks: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-pairs embedding near-dup WITHOUT the quadratic join — the
+    scale path behind the exact ``embedding_neardup_pairs`` query.
+
+    Band the hyperplane sign signature (``n_planes`` bits split into
+    ``n_chunks`` bands); vectors sharing any band become candidates via
+    an equi-join on (band, value) — the only shuffle, keyed evenly by
+    signature bits. Candidates are rescored with the exact JVM-side
+    cosine and filtered, so every emitted pair truly clears
+    ``threshold`` (precision is exact by construction); recall is the
+    banding collision probability ``1-(1-(1-θ/π)^(planes/chunks))^chunks``
+    — ≥95% for cosine ≥0.9 at the defaults, pinned against the exact
+    all-pairs ground truth in tests/test_similarity.
+    """
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    if dim is None:
+        first = emb.select(vec_col).first()
+        if first is None:
+            return emb.sparkSession.createDataFrame(
+                [], f"id_a long, id_b long, cosine_sim double"
+            )
+        dim = len(first[0])
+    planes = hyperplane_planes(dim, n_planes, seed)
+    sig = lsh_signature_chunks(
+        emb, planes, n_chunks=n_chunks, id_col=id_col, vec_col=vec_col
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), "chunk_idx", "chunk_val")
+    b = sig.select(F.col(id_col).alias("id_b"), "chunk_idx", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("__vid"), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(vecs.withColumnsRenamed({"__vid": "id_a", "__v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"__vid": "id_b", "__v": "vb"}), "id_b")
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+    )
 
 
 def query_probe_buckets(query: Sequence[float], planes: np.ndarray) -> list[int]:

@@ -161,6 +161,46 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERTURB_OFFSET = 1_000_000
+
+
+def _with_planted_neardups(emb: DataFrame) -> DataFrame:
+    """Union the embeddings with deterministically perturbed copies
+    (±2% per-coordinate ripple → cosine ≈ 0.999 to the original) so the
+    table contains KNOWN near-duplicates — the raw synthetic vectors top
+    out at cosine ≈ 0.51, below any sane near-dup threshold."""
+    perturbed = emb.select(
+        (F.col("vec_id") + F.lit(_PERTURB_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.02 * ((i % 7) - 3) / 3.0),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(perturbed)
+
+
+@register(
+    "embedding_neardup_pairs_lsh",
+    oracle=None,
+    doc="Embedding near-dup pairs via hyperplane-LSH banding — the "
+    "scale path behind the exact quadratic embedding_neardup_pairs. "
+    "Known near-dups are planted (perturbed copies, cosine ≈ 0.999); "
+    "candidates come from a (band, signature-chunk) equi-join, then an "
+    "exact cosine rerank — precision is exact by construction, recall "
+    "vs the planted ground truth pinned in tests/test_similarity.",
+    tags=("vectors", "dedup", "lsh"),
+)
+def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        embedding_neardup_pairs_lsh as _pairs_lsh,
+    )
+
+    return _pairs_lsh(
+        _with_planted_neardups(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.9,
+    )
+
+
 @register(
     "minhash_neardup_pairs",
     oracle=None,

@@ -41,6 +41,52 @@ def test_lsh_recall_on_testdata(spark, sf_smoke):
     assert len(approx) == 10
 
 
+def test_lsh_neardup_pairs_recall_and_precision(spark, sf_smoke):
+    """All-pairs LSH near-dup: every planted near-duplicate (perturbed
+    copy, cosine ≈ 0.999) must be recovered, and — because candidates
+    are rescored with the exact cosine — every emitted pair must truly
+    clear the threshold (checked against the exact quadratic join)."""
+    from candy_store_etl_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+    from candy_store_etl_spark.plans.vectors import (
+        _PERTURB_OFFSET,
+        _with_planted_neardups,
+    )
+
+    emb = _with_planted_neardups(load_table(spark, sf_smoke, "embeddings"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_neardup_pairs_lsh"]
+        .fn(spark, sf_smoke)
+        .collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + _PERTURB_OFFSET)
+        for r in load_table(spark, sf_smoke, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall:.3f}"
+
+    # precision: exact rescoring means no emitted pair may be below
+    # the threshold under the exact quadratic computation
+    e = emb.select("vec_id", to_double_array("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.9)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+
+
 def test_arrow_matches_blockwise_topk(spark, sf_smoke):
     expr_rows = QUERIES["ann_topk_blockwise"].fn(spark, sf_smoke).collect()
     arrow_rows = QUERIES["ann_topk_arrow"].fn(spark, sf_smoke).collect()
