@@ -17,22 +17,68 @@ from ..operators.multimodal import (
 from ..sources.tpch import load_table
 from ..timeseries.forecast import forecast_metrics
 from .registry import register
-from .relational import SQL_FROUND, fround
+from .rounding import SQL_FROUND, fround
 
 
 # ---------------------------------------------------------------------------
 # Greedy inventory allocation (reference op 16 — the candy-store heart).
-# Non-linear per-product recurrence → not SQL-expressible → rows-only
-# check here; exact semantics are pinned by tests/test_allocation.py
+# The per-product recurrence is non-linear (a cancelled item must NOT
+# decrement stock) so no window cumsum expresses it — but a RECURSIVE
+# CTE stepping row_number-by-row_number within each product does, and
+# DuckDB executes it fine at gate scale. That upgrades the flagship
+# stateful operator from rows-only to a full value-checked oracle row;
+# semantics are additionally pinned by tests/test_allocation.py
 # (brute-force sequential simulation + property tests).
 # ---------------------------------------------------------------------------
+_SQL_ALLOCATION = """
+    WITH RECURSIVE items AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+             l_partkey AS product_id, CAST(l_quantity AS INTEGER) AS qty,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ),
+    stock AS (SELECT p_partkey AS product_id, p_size * 40 AS stock FROM part),
+    rec AS (
+      SELECT i.l_orderkey, i.l_linenumber, i.l_suppkey, i.l_extendedprice,
+             i.product_id, i.qty, i.rn,
+             CASE WHEN i.qty BETWEEN 0 AND COALESCE(s.stock, 0)
+                  THEN i.qty ELSE 0 END AS allocated_qty,
+             COALESCE(s.stock, 0)
+               - CASE WHEN i.qty BETWEEN 0 AND COALESCE(s.stock, 0)
+                      THEN i.qty ELSE 0 END AS remaining
+      FROM items i LEFT JOIN stock s USING (product_id)
+      WHERE i.rn = 1
+      UNION ALL
+      SELECT i.l_orderkey, i.l_linenumber, i.l_suppkey, i.l_extendedprice,
+             i.product_id, i.qty, i.rn,
+             CASE WHEN i.qty BETWEEN 0 AND r.remaining
+                  THEN i.qty ELSE 0 END,
+             r.remaining
+               - CASE WHEN i.qty BETWEEN 0 AND r.remaining
+                      THEN i.qty ELSE 0 END
+      FROM items i JOIN rec r
+        ON i.product_id = r.product_id AND i.rn = r.rn + 1
+    )
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+           product_id, qty,
+           CAST(allocated_qty AS INTEGER) AS allocated_qty,
+           CAST(CASE WHEN allocated_qty = 0 AND qty > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS cancelled
+    FROM rec
+    """
+
+
 @register(
     "inventory_allocation",
-    oracle=None,
+    oracle=_SQL_ALLOCATION,
     doc="Greedy FCFS stock allocation with cancellation "
     "(data_processor.py:188-262) as groupBy(product).applyInPandas; "
     "deterministic UNIQUE ordering key (orderkey, linenumber, suppkey, "
-    "extendedprice); stock = p_size*40.",
+    "extendedprice); stock = p_size*40. Oracle: recursive CTE stepping "
+    "the same recurrence per product in DuckDB.",
     tags=("stateful", "applyInPandas"),
 )
 def inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,12 +103,13 @@ def inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "inventory_allocation_chained",
-    oracle=None,
+    oracle=_SQL_ALLOCATION,
     doc="Hot-key form of the allocation: items pre-split into order-"
     "contiguous chunks (spillable ntile window), remaining stock "
     "chained between distributed rounds — identical results to the "
     "single pass (tests/test_allocation.py), bounded task memory for "
-    "a pathologically hot product.",
+    "a pathologically hot product. Same recursive-CTE oracle as "
+    "inventory_allocation (results provably identical).",
     tags=("stateful", "applyInPandas", "skew"),
 )
 def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,10 +339,70 @@ def linear_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "seasonal_forecast_daily_value",
-    oracle=None,
+    # The model is deterministic closed-form math (OLS trend via
+    # covariance/variance — exactly regr_slope/regr_intercept — plus
+    # weekday-mean seasonal residuals), so it IS SQL-expressible. The
+    # registered plan truncates the transcendental outputs to 4 dp
+    # (floor — boundary-free per the determinism notes) so numpy-vs-
+    # DuckDB summation-order noise in the last ulps can't flip a digit.
+    oracle="""
+    WITH daily0 AS (
+      SELECT CAST(ts AS DATE) AS ds, event_type,
+             SUM(FLOOR(value*100 + 0.5))/100.0 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    dates AS (SELECT DISTINCT ds FROM daily0),
+    types AS (SELECT DISTINCT event_type FROM events),
+    bounds AS (SELECT MIN(ds) AS dmin, MAX(ds) AS dmax FROM dates),
+    series AS (
+      SELECT t.event_type AS metric, d.ds,
+             COALESCE(d0.y, 0.0) AS y,
+             CAST(date_diff('day', b.dmin, d.ds) AS DOUBLE) AS t_idx,
+             isodow(d.ds) - 1 AS dow
+      FROM dates d CROSS JOIN types t CROSS JOIN bounds b
+      LEFT JOIN daily0 d0 ON d0.ds = d.ds AND d0.event_type = t.event_type
+    ),
+    fit AS (
+      SELECT metric, regr_slope(y, t_idx) AS slope,
+             regr_intercept(y, t_idx) AS icept
+      FROM series GROUP BY metric
+    ),
+    resid AS (
+      SELECT s.metric, s.dow, s.y - (f.icept + f.slope * s.t_idx) AS r
+      FROM series s JOIN fit f USING (metric)
+    ),
+    season AS (
+      SELECT metric, dow,
+             CASE WHEN COUNT(*) >= 2 THEN AVG(r) ELSE 0.0 END AS adj
+      FROM resid GROUP BY metric, dow
+    ),
+    errs AS (
+      SELECT r.metric, AVG(ABS(r.r - se.adj)) AS mae,
+             AVG((r.r - se.adj) * (r.r - se.adj)) AS mse
+      FROM resid r JOIN season se ON r.metric = se.metric AND r.dow = se.dow
+      GROUP BY r.metric
+    ),
+    future AS (
+      SELECT f.metric, b.dmax + h.h AS date,
+             f.icept
+               + f.slope * (CAST(date_diff('day', b.dmin, b.dmax) AS DOUBLE) + h.h)
+               + COALESCE(se.adj, 0.0) AS fc
+      FROM fit f CROSS JOIN bounds b
+      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS h) h
+      LEFT JOIN season se
+        ON se.metric = f.metric AND se.dow = isodow(b.dmax + h.h) - 1
+    )
+    SELECT fu.metric, fu.date,
+           FLOOR(fu.fc * 10000)/10000 AS forecast,
+           FLOOR(e.mae * 10000)/10000 AS mae,
+           FLOOR(e.mse * 10000)/10000 AS mse
+    FROM future fu JOIN errs e ON fu.metric = e.metric
+    """,
     doc="Trend + weekday-seasonal forecast per event_type via "
     "applyInPandas (deterministic Prophet replacement; fits on real "
-    "dates, emits in-sample MAE/MSE — time_series.py:16-67 parity).",
+    "dates, emits in-sample MAE/MSE — time_series.py:16-67 parity). "
+    "Oracled: the closed-form model is spelled out in DuckDB SQL "
+    "(regr_slope/regr_intercept + grouped weekday residual means).",
     tags=("timeseries", "applyInPandas"),
 )
 def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,8 +416,15 @@ def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame
         .na.fill(0.0)
     )
     metric_cols = [c for c in daily.columns if c != "date"]
-    return forecast_metrics(
+    out = forecast_metrics(
         daily, date_col="date", metric_cols=metric_cols, horizon=3
+    )
+
+    def trunc4(c: str):
+        return (F.floor(F.col(c) * 10000) / 10000).alias(c)
+
+    return out.select(
+        "metric", "date", trunc4("forecast"), trunc4("mae"), trunc4("mse")
     )
 
 
@@ -319,13 +433,29 @@ def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=None,
     doc="Binary media column -> decoded dims + feature vector via "
     "Arrow-batched mapInPandas (codec stubbed deterministically; "
-    "Spark-side schema/batch plumbing real — tests/test_multimodal).",
+    "Spark-side schema/batch plumbing real — tests/test_multimodal). "
+    "The registered plan projects the array<float> features column to "
+    "a deterministic scalar (order-fixed sum over the histogram bins) "
+    "because the external gate's row canonicalizer can't sort "
+    "list-valued cells; the raw-array API stays on decode_media.",
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_column(docs, "doc_id", "text")
-    return decode_media(media, n_features=16)
+    decoded = decode_media(media, n_features=16)
+    feature_sum = F.aggregate(
+        "features",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        fround(feature_sum, 6).alias("feature_sum"),
+    )
 
 
 @register(

@@ -13,7 +13,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..sources.tpch import load_table
 from .registry import register
-from .relational import SQL_FROUND, SQL_MONEY_SUM, fround, money_sum
+from .rounding import SQL_FROUND, SQL_MONEY_SUM, fround, money_sum
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
 from .registry import register
-from .relational import SQL_FROUND, fround
+from .rounding import SQL_FROUND, fround
 
 
 # ---------------------------------------------------------------------------

@@ -20,27 +20,9 @@ from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
 from .registry import register
+from .rounding import SQL_FROUND, SQL_MONEY_SUM, fround, money_sum
 
-
-def money_sum(col: Column, alias: str) -> Column:
-    """Order-independent money sum via exact integer-cents accumulation."""
-    return (F.sum(F.floor(col * 100 + F.lit(0.5))) / 100.0).alias(alias)
-
-
-def fround(col: Column, ndigits: int) -> Column:
-    """Portable round-half-up via floor — bit-identical across engines."""
-    scale = float(10**ndigits)
-    return F.floor(col * scale + F.lit(0.5)) / scale
-
-
-# SQL twins of the helpers above (DuckDB).
-def SQL_MONEY_SUM(expr: str, alias: str) -> str:
-    return f"SUM(FLOOR(({expr})*100 + 0.5))/100.0 AS {alias}"
-
-
-def SQL_FROUND(expr: str, ndigits: int) -> str:
-    scale = float(10**ndigits)
-    return f"FLOOR(({expr})*{scale} + 0.5)/{scale}"
+__all__ = ["SQL_FROUND", "SQL_MONEY_SUM", "fround", "money_sum"]
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from ..sources.tpch import load_table
 from .registry import register
-from .relational import SQL_FROUND, fround
+from .rounding import SQL_FROUND, fround
 
 # ---------------------------------------------------------------------------
 # Null-handling family: nullif / ifnull / coalesce / null-safe equality.

@@ -30,7 +30,7 @@ from ..streaming.events import (
     windowed_event_stats,
 )
 from .registry import register
-from .relational import SQL_MONEY_SUM
+from .rounding import SQL_MONEY_SUM
 
 
 _STAGE_CACHE: dict[str, str] = {}

@@ -17,7 +17,7 @@ from ..functions.text import (
 )
 from ..sources.tpch import load_table
 from .registry import register
-from .relational import SQL_FROUND, fround
+from .rounding import SQL_FROUND, fround
 
 # DuckDB twin of functions.text.tokens (whitespace split, no empties).
 _SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"

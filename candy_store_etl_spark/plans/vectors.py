@@ -17,7 +17,7 @@ from ..operators.similarity import (
 )
 from ..sources.tpch import load_table
 from .registry import register
-from .relational import SQL_FROUND, fround
+from .rounding import SQL_FROUND, fround
 
 # DuckDB twins of functions.vectors (explicit double math, same
 # left-to-right fold as Spark's aggregate()).
@@ -96,19 +96,44 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Label-free oracle shared by the exact numpy tiers (blockwise +
+# arrow): same rows as ann_topk_cosine, columns (vec_id, cosine_sim).
+_SQL_TOPK_EXACT = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {SQL_FROUND(_sql_cosine("e.embedding", "q.qe"), 6)} AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+def _rounded_topk(raw: DataFrame, k: int) -> DataFrame:
+    """Re-rank a raw-double top-k by the ROUNDED similarity so the gate
+    ordering (rounded desc, vec_id asc) matches the oracle's exactly;
+    ``raw`` carries a small buffer (>k rows) so a rounding tie at the
+    k-boundary can't change membership."""
+    return (
+        raw.select("vec_id", fround(F.col("cosine_sim"), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 @register(
     "ann_topk_blockwise",
-    oracle=None,
-    doc="Exact top-k via numpy-matmul mapInPandas (the throughput tier; "
-    "equality with ann_topk_cosine is pinned in tests/test_similarity).",
+    oracle=_SQL_TOPK_EXACT,
+    doc="Exact top-k via numpy-matmul mapInPandas (the throughput tier); "
+    "exact ⇒ it carries the same oracle as ann_topk_cosine (label-free "
+    "projection, rounded re-rank with a 2k raw buffer).",
     tags=("vectors", "ann", "mapInPandas"),
 )
 def ann_topk_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return cosine_topk_blockwise(
-        emb.filter(F.col("vec_id") != 0), query, k=10
-    )
+    raw = cosine_topk_blockwise(emb.filter(F.col("vec_id") != 0), query, k=20)
+    return _rounded_topk(raw, k=10)
 
 
 @register(
@@ -128,16 +153,17 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_arrow",
-    oracle=None,
+    oracle=_SQL_TOPK_EXACT,
     doc="Exact top-k via mapInArrow (zero-copy RecordBatch→numpy, no "
-    "pandas materialization of the wide array column); equality with "
-    "the pandas and expression tiers pinned in tests/test_similarity.",
+    "pandas materialization of the wide array column); exact ⇒ same "
+    "oracle as the expression tier (rounded re-rank, 2k raw buffer).",
     tags=("vectors", "ann", "mapInArrow"),
 )
 def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=10)
+    raw = cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=20)
+    return _rounded_topk(raw, k=10)
 
 
 @register(

@@ -55,9 +55,16 @@ def _fit_trend_seasonal(dates: pd.Series, y: np.ndarray, horizon: int):
     """OLS linear trend + weekday-mean seasonal residuals, closed form."""
     d = pd.to_datetime(dates)
     t = (d - d.min()).dt.days.to_numpy(dtype=np.float64)
-    # trend
+    # trend — closed-form OLS (covariance/variance), the same formula
+    # SQL engines implement as regr_slope/regr_intercept, so the DuckDB
+    # oracle for the registered query agrees to within float noise
+    # (np.polyfit's SVD route is mathematically identical but drifts
+    # further in the last ulps)
     if len(y) >= 2 and np.ptp(t) > 0:
-        slope, intercept = np.polyfit(t, y, 1)
+        tm, ym = t.mean(), y.mean()
+        dt = t - tm
+        slope = float((dt * (y - ym)).sum() / (dt * dt).sum())
+        intercept = float(ym - slope * tm)
     else:
         slope, intercept = 0.0, float(np.mean(y))
     resid = y - (intercept + slope * t)
