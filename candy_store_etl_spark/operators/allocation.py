@@ -64,6 +64,16 @@ def allocate_greedy(
     0 if cancelled) and ``cancelled`` (0/1). Stock never goes negative;
     an unfillable item is skipped whole (no partial fills), matching
     the reference (`data_processor.py:216-235`).
+
+    Negative-quantity policy (DELIBERATE divergence): the reference
+    (`data_processor.py:204`) allocates whenever ``stock >= qty``, so a
+    negative qty is "fulfilled" and silently INCREASES stock — treating
+    corrupt input as a return. Here a negative qty is invalid input: it
+    is passed through unallocated (``allocated_qty=0``) and NOT counted
+    as a customer cancellation (``cancelled=0``), and it never mutates
+    stock. Pinned in tests/test_allocation.py; the DuckDB oracle for
+    the registered queries (``BETWEEN 0 AND remaining``) encodes the
+    same policy.
     """
     for c in (product_col, qty_col, *order_by):
         if c not in items.columns:

@@ -278,7 +278,13 @@ def _centroid_seeds(
     emb: DataFrame, n_centroids: int, *, id_col: str, vec_col: str
 ) -> np.ndarray:
     """Deterministic seed centroids: the n lowest-id vectors spaced by
-    a modulus — no RNG, stable across runs and engines."""
+    a modulus — no RNG, stable across runs and engines.
+
+    The modulus filter assumes a reasonably dense id space; with sparse
+    or offset ids it can select too few rows, so it falls back to the
+    n lowest-id vectors (a TakeOrderedAndProject, still cheap and
+    deterministic) whenever the spaced selection comes up short.
+    """
     n_rows = emb.count()
     stride = max(1, n_rows // n_centroids)
     seeds = (
@@ -288,6 +294,12 @@ def _centroid_seeds(
         .select(vec_col)
         .collect()
     )
+    if len(seeds) < n_centroids:
+        seeds = (
+            emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        )
+    if not seeds:
+        raise ValueError("cannot seed IVF centroids from an empty table")
     mat = np.asarray([r[0] for r in seeds], dtype=np.float64)
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 

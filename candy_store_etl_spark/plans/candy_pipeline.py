@@ -43,6 +43,10 @@ from ..timeseries.forecast import forecast_wide
 
 _ROUND2 = lambda c: F.round(c, 2)  # noqa: E731 — reference money rounding
 
+# items-per-transaction bound for the streaming seq key (see
+# run_allocation_streaming); guarded by raise_error at build time.
+_SEQ_STRIDE = 1 << 20
+
 
 def load_daily_transactions(
     spark: SparkSession, paths: list[str]
@@ -147,15 +151,23 @@ def build_products_updated(
     )
 
 
-def build_orders(
+def build_orders_with_profit(
     line_items: DataFrame, transactions: DataFrame
 ) -> DataFrame:
     """Per-order rollup ⋈ headers — ONE transactions scan (the
     reference re-reads every day's collection a second time,
-    `data_processor.py:310-326`)."""
+    `data_processor.py:310-326`) and ONE shuffle on ``order_id``:
+    amount, item count, AND profit come out of the same grouped pass.
+    (Previously the daily summary ran a second groupBy("order_id") over
+    the same relation just for profit — same key, same rows, an entire
+    extra shuffle.) The golden ``orders`` output is this minus the
+    ``order_profit`` column."""
     rollup = line_items.groupBy("order_id").agg(
         _ROUND2(F.sum("line_total")).alias("total_amount"),
         F.count(F.lit(1)).alias("num_items"),  # counts cancelled rows too
+        F.sum(
+            F.col("line_total") - F.col("quantity") * F.col("cost_to_make")
+        ).alias("order_profit"),
     )
     headers = transactions.select(
         F.col("transaction_id").alias("order_id"),
@@ -165,25 +177,34 @@ def build_orders(
     return (
         rollup.join(headers, "order_id")
         .select(
-            "order_id", "order_datetime", "customer_id", "total_amount", "num_items"
+            "order_id",
+            "order_datetime",
+            "customer_id",
+            "total_amount",
+            "num_items",
+            "order_profit",
         )
         .orderBy("order_id")
     )
 
 
-def build_daily_summary(
-    orders: DataFrame, line_items: DataFrame
+def build_orders(
+    line_items: DataFrame, transactions: DataFrame
 ) -> DataFrame:
-    """Per-day orders/sales/profit in one grouped pass per side
-    (reference runs two grouped passes + join; op 22-25)."""
-    profit_per_order = line_items.groupBy("order_id").agg(
-        F.sum(
-            F.col("line_total") - F.col("quantity") * F.col("cost_to_make")
-        ).alias("order_profit")
+    """Reference-shaped orders output (golden orders.csv schema)."""
+    return build_orders_with_profit(line_items, transactions).drop(
+        "order_profit"
     )
+
+
+def build_daily_summary(orders_with_profit: DataFrame) -> DataFrame:
+    """Per-day orders/sales/profit in ONE grouped pass over the
+    profit-carrying orders relation (reference runs two grouped passes
+    + join; op 22-25)."""
     return (
-        orders.join(profit_per_order, "order_id", "left")
-        .groupBy(F.to_date("order_datetime").alias("date"))
+        orders_with_profit.groupBy(
+            F.to_date("order_datetime").alias("date")
+        )
         .agg(
             F.count(F.lit(1)).alias("num_orders"),
             _ROUND2(F.sum("total_amount")).alias("total_sales"),
@@ -232,16 +253,18 @@ def run_pipeline_staged(
 
     line_items = spark.read.parquet(stage1)
     stage2 = os.path.join(workdir, "orders")
-    write_partitioned(build_orders(line_items, txns), stage2)
+    # the staged relation carries order_profit so the next stage never
+    # re-aggregates line_items; the golden orders output drops it
+    write_partitioned(build_orders_with_profit(line_items, txns), stage2)
 
-    orders = spark.read.parquet(stage2)
-    daily = build_daily_summary(orders, line_items)
+    orders_full = spark.read.parquet(stage2)
+    daily = build_daily_summary(orders_full)
     return {
         "order_line_items": line_items.select(
             "order_id", "product_id", "quantity", "unit_price", "line_total"
         ).orderBy("order_id", "product_id"),
         "products_updated": build_products_updated(line_items, products),
-        "orders": orders.orderBy("order_id"),
+        "orders": orders_full.drop("order_profit").orderBy("order_id"),
         "daily_summary": daily,
         "sales_profit_forecast": build_forecast(daily),
     }
@@ -285,7 +308,25 @@ def run_allocation_streaming(
             )
             .select(
                 F.col("item.product_id").cast("long").alias("product_id"),
-                (F.col("row_in_file") * 1024 + F.col("item_idx")).alias("seq"),
+                # seq = row * stride + item position. The stride bounds
+                # items-per-transaction; a transaction wider than it
+                # would interleave seq keys across rows and silently
+                # break the streaming-vs-batch ordering parity, so
+                # overflow raises instead of corrupting order. 2^20
+                # items/transaction is far past any real order; row ids
+                # stay small here (single-split multiLine JSON →
+                # partition 0), so the product cannot overflow a long.
+                F.when(
+                    F.col("item_idx") < _SEQ_STRIDE,
+                    F.col("row_in_file") * _SEQ_STRIDE + F.col("item_idx"),
+                )
+                .otherwise(
+                    F.raise_error(
+                        f"transaction has >= {_SEQ_STRIDE} items; "
+                        "seq stride would collide"
+                    )
+                )
+                .alias("seq"),
                 F.col("item.qty").alias("qty"),
                 F.lit(None).cast("timestamp").alias("event_time"),
             )
@@ -329,17 +370,18 @@ def run_pipeline(
     # line_items feeds four downstream outputs → cache the (small
     # relative to source) derived relation instead of re-deriving
     line_items = line_items.cache()
-    # orders and the daily summary are each consumed twice more
-    # (daily ← orders; forecast ← daily); caching them cuts the
-    # re-derivation chain back to the JSON scan on every output
-    orders = build_orders(line_items, txns).cache()
-    daily = build_daily_summary(orders, line_items).cache()
+    # the profit-carrying orders relation and the daily summary are
+    # each consumed twice more (orders output + daily ← orders_full;
+    # forecast ← daily); caching them cuts the re-derivation chain back
+    # to the JSON scan on every output
+    orders_full = build_orders_with_profit(line_items, txns).cache()
+    daily = build_daily_summary(orders_full).cache()
     return {
         "order_line_items": line_items.select(
             "order_id", "product_id", "quantity", "unit_price", "line_total"
         ).orderBy("order_id", "product_id"),
         "products_updated": build_products_updated(line_items, products),
-        "orders": orders,
+        "orders": orders_full.drop("order_profit"),
         "daily_summary": daily,
         "sales_profit_forecast": build_forecast(daily),
     }

@@ -95,16 +95,43 @@ def read_customers(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CUSTOMERS_SCHEMA).option("header", "true").csv(path)
 
 
+def jdbc_reader_options(url: str, table: str, **options: str) -> dict[str, str]:
+    """Assemble the option map for a JDBC read — split out so the
+    plumbing is unit-testable without a database server (this container
+    has none; tests substitute files for the data itself)."""
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"not a JDBC url: {url!r}")
+    required = {"url": url, "dbtable": table}
+    clash = required.keys() & options.keys()
+    if clash:
+        raise ValueError(f"options {sorted(clash)} conflict with positional args")
+    partition_keys = {
+        "partitionColumn",
+        "lowerBound",
+        "upperBound",
+        "numPartitions",
+    }
+    present = partition_keys & options.keys()
+    if present and present != partition_keys:
+        raise ValueError(
+            "partitioned JDBC reads need ALL of "
+            f"{sorted(partition_keys)}; got only {sorted(present)}"
+        )
+    return {**required, **options}
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options: str) -> DataFrame:
     """JDBC source (reference `data_processor.py:87-101`).
 
     Partitioned reads need ``partitionColumn/lowerBound/upperBound/
-    numPartitions`` or a single executor does the whole scan.
+    numPartitions`` or a single executor does the whole scan
+    (``jdbc_reader_options`` enforces all-or-none).
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_reader_options(url, table, **options))
+        .load()
+    )
 
 
 def explode_items(transactions: DataFrame) -> DataFrame:

@@ -121,6 +121,39 @@ def test_ivf_centroids_deterministic(spark, sf_smoke):
     assert c1.shape[0] == 4
 
 
+def test_ivf_seeds_survive_sparse_id_space(spark, sf_smoke):
+    """Sparse/offset ids defeat the modulus-spaced seed selection; the
+    fallback (n lowest-id vectors) must still yield a full centroid
+    matrix and a working top-k."""
+    from candy_store_etl_spark.operators.similarity import (
+        _centroid_seeds,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    # ids spread out by a large odd factor -> almost nothing satisfies
+    # id % stride == 0 for the density-derived stride
+    sparse = emb.select(
+        (F.col("vec_id") * 1_000_003 + 17).alias("vec_id"), "embedding"
+    )
+    cents = _centroid_seeds(sparse, 8, id_col="vec_id", vec_col="embedding")
+    assert cents.shape[0] == 8
+
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = cosine_topk_ivf(sparse, query, k=5, n_centroids=8, n_probe=8)
+    assert got.count() == 5
+
+
+def test_ivf_seeds_empty_table_rejected(spark):
+    import pytest
+
+    from candy_store_etl_spark.operators.similarity import _centroid_seeds
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        _centroid_seeds(empty, 4, id_col="vec_id", vec_col="embedding")
+
+
 def test_lsh_probe_buckets():
     planes = hyperplane_planes(64, n_planes=8, seed=42)
     probes = query_probe_buckets([1.0] * 64, planes)
