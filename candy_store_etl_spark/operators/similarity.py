@@ -261,7 +261,13 @@ def embedding_neardup_pairs_lsh(
         cand.join(vecs.withColumnsRenamed({"__vid": "id_a", "__v": "va"}), "id_a")
         .join(vecs.withColumnsRenamed({"__vid": "id_b", "__v": "vb"}), "id_b")
         .filter(sim >= threshold)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        # floor-based round-half-up, not engine-native round: bit-
+        # identical to the DuckDB oracle at representation boundaries
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(sim * 1e6 + F.lit(0.5)) / 1e6).alias("cosine_sim"),
+        )
     )
 
 

@@ -136,19 +136,72 @@ def ann_topk_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(raw, k=10)
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of the full LSH pipeline: the seeded hyperplane
+    matrix is small and deterministic, so its float64 values are
+    inlined as SQL list literals (repr round-trips doubles exactly).
+    The SQL then recomputes bucket ids, the query's multi-probe set
+    (base bucket + every Hamming-1 neighbor), the candidate filter,
+    and the exact cosine rerank — the whole approximate path becomes
+    value-checkable, not just rows-only."""
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes=n_planes, seed=seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(n_planes)
+    )
+    dot = _SQL_DOT.format(a="{v}", b="p.pvec")
+    return f"""
+    WITH planes(pidx, pvec) AS (VALUES {rows}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qbucket AS (
+      SELECT SUM(CASE WHEN {dot.format(v='q.qe')} > 0
+                      THEN 1::BIGINT << p.pidx ELSE 0 END)::BIGINT AS base
+      FROM planes p, q
+    ),
+    probes AS (
+      SELECT base AS b FROM qbucket
+      UNION ALL
+      SELECT xor(base, 1::BIGINT << i.i)
+      FROM qbucket, (SELECT UNNEST(range({n_planes})) AS i) i
+    ),
+    vb AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {dot.format(v='e.embedding')} > 0
+                      THEN 1::BIGINT << p.pidx ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    )
+    SELECT e.vec_id,
+           {SQL_FROUND(_sql_cosine("e.embedding", "q.qe"), 6)} AS cosine_sim
+    FROM embeddings e
+    JOIN vb ON vb.vec_id = e.vec_id
+    CROSS JOIN q
+    WHERE vb.bucket IN (SELECT b FROM probes)
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_topk_lsh",
-    oracle=None,
+    oracle=_lsh_oracle_sql(),
     doc="Approximate top-k: random-hyperplane LSH bucket prefilter + "
-    "exact rerank (multi-probe Hamming-1); recall pinned in tests.",
+    "exact rerank (multi-probe Hamming-1); recall pinned in tests. "
+    "Oracled end-to-end: the seeded plane matrix is inlined into the "
+    "DuckDB SQL as literals, so bucket assignment, probing, and rerank "
+    "are all value-checked (rounded re-rank, 2k raw buffer).",
     tags=("vectors", "ann", "lsh"),
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return cosine_topk_lsh(
-        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8
+    raw = cosine_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), query, k=20, n_planes=8
     )
+    return _rounded_topk(raw, k=10)
 
 
 @register(
@@ -164,27 +217,6 @@ def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     raw = cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=20)
     return _rounded_topk(raw, k=10)
-
-
-@register(
-    "ann_topk_ivf",
-    oracle=None,
-    doc="Approximate top-k via IVF: deterministic-seed k-means coarse "
-    "quantizer (distributed Lloyd iterations), nearest-list "
-    "assignment, n-probe search + exact rerank; recall pinned in "
-    "tests/test_similarity.",
-    tags=("vectors", "ann", "ivf"),
-)
-def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return cosine_topk_ivf(
-        emb.filter(F.col("vec_id") != 0),
-        query,
-        k=10,
-        n_centroids=16,
-        n_probe=4,
-    )
 
 
 _PERTURB_OFFSET = 1_000_000
@@ -205,15 +237,71 @@ def _with_planted_neardups(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").unionByName(perturbed)
 
 
+def _neardup_lsh_oracle_sql(
+    n_planes: int = 16, n_chunks: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of the banded all-pairs near-dup path, planting
+    included: perturbed copies (list_transform with 1-based index →
+    ``(i-1) % 7`` mirrors Spark's 0-based lambda), 4-bit signature
+    chunks from the inlined hyperplane literals, the (chunk_idx,
+    chunk_val) candidate equi-join, and the exact cosine rerank with
+    floor-based rounding."""
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes=n_planes, seed=seed)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(n_planes)
+    )
+    bits_per = n_planes // n_chunks
+    dot = _SQL_DOT.format(a="a.v", b="p.pvec")
+    return f"""
+    WITH planes(pidx, pvec) AS (VALUES {rows}),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    allv AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + {_PERTURB_OFFSET},
+             list_transform(
+               v, (x, i) -> x * (1.0 + 0.02 * (((i - 1) % 7) - 3) / 3.0))
+      FROM base
+    ),
+    sig AS (
+      SELECT a.vec_id, p.pidx // {bits_per} AS chunk_idx,
+             SUM(CASE WHEN {dot} > 0
+                      THEN 1::BIGINT << (p.pidx % {bits_per}) ELSE 0 END)
+               AS chunk_val
+      FROM allv a CROSS JOIN planes p
+      GROUP BY a.vec_id, p.pidx // {bits_per}
+    ),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+      FROM sig s1 JOIN sig s2
+        ON s1.chunk_idx = s2.chunk_idx AND s1.chunk_val = s2.chunk_val
+       AND s1.vec_id < s2.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           FLOOR({_sql_cosine("va.v", "vb.v")} * 1000000.0 + 0.5)/1000000.0
+             AS cosine_sim
+    FROM cand c
+    JOIN allv va ON va.vec_id = c.id_a
+    JOIN allv vb ON vb.vec_id = c.id_b
+    WHERE {_sql_cosine("va.v", "vb.v")} >= 0.9
+    """
+
+
 @register(
     "embedding_neardup_pairs_lsh",
-    oracle=None,
+    oracle=_neardup_lsh_oracle_sql(),
     doc="Embedding near-dup pairs via hyperplane-LSH banding — the "
     "scale path behind the exact quadratic embedding_neardup_pairs. "
     "Known near-dups are planted (perturbed copies, cosine ≈ 0.999); "
     "candidates come from a (band, signature-chunk) equi-join, then an "
     "exact cosine rerank — precision is exact by construction, recall "
-    "vs the planted ground truth pinned in tests/test_similarity.",
+    "vs the planted ground truth pinned in tests/test_similarity. "
+    "Oracled end-to-end with the plane matrix inlined as SQL literals.",
     tags=("vectors", "dedup", "lsh"),
 )
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +312,29 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_lsh(
         _with_planted_neardups(load_table(spark, sf_dir, "embeddings")),
         threshold=0.9,
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=None,
+    doc="Approximate top-k via IVF: deterministic-seed k-means coarse "
+    "quantizer (distributed Lloyd iterations), nearest-list "
+    "assignment, n-probe search + exact rerank; recall pinned in "
+    "tests/test_similarity. Rows-only: the trained centroids are "
+    "data-dependent float aggregates, so a literal-inlined oracle "
+    "isn't possible the way it is for the seeded-plane LSH tiers.",
+    tags=("vectors", "ann", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") != 0),
+        query,
+        k=10,
+        n_centroids=16,
+        n_probe=4,
     )
 
 
