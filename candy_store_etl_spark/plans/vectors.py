@@ -363,3 +363,21 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "minhash_neardup_pairs_oph",
+    oracle=None,
+    doc="MinHash-LSH near-dup pairs via ONE-permutation hashing with "
+    "densification (Li/Owen/Zhang 2012, Shrivastava/Li 2014) — one "
+    "shingle hash + a bit-shift bin instead of 64 multiply-shift "
+    "permutations, cutting the dominant signature pass to O(shingles); "
+    "precision/recall vs exact Jaccard pinned in tests/test_dedup.",
+    tags=("text", "dedup", "minhash", "oph"),
+)
+def minhash_neardup_pairs_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
+        method="oph",
+    )

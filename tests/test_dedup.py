@@ -119,16 +119,38 @@ def test_minhash_bands_must_divide(spark):
         lsh_candidate_pairs(sigs, num_perm=16, bands=5)
 
 
-def test_minhash_precision_recall_on_testdata(spark, sf_correctness):
-    """Estimator-quality pin on real testdata: MinHash pairs vs the
-    exact shingle-Jaccard ground truth (computed in DuckDB). A
-    correlated permutation family (e.g. sequential a + j*b) inflates
-    false positives ~5x and must fail here."""
+def test_oph_signature_shape_and_determinism(spark):
+    from candy_store_etl_spark.operators.dedup import minhash_signatures_oph
+
+    docs = _docs(spark)
+    s1 = {r.id: tuple(r.signature) for r in
+          minhash_signatures_oph(docs, "doc_id", "text", num_perm=16).collect()}
+    s2 = {r.id: tuple(r.signature) for r in
+          minhash_signatures_oph(docs, "doc_id", "text", num_perm=16).collect()}
+    assert s1 == s2
+    for sig in s1.values():
+        assert len(sig) == 16
+        assert all(v is not None for v in sig)  # densification filled gaps
+    # identical docs -> identical signatures; distinct docs differ
+    assert s1[0] == s1[1]
+    assert s1[0] != s1[3]
+
+
+def test_oph_rejects_non_power_of_two(spark):
+    import pytest
+
+    from candy_store_etl_spark.operators.dedup import minhash_signatures_oph
+
+    with pytest.raises(ValueError, match="power of two"):
+        minhash_signatures_oph(_docs(spark), "doc_id", "text", num_perm=48)
+
+
+def _exact_jaccard_truth(sf_correctness):
+    """Exact shingle-Jaccard ≥0.4 pairs over the documents testdata,
+    computed in DuckDB — shared ground truth for the signature tiers."""
     import os
 
     import duckdb
-
-    from candy_store_etl_spark.sources.tpch import load_table
 
     con = duckdb.connect()
     con.execute(
@@ -164,6 +186,14 @@ def test_minhash_precision_recall_on_testdata(spark, sf_correctness):
         """
         ).fetchall()
     }
+    assert truth, "ground truth unexpectedly empty"
+    return truth
+
+
+def _assert_estimator_quality(spark, sf_correctness, method):
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    truth = _exact_jaccard_truth(sf_correctness)
     got = {
         (r.id_a, r.id_b)
         for r in minhash_dedup_pairs(
@@ -173,10 +203,27 @@ def test_minhash_precision_recall_on_testdata(spark, sf_correctness):
             num_perm=64,
             bands=16,
             threshold=0.4,
+            method=method,
         ).collect()
     }
-    assert truth, "ground truth unexpectedly empty"
     precision = len(got & truth) / max(len(got), 1)
     recall = len(got & truth) / len(truth)
-    assert precision >= 0.8, f"precision {precision:.2f} ({len(got)} pairs)"
-    assert recall >= 0.8, f"recall {recall:.2f}"
+    assert precision >= 0.8, (
+        f"{method} precision {precision:.2f} ({len(got)} pairs)"
+    )
+    assert recall >= 0.8, f"{method} recall {recall:.2f}"
+
+
+def test_minhash_precision_recall_on_testdata(spark, sf_correctness):
+    """Estimator-quality pin on real testdata: MinHash pairs vs the
+    exact shingle-Jaccard ground truth (computed in DuckDB). A
+    correlated permutation family (e.g. sequential a + j*b) inflates
+    false positives ~5x and must fail here."""
+    _assert_estimator_quality(spark, sf_correctness, "perm")
+
+
+def test_oph_precision_recall_on_testdata(spark, sf_correctness):
+    """The one-permutation (OPH) tier must hit the same estimator
+    quality bars as the classic multi-permutation signatures — the
+    densification step is what makes this hold for short docs."""
+    _assert_estimator_quality(spark, sf_correctness, "oph")

@@ -29,7 +29,13 @@ MAX_EXCHANGES = 4
 # minhash caches the signature relation, and the formatted plan
 # re-prints the cache-fill subtree (with its exchange) under each of
 # the three consumers — executed once, counted thrice.
-EXCHANGE_CAP_OVERRIDES = {"minhash_neardup_pairs": 6}
+EXCHANGE_CAP_OVERRIDES = {
+    "minhash_neardup_pairs": 6,
+    # same cache-subtree triple-count, plus the OPH signature is two
+    # real stages ((id,bin) partial min -> per-id map assembly), so the
+    # re-printed subtree carries 3 exchanges × 3 consumers
+    "minhash_neardup_pairs_oph": 9,
+}
 
 BATCH_QUERIES = sorted(
     n for n, s in QUERIES.items() if "streaming" not in s.tags
