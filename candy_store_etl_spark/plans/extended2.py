@@ -394,16 +394,40 @@ def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "approx_distinct_users",
-    oracle=None,  # approximate by construction — bounded in unit tests
+    # The raw HLL++ estimate is engine-specific (DuckDB's sketch
+    # differs), so the oracle checks what IS portable: the exact
+    # counts, plus the PROPERTY that Spark's estimate landed within
+    # 5×rsd of the truth (the sketch's merge is a register-wise max —
+    # order-independent — so the flag is deterministic, and a
+    # broken sketch flips it to false and fails the gate).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS approx_within_5rsd
+    FROM events GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++, rsd=0.01) per event type "
     "next to the exact distinct — the 100 TB cardinality path: fixed "
-    "sketch memory, one pass, mergeable across partitions.",
+    "sketch memory, one pass, mergeable across partitions. Oracled as "
+    "a property check: the estimate must land within 5×rsd of the "
+    "exact count (raw sketch values are engine-specific).",
     tags=("agg", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * (5 * 0.01)
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        within.alias("approx_within_5rsd"),
     )

@@ -14,6 +14,7 @@ from ..functions.text import (
     stopword_ratio,
     token_chars,
     tokens,
+    word_shingles,
 )
 from ..sources.tpch import load_table
 from .registry import register
@@ -460,4 +461,70 @@ def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(generate_series(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+1], ' '))
+             END AS bigrams
+      FROM tok
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           1 - len(list_distinct(b.toks)) / len(b.toks) AS dup_token_frac,
+           1 - len(list_distinct(b.bigrams)) / len(b.bigrams)
+             AS dup_bigram_frac,
+           t.top_cnt / len(b.toks) AS top_token_share
+    FROM bg b JOIN top t ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition signals per document: duplicate-token "
+    "and duplicate-bigram fractions (pure codegen expressions) and the "
+    "top-token share (explode + two grouped passes — the scalable "
+    "mode-count shape, never an O(len^2) per-row expression). All "
+    "ratios are single IEEE divisions of exact integers, so no "
+    "rounding is needed for cross-engine determinism.",
+    tags=("text", "quality", "repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = F.col("toks")
+    staged = docs.select(
+        "doc_id", "toks", word_shingles(t, 2).alias("bigrams")
+    )
+    top = (
+        docs.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return (
+        staged.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (
+                F.lit(1)
+                - F.size(F.array_distinct("toks")) / F.size("toks")
+            ).alias("dup_token_frac"),
+            (
+                F.lit(1)
+                - F.size(F.array_distinct("bigrams")) / F.size("bigrams")
+            ).alias("dup_bigram_frac"),
+            (F.col("top_cnt") / F.size("toks")).alias("top_token_share"),
+        )
     )
