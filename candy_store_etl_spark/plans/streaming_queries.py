@@ -121,12 +121,42 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_windows",
-    oracle=None,  # append mode emits only watermark-closed sessions;
-    # exact subset agreement vs the SQL islands form is asserted in
-    # tests/test_streaming.py
+    # Append mode emits exactly the watermark-closed sessions, and for
+    # a bounded replay that set IS deterministic: a session (end =
+    # last event + gap, half-open window ⇒ an event AT the boundary
+    # starts a NEW session, hence >= in the island mark) is emitted iff
+    # its end < final watermark = max(ts) - 1 minute. Verified
+    # row-identical at sf0.001 and sf0.01. NOTE: the batch user_sessions
+    # query uses the strict-> gap (> 1800) per its own definition; the
+    # session_window operator's half-open semantics give >=.
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM marked
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    ), wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT session_start, session_end, user_id, n_events FROM sess, wm
+    WHERE session_end < w
+    """,
     doc="Per-user session windows (30m inactivity gap) over the event "
     "stream — dynamic-width windows merged by the state store; append "
-    "mode emits sessions once the watermark passes their end.",
+    "mode emits sessions once the watermark passes their end. Oracled: "
+    "for a bounded replay the emitted set is exactly the islands-form "
+    "sessions whose end precedes the final watermark.",
     tags=("streaming", "window", "session"),
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
