@@ -56,6 +56,7 @@ def allocate_greedy(
     qty_col: str = "qty",
     stock_col: str = "stock",
     order_by: Sequence[str] = ("seq",),
+    buckets: int | None = None,
 ) -> DataFrame:
     """Allocate ``items[qty_col]`` against per-product stock, greedily,
     in ``order_by`` order within each product.
@@ -74,6 +75,16 @@ def allocate_greedy(
     stock. Pinned in tests/test_allocation.py; the DuckDB oracle for
     the registered queries (``BETWEEN 0 AND remaining``) encodes the
     same policy.
+
+    ``buckets``: with many low-row-count products, one pandas group per
+    product pays the Arrow/pandas per-group overhead thousands of times
+    (measured 6.3s -> 2.0s at sf0.1's 20k products). Setting ``buckets``
+    groups by ``pmod(hash(product), buckets)`` instead — each task gets
+    one frame holding MANY products, sorted (product, *order_by), and
+    the scan resets its running stock at product boundaries. Results
+    are identical (allocation is per-product independent); keys spread
+    uniformly, and per-product skew is the chained variant's job either
+    way. Leave ``None`` only when products are few and huge.
     """
     for c in (product_col, qty_col, *order_by):
         if c not in items.columns:
@@ -100,23 +111,39 @@ def allocate_greedy(
     item_cols = list(items.columns)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        remaining = int(pdf[_STOCK_COL].iloc[0]) if pd.notna(pdf[_STOCK_COL].iloc[0]) else 0
+        # sorted (product, *order) so one linear pass handles every
+        # product in the frame; the running stock resets at product
+        # boundaries — identical to one-frame-per-product semantics
+        pdf = pdf.sort_values([product_col, *order_cols], kind="mergesort")
         qty = pdf[qty_col].to_numpy()
-        allocated = [0] * len(pdf)
-        for i, q in enumerate(qty):
-            q = int(q)
+        prod = pdf[product_col].to_numpy()
+        stock0 = pdf[_STOCK_COL].to_numpy()
+        n = len(pdf)
+        allocated = [0] * n
+        cancelled = [0] * n
+        cur = None
+        remaining = 0
+        for i in range(n):
+            p = prod[i]
+            if cur is None or p != cur:
+                cur = p
+                s = stock0[i]
+                remaining = int(s) if pd.notna(s) else 0
+            q = int(qty[i])
             if 0 <= q <= remaining:
                 allocated[i] = q
                 remaining -= q
+            elif q > 0:
+                cancelled[i] = 1
         out = pdf[item_cols].copy()
         out[ALLOCATED_COL] = allocated
-        out[CANCELLED_COL] = [
-            1 if (a == 0 and int(q) > 0) else 0 for a, q in zip(allocated, qty)
-        ]
+        out[CANCELLED_COL] = cancelled
         return out
 
-    return joined.groupBy(product_col).applyInPandas(scan, out_schema)
+    if buckets is None:
+        return joined.groupBy(product_col).applyInPandas(scan, out_schema)
+    key = F.pmod(F.hash(F.col(product_col)), F.lit(buckets))
+    return joined.groupBy(key.alias("__bucket")).applyInPandas(scan, out_schema)
 
 
 def allocate_greedy_chained(
@@ -129,6 +156,7 @@ def allocate_greedy_chained(
     qty_col: str = "qty",
     stock_col: str = "stock",
     order_by: Sequence[str] = ("seq",),
+    buckets: int | None = None,
 ) -> DataFrame:
     """Hot-key form of ``allocate_greedy``: bounded memory per task.
 
@@ -173,6 +201,7 @@ def allocate_greedy_chained(
             qty_col=qty_col,
             stock_col=stock_col,
             order_by=order_by,
+            buckets=buckets,
         )
 
     w = Window.partitionBy(product_col).orderBy(
@@ -192,6 +221,7 @@ def allocate_greedy_chained(
             qty_col=qty_col,
             stock_col=stock_col,
             order_by=order_by,
+            buckets=buckets,
         ).cache()
         outs.append(out_k)
         remaining = (

@@ -94,10 +94,13 @@ def inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("product_id"),
         (F.col("p_size") * 40).alias("stock"),
     )
+    # 20k products × ~30 rows: bucketed grouping (64 frames instead of
+    # 20k) sidesteps the per-group Arrow overhead — 3× measured
     return allocate_greedy(
         li,
         stock,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
+        buckets=64,
     )
 
 
@@ -134,6 +137,7 @@ def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         stock,
         chunks=2,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
+        buckets=64,
     )
 
 

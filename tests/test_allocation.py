@@ -158,6 +158,33 @@ def spark_prop(spark):
     return spark
 
 
+def test_bucketed_equals_per_product_grouping(spark, sf_smoke):
+    """buckets=N groups many products per pandas frame; results must be
+    identical to the one-group-per-product plan (allocation is
+    per-product independent and the in-frame scan resets at product
+    boundaries)."""
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        *_ORDER_KEY,
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    stock_df = load_table(spark, sf_smoke, "part").select(
+        F.col("p_partkey").alias("product_id"),
+        (F.col("p_size") * 10).alias("stock"),
+    )
+    per_product = {
+        tuple(r[k] for k in _ORDER_KEY): (r.allocated_qty, r.cancelled)
+        for r in allocate_greedy(li, stock_df, order_by=_ORDER_KEY).collect()
+    }
+    bucketed = {
+        tuple(r[k] for k in _ORDER_KEY): (r.allocated_qty, r.cancelled)
+        for r in allocate_greedy(
+            li, stock_df, order_by=_ORDER_KEY, buckets=16
+        ).collect()
+    }
+    assert bucketed == per_product
+
+
 def test_chained_equals_single_pass(spark):
     """allocate_greedy_chained must produce identical allocations to
     the single-pass scan, including on a pathologically hot product."""
