@@ -34,6 +34,8 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_neardup_pairs",
     "ann_topk_lsh",
+    # the stateful flagship (bucketed grouped-map greedy allocation)
+    "inventory_allocation",
 ]
 
 # the reference's own workload: its five outputs on its own dataset

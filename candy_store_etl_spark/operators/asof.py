@@ -11,7 +11,12 @@ cost of one Arrow boundary.
 
 Scale shape: one hash shuffle of each side on the key — identical to
 the window encoding; per-key data must fit a pandas frame, the same
-bound the window's per-partition sort already implies.
+bound the window's per-partition sort already implies. With many
+small keys, cogroup by key pays the Arrow/pandas per-group overhead
+once per key — ``buckets=N`` cogroups on ``pmod(hash(key), N)``
+instead and lets ``pd.merge_asof(by=key)`` keep the per-key semantics
+inside each bucket (measured 9.4s -> ~1s at sf0.1's ~15k users;
+results identical, pinned in tests and by the shared DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -33,23 +39,33 @@ def asof_join_cogrouped(
     schema: StructType,
     direction: str = "backward",
     tolerance: pd.Timedelta | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right timestamp
     (``direction='backward'``: latest right_ts <= left_ts)."""
     out_names = [f.name for f in schema.fields]
+    # The bucketed path needs the key INSIDE the pandas frames, and
+    # when left and right derive from the same parent DataFrame the
+    # two key columns are the same Catalyst attribute — cogroup then
+    # dedups it out of the right-side frame (observed: rpdf arrives
+    # without the key). Renaming the right key gives it its own
+    # attribute, and pd.merge_asof's left_by/right_by pair them up.
+    rkey = f"__r_{key}"
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=out_names)
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        lby = [key] if buckets is not None else []
+        rby = [rkey] if buckets is not None else []
+        lpdf = lpdf.sort_values([left_ts, *lby], kind="mergesort")
         if rpdf.empty:
             lpdf[out_col] = pd.Series(
                 [pd.NaT] * len(lpdf), dtype=lpdf[left_ts].dtype
             )
             return lpdf[out_names]
         r = (
-            rpdf[[right_ts]]
-            .sort_values(right_ts, kind="mergesort")
+            rpdf[[*rby, right_ts]]
+            .sort_values([right_ts, *rby], kind="mergesort")
             .rename(columns={right_ts: out_col})
         )
         merged = pd.merge_asof(
@@ -57,13 +73,20 @@ def asof_join_cogrouped(
             r,
             left_on=left_ts,
             right_on=out_col,
+            left_by=lby or None,
+            right_by=rby or None,
             direction=direction,
             tolerance=tolerance,
         )
         return merged[out_names]
 
-    return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
-        .applyInPandas(merge, schema)
-    )
+    if buckets is None:
+        grouped = left.groupBy(key).cogroup(right.groupBy(key))
+    else:
+        right = right.withColumnRenamed(key, rkey)
+        lbucket = F.pmod(F.hash(F.col(key)), F.lit(buckets))
+        rbucket = F.pmod(F.hash(F.col(rkey)), F.lit(buckets))
+        grouped = left.groupBy(lbucket.alias("__bucket")).cogroup(
+            right.groupBy(rbucket.alias("__bucket"))
+        )
+    return grouped.applyInPandas(merge, schema)

@@ -282,6 +282,8 @@ def purchase_asof_signup_cogrouped(
             StructField("signup_ts", TimestampType(), True),
         ]
     )
+    # ~1.5k-15k users of a few rows each: bucketed cogroup (64 frames,
+    # merge_asof by=user_id inside) instead of per-user Arrow batches
     return asof_join_cogrouped(
         purchases,
         signups,
@@ -290,6 +292,7 @@ def purchase_asof_signup_cogrouped(
         right_ts="signup_raw",
         out_col="signup_ts",
         schema=schema,
+        buckets=64,
     )
 
 
