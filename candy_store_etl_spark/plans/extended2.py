@@ -223,20 +223,26 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(embedding,
                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
              AS BIGINT) AS milli_sum,
-           embedding[1:3] AS head3
+           array_to_string(list_transform(embedding[1:3],
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)), ',')
+             AS head3_milli_csv
     FROM embeddings
     """,
     doc="Higher-order array functions — transform/filter/aggregate/slice "
     "run inside codegen (no Python boundary); the fold accumulates "
-    "integer millis so it is exact and order-stable.",
+    "integer millis so it is exact and order-stable. The sliced head "
+    "is emitted as an integer-milli CSV string: the external gate's "
+    "row canonicalizer cannot sort list cells, and float→string "
+    "rendering differs across engines while int strings are exact.",
     tags=("nested", "higher_order"),
 )
 def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    milli = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
-    )
+
+    def to_milli(x):
+        return F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+
+    milli = F.transform("embedding", to_milli)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -244,7 +250,8 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             milli, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("milli_sum"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.concat_ws(",", F.transform(F.slice("embedding", 1, 3), to_milli))
+        .alias("head3_milli_csv"),
     )
 
 

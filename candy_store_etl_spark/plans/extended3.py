@@ -264,14 +264,16 @@ def brand_price_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     )
     SELECT nationkey,
-           list_sort(list(DISTINCT y)) AS years,
            array_to_string(list_sort(list(DISTINCT y)), ',') AS years_csv,
+           CAST(len(list(DISTINCT y)) AS INTEGER) AS n_years,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM cust_year GROUP BY nationkey
     """,
     doc="Collection aggregates — collect_set canonicalized with "
     "array_sort (collection order is otherwise nondeterministic), "
-    "plus the string_agg form via concat_ws.",
+    "emitted in the string_agg form (concat_ws) plus the set size: "
+    "the external gate's row canonicalizer cannot sort raw list "
+    "cells, and the sorted CSV carries the same information.",
     tags=("agg", "collect"),
 )
 def nation_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,8 +284,8 @@ def nation_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
-            years.alias("years"),
             F.concat_ws(",", years).alias("years_csv"),
+            F.size(years).alias("n_years"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

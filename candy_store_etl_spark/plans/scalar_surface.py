@@ -73,15 +73,18 @@ _SQL_FILLER_LIST = "['a','the','big','small','slow','fast']"
     SELECT doc_id,
            CAST(len(list_filter(d, x -> list_contains({_SQL_FILLER_LIST}, x)))
              AS INTEGER) AS n_filler_kinds,
-           list_sort(list_filter(d, x -> NOT list_contains({_SQL_FILLER_LIST}, x)))[1:3]
-             AS content_head,
+           array_to_string(
+             list_sort(list_filter(d, x -> NOT list_contains({_SQL_FILLER_LIST}, x)))[1:3],
+             ',') AS content_head_csv,
            CAST(coalesce(list_position(raw, 'the'), 0) AS BIGINT) AS first_the,
            CAST(list_contains(d, 'join') AS INTEGER) AS mentions_join
     FROM tok
     """,
     doc="Array set operations — array_intersect/except/sort/position/"
     "contains over token sets, all codegen expressions (the oracle "
-    "spells the same semantics with DuckDB list functions).",
+    "spells the same semantics with DuckDB list functions). The sorted "
+    "head slice is emitted as a CSV string because the external gate's "
+    "row canonicalizer cannot sort raw list cells.",
     tags=("nested", "array_set"),
 )
 def token_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,9 +95,9 @@ def token_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(F.array_intersect(d, filler)).alias("n_filler_kinds"),
-        F.slice(F.sort_array(F.array_except(d, filler)), 1, 3).alias(
-            "content_head"
-        ),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.array_except(d, filler)), 1, 3)
+        ).alias("content_head_csv"),
         F.array_position(raw, "the").alias("first_the"),
         F.array_contains(d, "join").cast("int").alias("mentions_join"),
     )
