@@ -417,6 +417,89 @@ def cosine_topk_ivf(
     return cosine_topk_blockwise(candidates, query, k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_build_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist an IVF index: vectors partitioned by inverted list.
+
+    This is the deployment shape the in-memory ``cosine_topk_ivf``
+    docstring promises: train the coarse quantizer once, then write the
+    vectors PARTITIONED BY ``list_id`` so that every query afterwards
+    scans only its probed lists via partition PRUNING — the scan never
+    touches the other ``(n_centroids - n_probe)/n_centroids`` of the
+    data (pinned by a PartitionFilters plan assertion in tests).
+    Centroids ride along as a tiny parquet relation (k×dim rows).
+    """
+    import os
+
+    cents = ivf_train(
+        emb,
+        n_centroids,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col)
+    (
+        emb.join(assigned, id_col)
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    (
+        spark.createDataFrame(cent_rows, "list_id long, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    return cents
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index — reads ONLY the probed lists.
+
+    The ``list_id IN (...)`` filter is a partition predicate, so Spark
+    prunes unprobed list directories at planning time; the exact rerank
+    then runs ``cosine_topk_blockwise`` over the surviving fraction.
+    """
+    import os
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("list_id")
+        .collect()
+    )
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    q = _as_unit(query)
+    probes = np.argsort(-(cents @ q), kind="stable")[:n_probe].tolist()
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    candidates = vectors.filter(
+        F.col("list_id").isin([int(p) for p in probes])
+    )
+    return cosine_topk_blockwise(
+        candidates, query, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query: Sequence[float],

@@ -465,3 +465,73 @@ def streaming_inventory_allocation(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> dict[str, str]:
+    """Assemble the option map for a Kafka stream read — split out so
+    the plumbing is unit-testable without the Kafka connector jar
+    (absent in this container; `stream_events` file replay feeds the
+    identical downstream plans)."""
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers must be non-empty")
+    required = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    clash = required.keys() & options.keys()
+    if clash:
+        raise ValueError(f"options {sorted(clash)} conflict with named args")
+    return {**required, **options}
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    **options: str,
+) -> DataFrame:
+    """Events stream from Kafka: JSON payloads in ``value``, parsed
+    with the SAME explicit schema as the file replay, so every
+    downstream plan (windows, dedup, sessionization, stateful
+    allocation) is source-agnostic.
+
+    Requires the ``spark-sql-kafka`` connector jar on the classpath;
+    without it, Spark's source resolution fails at ``load()`` (the
+    option plumbing itself is pinned by tests either way).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_reader_options(bootstrap_servers, topic, **options))
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            StructType(
+                [
+                    StructField("event_id", LongType(), False),
+                    StructField("ts", StringType(), True),
+                    StructField("user_id", LongType(), True),
+                    StructField("event_type", StringType(), True),
+                    StructField("value", DoubleType(), True),
+                    StructField("props", StringType(), True),
+                ]
+            ),
+        ).alias("e"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    return parsed.select(
+        "e.event_id",
+        F.to_timestamp("e.ts").alias("ts"),
+        "e.user_id",
+        "e.event_type",
+        "e.value",
+        "e.props",
+    )

@@ -167,3 +167,58 @@ def test_blockwise_zero_norm_query_rejected(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="zero norm"):
         cosine_topk_blockwise(emb, [0.0] * 64, k=5)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_smoke, tmp_path):
+    """The persisted IVF index must (a) answer identically to the
+    in-memory IVF path (same deterministic training), and (b) prove in
+    the physical plan that unprobed lists are PRUNED at the scan."""
+    from candy_store_etl_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rest = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(rest, path, n_centroids=8, iterations=2)
+
+    out = ivf_query_index(spark, path, query, k=10, n_probe=3)
+    got = [(r.vec_id, round(r.cosine_sim, 9)) for r in out.collect()]
+    mem = cosine_topk_ivf(
+        rest, query, k=10, n_centroids=8, n_probe=3, iterations=2
+    )
+    want = [(r.vec_id, round(r.cosine_sim, 9)) for r in mem.collect()]
+    assert got == want
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    # the probed-list filter must prune at the SCAN: replay the same
+    # pruned read (input_file_name doesn't survive the mapInPandas
+    # stage, so probe the scan itself) — exactly 3 of 8 list dirs read
+    import glob
+
+    import numpy as np
+
+    all_lists = len(glob.glob(f"{path}/vectors/list_id=*"))
+    assert all_lists == 8
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    )
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    probes = np.argsort(-(cents @ qv), kind="stable")[:3].tolist()
+    pruned = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("list_id").isin([int(p) for p in probes])
+    )
+    scanned = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(scanned) == 3, scanned
+

@@ -353,3 +353,31 @@ def test_streaming_allocation_state_across_batches(spark, tmp_path):
     total_alloc = sum(a for a, _ in got.values())
     total_cancel = sum(c for _, c in got.values())
     assert total_alloc == 13 and total_cancel == 1
+
+
+def test_kafka_reader_options_plumbing(spark):
+    """No Kafka jar in this container: the option map is pinned
+    directly, and load() must die inside Spark's SOURCE RESOLUTION
+    (proving format+options reach the JVM), not in Python."""
+    import pytest
+
+    from candy_store_etl_spark.streaming.events import (
+        kafka_reader_options,
+        stream_events_kafka,
+    )
+
+    opts = kafka_reader_options(
+        "broker1:9092,broker2:9092", "events", maxOffsetsPerTrigger="5000"
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        kafka_reader_options("", "events")
+    with pytest.raises(ValueError, match="conflict"):
+        kafka_reader_options("b:9092", "t", subscribe="other")
+    with pytest.raises(Exception, match="(?i)kafka|data source"):
+        stream_events_kafka(spark, "b:9092", "events")
