@@ -435,16 +435,45 @@ def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# DuckDB twin of the deterministic fake codec: the stub derives dims
+# from sha256 of the utf-8 payload (operators/multimodal._fake_decode),
+# and DuckDB's sha256 hashes the same bytes — hex-char arithmetic
+# recovers the digest bytes. The corpus is ASCII (strlen == length,
+# verified for all SFs), so char ops equal byte ops.
+def _SQL_SHA_BYTE(pos: int) -> str:
+    """0-indexed digest byte ``pos`` parsed from the sha256 hex."""
+    c1 = f"substr(hx, {2 * pos + 1}, 1)"
+    c2 = f"substr(hx, {2 * pos + 2}, 1)"
+    return (
+        f"((strpos('0123456789abcdef', {c1}) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {c2}) - 1))"
+    )
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, sha256(text) AS hx,
+             strlen(text) AS n
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(16 + {_SQL_SHA_BYTE(0)} % 64 AS INTEGER) AS width,
+           CAST(16 + {_SQL_SHA_BYTE(1)} % 64 AS INTEGER) AS height,
+           CAST(1 + {_SQL_SHA_BYTE(2)} % 8 AS INTEGER) AS n_frames,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 1 END AS DOUBLE) AS feature_sum
+    FROM h
+    """,
     doc="Binary media column -> decoded dims + feature vector via "
     "Arrow-batched mapInPandas (codec stubbed deterministically; "
     "Spark-side schema/batch plumbing real — tests/test_multimodal). "
-    "The registered plan projects the array<float> features column to "
-    "a deterministic scalar (order-fixed sum over the histogram bins) "
-    "because the external gate's row canonicalizer can't sort "
-    "list-valued cells; the raw-array API stays on decode_media.",
+    "Oracled: the stub's sha256-derived dims are recomputed in DuckDB "
+    "(same bytes, same digest); the byte-histogram feature vector is "
+    "projected to its order-fixed sum (= counted-bytes/len, exactly 1 "
+    "for non-empty payloads; rounded at 4 dp so float32 bin "
+    "quantization noise ~1e-7 can't flip a digit) because the gate's "
+    "canonicalizer can't sort list cells.",
     tags=("multimodal", "mapInPandas"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,20 +490,65 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "n_frames",
-        fround(feature_sum, 6).alias("feature_sum"),
+        fround(feature_sum, 4).alias("feature_sum"),
     )
 
 
 @register(
     "multimodal_resize",
-    oracle=None,
+    # Same sha256-derived geometry as the decode oracle; the fake
+    # resample keeps floor(len * min(area_ratio, 1)) bytes (>= 1), and
+    # the ASCII corpus makes char-substr equal byte-truncation, so the
+    # kept prefix is md5-checkable across engines.
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, text, sha256(text) AS hx,
+             strlen(text) AS n
+      FROM documents
+    ), dims AS (
+      SELECT media_id, text, n,
+             16 + {_SQL_SHA_BYTE(0)} % 64 AS w,
+             16 + {_SQL_SHA_BYTE(1)} % 64 AS h
+      FROM h
+    ), geo AS (
+      SELECT media_id, text, n, w, h,
+             CASE WHEN GREATEST(w, h) <= 32 THEN 1.0
+                  ELSE 32.0 / GREATEST(w, h) END AS scale
+      FROM dims
+    ), tgt AS (
+      SELECT media_id, text, n, w, h,
+             CAST(CEIL(w * scale) AS INTEGER) AS target_width,
+             CAST(CEIL(h * scale) AS INTEGER) AS target_height
+      FROM geo
+    )
+    SELECT media_id, target_width, target_height,
+           CAST(GREATEST(1, CAST(FLOOR(
+                 n * LEAST(CAST(target_width * target_height AS DOUBLE)
+                           / GREATEST(w * h, 1), 1.0)) AS BIGINT))
+             AS BIGINT) AS content_len,
+           md5(substr(text, 1, GREATEST(1, CAST(FLOOR(
+                 n * LEAST(CAST(target_width * target_height AS DOUBLE)
+                           / GREATEST(w * h, 1), 1.0)) AS BIGINT))))
+             AS content_md5
+    FROM tgt
+    """,
     doc="Media resize as two stages: aspect-preserving geometry planned "
     "JVM-side (scale/target dims/skip flag at scan speed), pixel "
     "resample in the Arrow-batched codec stage (stubbed; contract "
-    "pinned in tests/test_multimodal).",
+    "pinned in tests/test_multimodal). Oracled: geometry recomputed "
+    "from the sha256 digest in DuckDB and the resampled payload "
+    "checked by length + md5 (binary cells stringify engine-"
+    "specifically; the hex digest is portable).",
     tags=("multimodal", "mapInPandas", "resize"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_media_column(docs, "doc_id", "text")
-    return resize_media(media, max_side=32)
+    resized = resize_media(media, max_side=32)
+    return resized.select(
+        "media_id",
+        "target_width",
+        "target_height",
+        F.length("content").cast("long").alias("content_len"),
+        F.md5("content").alias("content_md5"),
+    )
