@@ -13,6 +13,7 @@ from ..operators.multimodal import (
     attach_media_column,
     decode_media,
     resize_media,
+    sample_frames,
 )
 from ..sources.tpch import load_table
 from ..timeseries.forecast import forecast_metrics
@@ -552,3 +553,31 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("content_len"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    # frame count comes from digest byte 2 (1..8); every-2nd-frame
+    # sampling is a sequence explode — in DuckDB, unnest(range(...)).
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, sha256(text) AS hx
+      FROM documents
+    ), frames AS (
+      SELECT media_id, CAST(1 + {_SQL_SHA_BYTE(2)} % 8 AS INTEGER) AS n_frames
+      FROM h
+    )
+    SELECT media_id, CAST(UNNEST(range(0, n_frames, 2)) AS INTEGER) AS frame_idx
+    FROM frames
+    """,
+    doc="Video-style frame sampling: one row per kept frame index "
+    "(every 2nd frame), fanned out with explode(sequence(...)) — a "
+    "narrow transform, no shuffle; with a real codec the frame bytes "
+    "ride along. Oracled via the digest-derived frame count.",
+    tags=("multimodal", "explode", "sample"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text")
+    decoded = decode_media(media, n_features=16)
+    return sample_frames(decoded, every_k=2)
