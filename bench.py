@@ -66,9 +66,13 @@ def main() -> None:
     for name in names:
         # best-of-2: single-shot timings swing 2x run-to-run (page
         # cache, JIT, GC alignment); the minimum is the steady-state
-        # number a resident engine delivers
+        # number a resident engine delivers. clearCache per iteration:
+        # queries that cache intermediates internally (minhash) would
+        # otherwise have run 2 served from run 1's InMemoryRelation —
+        # a number no cold execution can achieve.
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -257,17 +257,16 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col).alias("__vid"), to_double_array(F.col(vec_col)).alias("__v")
     )
     sim = cosine_similarity(F.col("va"), F.col("vb"))
+    from ..functions.rounding import fround
+
     return (
         cand.join(vecs.withColumnsRenamed({"__vid": "id_a", "__v": "va"}), "id_a")
         .join(vecs.withColumnsRenamed({"__vid": "id_b", "__v": "vb"}), "id_b")
         .filter(sim >= threshold)
-        # floor-based round-half-up, not engine-native round: bit-
-        # identical to the DuckDB oracle at representation boundaries
-        .select(
-            "id_a",
-            "id_b",
-            (F.floor(sim * 1e6 + F.lit(0.5)) / 1e6).alias("cosine_sim"),
-        )
+        # shared floor-based round-half-up, not engine-native round:
+        # bit-identical to the DuckDB oracle at representation
+        # boundaries
+        .select("id_a", "id_b", fround(sim, 6).alias("cosine_sim"))
     )
 
 

@@ -349,10 +349,15 @@ def linear_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "seasonal_forecast_daily_value",
     # The model is deterministic closed-form math (OLS trend via
     # covariance/variance — exactly regr_slope/regr_intercept — plus
-    # weekday-mean seasonal residuals), so it IS SQL-expressible. The
-    # registered plan truncates the transcendental outputs to 4 dp
-    # (floor — boundary-free per the determinism notes) so numpy-vs-
-    # DuckDB summation-order noise in the last ulps can't flip a digit.
+    # weekday-mean seasonal residuals), so it IS SQL-expressible.
+    # Rounding policy: round-half-up at 4 dp on BOTH sides. Plain
+    # truncation is NOT boundary-free here — a degenerate constant
+    # series makes forecast an exact 2-dp money value (an exact 1e-4
+    # multiple, i.e. ON a floor boundary) and mae/mse exactly 0, where
+    # last-ulp engine noise (±1e-15) would flip a whole digit. Round-
+    # half-up puts those exact values at BIN CENTERS (offset +0.5), so
+    # ±noise cannot cross a boundary; genuinely transcendental values
+    # hit the 5e-5 half-boundaries with measure zero.
     oracle="""
     WITH daily0 AS (
       SELECT CAST(ts AS DATE) AS ds, event_type,
@@ -401,9 +406,9 @@ def linear_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON se.metric = f.metric AND se.dow = isodow(b.dmax + h.h) - 1
     )
     SELECT fu.metric, fu.date,
-           FLOOR(fu.fc * 10000)/10000 AS forecast,
-           FLOOR(e.mae * 10000)/10000 AS mae,
-           FLOOR(e.mse * 10000)/10000 AS mse
+           FLOOR(fu.fc * 10000 + 0.5)/10000 AS forecast,
+           FLOOR(e.mae * 10000 + 0.5)/10000 AS mae,
+           FLOOR(e.mse * 10000 + 0.5)/10000 AS mse
     FROM future fu JOIN errs e ON fu.metric = e.metric
     """,
     doc="Trend + weekday-seasonal forecast per event_type via "
@@ -428,11 +433,11 @@ def seasonal_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame
         daily, date_col="date", metric_cols=metric_cols, horizon=3
     )
 
-    def trunc4(c: str):
-        return (F.floor(F.col(c) * 10000) / 10000).alias(c)
+    def round4(c: str):
+        return fround(F.col(c), 4).alias(c)
 
     return out.select(
-        "metric", "date", trunc4("forecast"), trunc4("mae"), trunc4("mse")
+        "metric", "date", round4("forecast"), round4("mae"), round4("mse")
     )
 
 

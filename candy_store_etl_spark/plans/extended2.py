@@ -428,9 +428,12 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # ±1 absolute floor: tiny groups (15 users at sf0.001) make the
+    # relative band < 1, where a single-count HLL wobble would flip
+    # the flag even though the sketch is behaving
     within = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
-        <= F.col("exact_users") * (5 * 0.01)
+        <= F.greatest(F.lit(1.0), F.col("exact_users") * (5 * 0.01))
     )
     return agg.select(
         "event_type",

@@ -65,12 +65,13 @@ def _ensure_loaded() -> None:
     # driver verifies only the first 50 registered queries per round.
     # Round 2 rotation: the modules whose queries had no driver row in
     # round 1 (extended*, scalar_surface, streaming_queries — 35
-    # queries) register first, then advanced + the first 6 of vectors
-    # (the queries whose oracles/fixes are new this round) fill the
-    # window to exactly 50. relational/text queries were all
-    # driver-green in round 1 and sit outside the window this time.
-    # Keep rotating each round while the cap persists so every query
-    # eventually gets a driver CORRECTNESS row.
+    # queries) register first, then advanced (10) + the first 5 of
+    # vectors fill the window to exactly 50 — ALL of them oracled
+    # (definition order inside vectors puts the banded-LSH flagship in
+    # and the arrow twin of the already-in-window blockwise tier out).
+    # relational/text queries were all driver-green in round 1 and sit
+    # outside this time. Keep rotating each round while the cap
+    # persists so every query eventually gets a driver CORRECTNESS row.
     from . import extended  # noqa: F401
     from . import extended2  # noqa: F401
     from . import extended3  # noqa: F401

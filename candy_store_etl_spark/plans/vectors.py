@@ -111,9 +111,13 @@ _SQL_TOPK_EXACT = f"""
 
 def _rounded_topk(raw: DataFrame, k: int) -> DataFrame:
     """Re-rank a raw-double top-k by the ROUNDED similarity so the gate
-    ordering (rounded desc, vec_id asc) matches the oracle's exactly;
-    ``raw`` carries a small buffer (>k rows) so a rounding tie at the
-    k-boundary can't change membership."""
+    ordering (rounded desc, vec_id asc) matches the oracle's exactly.
+    ``raw`` carries a 10x buffer: membership can only diverge from the
+    all-rows oracle if MORE than buffer rows share one 6-dp rounded
+    value spanning the k-boundary (the oracle would then pick lowest
+    vec_ids from the whole tie group, the buffer only from its top
+    raw scores). 100+ six-decimal ties would mean near-duplicate
+    vectors at scale — use the dedup operators first in that regime."""
     return (
         raw.select("vec_id", fround(F.col("cosine_sim"), 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
@@ -126,13 +130,13 @@ def _rounded_topk(raw: DataFrame, k: int) -> DataFrame:
     oracle=_SQL_TOPK_EXACT,
     doc="Exact top-k via numpy-matmul mapInPandas (the throughput tier); "
     "exact ⇒ it carries the same oracle as ann_topk_cosine (label-free "
-    "projection, rounded re-rank with a 2k raw buffer).",
+    "projection, rounded re-rank with a 10x raw buffer).",
     tags=("vectors", "ann", "mapInPandas"),
 )
 def ann_topk_blockwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    raw = cosine_topk_blockwise(emb.filter(F.col("vec_id") != 0), query, k=20)
+    raw = cosine_topk_blockwise(emb.filter(F.col("vec_id") != 0), query, k=100)
     return _rounded_topk(raw, k=10)
 
 
@@ -192,30 +196,15 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     "exact rerank (multi-probe Hamming-1); recall pinned in tests. "
     "Oracled end-to-end: the seeded plane matrix is inlined into the "
     "DuckDB SQL as literals, so bucket assignment, probing, and rerank "
-    "are all value-checked (rounded re-rank, 2k raw buffer).",
+    "are all value-checked (rounded re-rank, 10k raw buffer).",
     tags=("vectors", "ann", "lsh"),
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     raw = cosine_topk_lsh(
-        emb.filter(F.col("vec_id") != 0), query, k=20, n_planes=8
+        emb.filter(F.col("vec_id") != 0), query, k=100, n_planes=8
     )
-    return _rounded_topk(raw, k=10)
-
-
-@register(
-    "ann_topk_arrow",
-    oracle=_SQL_TOPK_EXACT,
-    doc="Exact top-k via mapInArrow (zero-copy RecordBatch→numpy, no "
-    "pandas materialization of the wide array column); exact ⇒ same "
-    "oracle as the expression tier (rounded re-rank, 2k raw buffer).",
-    tags=("vectors", "ann", "mapInArrow"),
-)
-def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    raw = cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=20)
     return _rounded_topk(raw, k=10)
 
 
@@ -283,8 +272,7 @@ def _neardup_lsh_oracle_sql(
        AND s1.vec_id < s2.vec_id
     )
     SELECT c.id_a, c.id_b,
-           FLOOR({_sql_cosine("va.v", "vb.v")} * 1000000.0 + 0.5)/1000000.0
-             AS cosine_sim
+           {SQL_FROUND(_sql_cosine("va.v", "vb.v"), 6)} AS cosine_sim
     FROM cand c
     JOIN allv va ON va.vec_id = c.id_a
     JOIN allv vb ON vb.vec_id = c.id_b
@@ -336,6 +324,21 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     )
+
+
+@register(
+    "ann_topk_arrow",
+    oracle=_SQL_TOPK_EXACT,
+    doc="Exact top-k via mapInArrow (zero-copy RecordBatch→numpy, no "
+    "pandas materialization of the wide array column); exact ⇒ same "
+    "oracle as the expression tier (rounded re-rank, 10k raw buffer).",
+    tags=("vectors", "ann", "mapInArrow"),
+)
+def ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    raw = cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), query, k=100)
+    return _rounded_topk(raw, k=10)
 
 
 @register(

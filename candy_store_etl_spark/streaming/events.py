@@ -498,9 +498,16 @@ def stream_events_kafka(
     **options: str,
 ) -> DataFrame:
     """Events stream from Kafka: JSON payloads in ``value``, parsed
-    with the SAME explicit schema as the file replay, so every
+    into the SAME output columns/types as the file replay, so every
     downstream plan (windows, dedup, sessionization, stateful
     allocation) is source-agnostic.
+
+    Wire format: ``ts`` may arrive either as an ISO-8601 string (the
+    natural JSON encoding) or as the epoch-nanos integer the parquet
+    replay carries — both parse to the same TimestampType column
+    (``to_timestamp`` for strings, nanos→micros for all-digit
+    payloads), so a producer replaying the historical records is not a
+    special case.
 
     Requires the ``spark-sql-kafka`` connector jar on the classpath;
     without it, Spark's source resolution fails at ``load()`` (the
@@ -529,9 +536,25 @@ def stream_events_kafka(
     )
     return parsed.select(
         "e.event_id",
-        F.to_timestamp("e.ts").alias("ts"),
+        parse_event_ts(F.col("e.ts")).alias("ts"),
         "e.user_id",
         "e.event_type",
         "e.value",
         "e.props",
     )
+
+
+def parse_event_ts(ts_str) -> "F.Column":
+    """Wire-format-tolerant event-time parse: all-digit payloads are
+    epoch NANOS (the parquet replay's representation), anything else
+    goes through ``to_timestamp`` (ISO-8601 and friends). nanos→micros
+    drops the last three DIGITS (string slice, exact) — epoch nanos
+    exceed 2^53, so a double-division route would wobble by ±1 µs.
+    Unit-tested on batch frames — the Kafka jar is absent here."""
+    micros = F.when(
+        F.length(ts_str) > 3,
+        ts_str.substr(F.lit(1), F.length(ts_str) - 3).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return F.when(
+        ts_str.rlike("^[0-9]+$"), F.timestamp_micros(micros)
+    ).otherwise(F.to_timestamp(ts_str))

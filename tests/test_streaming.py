@@ -381,3 +381,29 @@ def test_kafka_reader_options_plumbing(spark):
         kafka_reader_options("b:9092", "t", subscribe="other")
     with pytest.raises(Exception, match="(?i)kafka|data source"):
         stream_events_kafka(spark, "b:9092", "events")
+
+
+def test_parse_event_ts_both_wire_formats(spark):
+    """The Kafka value payload may carry ts as epoch NANOS (the parquet
+    replay's representation) or ISO-8601; both must parse to the same
+    timestamp, exactly (nanos->micros drops trailing digits by string
+    slice — double division would wobble +-1us past 2^53)."""
+    from candy_store_etl_spark.streaming.events import parse_event_ts
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("1718880000123456789", "2024-06-20 10:40:00.123456"),
+            ("999", "1970-01-01 00:00:00"),  # < 1 microsecond -> epoch
+        ],
+        "nanos string, iso string",
+    )
+    got = df.select(
+        parse_event_ts(F.col("nanos")).alias("from_nanos"),
+        parse_event_ts(F.col("iso")).alias("from_iso"),
+    ).collect()
+    assert str(got[0].from_nanos) == "2024-06-20 10:40:00.123456"
+    assert str(got[0].from_iso) == "2024-06-20 10:40:00.123456"
+    assert str(got[1].from_nanos) == "1970-01-01 00:00:00"
+    assert str(got[1].from_iso) == "1970-01-01 00:00:00"
