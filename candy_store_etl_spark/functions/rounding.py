@@ -33,6 +33,15 @@ def fround(col: Column, ndigits: int) -> Column:
     return F.floor(col * scale + F.lit(0.5)) / scale
 
 
+def ftrunc(col: Column, ndigits: int) -> Column:
+    """Truncate (floor, no +0.5) — the stabilizer for TRANSCENDENTAL
+    outputs (ln/exp/sqrt results), whose true values are never within
+    float noise of a decimal boundary, so truncation is engine-safe
+    where round-half-up is not (see brand_price_geomean)."""
+    scale = float(10**ndigits)
+    return F.floor(col * scale) / scale
+
+
 # SQL twins of the helpers above (DuckDB).
 def SQL_MONEY_SUM(expr: str, alias: str) -> str:
     return f"SUM(FLOOR(({expr})*100 + 0.5))/100.0 AS {alias}"
@@ -41,3 +50,8 @@ def SQL_MONEY_SUM(expr: str, alias: str) -> str:
 def SQL_FROUND(expr: str, ndigits: int) -> str:
     scale = float(10**ndigits)
     return f"FLOOR(({expr})*{scale} + 0.5)/{scale}"
+
+
+def SQL_FTRUNC(expr: str, ndigits: int) -> str:
+    scale = float(10**ndigits)
+    return f"FLOOR(({expr})*{scale})/{scale}"

@@ -21,6 +21,11 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
 
 
+# DuckDB twin of ``tokens`` for oracle SQL (kept next to the Spark
+# form so they can only drift together).
+SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+
 def token_chars(toks: Column) -> Column:
     """Total characters across tokens (exact integer arithmetic)."""
     return F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("long")

@@ -1,0 +1,130 @@
+"""Distributed connected components over an edge DataFrame.
+
+The missing last stage of every near-duplicate pipeline: pair finders
+(exact Jaccard, MinHash-LSH, SimHash, embedding-LSH — see
+``operators/dedup.py`` / ``operators/similarity.py``) emit EDGES, but a
+curation decision needs CLUSTERS — "these 17 documents are all the same
+article; keep one". Near-dup similarity is not transitive, so the pair
+list must be closed into components before a survivor can be chosen.
+
+Algorithm: iterative min-label propagation expressed entirely in
+DataFrame ops —
+
+    labels(v) <- min(labels(v), min_{(u,v) in E} labels(u))
+
+repeated until a fixed point. Each round is one equi-join (edges x
+labels) plus one grouped min — two shuffles on the node key, both
+map-side combinable. Round count equals the graph diameter, which for
+near-dup graphs is small (dense cliques plus short bridges; the test
+corpus converges in 4 rounds). For adversarial long-path graphs the
+star-contraction family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) converges in O(log n) rounds; label
+propagation is chosen here because dedup graphs are diameter-bounded
+and the per-round plan is two narrow shuffles with no skewed
+re-keying.
+
+Scale posture: state per round is one (node, long) pair per vertex —
+no adjacency materialization beyond the input edge list. Lineage is
+truncated every round with ``localCheckpoint`` (a real deployment
+would use a reliable ``checkpoint`` dir; local mode has no executor
+loss to recover from). Convergence is detected with a single scalar
+aggregate — labels decrease monotonically, so an unchanged
+``(count, sum)`` signature is an exact fixed-point test, not a
+heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve undirected edges into components.
+
+    Parameters
+    ----------
+    edges:
+        DataFrame with two long-typed node columns ``src`` and ``dst``.
+        Treated as undirected; duplicates and self-loops are fine.
+    max_rounds:
+        Safety bound on propagation rounds (diameter cap). Raising it
+        is safe — convergence normally stops the loop much earlier.
+
+    Returns
+    -------
+    DataFrame ``(node, component)`` where ``component`` is the minimum
+    node id reachable from ``node``. Every node that appears in any
+    edge gets a row; isolated nodes are the caller's to union in
+    (see ``component_labels``).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    # Undirected closure, deduped once up front so every round joins
+    # the minimal edge list.
+    sym = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(lab: DataFrame) -> tuple[int, int]:
+        row = lab.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("component").alias("s")
+        ).collect()[0]
+        return (row["n"], row["s"] if row["s"] is not None else 0)
+
+    sig = signature(labels)
+    for _ in range(max_rounds):
+        # candidate labels flowing along edges: dst inherits src's label
+        prop = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "component")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(labels)
+        if new_sig == sig:  # monotone-decreasing sum: exact fixed point
+            break
+        sig = new_sig
+    return labels
+
+
+def component_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Label EVERY node: edge-connected nodes get their component min,
+    isolated nodes label themselves (singleton clusters)."""
+    comp = connected_components(edges, src=src, dst=dst)
+    return (
+        nodes.select(F.col(node_col).cast("long").alias("node"))
+        .distinct()
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )

@@ -81,5 +81,6 @@ def _ensure_loaded() -> None:
     from . import vectors  # noqa: F401
     from . import relational  # noqa: F401
     from . import text  # noqa: F401
+    from . import curation  # noqa: F401
 
     _LOADED = True

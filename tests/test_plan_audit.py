@@ -35,6 +35,16 @@ EXCHANGE_CAP_OVERRIDES = {
     # real stages ((id,bin) partial min -> per-id map assembly), so the
     # re-printed subtree carries 3 exchanges × 3 consumers
     "minhash_neardup_pairs_oph": 9,
+    # cluster resolution joins the fact-sized label relation (output of
+    # the iterative CC loop, a checkpointed RDD scan with no stats) to
+    # the node set AND aggregates it for cluster sizes — the label
+    # relation is one row per document, NOT broadcastable at scale, so
+    # the extra sort-merge exchange is the honest shape
+    "neardup_clusters": 5,
+    "neardup_clusters_minhash": 5,
+    # tf relation feeds two consumers (scores + doc_freq roll-up); the
+    # formatted plan re-prints its exchange under the broadcast side
+    "tfidf_top_terms": 5,
 }
 
 BATCH_QUERIES = sorted(
