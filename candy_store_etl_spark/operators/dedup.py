@@ -96,7 +96,13 @@ def minhash_signatures(
     tempting single-expression form — ``array(array_min(transform(sh,
     h_0)), ..., array_min(transform(sh, h_63)))`` — re-evaluates the
     shingling ``num_perm`` times per row (Catalyst does not CSE across
-    array elements) and measured ~50x slower at sf0.1.
+    array elements) and measured ~50x slower at sf0.1. Even with the
+    shingle-hash array STAGED in its own projection (so it cannot be
+    re-evaluated), the zero-shuffle per-row form still measured ~35%
+    slower: higher-order ``transform``/``array_min`` lambdas are
+    interpreted per element, while the explode+min-agg path runs
+    entirely inside whole-stage codegen — the shuffle it pays is on
+    pre-aggregated per-id rows and is the cheaper half of the trade.
 
     Permutations use the multiply-shift family: ONE base hash
     ``h = xxhash64(s) & 0xFFFFFFFF`` per shingle, then
@@ -235,14 +241,10 @@ def minhash_signatures_oph(
     return staged.select("id", densified.alias("signature"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, *, num_perm: int = 64, bands: int = 16
+def _band_buckets(
+    signatures: DataFrame, *, num_perm: int, bands: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
-
-    Shuffle key is (band_index, band_hash) — a document lands in
-    ``bands`` buckets, and only bucket-mates are ever paired.
-    """
+    """(id, band, bucket) relation: one row per document per LSH band."""
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
@@ -259,10 +261,21 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    buckets = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
+
+    Shuffle key is (band_index, band_hash) — a document lands in
+    ``bands`` buckets, and only bucket-mates are ever paired.
+    """
+    buckets = _band_buckets(signatures, num_perm=num_perm, bands=bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -273,6 +286,35 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_probe_pairs(
+    query_sigs: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """ASYMMETRIC candidate generation: for each query document, the
+    index documents sharing ≥1 band bucket — the incremental-ingest
+    shape ("is this incoming doc a near-dup of anything already in the
+    corpus?"). The index bucket relation depends only on the corpus, so
+    a real deployment computes it once, persists it partitioned by
+    (band, bucket), and each incoming batch probes it with a small
+    equi-join instead of re-running the self-join over history.
+    Returns (id_a = query id, id_b = index id).
+    """
+    q = _band_buckets(query_sigs, num_perm=num_perm, bands=bands).alias("q")
+    ix = _band_buckets(index_sigs, num_perm=num_perm, bands=bands).alias("ix")
+    return (
+        q.join(
+            ix,
+            (F.col("q.band") == F.col("ix.band"))
+            & (F.col("q.bucket") == F.col("ix.bucket")),
+        )
+        .select(F.col("q.id").alias("id_a"), F.col("ix.id").alias("id_b"))
         .distinct()
     )
 

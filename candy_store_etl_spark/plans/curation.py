@@ -26,9 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import SQL_FTRUNC, ftrunc
+from ..functions.rounding import SQL_FROUND, SQL_FTRUNC, fround, ftrunc
 from ..functions.text import SQL_TOKENS, tokens, word_shingles
-from ..operators.dedup import minhash_dedup_pairs
+from ..operators.dedup import (
+    lsh_probe_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    minhash_similarity,
+)
 from ..operators.graph import component_labels
 from ..sources.tpch import load_table
 from .registry import register
@@ -370,4 +375,197 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= _TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "doc_freq", "tfidf", "term_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment (training-data export planning)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 32
+
+
+@register(
+    "doc_shard_assignment",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                % {_N_SHARDS} AS INT) AS shard
+    FROM keyed
+    """,
+    doc="Deterministic shard assignment for training-data export: "
+    f"shard = first-byte-of-md5 mod {_N_SHARDS}. Hash-sharding is "
+    "reproducible across runs and engines and balances shards without "
+    "a sort or repartition job — the writer just partitions by the "
+    "shard column. (Spark decodes the hex byte with conv(); the DuckDB "
+    "twin spells it as hex-char strpos arithmetic — same integer.)",
+    tags=("text", "export", "sharding"),
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("hx"),
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        (F.conv("hx", 16, 10).cast("int") % _N_SHARDS).alias("shard"),
+    )
+
+
+@register(
+    "shard_token_budget",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx,
+             len({SQL_TOKENS}) AS n_toks
+      FROM documents
+    )
+    SELECT CAST(((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+                % {_N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM keyed GROUP BY 1
+    """,
+    doc="Per-shard token accounting for the export plan: doc and token "
+    "totals per hash shard — the number a trainer needs to size steps "
+    "per shard. One grouped pass; the token count reuses the staged "
+    "tokenization.",
+    tags=("text", "export", "sharding"),
+)
+def shard_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("hx"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return (
+        keyed.select(
+            (F.conv("hx", 16, 10).cast("int") % _N_SHARDS).alias("shard"),
+            "n_toks",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup probe (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+# incoming batch = md5-selected 1/16 of the corpus; the rest is the
+# already-indexed history
+_INCOMING_NIBBLE = "0"
+_PROBE_THRESHOLD = 0.5
+
+
+@register(
+    "incremental_neardup_probe",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct({SQL_TOKENS}) AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_INCOMING_NIBBLE}'
+               AS is_new
+      FROM documents
+    ),
+    flat AS (SELECT doc_id, is_new, unnest(toks) AS t FROM tok),
+    sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tok),
+    inter AS (
+      SELECT a.doc_id AS incoming_id, b.doc_id AS match_id, COUNT(*) AS i
+      FROM flat a JOIN flat b ON a.t = b.t AND a.is_new AND NOT b.is_new
+      GROUP BY 1, 2
+    )
+    SELECT incoming_id, match_id,
+           {SQL_FROUND("i * 1.0 / (sa.n + sb.n - i)", 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = incoming_id
+    JOIN sizes sb ON sb.doc_id = match_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {_PROBE_THRESHOLD}
+    """,
+    doc="Incremental dedup: match an INCOMING batch (md5-selected 1/16 "
+    "slice standing in for a new crawl drop) against the indexed "
+    "corpus — asymmetric, so history is never self-joined. Exact "
+    "token-set-Jaccard tier; the LSH probe below is the sublinear "
+    "variant (on 3-gram shingle similarity, the stricter MinHash "
+    "metric — candidate equality with the symmetric tier is pinned "
+    "in tests).",
+    tags=("text", "dedup", "incremental"),
+)
+def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == _INCOMING_NIBBLE
+        ).alias("is_new"),
+    )
+    flat = tok.select("doc_id", "is_new", F.explode("toks").alias("t"))
+    sizes = tok.select("doc_id", F.size("toks").cast("long").alias("n"))
+    a = flat.filter("is_new").alias("a")
+    b = flat.filter(~F.col("is_new")).alias("b")
+    inter = (
+        a.join(b, F.col("a.t") == F.col("b.t"))
+        .groupBy(
+            F.col("a.doc_id").alias("incoming_id"),
+            F.col("b.doc_id").alias("match_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("incoming_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("match_id"))
+        .filter(jac >= _PROBE_THRESHOLD)
+        .select("incoming_id", "match_id", fround(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "incremental_neardup_probe_lsh",
+    oracle=None,  # MinHash/banding built on Spark xxhash64 (no DuckDB twin)
+    doc="The SCALE form of the incremental probe: MinHash band buckets "
+    "of the incoming batch equi-joined against the (persistable) index "
+    "bucket relation — probe cost scales with the batch, not with "
+    "history. Recall vs the exact probe is pinned in "
+    "tests/test_curation.py.",
+    tags=("text", "dedup", "incremental", "minhash"),
+)
+def incremental_neardup_probe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == _INCOMING_NIBBLE
+    )
+    incoming = docs.filter(is_new)
+    index = docs.filter(~is_new)
+    # each signature relation feeds two consumers (bucket probe + the
+    # similarity join side) — cache so the shingle+min-agg pass runs once
+    q_sigs = minhash_signatures(incoming, "doc_id", "text", num_perm=64).cache()
+    ix_sigs = minhash_signatures(index, "doc_id", "text", num_perm=64).cache()
+    cands = lsh_probe_pairs(q_sigs, ix_sigs, num_perm=64, bands=16)
+    sigs = q_sigs.union(ix_sigs)
+    return (
+        minhash_similarity(cands, sigs)
+        .filter(F.col("est_jaccard") >= 0.4)
+        .select(
+            F.col("id_a").alias("incoming_id"),
+            F.col("id_b").alias("match_id"),
+            "est_jaccard",
+        )
     )

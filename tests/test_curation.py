@@ -153,3 +153,74 @@ def test_tfidf_top_terms_structure(spark, sf_correctness):
         assert keys == sorted(keys)
         for t in terms:
             assert t["tfidf"] >= 0.0
+
+
+def test_shard_assignment_bounds_and_determinism(spark, sf_correctness):
+    from candy_store_etl_spark.plans.curation import (
+        doc_shard_assignment,
+        shard_token_budget,
+    )
+
+    rows = doc_shard_assignment(spark, sf_correctness).collect()
+    assert all(0 <= r["shard"] < 32 for r in rows)
+    # md5 sharding balances: every shard populated at 500 docs
+    budget = shard_token_budget(spark, sf_correctness).collect()
+    assert len(budget) == 32
+    assert sum(r["n_docs"] for r in budget) == len(rows)
+    assert all(r["total_tokens"] > 0 for r in budget)
+
+
+def test_incremental_probe_is_asymmetric(spark, sf_correctness):
+    from candy_store_etl_spark.plans.curation import (
+        incremental_neardup_probe,
+        incremental_neardup_probe_lsh,
+    )
+
+    incoming = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_correctness}/documents.parquet")
+        .select("doc_id")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+        .collect()
+    }
+    for fn in (incremental_neardup_probe, incremental_neardup_probe_lsh):
+        rows = fn(spark, sf_correctness).collect()
+        assert rows, fn.__name__
+        for r in rows:
+            assert r["incoming_id"] in incoming
+            assert r["match_id"] not in incoming
+
+
+def test_lsh_probe_equals_symmetric_pairs_across_boundary(spark, sf_correctness):
+    """The probe reuses the exact same signatures and banding as the
+    symmetric tier, so its candidate set must EQUAL the symmetric LSH
+    pair set restricted to (incoming, index) pairs — no slack."""
+    from candy_store_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_probe_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    sym = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, num_perm=64, bands=16).collect()
+    }
+    incoming_ids = {r["doc_id"] for r in docs.filter(is_new).select("doc_id").collect()}
+    expected = set()
+    for a, b in sym:
+        if (a in incoming_ids) != (b in incoming_ids):
+            q, ix = (a, b) if a in incoming_ids else (b, a)
+            expected.add((q, ix))
+    probe = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_probe_pairs(
+            minhash_signatures(docs.filter(is_new), "doc_id", "text", num_perm=64),
+            minhash_signatures(docs.filter(~is_new), "doc_id", "text", num_perm=64),
+            num_perm=64,
+            bands=16,
+        ).collect()
+    }
+    assert probe == expected

@@ -45,6 +45,11 @@ EXCHANGE_CAP_OVERRIDES = {
     # tf relation feeds two consumers (scores + doc_freq roll-up); the
     # formatted plan re-prints its exchange under the broadcast side
     "tfidf_top_terms": 5,
+    # two cached signature relations (incoming + index), each re-printed
+    # with its exchange under both of its consumers (bucket probe +
+    # similarity side) — executed once each, counted twice; plus the
+    # probe join and pair-distinct exchanges
+    "incremental_neardup_probe_lsh": 7,
 }
 
 BATCH_QUERIES = sorted(
