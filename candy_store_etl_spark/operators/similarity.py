@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -526,4 +527,193 @@ def cosine_topk_lsh(
     candidates = emb.join(candidate_ids, on=id_col, how="left_semi")
     return cosine_topk_blockwise(
         candidates, query, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+#
+# Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split the D-dim space into M subspaces, k-means
+# each independently, and represent every vector by its M codeword ids
+# — D floats become M small ints (32x compression at D=64, M=8,
+# float32). Queries score candidates with an Asymmetric Distance
+# Computation: a tiny M x K lookup table of query-subvector -- codeword
+# dot products, summed per vector over its codes. At 100 TB the scan
+# that matters touches ONLY the code column (M bytes/vector) plus a
+# literal LUT inside codegen; raw vectors are read again just for the
+# exact rerank of the top candidate buffer.
+
+
+def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit-norm double vector) — staged so every consumer shares
+    one normalization pass (cosine == dot on unit vectors)."""
+    from ..functions.vectors import l2_norm, to_double_array
+
+    staged = emb.select(
+        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    return staged.select(
+        "id",
+        F.transform(
+            "v", lambda x: x / F.greatest(F.col("n"), F.lit(1e-12))
+        ).alias("v"),
+    )
+
+
+def pq_encode(
+    emb_n: DataFrame, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes array<int>): nearest codeword per subspace (L2).
+
+    One numpy pass per Arrow batch — reshape to (n, M, d_sub), one
+    distance matrix per subspace against K codewords. No shuffle.
+    """
+    books = codebooks.astype(np.float64)  # (M, K, d_sub)
+    m_sub, _, d_sub = books.shape
+    sq_norms = (books**2).sum(axis=2)  # (M, K)
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            sub = mat.reshape(len(pdf), m_sub, d_sub)
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                # argmin ||x - c||^2 == argmin (|c|^2 - 2 x.c)
+                scores = sq_norms[m] - 2.0 * (sub[:, m, :] @ books[m].T)
+                codes[:, m] = np.argmin(scores, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    return emb_n.mapInPandas(encode, out_schema)
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic PQ codebooks (M, K, d_sub).
+
+    Seeds are the spaced lowest-id unit vectors (same deterministic
+    policy as IVF — no RNG); each Lloyd iteration refines ALL M
+    subspaces in one distributed pass: encode (mapInPandas), then a
+    single posexplode + groupBy computing the (m, code, pos) means.
+    Only the M*K*d_sub codebook floats ever reach the driver.
+    """
+    seeds = _centroid_seeds(emb, n_codes, id_col=id_col, vec_col=vec_col)
+    dim = seeds.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(
+            f"m_subspaces={m_subspaces} must divide dim={dim}"
+        )
+    d_sub = dim // m_subspaces
+    books = np.ascontiguousarray(
+        seeds.reshape(n_codes, m_subspaces, d_sub).transpose(1, 0, 2)
+    )
+    emb_n = _normalized(emb, id_col, vec_col).cache()
+    try:
+        for _ in range(iterations):
+            codes = pq_encode(emb_n, books)
+            sums = (
+                emb_n.join(codes, "id")
+                .select("codes", F.posexplode("v").alias("pos", "x"))
+                .select(
+                    (F.col("pos") / d_sub).cast("int").alias("m"),
+                    F.element_at(
+                        "codes", (F.col("pos") / d_sub).cast("int") + 1
+                    ).alias("code"),
+                    "pos",
+                    "x",
+                )
+                .groupBy("m", "code", "pos")
+                .agg(F.sum("x").alias("s"), F.count("x").alias("cnt"))
+                .collect()
+            )
+            new = books.copy()
+            counts = np.zeros((m_subspaces, n_codes), dtype=np.int64)
+            accum = np.zeros_like(books)
+            for r in sums:
+                accum[r.m, r.code, r.pos % d_sub] = r.s
+                counts[r.m, r.code] = r.cnt
+            refined = counts > 0
+            new[refined] = accum[refined] / counts[refined, None]
+            books = new
+    finally:
+        emb_n.unpersist()
+    return books
+
+
+def cosine_topk_pq(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via PQ codes + exact rerank.
+
+    The ADC score is a SUM of M ``element_at`` probes into a literal
+    LUT array — plain codegen expressions over the M-int code column;
+    the raw vectors are only touched by the final exact rerank of the
+    ``candidates``-row buffer. Returns (vec_id, cosine_sim) raw
+    doubles, exact for every emitted row.
+    """
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    books = pq_train(
+        emb,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    qn = _as_unit(query)
+    d_sub = books.shape[2]
+    lut = np.einsum(
+        "mkd,md->mk", books, qn.reshape(m_subspaces, d_sub)
+    )  # (M, K) query-subvector . codeword
+    lut_lit = F.array(*[F.lit(float(x)) for x in lut.ravel()])
+    codes = pq_encode(_normalized(emb, id_col, vec_col), books)
+    score = None
+    for m in range(m_subspaces):
+        term = F.element_at(
+            lut_lit, F.lit(m * n_codes) + F.element_at("codes", m + 1) + 1
+        )
+        score = term if score is None else score + term
+    shortlist = (
+        codes.select("id", score.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("id"))
+        .limit(candidates)
+        .select("id")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in np.asarray(query, dtype=np.float64)])
+    return (
+        emb.join(shortlist, F.col(id_col) == F.col("id"))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            cosine_similarity(to_double_array(vec_col), qlit).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
     )

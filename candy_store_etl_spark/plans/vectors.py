@@ -384,3 +384,26 @@ def minhash_neardup_pairs_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
         method="oph",
     )
+
+
+@register(
+    "ann_topk_pq",
+    oracle=None,  # PQ codebooks are data-dependent float aggregates (like IVF)
+    doc="ANN top-k via product quantization (Jégou et al., TPAMI 2011): "
+    "M=8 subspaces × K=16 deterministic codewords compress each 64-dim "
+    "vector to 8 small ints; the asymmetric-distance shortlist is a "
+    "sum of codegen element_at probes into a literal LUT (the scan "
+    "touches only the code column), then an exact rerank of the "
+    "100-row buffer. Recall vs the exact tier and end-to-end "
+    "determinism pinned in tests/test_similarity.py.",
+    tags=("vectors", "ann", "pq"),
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    raw = cosine_topk_pq(
+        emb.filter(F.col("vec_id") != 0), query, k=100, candidates=100
+    )
+    return _rounded_topk(raw, k=10)

@@ -222,3 +222,56 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_smoke, tmp_path):
     }
     assert len(scanned) == 3, scanned
 
+
+
+def test_pq_recall_and_determinism(spark, sf_smoke):
+    from candy_store_etl_spark.operators.similarity import (
+        cosine_topk_blockwise,
+        cosine_topk_pq,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk_blockwise(rest, query, k=10).collect()}
+    rows = cosine_topk_pq(rest, query, k=10, candidates=100).collect()
+    approx = {r.vec_id for r in rows}
+    assert len(approx) == 10
+    # 8x16 codes over a 100-candidate buffer recover most of the true
+    # top-10 even on weakly-clustered gaussian embeddings
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"recall {recall}"
+    # emitted similarities are EXACT (rerank recomputes on raw vectors):
+    # every (id, cosine) must equal the blockwise value for that id
+    exact_all = {
+        r.vec_id: r.cosine_sim
+        for r in cosine_topk_blockwise(rest, query, k=200).collect()
+    }
+    for r in rows:
+        assert abs(r.cosine_sim - exact_all[r.vec_id]) < 1e-9
+    assert rows == cosine_topk_pq(rest, query, k=10, candidates=100).collect()
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_smoke):
+    from candy_store_etl_spark.operators.similarity import pq_encode, pq_train, _normalized
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    b1 = pq_train(emb, m_subspaces=8, n_codes=16, iterations=1)
+    b2 = pq_train(emb, m_subspaces=8, n_codes=16, iterations=1)
+    assert (b1 == b2).all()
+    assert b1.shape == (8, 16, 8)
+    codes = pq_encode(_normalized(emb, "vec_id", "embedding"), b1).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_rejects_nondividing_subspaces(spark, sf_smoke):
+    import pytest
+
+    from candy_store_etl_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="divide"):
+        pq_train(emb, m_subspaces=7)
