@@ -366,7 +366,11 @@ def salted_nation_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark SQL types as DECIMAL(3,1) but the DataFrame API as double)
 _SQL_API_QUERY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       -- outer CAST: DuckDB's SUM(BIGINT) returns HUGEINT, which lands
+       -- in pandas as float64 and stringifies as '137431.0' vs Spark's
+       -- '137431' — the gate compares stringified cells, so the types
+       -- must agree, not just the values
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100
          AS sum_base_price,
        CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5))
