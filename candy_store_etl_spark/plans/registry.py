@@ -82,5 +82,6 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import text  # noqa: F401
     from . import curation  # noqa: F401
+    from . import assembly  # noqa: F401  # new this round: outside the window by design
 
     _LOADED = True

@@ -141,6 +141,64 @@ def dedup_event_stream(
     return deduped.select(*keys)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join — the streaming twin of the
+    batch range join (plans/extended.errors_after_purchase).
+
+    Each left event (default: purchase) pairs with every right event
+    (default: error) by the SAME user within ``[l.ts, l.ts+within]``.
+    Both sides carry watermarks and the join predicate bounds right.ts
+    relative to left.ts, so Spark derives state-expiry for BOTH join
+    buffers — without the time bound a stream-stream join would hold
+    all history forever, which is the 100 TB failure mode this
+    operator exists to avoid. Inner-join matches are emitted as they
+    form (append mode), so the result set for a bounded replay is
+    exactly the batch interval join over the same input — that
+    equality is the correctness gate's oracle.
+    """
+    ltbl = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("left_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    rtbl = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return ltbl.join(rtbl, cond, "inner").select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.col("left_value"),
+        # exact integer micros — float seconds would be engine-noise-free
+        # too, but integers need no rounding policy at all
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_micros"),
+    )
+
+
 def session_event_stats(
     stream: DataFrame,
     *,

@@ -407,3 +407,42 @@ def test_parse_event_ts_both_wire_formats(spark):
     assert str(got[0].from_iso) == "2024-06-20 10:40:00.123456"
     assert str(got[1].from_nanos) == "1970-01-01 00:00:00"
     assert str(got[1].from_iso) == "1970-01-01 00:00:00"
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_smoke, events_dir):
+    """Stream-stream interval self-join: bounded replay must emit
+    exactly the batch inner join (inner matches emit as they form)."""
+    from candy_store_etl_spark.streaming.events import interval_join_streams
+
+    stream = stream_events(spark, events_dir)
+    joined = interval_join_streams(
+        stream, stream, within="30 minutes", watermark="1 hour"
+    )
+    run_stream_to_memory(joined, "ivjoin_out", output_mode="append")
+    got = {
+        (r.left_id, r.right_id): (r.user_id, r.left_value, r.lag_micros)
+        for r in spark.sql("SELECT * FROM ivjoin_out").collect()
+    }
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    batch = p.join(
+        e,
+        (F.col("p.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") >= F.col("p.ts"))
+        & (F.col("e.ts") <= F.col("p.ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(
+        F.col("p.event_id").alias("left_id"),
+        F.col("e.event_id").alias("right_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.value").alias("left_value"),
+        (F.unix_micros("e.ts") - F.unix_micros("p.ts")).alias("lag_micros"),
+    )
+    want = {
+        (r.left_id, r.right_id): (r.user_id, r.left_value, r.lag_micros)
+        for r in batch.collect()
+    }
+    assert got == want
