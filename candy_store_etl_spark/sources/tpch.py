@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TPCH_TABLES = (
     "region",
@@ -36,14 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-        # read natively; read nanos as long and convert via integer
-        # division (a double division would lose precision above 2^53).
+        # events.ts has shipped as both TIMESTAMP(NANOS) — which Spark 4
+        # refuses to read natively — and TIMESTAMP(MICROS). Adapt to the
+        # footer: nanos are read as long (integer division keeps
+        # precision above 2^53 where a double division would not), micros
+        # arrive as TIMESTAMP_NTZ and are pinned to session-tz TIMESTAMP
+        # so every downstream plan sees one ts type either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return spark.read.parquet(path)
+
+
+def _normalize_ts(dtype: T.DataType) -> F.Column:
+    if isinstance(dtype, T.LongType):  # nanos-as-long
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast(T.TimestampType())
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

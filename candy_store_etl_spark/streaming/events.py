@@ -38,30 +38,38 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# explicit schema — a streaming source must never infer (and events.ts
-# is parquet TIMESTAMP(NANOS), read as long then converted, matching
-# sources/tpch.py)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), False),
-        StructField("ts", LongType(), False),  # nanos as long
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-        StructField("value", DoubleType(), True),
-        StructField("props", StringType(), True),
-    ]
-)
+# explicit schema — a streaming source must never infer. events.ts has
+# shipped both as parquet TIMESTAMP(NANOS) (read as long, converted)
+# and TIMESTAMP(MICROS); a one-time batch probe of the directory picks
+# the matching declared schema (sources/tpch.py does the same for
+# batch reads).
+def _events_raw_schema(spark: SparkSession, path_dir: str) -> StructType:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path_dir).schema["ts"].dataType
+    ts_type = LongType() if isinstance(probed, LongType) else probed
+    return StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("ts", ts_type, False),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, path_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, path_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):  # nanos as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def windowed_event_stats(
