@@ -156,3 +156,56 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_correctness):
     )
     assert "isFinalPlan=true" in plan, plan[:500]
     assert plan.count("*(") >= 2, plan[:800]
+
+
+def test_runtime_bloom_filter_prunes_join(spark, sf_correctness):
+    """Spark's native runtime-filter rule (InjectRuntimeFilter): a
+    selective filter on the creation side of a shuffle join must inject
+    a bloom filter (`might_contain`) into the application-side scan, so
+    at 100 TB the fact table is row-pruned BEFORE the shuffle. The
+    result is identical either way — the bloom filter only drops rows
+    the join would drop."""
+    bloom_conf = {
+        # force a shuffle join (runtime filters don't apply to broadcast
+        # joins — those prune via DPP/broadcast instead)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local-SF-sized thresholds (defaults are 10 MB / 10 GB)
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in bloom_conf}
+    for k, v in bloom_conf.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_correctness, "orders")
+        lineitem = load_table(spark, sf_correctness, "lineitem")
+        sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = (
+            lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        )
+        filtered = j.collect()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # equality against the un-filtered plan shape
+    orders = load_table(spark, sf_correctness, "orders")
+    lineitem = load_table(spark, sf_correctness, "lineitem")
+    sel = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    plain = (
+        lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    assert filtered == plain
