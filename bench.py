@@ -64,14 +64,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        # best-of-2: single-shot timings swing 2x run-to-run (page
-        # cache, JIT, GC alignment); the minimum is the steady-state
-        # number a resident engine delivers. clearCache per iteration:
-        # queries that cache intermediates internally (minhash) would
-        # otherwise have run 2 served from run 1's InMemoryRelation —
-        # a number no cold execution can achieve.
+        # best-of-3: single-shot timings swing 2x run-to-run (page
+        # cache, JIT, GC alignment), and with only two trials both can
+        # land slow; the minimum is the steady-state number a resident
+        # engine delivers. clearCache per iteration: queries that cache
+        # intermediates internally (minhash) would otherwise have run 2
+        # served from run 1's InMemoryRelation — a number no cold
+        # execution can achieve.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode(
@@ -98,7 +99,7 @@ def main() -> None:
         for df in run_pipeline(spark, paths[:1], products).values():
             df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             for df in run_pipeline(spark, paths, products).values():
