@@ -84,5 +84,6 @@ def _ensure_loaded() -> None:
     from . import curation  # noqa: F401
     from . import assembly  # noqa: F401  # new this round: outside the window by design
     from . import scrubbing  # noqa: F401  # new this round: outside the window by design
+    from . import prep  # noqa: F401  # new this round: outside the window by design
 
     _LOADED = True

@@ -50,6 +50,12 @@ EXCHANGE_CAP_OVERRIDES = {
     # similarity side) — executed once each, counted twice; plus the
     # probe join and pair-distinct exchanges
     "incremental_neardup_probe_lsh": 7,
+    # three sequential funnel stages, each a per-user pre-aggregation
+    # (partial/final pair on a type-filtered scan) feeding the next as
+    # a broadcast side, plus the distinct-users anchor — the fact table
+    # is never self-joined at fact size, so the exchanges are all on
+    # pre-reduced relations
+    "event_funnel": 6,
 }
 
 BATCH_QUERIES = sorted(
