@@ -48,3 +48,36 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """Training-data export sink: sharded JSON-lines (one object per
+    line), optionally gzipped — the interchange format LLM data
+    pipelines hand to tokenizer/loader stages. Pair ``partition_by``
+    with a shard-assignment column (see ``doc_shard_assignment``) for
+    stable shard directories; each task writes its own file, so the
+    export scales with the cluster, never through one writer."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None
+) -> None:
+    """Columnar sink twin of ``write_partitioned`` in ORC — same
+    pruning/pushdown story as parquet for stacks standardized on ORC
+    (native Spark support, no extra jars)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -61,3 +61,58 @@ def test_staged_pipeline_matches_inmemory(spark, tmp_path):
     # the stage boundary is real parquet on disk
     assert os.path.isdir(tmp_path / "stg" / "line_items")
     assert os.path.isdir(tmp_path / "stg" / "orders")
+
+
+def test_jsonl_roundtrip_sharded(spark, sf_correctness, tmp_path):
+    """JSONL export: sharded by a stable hash shard column, gzipped,
+    byte-faithful on read-back (including non-ASCII text)."""
+    from candy_store_etl_spark.sources.sinks import write_jsonl
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_correctness, "documents").select(
+        "doc_id",
+        "text",
+        (F.crc32(F.col("doc_id").cast("string")) % 4).alias("shard"),
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(docs, out, partition_by=["shard"])
+    # one directory per shard, files gzipped
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert shard_dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    assert any(
+        f.endswith(".gz")
+        for f in os.listdir(os.path.join(out, shard_dirs[0]))
+        if f.startswith("part-")
+    )
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    orig = {(r.doc_id, r.text) for r in docs.collect()}
+    rt = {(r.doc_id, r.text) for r in back.collect()}
+    assert rt == orig
+    # partition pruning: a shard filter must prune to one directory
+    pruned = spark.read.json(out).filter(F.col("shard") == 2)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan[:2000]
+
+
+def test_orc_roundtrip_partitioned(spark, sf_correctness, tmp_path):
+    from candy_store_etl_spark.sources.sinks import write_orc
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    part = load_table(spark, sf_correctness, "part")
+    out = str(tmp_path / "orc")
+    write_orc(part, out, partition_by=["p_brand"])
+    back = spark.read.orc(out)
+    assert back.count() == part.count()
+    # predicate pushdown reaches the ORC scan
+    q = back.filter(F.col("p_size") > 40).select("p_partkey", "p_size")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)]" in plan, (
+        plan[:2000]
+    )
