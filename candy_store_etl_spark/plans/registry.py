@@ -85,5 +85,6 @@ def _ensure_loaded() -> None:
     from . import assembly  # noqa: F401  # new this round: outside the window by design
     from . import scrubbing  # noqa: F401  # new this round: outside the window by design
     from . import prep  # noqa: F401  # new this round: outside the window by design
+    from . import warehouse  # noqa: F401  # new this round: outside the window by design
 
     _LOADED = True

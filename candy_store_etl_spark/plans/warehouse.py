@@ -1,0 +1,153 @@
+"""Warehouse-layout queries: SCD2 history construction and Z-order
+clustering keys. Both are pure built-in expressions with DuckDB
+oracles.
+
+These are the data-layout half of the 100 TB story: SCD2 turns an
+event log into a versioned dimension (the merge pattern every
+warehouse runs nightly), and Z-order keys cluster a fact table so
+min/max zone maps prune multi-dimensional predicates — the layout
+trick behind Delta/Iceberg OPTIMIZE ZORDER, expressed as plain
+columnar bit math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+
+
+@register(
+    "price_history_scd2",
+    oracle="""
+    WITH daily AS (
+      SELECT l.l_partkey AS partkey, o.o_orderdate AS obs_date,
+             MIN(l.l_extendedprice) AS price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 50 = 0
+      GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT partkey, obs_date, price,
+             CASE WHEN price = lag(price) OVER w THEN 0 ELSE 1 END AS chg
+      FROM daily WINDOW w AS (PARTITION BY partkey ORDER BY obs_date)
+    ),
+    islands AS (
+      SELECT partkey, obs_date, price,
+             SUM(chg) OVER (PARTITION BY partkey ORDER BY obs_date
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    versions AS (
+      SELECT partkey, CAST(version AS BIGINT) AS version, price,
+             MIN(obs_date) AS effective_from,
+             COUNT(*) AS n_observations
+      FROM islands GROUP BY partkey, version, price
+    )
+    SELECT partkey, version, price, effective_from,
+           lead(effective_from) OVER (PARTITION BY partkey ORDER BY version)
+             AS effective_to,
+           CAST(n_observations AS BIGINT) AS n_observations,
+           CAST(lead(effective_from) OVER (PARTITION BY partkey ORDER BY version)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM versions
+    """,
+    doc="SCD2 dimension construction from an observation log "
+    "(gaps-and-islands): per-part daily min price, consecutive equal "
+    "prices collapsed into versions via lag-flag + running sum, "
+    "effective_from/effective_to ranges from lead(). One shuffle on "
+    "partkey serves every window; the part filter keeps the oracle "
+    "inspectable (drop it at scale — the plan is key-partitioned "
+    "either way).",
+    tags=("window", "scd2", "warehouse"),
+)
+def price_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("o_orderdate").alias("obs_date"),
+        )
+        .agg(F.min("l_extendedprice").alias("price"))
+    )
+    w = Window.partitionBy("partkey").orderBy("obs_date")
+    flagged = daily.select(
+        "partkey",
+        "obs_date",
+        "price",
+        F.when(F.col("price") == F.lag("price").over(w), 0).otherwise(1).alias("chg"),
+    )
+    islands = flagged.select(
+        "partkey",
+        "obs_date",
+        "price",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("version"),
+    )
+    versions = islands.groupBy(
+        "partkey", F.col("version").cast("long").alias("version"), "price"
+    ).agg(
+        F.min("obs_date").alias("effective_from"),
+        F.count("*").cast("long").alias("n_observations"),
+    )
+    wv = Window.partitionBy("partkey").orderBy("version")
+    lead_from = F.lead("effective_from").over(wv)
+    return versions.select(
+        "partkey",
+        "version",
+        "price",
+        "effective_from",
+        lead_from.alias("effective_to"),
+        "n_observations",
+        lead_from.isNull().alias("is_current"),
+    )
+
+
+def _interleave_expr(a: str, b: str, bits: int = 16) -> str:
+    """Shared Spark-SQL/DuckDB expression interleaving the low ``bits``
+    of ``a`` (even positions) and ``b`` (odd positions) into a Z-value.
+    Both engines parse the identical unrolled bit-op string."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+# ten bits per dimension: both keys are uniform over a 1024-value
+# range at every SF, so the curve interleaves dimensions of equal
+# weight (interleaving a 16-bit with a 7-bit key would just sort by
+# the wide key's high bits)
+_Z_EXPR = _interleave_expr("(l_partkey % 1024)", "(l_orderkey % 1024)", bits=10)
+
+
+@register(
+    "zorder_layout_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 1024 AS BIGINT) AS pk10,
+           CAST(l_orderkey % 1024 AS BIGINT) AS ok10,
+           CAST({_Z_EXPR} AS BIGINT) AS zkey
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="Z-order clustering key: bit-interleave of two 10-bit key "
+    "projections — sort/repartitionByRange on zkey before writing and "
+    "min/max zone maps prune BOTH dimensions (the OPTIMIZE ZORDER "
+    "layout pass, as one codegen projection; locality win quantified "
+    "in tests/test_plans.py). The orderkey filter only sizes the "
+    "oracle.",
+    tags=("warehouse", "layout"),
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).cast("long").alias("pk10"),
+        (F.col("l_orderkey") % 1024).cast("long").alias("ok10"),
+        F.expr(_Z_EXPR).cast("long").alias("zkey"),
+    )

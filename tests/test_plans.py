@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from candy_store_etl_spark.plans import QUERIES
@@ -209,3 +210,40 @@ def test_runtime_bloom_filter_prunes_join(spark, sf_correctness):
         .collect()
     )
     assert filtered == plain
+
+
+def test_zorder_improves_two_dim_locality(spark, sf_correctness):
+    """Sorting by the interleaved zkey must shrink per-file min/max
+    ranges on BOTH key dimensions vs the natural order — the measurable
+    claim behind Z-order layout (zone-map pruning at 100 TB)."""
+    from candy_store_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["zorder_layout_key"].fn(spark, sf_correctness).cache()
+    try:
+        n_buckets = 16
+
+        def span_sum(ordered, col):
+            # simulate files: contiguous row buckets in the given order
+            w = Window.orderBy(ordered)
+            bucketed = df.select(
+                col, F.ntile(n_buckets).over(w).alias("bucket")
+            )
+            spans = bucketed.groupBy("bucket").agg(
+                (F.max(col) - F.min(col)).alias("span")
+            )
+            return spans.agg(F.sum("span")).collect()[0][0]
+
+        # z-order trades single-dim perfection for joint locality: its
+        # WORST dimension must beat the worst dimension of either
+        # single-key sort by 2x (a pk-sorted layout leaves ok spans at
+        # full range and vice versa)
+        worst_z = max(span_sum(F.col("zkey"), "pk10"),
+                      span_sum(F.col("zkey"), "ok10"))
+        worst_pk_sort = max(span_sum(F.col("pk10"), "pk10"),
+                            span_sum(F.col("pk10"), "ok10"))
+        worst_ok_sort = max(span_sum(F.col("ok10"), "pk10"),
+                            span_sum(F.col("ok10"), "ok10"))
+        assert worst_z * 2 < worst_pk_sort, (worst_z, worst_pk_sort)
+        assert worst_z * 2 < worst_ok_sort, (worst_z, worst_ok_sort)
+    finally:
+        df.unpersist()
