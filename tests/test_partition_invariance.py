@@ -1,0 +1,53 @@
+"""Results must not depend on parallelism: the same query at a
+different ``spark.sql.shuffle.partitions`` (a different cluster size)
+must produce identical rows. This is the correctness face of the
+100 TB story — any operator whose output drifts with partition count
+(order-dependent float accumulation, per-partition RNG, collect_list
+order leaking into results) is broken at scale even if one fixed
+local layout happens to pass the oracle.
+
+Representative set: every execution tier that could plausibly be
+partition-sensitive — grouped-map pandas (allocation), banded LSH
+(minhash), window chains (SCD2, sessions), integer-floored LM scoring,
+float money aggregation, and the OPH signature's collect_list-built
+map.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
+
+_ensure_loaded()
+
+REPRESENTATIVES = [
+    "inventory_allocation",
+    "minhash_neardup_pairs",
+    "minhash_neardup_pairs_oph",
+    "price_history_scd2",
+    "user_sessions",
+    "doc_bigram_logprob",
+    "daily_summary",
+    "linear_forecast_daily_value",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(x) for x in (row[c] for c in cols)) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_to_shuffle_partitions(spark, sf_smoke, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        few = _canon(QUERIES[name].fn(spark, sf_smoke))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        many = _canon(QUERIES[name].fn(spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert few == many, f"{name}: output depends on shuffle partition count"
