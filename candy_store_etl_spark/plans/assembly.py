@@ -99,3 +99,42 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_streams(ev, ev, within="30 minutes", watermark="1 hour")
     run_stream_to_memory(joined, "csetl_streaming_ivjoin", output_mode="append")
     return spark.table("csetl_streaming_ivjoin")
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id,
+             COUNT(*) AS user_total_events,
+             MIN(ts) AS first_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.user_total_events, p.first_seen
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Stream-static enrichment: a purchase stream joined to a "
+    "batch-derived user-profile dimension (broadcast side). The static "
+    "relation is planned once and shipped to every stream task — the "
+    "canonical streaming feature-lookup shape; the fact stream never "
+    "shuffles. Static side fixed for the run => append output == the "
+    "batch join, which is the oracle.",
+    tags=("streaming", "join", "broadcast"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("user_total_events"),
+            F.min("ts").alias("first_seen"),
+        )
+    )
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = ev.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "event_type", "user_total_events", "first_seen"
+    )
+    run_stream_to_memory(enriched, "csetl_streaming_enrich", output_mode="append")
+    return spark.table("csetl_streaming_enrich")

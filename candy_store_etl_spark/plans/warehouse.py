@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import SQL_FROUND, fround
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -150,4 +151,50 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 1024).cast("long").alias("pk10"),
         (F.col("l_orderkey") % 1024).cast("long").alias("ok10"),
         F.expr(_Z_EXPR).cast("long").alias("zkey"),
+    )
+
+
+@register(
+    "approx_price_quantiles",
+    # Like approx_distinct_users: the raw sketch output is
+    # engine-specific, so the oracle pins the exact interpolated
+    # quantiles plus the PROPERTY that Spark's approx_percentile landed
+    # within the widened rank band (±0.005 at accuracy 1000 — 5x the
+    # guarantee, same spirit as the 5x rsd band on the HLL check).
+    oracle=f"""
+    SELECT l_returnflag,
+           {SQL_FROUND("quantile_cont(l_extendedprice, 0.5)", 4)} AS exact_p50,
+           {SQL_FROUND("quantile_cont(l_extendedprice, 0.95)", 4)} AS exact_p95,
+           TRUE AS p50_in_band, TRUE AS p95_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile (Greenwald-Khanna-style mergeable quantile "
+    "sketch, accuracy 1000) next to the exact interpolated quantile — "
+    "the 100 TB quantile path: bounded memory per group, one pass, "
+    "partial sketches merged across partitions. Property-oracled: the "
+    "estimate must sit between the exact quantiles at q∓0.005.",
+    tags=("agg", "approx", "sketch"),
+)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.expr("percentile(l_extendedprice, 0.495)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.505)").alias("hi50"),
+        F.expr("percentile(l_extendedprice, 0.945)").alias("lo95"),
+        F.expr("percentile(l_extendedprice, 0.955)").alias("hi95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        fround(F.col("e50"), 4).alias("exact_p50"),
+        fround(F.col("e95"), 4).alias("exact_p95"),
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "p95_in_band"
+        ),
     )
