@@ -191,3 +191,62 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", stage.alias("funnel_stage"), "t_view", "t_click", "t_purchase")
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    occ AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+    freq AS (SELECT tok, COUNT(*) AS n FROM occ GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM freq
+      ORDER BY n DESC, tok
+      LIMIT 25
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+    GROUP BY o.doc_id
+    """,
+    doc="Tokenizer-vocabulary coverage: build the top-25 corpus vocab "
+    "(frequency-ranked, lexicographic tie-break so the cut is total-"
+    "ordered) and score each document's out-of-vocabulary token rate. "
+    "The vocab is a top-K aggregate (TakeOrdered, driver-size K) "
+    "broadcast back against the exploded token relation — documents "
+    "shuffle once for the per-doc rollup; the OOV rate is one IEEE "
+    "division of exact integers.",
+    tags=("text", "prep", "vocab"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    occ = docs.select("doc_id", F.explode("toks").alias("tok"))
+    occ = occ.persist()
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

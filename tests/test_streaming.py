@@ -446,3 +446,63 @@ def test_streaming_interval_join_matches_batch(spark, sf_smoke, events_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_foreach_batch_incremental_aggregate_maintenance(spark, tmp_path):
+    """Materialized-view maintenance via foreachBatch: each epoch
+    merges its micro-batch's partial aggregate into a keyed snapshot
+    (read-merge-rewrite through a staging swap — the no-transactional-
+    sink upsert). The final snapshot must equal the one-shot batch
+    aggregate over all input."""
+    import shutil
+
+    from candy_store_etl_spark.streaming.events import run_stream_foreach_batch
+
+    for i in range(4):
+        spark.createDataFrame(
+            [(j % 7, float(i * 100 + j)) for j in range(25)], "k long, v double"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "mv_in"))
+
+    snap = str(tmp_path / "mv_snapshot")
+
+    def merge(batch_df, epoch_id: int) -> None:
+        part = batch_df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+        if os.path.isdir(snap):
+            prev = spark.read.parquet(snap)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            )
+        else:
+            merged = part
+        staging = f"{snap}.epoch{epoch_id}.staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{snap}.old"
+        if os.path.isdir(snap):
+            os.rename(snap, old)
+        os.rename(staging, snap)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "mv_in"))
+    )
+    run_stream_foreach_batch(
+        stream, merge, checkpoint_dir=str(tmp_path / "mv_ckpt")
+    )
+    got = {
+        (r.k, r.n, round(r.s, 6))
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        (r.k, r.n, round(r.s, 6))
+        for r in spark.read.parquet(str(tmp_path / "mv_in"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
