@@ -198,3 +198,85 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_in_band"
         ),
     )
+_PAGERANK_ORACLE = """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_orderkey % 20 = 0
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes, nn),
+    r1 AS (
+      SELECT nodes.node,
+             CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                  + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.r // d.deg) AS s
+        FROM r0 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON nodes.node = s.dst),
+    r2 AS (
+      SELECT nodes.node,
+             CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                  + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.r // d.deg) AS s
+        FROM r1 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON nodes.node = s.dst),
+    r3 AS (
+      SELECT nodes.node,
+             CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                  + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.r // d.deg) AS s
+        FROM r2 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON nodes.node = s.dst),
+    r4 AS (
+      SELECT nodes.node,
+             CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                  + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.r // d.deg) AS s
+        FROM r3 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON nodes.node = s.dst),
+    r5 AS (
+      SELECT nodes.node,
+             CAST((SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                  + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst, SUM(r.r // d.deg) AS s
+        FROM r4 r JOIN e ON r.node = e.src JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s ON nodes.node = s.dst)
+    SELECT node AS suppkey, r AS rank_micro FROM r5
+"""
+
+@register(
+    "supplier_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    doc="PageRank over the supplier co-occurrence graph (suppliers "
+    "sharing an order are linked), 5 Pregel-shaped rounds in exact "
+    "integer micro-units (operators/graph.py::pagerank_integer) — "
+    "iterative distributed graph analytics with a bit-identical "
+    "DuckDB oracle (the 5 rounds unrolled as chained CTEs). Edges + "
+    "degrees are computed once and cached; each round shuffles only "
+    "the (node, long) rank relation on dst. The orderkey filter "
+    "sizes the oracle.",
+    tags=("graph", "iterative"),
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank_integer(edges, iterations=5)
+    return pr.select(F.col("node").alias("suppkey"), "rank_micro")

@@ -30,6 +30,9 @@ REPRESENTATIVES = [
     "doc_bigram_logprob",
     "daily_summary",
     "linear_forecast_daily_value",
+    # iterative graph rounds in integer micro-units — the float
+    # formulation this operator deliberately avoids would fail here
+    "supplier_pagerank",
 ]
 
 

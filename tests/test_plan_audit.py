@@ -22,8 +22,9 @@ ALLOW_NESTED_LOOP = {
     "region_pairs_cross",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
-# its own window + grouped-map exchange
-ALLOW_MANY_EXCHANGES = {"inventory_allocation_chained"}
+# its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
+# each one join + one grouped sum
+ALLOW_MANY_EXCHANGES = {"inventory_allocation_chained", "supplier_pagerank"}
 MAX_EXCHANGES = 4
 # per-query overrides where the default cap miscounts BY DESIGN:
 # minhash caches the signature relation, and the formatted plan
