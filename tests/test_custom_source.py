@@ -119,3 +119,39 @@ def test_read_jdbc_reaches_jvm_source(spark):
     # py4j boundary into Spark's JDBC relation provider
     with pytest.raises(Py4JJavaError, match="(?i)suitable driver|driver"):
         read_jdbc(spark, "jdbc:mysql://localhost:9/nope", "products", user="u")
+
+
+def test_custom_python_datasource_writer_manifest(spark, sf_correctness, tmp_path):
+    """Writer direction of the custom-connector story: every task
+    stages privately, the driver's commit renames + manifests, and the
+    manifest's accounting matches a full read-back."""
+    import json as _json
+
+    from candy_store_etl_spark.sources.custom_sink import CandyReportsDataSource
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    spark.dataSource.register(CandyReportsDataSource)
+    docs = load_table(spark, sf_correctness, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    out = str(tmp_path / "reports")
+    docs.repartition(4).write.format("candy_reports").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(f"{out}/manifest.json") as f:
+        manifest = _json.load(f)
+    n = docs.count()
+    assert manifest["total_rows"] == n
+    assert len(manifest["files"]) == 4
+    # no staging strays survived commit
+    assert not [p for p in os.listdir(out) if p.endswith(".staging")]
+    # manifested files == directory contents, and read-back matches
+    listed = {e["file"] for e in manifest["files"]}
+    on_disk = {p for p in os.listdir(out) if p.endswith(".jsonl")}
+    assert listed == on_disk
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert back.count() == n
+    assert {(r.doc_id, r.lang, r.source) for r in back.collect()} == {
+        (r.doc_id, r.lang, r.source) for r in docs.collect()
+    }
