@@ -78,6 +78,17 @@ def _shingle_hashes(th: Column, n: int = 3) -> Column:
     return F.when(F.size(th) <= n, F.array(whole)).otherwise(shingled)
 
 
+def minhash_perm_arrays(num_perm: int):
+    """The seeded multiply-shift permutation family (A_j odd < 2^30,
+    B_j < 2^32). One definition shared by the signature operators AND
+    the oracle-SQL builder (plans/vectors.py inlines these as literals
+    for the portable tier), so they can only drift together."""
+    rng = np.random.default_rng(42)
+    a_mult = rng.integers(0, 1 << 29, size=num_perm) * 2 + 1
+    b_add = rng.integers(0, 1 << 32, size=num_perm)
+    return a_mult, b_add
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -113,9 +124,7 @@ def minhash_signatures(
     est_jaccard false positives 5x). ``A_j < 2^30`` keeps ``A_j·h <
     2^62``, so ANSI-mode long arithmetic cannot overflow.
     """
-    rng = np.random.default_rng(42)
-    a_mult = rng.integers(0, 1 << 29, size=num_perm) * 2 + 1  # odd, < 2^30
-    b_add = rng.integers(0, 1 << 32, size=num_perm)
+    a_mult, b_add = minhash_perm_arrays(num_perm)
     mask = F.lit(0xFFFFFFFF)
     hashed = df.select(
         F.col(id_col).alias("id"),
@@ -241,6 +250,61 @@ def minhash_signatures_oph(
     return staged.select("id", densified.alias("signature"))
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-reproducible signatures: md5-derived 32-bit shingle
+    hashes instead of xxhash64.
+
+    The classic and OPH tiers hash with ``xxhash64``, which no other
+    engine reproduces — that is the ONLY reason the MinHash queries are
+    rows-only at the correctness gate. This tier hashes the shingle
+    STRING as ``conv(substr(md5(s),1,8),16,10)`` (md5 is bit-identical
+    everywhere), so the full pipeline — signatures, banding, estimator,
+    threshold — is value-checkable against a DuckDB oracle
+    (``minhash_neardup_pairs_portable``). Same seeded permutation
+    family as the classic tier (``minhash_perm_arrays``).
+
+    Cost model: md5 is a cryptographic hash and the shingle string is
+    materialized per window — measured ~2-3x the classic tier's
+    signature pass. The scale tier stays on xxhash64 hash-combining;
+    this tier is for cross-engine verification and for pipelines that
+    need hash-stable signatures across heterogeneous engines.
+    """
+    a_mult, b_add = minhash_perm_arrays(num_perm)
+    mask = F.lit(0xFFFFFFFF)
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("s"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    mins = [
+        F.min(
+            (F.lit(int(a_mult[j])) * F.col("h") + F.lit(int(b_add[j]))).bitwiseAND(
+                mask
+            )
+        ).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return (
+        flat.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("signature"),
+        )
+    )
+
+
 def _band_buckets(
     signatures: DataFrame, *, num_perm: int, bands: int
 ) -> DataFrame:
@@ -267,15 +331,47 @@ def _band_buckets(
     )
 
 
+def _band_buckets_portable(
+    signatures: DataFrame, *, num_perm: int, bands: int
+) -> DataFrame:
+    """String-keyed band buckets: the bucket IS the comma-joined band
+    slice — zero hash collisions and reproducible in any engine (the
+    xxhash64 bucket of ``_band_buckets`` is Spark-only). Slightly wider
+    shuffle rows; candidate sets are identical up to xxhash collisions
+    (which only ever ADD spurious candidates there)."""
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, *, num_perm: int = 64, bands: int = 16
+    signatures: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
 
     Shuffle key is (band_index, band_hash) — a document lands in
     ``bands`` buckets, and only bucket-mates are ever paired.
     """
-    buckets = _band_buckets(signatures, num_perm=num_perm, bands=bands)
+    bucket_fn = _band_buckets_portable if portable else _band_buckets
+    buckets = bucket_fn(signatures, num_perm=num_perm, bands=bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -367,12 +463,18 @@ def minhash_dedup_pairs(
         sig_fn = minhash_signatures
     elif method == "oph":
         sig_fn = minhash_signatures_oph
+    elif method == "portable":
+        sig_fn = minhash_signatures_portable
     else:
-        raise ValueError(f"unknown method {method!r} (use 'perm' or 'oph')")
+        raise ValueError(
+            f"unknown method {method!r} (use 'perm', 'oph' or 'portable')"
+        )
     sigs = sig_fn(
         df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
     ).cache()
-    cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    cands = lsh_candidate_pairs(
+        sigs, num_perm=num_perm, bands=bands, portable=(method == "portable")
+    )
     return minhash_similarity(cands, sigs).filter(
         F.col("est_jaccard") >= threshold
     )

@@ -407,3 +407,85 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0), query, k=100, candidates=100
     )
     return _rounded_topk(raw, k=10)
+
+
+def _minhash_portable_oracle(
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.4
+) -> str:
+    """DuckDB oracle for the PORTABLE MinHash tier — the full pipeline
+    (md5-derived shingle hashes, seeded multiply-shift permutations
+    inlined as literals, string-keyed banding, position-match
+    estimator, threshold) spelled in SQL. Only possible because the
+    portable tier avoids xxhash64 everywhere."""
+    from ..operators.dedup import minhash_perm_arrays
+
+    a_mult, b_add = minhash_perm_arrays(num_perm)
+    perm_rows = ", ".join(
+        f"({j}, {int(a_mult[j])}, {int(b_add[j])})" for j in range(num_perm)
+    )
+    rows_per_band = num_perm // bands
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+    shingles = f"""
+      CASE WHEN len(toks) <= {shingle_n} THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(generate_series(1, len(toks) - {shingle_n - 1}),
+                               i -> array_to_string(toks[i:i+{shingle_n - 1}], ' '))
+      END"""
+    md5_int8 = """
+      CAST(list_sum(list_transform(generate_series(1, 8),
+        k -> (strpos('0123456789abcdef', substr(md5(s), k, 1)) - 1)
+             * CAST(16 AS BIGINT) ** (8 - k))) AS BIGINT)"""
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles}) AS s FROM tok
+    ),
+    h AS (SELECT doc_id, {md5_int8} AS h FROM sh),
+    perms(j, a, b) AS (VALUES {perm_rows}),
+    m AS (
+      SELECT doc_id, j, MIN((a * h + b) % 4294967296) AS m
+      FROM h CROSS JOIN perms GROUP BY doc_id, j
+    ),
+    sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM m GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, g.b AS band,
+             array_to_string(sig[g.b * {rows_per_band} + 1 :
+                                 g.b * {rows_per_band} + {rows_per_band}], ',')
+               AS bucket
+      FROM sig, generate_series(0, {bands - 1}) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(generate_series(1, {num_perm}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                  AS DOUBLE) / {num_perm}.0 AS est_jaccard
+      FROM cand
+      JOIN sig sa ON cand.id_a = sa.doc_id
+      JOIN sig sb ON cand.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "minhash_neardup_pairs_portable",
+    oracle=_minhash_portable_oracle(),
+    doc="MinHash-LSH near-dup pairs on PORTABLE hashes: md5-derived "
+    "32-bit shingle hashes + string-keyed band buckets, so the entire "
+    "pipeline — seeded permutations (inlined as SQL literals), "
+    "banding, position-match estimator, threshold — is value-checked "
+    "end-to-end by a DuckDB oracle. The xxhash64 tiers "
+    "(minhash_neardup_pairs / _oph) stay rows-only for speed; this "
+    "tier proves the algorithm itself cross-engine.",
+    tags=("text", "dedup", "minhash", "portable"),
+)
+def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
+        method="portable",
+    )

@@ -32,6 +32,7 @@ MAX_EXCHANGES = 4
 # the three consumers — executed once, counted thrice.
 EXCHANGE_CAP_OVERRIDES = {
     "minhash_neardup_pairs": 6,
+    "minhash_neardup_pairs_portable": 6,
     # same cache-subtree triple-count, plus the OPH signature is two
     # real stages ((id,bin) partial min -> per-id map assembly), so the
     # re-printed subtree carries 3 exchanges × 3 consumers
