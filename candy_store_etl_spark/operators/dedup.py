@@ -486,17 +486,30 @@ def minhash_dedup_pairs(
 _SIMHASH_BITS = 48  # signed-long-safe; 4 chunks of 12 bits for banding
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, portable: bool = False
+) -> DataFrame:
     """Per-document SimHash fingerprint (token-level, 48-bit).
 
     bit b of the fingerprint = sign of Σ_tokens (±1 depending on bit b
-    of xxhash64(token)). Computed as one explode + one groupBy with 48
+    of hash(token)). Computed as one explode + one groupBy with 48
     conditional sums — all JVM-side.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 48-bit hash
+    (``conv(substr(md5(tok),1,12),16,10)``) — slower, but reproducible
+    in any engine, which is what lets ``simhash_neardup_pairs_portable``
+    carry a full DuckDB oracle (same rationale as
+    ``minhash_signatures_portable``).
     """
+    tok_hash = (
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+        if portable
+        else F.xxhash64("tok")
+    )
     toked = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(
             F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
@@ -511,7 +524,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """All pairs within Hamming ≤ max_hamming of each other.
 
@@ -519,7 +537,7 @@ def simhash_neardup_pairs(
     shares at least one identical chunk (pigeonhole), so the chunk
     join finds every such pair without comparing all pairs.
     """
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, portable=portable)
     chunks = fps.select(
         "id",
         "simhash",

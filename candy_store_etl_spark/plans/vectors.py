@@ -489,3 +489,67 @@ def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFram
         docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
         method="portable",
     )
+
+
+def _simhash_portable_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    """DuckDB oracle for the portable SimHash tier: md5-derived 48-bit
+    token hashes, 48 signed bit-sums per document, 12-bit chunk
+    banding (pigeonhole for Hamming <= 3), bit_count Hamming verify."""
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+    md5_int12 = """
+      CAST(list_sum(list_transform(generate_series(1, 12),
+        k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+             * CAST(16 AS BIGINT) ** (12 - k))) AS BIGINT)"""
+    bit_sums = ",\n             ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    chunk_rows = ", ".join(f"({i})" for i in range(4))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {md5_int12} AS h FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {fp_expr} AS simhash FROM sums),
+    ci(i) AS (VALUES {chunk_rows}),
+    chunks AS (
+      SELECT doc_id, simhash, i AS chunk_idx,
+             (simhash >> (12 * i)) & 4095 AS chunk
+      FROM fp CROSS JOIN ci
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "simhash_neardup_pairs_portable",
+    oracle=_simhash_portable_oracle(),
+    doc="SimHash near-dup pairs on PORTABLE hashes: md5-derived 48-bit "
+    "token hashes make fingerprints, chunk banding, and the Hamming "
+    "verify reproducible in DuckDB — the SimHash algorithm "
+    "value-checked end-to-end (the xxhash64 tier stays rows-only for "
+    "speed).",
+    tags=("text", "dedup", "simhash", "portable"),
+)
+def simhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, portable=True
+    )
