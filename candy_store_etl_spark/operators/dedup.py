@@ -23,6 +23,8 @@ operators are the north-star extension (BASELINE.json).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -161,6 +163,7 @@ def minhash_signatures_oph(
     *,
     num_perm: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """One-Permutation Hashing signatures — the O(shingles) scale tier.
 
@@ -192,16 +195,36 @@ def minhash_signatures_oph(
         raise ValueError(f"num_perm={num_perm} must be a power of two")
     bin_bits = num_perm.bit_length() - 1
     shift = 32 - bin_bits
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        _token_hashes(tokens(F.col(text_col))).alias("th"),
-    )
-    flat = hashed.select(
-        "id",
-        F.explode(
-            F.array_distinct(_shingle_hashes(F.col("th"), shingle_n))
-        ).alias("h"),
-    )
+    if portable:
+        # md5-derived shingle hash (see minhash_signatures_portable) —
+        # same binning/densification on an engine-reproducible hash, so
+        # the WHOLE OPH construction (including circular borrowing) is
+        # value-checked by the DuckDB oracle of
+        # minhash_neardup_pairs_oph_portable
+        flat = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(F.col(text_col)), shingle_n)
+                )
+            ).alias("s"),
+        ).select(
+            "id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            _token_hashes(tokens(F.col(text_col))).alias("th"),
+        )
+        flat = hashed.select(
+            "id",
+            F.explode(
+                F.array_distinct(_shingle_hashes(F.col("th"), shingle_n))
+            ).alias("h"),
+        )
     # per-shingle work is ONE shift — the min per (doc, bin) reduces
     # map-side in the first aggregate, so at most num_perm rows per doc
     # ever shuffle; the second aggregate (sparse bins -> dense array
@@ -465,15 +488,19 @@ def minhash_dedup_pairs(
         sig_fn = minhash_signatures_oph
     elif method == "portable":
         sig_fn = minhash_signatures_portable
+    elif method == "oph_portable":
+        sig_fn = functools.partial(minhash_signatures_oph, portable=True)
     else:
         raise ValueError(
-            f"unknown method {method!r} (use 'perm', 'oph' or 'portable')"
+            f"unknown method {method!r} (use 'perm', 'oph', 'portable' "
+            "or 'oph_portable')"
         )
+    portable = method in ("portable", "oph_portable")
     sigs = sig_fn(
         df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
     ).cache()
     cands = lsh_candidate_pairs(
-        sigs, num_perm=num_perm, bands=bands, portable=(method == "portable")
+        sigs, num_perm=num_perm, bands=bands, portable=portable
     )
     return minhash_similarity(cands, sigs).filter(
         F.col("est_jaccard") >= threshold

@@ -553,3 +553,101 @@ def simhash_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=3, portable=True
     )
+
+
+def _minhash_oph_portable_oracle(
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.4
+) -> str:
+    """DuckDB oracle for the portable OPH tier — one md5-derived hash
+    per shingle, top-bits binning, per-bin mins, and the circular
+    right-borrow densification (Shrivastava & Li 2014) expressed as
+    list ops over a doubled signature, then the same string-keyed
+    banding + estimator as the portable classic tier. This
+    value-checks the NOVEL part of OPH (densification), which the
+    xxhash64 tier can only pin with recall tests."""
+    shift = 32 - (num_perm.bit_length() - 1)
+    rows_per_band = num_perm // bands
+    toks = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+    shingles = f"""
+      CASE WHEN len(toks) <= {shingle_n} THEN [array_to_string(toks, ' ')]
+           ELSE list_transform(generate_series(1, len(toks) - {shingle_n - 1}),
+                               i -> array_to_string(toks[i:i+{shingle_n - 1}], ' '))
+      END"""
+    md5_int8 = """
+      CAST(list_sum(list_transform(generate_series(1, 8),
+        k -> (strpos('0123456789abcdef', substr(md5(s), k, 1)) - 1)
+             * CAST(16 AS BIGINT) ** (8 - k))) AS BIGINT)"""
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles}) AS s FROM tok
+    ),
+    h AS (SELECT doc_id, {md5_int8} AS h FROM sh),
+    mins AS (
+      SELECT doc_id, h >> {shift} AS bin, MIN(h) AS m
+      FROM h GROUP BY doc_id, bin
+    ),
+    grid AS (
+      SELECT d.doc_id, g.j
+      FROM (SELECT DISTINCT doc_id FROM mins) d,
+           generate_series(0, {num_perm - 1}) g(j)
+    ),
+    rawv AS (
+      SELECT grid.doc_id, grid.j, mins.m
+      FROM grid LEFT JOIN mins
+        ON grid.doc_id = mins.doc_id AND grid.j = mins.bin
+    ),
+    rawlist AS (
+      SELECT doc_id, list(m ORDER BY j) AS raw FROM rawv GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, {num_perm}),
+               j -> COALESCE(raw[j],
+                             list_filter((raw || raw)[j+1 : j+{num_perm - 1}],
+                                         x -> x IS NOT NULL)[1])) AS sig
+      FROM rawlist
+    ),
+    bnd AS (
+      SELECT doc_id, g.b AS band,
+             array_to_string(sig[g.b * {rows_per_band} + 1 :
+                                 g.b * {rows_per_band} + {rows_per_band}], ',')
+               AS bucket
+      FROM sig, generate_series(0, {bands - 1}) g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(generate_series(1, {num_perm}),
+                    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                  AS DOUBLE) / {num_perm}.0 AS est_jaccard
+      FROM cand
+      JOIN sig sa ON cand.id_a = sa.doc_id
+      JOIN sig sb ON cand.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "minhash_neardup_pairs_oph_portable",
+    oracle=_minhash_oph_portable_oracle(),
+    doc="One-permutation-hashing MinHash on PORTABLE hashes: binning, "
+    "per-bin mins, and the circular densification borrow are all "
+    "value-checked end-to-end by a DuckDB oracle (the only tier where "
+    "the densification algebra itself is cross-engine verified; the "
+    "xxhash64 OPH tier pins it with recall tests).",
+    tags=("text", "dedup", "minhash", "oph", "portable"),
+)
+def minhash_neardup_pairs_oph_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
+        method="oph_portable",
+    )

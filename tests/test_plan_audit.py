@@ -37,6 +37,7 @@ EXCHANGE_CAP_OVERRIDES = {
     # real stages ((id,bin) partial min -> per-id map assembly), so the
     # re-printed subtree carries 3 exchanges × 3 consumers
     "minhash_neardup_pairs_oph": 9,
+    "minhash_neardup_pairs_oph_portable": 9,
     # cluster resolution joins the fact-sized label relation (output of
     # the iterative CC loop, a checkpointed RDD scan with no stats) to
     # the node set AND aggregates it for cluster sizes — the label
