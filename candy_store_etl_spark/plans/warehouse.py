@@ -280,3 +280,83 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_integer(edges, iterations=5)
     return pr.select(F.col("node").alias("suppkey"), "rank_micro")
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 orders per customer) — the same SQL text runs on both "
+    "engines. Catalyst decorrelates it into a ranked window join "
+    "rather than executing per-row (DecorrelateInnerQuery), so the "
+    "lateral form costs the same as the explicit window top-k "
+    "(top_orders_per_customer) while reading as point lookups.",
+    tags=("sql", "lateral", "join"),
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+@register(
+    "null_safe_user_join",
+    # the driver-generated events table has no NULL user_ids, so the
+    # anonymized relation nullifies a deterministic slice (user_id % 50
+    # = 0) identically in both engines — the null-safe semantics are
+    # then exercised on guaranteed-nonempty NULL groups
+    oracle="""
+    WITH anon AS (
+      SELECT event_id, event_type,
+             CASE WHEN user_id % 50 = 0 THEN NULL ELSE user_id END AS uid
+      FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM anon a JOIN anon b
+      ON a.uid IS NOT DISTINCT FROM b.uid
+     AND a.event_type = 'signup' AND b.event_type = 'error'
+     AND a.event_id < b.event_id
+    WHERE a.uid IS NULL
+    """,
+    doc="Null-safe equi-join (Spark <=> / SQL IS NOT DISTINCT FROM) "
+    "over an anonymized user column: NULL-user events pair with each "
+    "other instead of vanishing as they would under plain =. "
+    "Restricted to the NULL partition to keep the oracle small; the "
+    "operator point is the join condition's planner support "
+    "(null-safe hash join, not a cartesian fallback).",
+    tags=("join", "nulls"),
+)
+def null_safe_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("user_id") % 50 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+    )
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("id_a"), F.col("uid").alias("u_a")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_b"), F.col("uid").alias("u_b")
+    )
+    return (
+        a.join(b, a.u_a.eqNullSafe(b.u_b) & (a.id_a < b.id_b))
+        .filter(F.col("u_a").isNull())
+        .select("id_a", "id_b")
+    )
