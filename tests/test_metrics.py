@@ -1,0 +1,54 @@
+"""Runtime-metric introspection: assert what a query actually DID.
+
+The plan audit (test_plan_audit.py) pins plan SHAPES; these tests pin
+runtime BEHAVIOR — shuffle volume through a broadcast join stays
+dimension-sized, and the executed row counts match the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.metrics import executed_plan_metrics, metric_total
+from candy_store_etl_spark.sources.tpch import load_table
+
+
+def test_broadcast_join_shuffles_only_preaggregated_rows(spark, sf_correctness):
+    li = load_table(spark, sf_correctness, "lineitem")
+    part = load_table(spark, sf_correctness, "part")
+    df = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    # collect() (not count()) — count() builds and runs a DIFFERENT
+    # plan, leaving df's own executed-plan metrics at zero
+    n = len(df.collect())
+    # the only exchange carries partial aggregates (a handful of rows),
+    # NOT the 60k-row fact join output: broadcast + map-side combine
+    shuffled = metric_total(df, "shuffleBytesWritten")
+    assert 0 < shuffled < 10_000, f"shuffle wrote {shuffled} bytes"
+    # and the fact scan really produced fact-sized output pre-shuffle
+    rows = {
+        nm.node: nm.metrics.get("numOutputRows")
+        for nm in executed_plan_metrics(df)
+        if nm.metrics.get("numOutputRows")
+    }
+    assert any(v and v >= 50_000 for v in rows.values()), rows
+    assert n <= 3
+
+
+def test_metrics_expose_final_aqe_plan(spark, sf_correctness):
+    orders = load_table(spark, sf_correctness, "orders")
+    df = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    res = df.collect()
+    nodes = [nm.node for nm in executed_plan_metrics(df)]
+    # the walker must unwrap AQE wrappers down to the real operators
+    assert any("HashAggregate" in n for n in nodes), nodes
+    agg_rows = [
+        nm.metrics["numOutputRows"]
+        for nm in executed_plan_metrics(df)
+        if "HashAggregate" in nm.node and "numOutputRows" in nm.metrics
+    ]
+    # the FINAL aggregate emitted exactly the result rows
+    assert min(agg_rows) == len(res), (agg_rows, len(res))
