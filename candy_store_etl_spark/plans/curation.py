@@ -569,3 +569,56 @@ def incremental_neardup_probe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
             "est_jaccard",
         )
     )
+
+
+def _portable_cluster_oracle(threshold: float = 0.5) -> str:
+    from .vectors import minhash_portable_ctes
+
+    return f"""
+    WITH RECURSIVE {minhash_portable_ctes()},
+    pairs AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= {threshold}
+    ),
+    alledges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION ALL SELECT dst, src FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN alledges e ON e.a = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+    ),
+    csize AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY 1
+    )
+    SELECT l.doc_id, l.cluster_id, c.cluster_size,
+           CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+    FROM labels l JOIN csize c USING (cluster_id)
+    """
+
+
+@register(
+    "neardup_clusters_minhash_portable",
+    oracle=_portable_cluster_oracle(),
+    doc="Corpus-wide cluster resolution on PORTABLE MinHash edges: the "
+    "banded candidate pipeline (md5 hashes — see "
+    "minhash_neardup_pairs_portable) closed into connected components "
+    "by distributed min-label propagation, value-checked end-to-end: "
+    "the DuckDB oracle rebuilds the same edges and closes them with "
+    "recursive-CTE reachability. The full scale form "
+    "(neardup_clusters_minhash) differs only in the hash function.",
+    tags=("text", "dedup", "graph", "minhash", "portable"),
+)
+def neardup_clusters_minhash_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5,
+        method="portable",
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return _clusters_output(docs, edges)

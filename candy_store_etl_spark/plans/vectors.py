@@ -409,14 +409,13 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(raw, k=10)
 
 
-def _minhash_portable_oracle(
-    num_perm: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.4
+def minhash_portable_ctes(
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 3
 ) -> str:
-    """DuckDB oracle for the PORTABLE MinHash tier — the full pipeline
-    (md5-derived shingle hashes, seeded multiply-shift permutations
-    inlined as literals, string-keyed banding, position-match
-    estimator, threshold) spelled in SQL. Only possible because the
-    portable tier avoids xxhash64 everywhere."""
+    """CTE body (no WITH, no final SELECT) computing portable MinHash
+    signatures, band buckets, candidate pairs and the position-match
+    estimate as relation ``est`` — shared by the pairs oracle below
+    and the cluster-resolution oracle in plans/curation.py."""
     from ..operators.dedup import minhash_perm_arrays
 
     a_mult, b_add = minhash_perm_arrays(num_perm)
@@ -435,7 +434,7 @@ def _minhash_portable_oracle(
         k -> (strpos('0123456789abcdef', substr(md5(s), k, 1)) - 1)
              * CAST(16 AS BIGINT) ** (8 - k))) AS BIGINT)"""
     return f"""
-    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    tok AS (SELECT doc_id, {toks} AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, unnest({shingles}) AS s FROM tok
     ),
@@ -467,8 +466,18 @@ def _minhash_portable_oracle(
       JOIN sig sa ON cand.id_a = sa.doc_id
       JOIN sig sb ON cand.id_b = sb.doc_id
     )
-    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
     """
+
+
+def _minhash_portable_oracle(
+    num_perm: int = 64, bands: int = 16, shingle_n: int = 3, threshold: float = 0.4
+) -> str:
+    """Full pairs oracle: the shared CTE body + threshold filter."""
+    return (
+        "WITH "
+        + minhash_portable_ctes(num_perm, bands, shingle_n)
+        + f" SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"
+    )
 
 
 @register(

@@ -45,6 +45,7 @@ EXCHANGE_CAP_OVERRIDES = {
     # the extra sort-merge exchange is the honest shape
     "neardup_clusters": 5,
     "neardup_clusters_minhash": 5,
+    "neardup_clusters_minhash_portable": 5,
     # tf relation feeds two consumers (scores + doc_freq roll-up); the
     # formatted plan re-prints its exchange under the broadcast side
     "tfidf_top_terms": 5,
