@@ -415,6 +415,7 @@ def lsh_probe_pairs(
     *,
     num_perm: int = 64,
     bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC candidate generation: for each query document, the
     index documents sharing ≥1 band bucket — the incremental-ingest
@@ -425,8 +426,9 @@ def lsh_probe_pairs(
     equi-join instead of re-running the self-join over history.
     Returns (id_a = query id, id_b = index id).
     """
-    q = _band_buckets(query_sigs, num_perm=num_perm, bands=bands).alias("q")
-    ix = _band_buckets(index_sigs, num_perm=num_perm, bands=bands).alias("ix")
+    bucket_fn = _band_buckets_portable if portable else _band_buckets
+    q = bucket_fn(query_sigs, num_perm=num_perm, bands=bands).alias("q")
+    ix = bucket_fn(index_sigs, num_perm=num_perm, bands=bands).alias("ix")
     return (
         q.join(
             ix,

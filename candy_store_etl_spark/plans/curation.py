@@ -32,6 +32,7 @@ from ..operators.dedup import (
     lsh_probe_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    minhash_signatures_portable,
     minhash_similarity,
 )
 from ..operators.graph import component_labels
@@ -622,3 +623,57 @@ def neardup_clusters_minhash_portable(
         method="portable",
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return _clusters_output(docs, edges)
+
+
+def _portable_probe_oracle(threshold: float = 0.4) -> str:
+    from .vectors import minhash_portable_ctes
+
+    nib = _INCOMING_NIBBLE
+    cond = (
+        f"substr(md5(CAST(x.doc_id AS VARCHAR)), 1, 1) = '{nib}'"
+        f" AND substr(md5(CAST(y.doc_id AS VARCHAR)), 1, 1) <> '{nib}'"
+    )
+    return f"""
+    WITH {minhash_portable_ctes(pair_cond=cond)}
+    SELECT id_a AS incoming_id, id_b AS match_id, est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "incremental_neardup_probe_lsh_portable",
+    oracle=_portable_probe_oracle(),
+    doc="The incremental MinHash probe on PORTABLE hashes: incoming "
+    "batch band buckets equi-joined against the index bucket relation "
+    "(asymmetric candidates — probe cost scales with the batch, not "
+    "history), value-checked end-to-end by the shared portable-MinHash "
+    "oracle body with an incoming-vs-index candidate restriction.",
+    tags=("text", "dedup", "incremental", "minhash", "portable"),
+)
+def incremental_neardup_probe_lsh_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == _INCOMING_NIBBLE
+    )
+    incoming = docs.filter(is_new)
+    index = docs.filter(~is_new)
+    q_sigs = minhash_signatures_portable(
+        incoming, "doc_id", "text", num_perm=64
+    ).cache()
+    ix_sigs = minhash_signatures_portable(
+        index, "doc_id", "text", num_perm=64
+    ).cache()
+    cands = lsh_probe_pairs(q_sigs, ix_sigs, num_perm=64, bands=16, portable=True)
+    sigs = q_sigs.union(ix_sigs)
+    return (
+        minhash_similarity(cands, sigs)
+        .filter(F.col("est_jaccard") >= 0.4)
+        .select(
+            F.col("id_a").alias("incoming_id"),
+            F.col("id_b").alias("match_id"),
+            "est_jaccard",
+        )
+    )

@@ -410,7 +410,10 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_portable_ctes(
-    num_perm: int = 64, bands: int = 16, shingle_n: int = 3
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    pair_cond: str = "x.doc_id < y.doc_id",
 ) -> str:
     """CTE body (no WITH, no final SELECT) computing portable MinHash
     signatures, band buckets, candidate pairs and the position-match
@@ -455,7 +458,7 @@ def minhash_portable_ctes(
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bnd x JOIN bnd y
-        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ON x.band = y.band AND x.bucket = y.bucket AND {pair_cond}
     ),
     est AS (
       SELECT id_a, id_b,

@@ -54,6 +54,7 @@ EXCHANGE_CAP_OVERRIDES = {
     # similarity side) — executed once each, counted twice; plus the
     # probe join and pair-distinct exchanges
     "incremental_neardup_probe_lsh": 7,
+    "incremental_neardup_probe_lsh_portable": 7,
     # three sequential funnel stages, each a per-user pre-aggregation
     # (partial/final pair on a type-filtered scan) feeding the next as
     # a broadcast side, plus the distinct-users anchor — the fact table
