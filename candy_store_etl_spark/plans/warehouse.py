@@ -360,3 +360,83 @@ def null_safe_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u_a").isNull())
         .select("id_a", "id_b")
     )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) > 1)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT)
+    UNION ALL
+    SELECT 'event_type_accepted',
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE event_type NOT IN
+                   ('view','click','purchase','signup','error')
+                    OR event_type IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'doc_nchars_consistent',
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE NOT (n_chars = length(text))) AS BIGINT)
+    """,
+    doc="Constraint audit over the warehouse (dbt-test/Deequ pattern): "
+    "primary-key uniqueness, NOT NULL, referential integrity "
+    "(anti-join), accepted values, and a row-level expression check — "
+    "each one declarative scan/aggregate from "
+    "candy_store_etl_spark.quality. All-zero violations is the "
+    "assertion; a regression in any generator or ingest path flips a "
+    "count and fails the hash check.",
+    tags=("quality", "audit"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality import (
+        check_accepted_values,
+        check_expression,
+        check_foreign_key,
+        check_not_null,
+        check_unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def count_row(name: str, violations: DataFrame) -> DataFrame:
+        # a global aggregate always emits exactly one row (0 for empty)
+        return violations.agg(
+            F.count(F.lit(1)).cast("long").alias("violations")
+        ).select(F.lit(name).alias("check_name"), "violations")
+
+    checks = [
+        count_row("orders_pk_unique", check_unique(orders, ["o_orderkey"])),
+        count_row("orders_custkey_not_null", check_not_null(orders, ["o_custkey"])),
+        count_row(
+            "lineitem_order_fk",
+            check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
+        ),
+        count_row(
+            "event_type_accepted",
+            check_accepted_values(
+                events, "event_type",
+                ["view", "click", "purchase", "signup", "error"],
+            ),
+        ),
+        count_row(
+            "doc_nchars_consistent",
+            check_expression(documents, "n_chars = length(text)"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -55,6 +55,11 @@ EXCHANGE_CAP_OVERRIDES = {
     # probe join and pair-distinct exchanges
     "incremental_neardup_probe_lsh": 7,
     "incremental_neardup_probe_lsh_portable": 7,
+    # five independent constraint checks unioned into one report — each
+    # is its own single-row global aggregate (plus the FK anti-join's
+    # dedup), all over pre-filtered scans; one exchange per check is
+    # the honest shape for a multi-table audit
+    "data_quality_audit": 7,
     # three sequential funnel stages, each a per-user pre-aggregation
     # (partial/final pair on a type-filtered scan) feeding the next as
     # a broadcast side, plus the distinct-users anchor — the fact table
