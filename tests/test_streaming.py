@@ -506,3 +506,65 @@ def test_foreach_batch_incremental_aggregate_maintenance(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restart semantics: a query stopped and relaunched from the SAME
+    checkpoint must process each input file exactly once — the union of
+    epoch-keyed outputs across both runs equals the batch answer, with
+    no duplicates and no gaps. This is the offset-tracking contract a
+    production deployment leans on when executors or drivers die."""
+    import shutil
+
+    from candy_store_etl_spark.streaming.events import run_stream_foreach_batch
+
+    in_dir = tmp_path / "ck_in"
+    in_dir.mkdir()
+    staging = tmp_path / "ck_staging"
+    staging.mkdir()
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * 100 + j, float(j)) for j in range(10)], "k long, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging / f"f{i}"))
+
+    def add_file(i: int) -> None:
+        (part,) = [
+            p for p in os.listdir(staging / f"f{i}") if p.startswith("part-")
+        ]
+        shutil.copy(staging / f"f{i}" / part, in_dir / f"{i:02d}.parquet")
+
+    out_dir = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_ckpt")
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        run_stream_foreach_batch(stream, sink, checkpoint_dir=ckpt)
+
+    # phase 1: three files, run to completion, "crash" (query stopped)
+    for i in range(3):
+        add_file(i)
+    run_once()
+    n_phase1 = spark.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/epoch=*"
+    ).count()
+    assert n_phase1 == 30
+
+    # phase 2: three more files arrive; a NEW query resumes from the
+    # same checkpoint — already-committed files must not reprocess
+    for i in range(3, 6):
+        add_file(i)
+    run_once()
+
+    back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/epoch=*")
+    got = sorted(r.k for r in back.collect())
+    want = sorted(i * 100 + j for i in range(6) for j in range(10))
+    assert got == want  # every row exactly once, across the restart
+    epochs = {r.epoch for r in back.select("epoch").distinct().collect()}
+    assert len(epochs) == 6  # each file its own epoch, monotonic ids
