@@ -440,3 +440,47 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "monthly_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey, MIN(month) AS cohort_month FROM activity GROUP BY 1
+    )
+    SELECT c.cohort_month,
+           CAST((year(a.month) * 12 + month(a.month))
+                - (year(c.cohort_month) * 12 + month(c.cohort_month))
+             AS BIGINT) AS month_offset,
+           CAST(COUNT(DISTINCT a.o_custkey) AS BIGINT) AS n_customers
+    FROM activity a JOIN cohort c ON a.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Monthly cohort retention: customers bucketed by first-order "
+    "month, activity counted at integer month offsets (exact "
+    "year*12+month arithmetic — months_between's fractional days are "
+    "engine-noise). Two shuffles on custkey (distinct activity + "
+    "cohort min), then one grouped count; the cohort relation is "
+    "customer-sized and broadcast.",
+    tags=("agg", "cohort", "warehouse"),
+)
+def monthly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    activity = orders.select(
+        "o_custkey", F.trunc(F.col("o_orderdate").cast("date"), "MM").alias("month")
+    ).distinct()
+    cohort = activity.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    midx = F.year("month") * 12 + F.month("month")
+    cidx = F.year("cohort_month") * 12 + F.month("cohort_month")
+    return (
+        activity.join(F.broadcast(cohort), "o_custkey")
+        .groupBy(
+            "cohort_month", (midx - cidx).cast("long").alias("month_offset")
+        )
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_customers"))
+    )
