@@ -484,3 +484,46 @@ def monthly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("o_custkey").cast("long").alias("n_customers"))
     )
+
+
+@register(
+    "grouped_topk_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer WITHOUT a window: "
+    "slice(array_sort(collect_list(struct))) inside one hash "
+    "aggregate. The window form sorts every partition's full data; "
+    "this form's map-side partial aggregation caps state at k rows "
+    "per key per task BEFORE the shuffle — the shape that survives a "
+    "key whose group would not fit in one task's sort. Oracle is the "
+    "window formulation: both define the same total order "
+    "(price DESC, orderkey).",
+    tags=("agg", "topk"),
+)
+def grouped_topk_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # struct sorts lexicographically: (-price, orderkey) ascending ==
+    # (price DESC, orderkey ASC)
+    item = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    top3 = F.slice(F.array_sort(F.collect_list(item)), 1, 3)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(top3.alias("top"))
+        .select("o_custkey", F.explode("top").alias("t"))
+        .select(
+            "o_custkey",
+            F.col("t.o_orderkey").alias("o_orderkey"),
+            (-F.col("t.neg_price")).alias("o_totalprice"),
+        )
+    )
