@@ -527,3 +527,62 @@ def grouped_topk_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("t.neg_price")).alias("o_totalprice"),
         )
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    # deterministic synthetic snapshots from one table: "old" misses
+    # every 10th key (-> inserts), "new" reprices every 7th (-> updates),
+    # "new" misses every 13th (-> deletes); identical in both engines
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+      WHERE o_orderkey % 10 != 0
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT COALESCE(old.k, new.k) AS k,
+           CASE WHEN old.k IS NULL THEN 'insert'
+                WHEN new.k IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL OR old.price != new.price
+    """,
+    doc="Snapshot-diff change-data capture: full outer join of two "
+    "keyed snapshots classified into insert/update/delete — the merge "
+    "input SCD2 consumes when no change log exists. One co-partitioned "
+    "shuffle join; unchanged rows (the bulk at 100 TB) are filtered "
+    "before any downstream work.",
+    tags=("join", "cdc", "warehouse"),
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old")
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("p_new"),
+    )
+    joined = old.join(new, old.k_old == new.k_new, "full_outer")
+    change = (
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        joined.filter(
+            F.col("k_old").isNull()
+            | F.col("k_new").isNull()
+            | (F.col("p_old") != F.col("p_new"))
+        )
+        .select(
+            F.coalesce("k_old", "k_new").alias("k"), change.alias("change")
+        )
+    )
