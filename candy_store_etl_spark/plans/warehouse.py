@@ -586,3 +586,79 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("k_old", "k_new").alias("k"), change.alias("change")
         )
     )
+
+
+@register(
+    "priority_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_priority
+      FROM orders
+    )
+    SELECT prev_priority, o_orderpriority AS next_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_priority IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Markov transition counting over each customer's order "
+    "sequence (lag over a pinned total order, then one grouped "
+    "count) — the sequence-analytics shape behind churn models and "
+    "behavioral cohorts. One shuffle on custkey for the window, one "
+    "tiny aggregate.",
+    tags=("window", "sequence"),
+)
+def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    return (
+        seq.filter(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+@register(
+    "suppliers_covering_brand",
+    oracle="""
+    WITH brand AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+    ),
+    supplied AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM brand)
+    )
+    SELECT l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_brand_parts_supplied
+    FROM supplied
+    GROUP BY 1
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM brand)
+    """,
+    doc="Relational division: suppliers who have shipped EVERY part of "
+    "a brand (set-containment via count-matching — the classic "
+    "'for-all' query SQL has no operator for). The brand part set is "
+    "dimension-sized and broadcast into the fact filter; one distinct "
+    "+ one grouped count, no correlated per-supplier subquery.",
+    tags=("join", "division"),
+)
+def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    n_brand = brand.count()
+    supplied = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        supplied.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_brand_parts_supplied"))
+        .filter(F.col("n_brand_parts_supplied") == n_brand)
+    )
