@@ -628,7 +628,7 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suppliers_covering_brand",
     oracle="""
     WITH brand AS (
-      SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#11' AND p_size > 45
     ),
     supplied AS (
       SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
@@ -650,7 +650,9 @@ def priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    brand = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    brand = part.filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") > 45)
+    ).select("p_partkey")
     n_brand = brand.count()
     supplied = (
         li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
