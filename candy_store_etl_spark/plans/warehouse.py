@@ -664,3 +664,51 @@ def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_brand_parts_supplied"))
         .filter(F.col("n_brand_parts_supplied") == n_brand)
     )
+
+
+@register(
+    "weekly_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du a
+      ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc="Rolling 7-day distinct users (WAU): windows cannot express "
+    "DISTINCT over a moving frame, and a spine range-join plans as a "
+    "nested loop — instead each (day, user) row is EXPLODED to the "
+    "<=7 target days it contributes to, turning the rolling window "
+    "into plain equi-joins and one distinct count (the activity "
+    "relation is day-level, so the 7x fan-out is tiny next to the "
+    "fact table it was reduced from). The oracle is the independent "
+    "range-join formulation. At 100 TB the same query runs on HLL "
+    "sketches merged across the 7 days; this is the exact form.",
+    tags=("agg", "window", "distinct"),
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(6)), lambda i: F.date_add("day", i))
+        ).alias("day"),
+    )
+    # target days past the data's edge have no spine row — the
+    # broadcast semi-join drops them
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
