@@ -714,7 +714,7 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUZZY_QUERY = "spring green metallic"
+_FUZZY_QUERY = "smal ringg"  # typo'd "small ring" — the fuzzy-match case
 
 
 @register(
