@@ -33,6 +33,14 @@ REPRESENTATIVES = [
     # iterative graph rounds in integer micro-units — the float
     # formulation this operator deliberately avoids would fail here
     "supplier_pagerank",
+    # round-2 additions: sequential-stage funnel joins, cohort month
+    # arithmetic, the WAU contribution explode, and the CDC full-outer
+    # classification — each a shape where partition count could
+    # plausibly leak into results
+    "event_funnel",
+    "monthly_cohort_retention",
+    "weekly_active_users",
+    "snapshot_diff_cdc",
 ]
 
 
