@@ -769,3 +769,37 @@ def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.select("p_partkey", "p_name", sim.alias("trigram_sim"))
         .filter(F.col("trigram_sim") >= 0.3)
     )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    WITH tok AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x != '')) AS n
+      FROM documents
+    )
+    SELECT CAST(LEAST(n // 8, 9) AS BIGINT) AS bucket,
+           CAST(LEAST(n // 8, 9) * 8 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram of document token counts (8-token "
+    "buckets, top bucket open-ended) — the length-distribution "
+    "profile every curation run starts from. Pure integer bucket "
+    "arithmetic, one grouped count.",
+    tags=("text", "histogram"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).alias("n")
+    )
+    bucket = F.least(F.floor(F.col("n") / 8), F.lit(9)).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("bucket", (F.col("bucket") * 8).cast("long").alias("bucket_lo"), "n_docs")
+    )
