@@ -803,3 +803,54 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .select("bucket", (F.col("bucket") * 8).cast("long").alias("bucket_lo"), "n_docs")
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))
+               AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           CAST(cents / 100.0 AS DOUBLE) AS revenue,
+           CAST(cents AS BIGINT) * 1000000
+             // (SELECT CAST(SUM(cents) AS BIGINT) FROM rev) AS share_ppm
+    FROM rev
+    """,
+    doc="Revenue share per nation in exact parts-per-million: money "
+    "accumulates as integer cents (order-independent), the share is "
+    "one integer division against the grand total — no float ratio "
+    "can drift between engines or partitionings. Fact joins dims via "
+    "broadcast; one shuffle for the grouped sum, the total is a "
+    "scalar subquery (driver-size).",
+    tags=("agg", "join", "money"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                )
+            ).alias("cents")
+        )
+    )
+    total = rev.agg(F.sum("cents").alias("total_cents"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "nation",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        F.expr("cents * 1000000 div total_cents").cast("long").alias("share_ppm"),
+    )

@@ -20,6 +20,8 @@ ALLOW_NESTED_LOOP = {
     "ann_topk_cosine",
     "embedding_neardup_pairs",
     "region_pairs_cross",
+    # cross join against the single-row broadcast grand total
+    "nation_revenue_share",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
