@@ -55,23 +55,84 @@ def oracle_sql_map() -> dict[str, str]:
 
 _LOADED = False
 
+# The external correctness driver verifies only the first 50 registered
+# queries per round, in registration order.  Rather than contorting
+# module import order (round 1/2 approach), the registry now reorders
+# QUERIES after load according to this explicit priority list: names
+# listed here come first (in list order), everything else follows in
+# import order.  Round 3 priority: the 45 queries that have never had a
+# driver CORRECTNESS row (all of curation/assembly/scrubbing/prep/
+# warehouse, the portable LSH twins, the remaining rows-only xxhash
+# tiers) plus the queries new this round fill the 50-slot window.
+# Queries absent from the registry are ignored, so this list is safe
+# across refactors.
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # vectors — portable twins + remaining rows-only fast tiers
+    "minhash_neardup_pairs_portable",
+    "minhash_neardup_pairs_oph",
+    "minhash_neardup_pairs_oph_portable",
+    "simhash_neardup_pairs_portable",
+    "ann_topk_pq",
+    "embedding_random_projection",
+    # text
+    "doc_repetition_stats",
+    # curation
+    "neardup_clusters",
+    "neardup_clusters_minhash",
+    "neardup_clusters_minhash_portable",
+    "stratified_sample_docs",
+    "benchmark_decontamination",
+    "tfidf_top_terms",
+    "doc_shard_assignment",
+    "shard_token_budget",
+    "incremental_neardup_probe",
+    "incremental_neardup_probe_lsh",
+    "incremental_neardup_probe_lsh_portable",
+    # assembly
+    "doc_packing",
+    "streaming_interval_join",
+    "streaming_static_enrich",
+    # scrubbing
+    "pii_redact_docs",
+    "domain_capped_sample",
+    "doc_bigram_logprob",
+    "doc_quality_classifier",
+    # prep
+    "doc_chunks",
+    "dataset_split_assignment",
+    "event_funnel",
+    "vocab_oov_rate",
+    # warehouse
+    "price_history_scd2",
+    "zorder_layout_key",
+    "approx_price_quantiles",
+    "supplier_pagerank",
+    "lateral_top_orders",
+    "null_safe_user_join",
+    "data_quality_audit",
+    "monthly_cohort_retention",
+    "grouped_topk_agg",
+    "snapshot_diff_cdc",
+    "priority_transition_matrix",
+    "suppliers_covering_brand",
+    "weekly_active_users",
+    "fuzzy_part_name_match",
+    "doc_length_histogram",
+    "nation_revenue_share",
+    # new in round 3 — fill the window to 50
+    "bloom_decontaminate_docs",
+    "salted_skew_join_revenue",
+    "range_bucket_join_events",
+    "sessionize_events_gap",
+    "top_terms_per_lang",
+)
+
 
 def _ensure_loaded() -> None:
     """Import all query modules exactly once (they self-register)."""
     global _LOADED
     if _LOADED:
         return
-    # Import order IS registration order, and the external correctness
-    # driver verifies only the first 50 registered queries per round.
-    # Round 2 rotation: the modules whose queries had no driver row in
-    # round 1 (extended*, scalar_surface, streaming_queries — 35
-    # queries) register first, then advanced (10) + the first 5 of
-    # vectors fill the window to exactly 50 — ALL of them oracled
-    # (definition order inside vectors puts the banded-LSH flagship in
-    # and the arrow twin of the already-in-window blockwise tier out).
-    # relational/text queries were all driver-green in round 1 and sit
-    # outside this time. Keep rotating each round while the cap
-    # persists so every query eventually gets a driver CORRECTNESS row.
     from . import extended  # noqa: F401
     from . import extended2  # noqa: F401
     from . import extended3  # noqa: F401
@@ -82,9 +143,17 @@ def _ensure_loaded() -> None:
     from . import relational  # noqa: F401
     from . import text  # noqa: F401
     from . import curation  # noqa: F401
-    from . import assembly  # noqa: F401  # new this round: outside the window by design
-    from . import scrubbing  # noqa: F401  # new this round: outside the window by design
-    from . import prep  # noqa: F401  # new this round: outside the window by design
-    from . import warehouse  # noqa: F401  # new this round: outside the window by design
+    from . import assembly  # noqa: F401
+    from . import scrubbing  # noqa: F401
+    from . import prep  # noqa: F401
+    from . import warehouse  # noqa: F401
+    from . import scale_ops  # noqa: F401  # new in round 3
+
+    # Reorder so _WINDOW_PRIORITY names come first (driver window).
+    prioritized = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}
+    rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
+    QUERIES.clear()
+    QUERIES.update(prioritized)
+    QUERIES.update(rest)
 
     _LOADED = True

@@ -161,7 +161,7 @@ _SQL_BIGRAMS = """
     model AS (
       SELECT c2.bg,
              CAST(FLOOR(-ln(CAST(c2.n2 AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
-                        * 1000000.0) AS BIGINT) AS nlp_micro
+                        * 10000.0) AS BIGINT) * 100 AS nlp_micro
       FROM c2 JOIN c1 ON c2.w1 = c1.w1
     )
     SELECT occ.doc_id,
@@ -173,8 +173,9 @@ _SQL_BIGRAMS = """
     """,
     doc="Corpus-LM perplexity proxy (CCNet-style quality signal): fit a "
     "bigram model on the corpus itself, score each document by its "
-    "mean negative log-probability. Per-bigram terms are floored to "
-    "integer micronats BEFORE summation, so group sums are "
+    "mean negative log-probability. Per-bigram terms are floored at "
+    "4-dp nat resolution (in micro-units) BEFORE summation, so group "
+    "sums are "
     "order-independent and bit-identical across engines. At 100 TB the "
     "count-pruned model is broadcast (as here); documents never "
     "shuffle — only the exploded bigram relation does, once.",
@@ -195,12 +196,17 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2.join(F.broadcast(c1), "w1")
         .select(
             "bg",
-            F.floor(
-                -F.ln(F.col("n2").cast("double") / F.col("n1").cast("double"))
-                * 1000000.0
-            )
-            .cast("long")
-            .alias("nlp_micro"),
+            # floor at 4-dp nat resolution (×100 back to micro-units):
+            # the ln is transcendental, so a 1-ulp libm divergence can
+            # flip a floor — 1e-4 bins put boundaries ~1e5 ulps away
+            # instead of ~1e3, making a flip vanishingly unlikely.
+            (
+                F.floor(
+                    -F.ln(F.col("n2").cast("double") / F.col("n1").cast("double"))
+                    * 10000.0
+                ).cast("long")
+                * 100
+            ).alias("nlp_micro"),
         )
     )
     return (
@@ -245,7 +251,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            {SQL_FROUND("z", 6)} AS logit,
-           CAST(FLOOR(1.0 / (1.0 + exp(-z)) * 1000000.0) AS BIGINT)
+           CAST(FLOOR(1.0 / (1.0 + exp(-z)) * 10000.0) AS BIGINT) * 100
              AS prob_micro
     FROM z
     """,
@@ -253,8 +259,8 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "features (the fastText-classifier stage of a curation pipeline, "
     "with literal weights standing in for trained ones). The logit is "
     "pure rational arithmetic (portable round-half-up); the sigmoid is "
-    "transcendental, so the probability is floored to integer "
-    "micro-units. Embarrassingly parallel, no shuffle.",
+    "transcendental, so the probability is floored at 4-dp "
+    "resolution (in micro-units). Embarrassingly parallel, no shuffle.",
     tags=("text", "quality"),
 )
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +292,10 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id",
         fround(F.col("z"), 6).alias("logit"),
-        F.floor(1.0 / (1.0 + F.exp(-F.col("z"))) * 1000000.0)
-        .cast("long")
-        .alias("prob_micro"),
+        # 4-dp probability resolution expressed in micro-units: exp is
+        # transcendental, so keep floor boundaries ~1e5 ulps away from
+        # any 1-ulp engine divergence (same discipline as nlp_micro).
+        (
+            F.floor(1.0 / (1.0 + F.exp(-F.col("z"))) * 10000.0).cast("long") * 100
+        ).alias("prob_micro"),
     )

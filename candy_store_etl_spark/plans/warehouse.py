@@ -753,10 +753,15 @@ def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
 
     def grams(col: F.Column) -> F.Column:
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(col) - 2),
-                lambda i: F.substring(col, i, 3),
+        # Guard < 3 chars: Spark's sequence(1, length-2) would count
+        # DOWN (e.g. [1, 0, -1]) where DuckDB's generate_series yields
+        # empty — return the empty set explicitly on both engines.
+        return F.when(F.length(col) < 3, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(col) - 2),
+                    lambda i: F.substring(col, i, 3),
+                )
             )
         )
 
@@ -810,8 +815,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT n.n_name AS nation,
-             SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5))
-               AS cents
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS cents
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -819,14 +824,17 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            CAST(cents / 100.0 AS DOUBLE) AS revenue,
-           CAST(cents AS BIGINT) * 1000000
-             // (SELECT CAST(SUM(cents) AS BIGINT) FROM rev) AS share_ppm
+           CAST(CAST(cents AS HUGEINT) * 1000000
+             // (SELECT SUM(cents) FROM rev) AS BIGINT) AS share_ppm
     FROM rev
     """,
     doc="Revenue share per nation in exact parts-per-million: money "
-    "accumulates as integer cents (order-independent), the share is "
-    "one integer division against the grand total — no float ratio "
-    "can drift between engines or partitionings. Fact joins dims via "
+    "accumulates as integer cents (per-row FLOOR cast to integer so "
+    "both engines sum integers, exact past 2^53), the share is one "
+    "integer division against the grand total — no float ratio can "
+    "drift between engines or partitionings; the ppm multiply is "
+    "widened (decimal / HUGEINT) so it cannot overflow long until "
+    "total revenue passes ~9e16 dollars. Fact joins dims via "
     "broadcast; one shuffle for the grouped sum, the total is a "
     "scalar subquery (driver-size).",
     tags=("agg", "join", "money"),
@@ -844,7 +852,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(
                     F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
                     + F.lit(0.5)
-                )
+                ).cast("long")
             ).alias("cents")
         )
     )
@@ -852,5 +860,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.crossJoin(F.broadcast(total)).select(
         "nation",
         (F.col("cents") / 100.0).cast("double").alias("revenue"),
-        F.expr("cents * 1000000 div total_cents").cast("long").alias("share_ppm"),
+        F.expr("CAST(cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+        .cast("long")
+        .alias("share_ppm"),
     )

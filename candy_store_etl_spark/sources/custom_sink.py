@@ -13,9 +13,20 @@ succeeded — renames staged files into place and writes a
 ``manifest.json`` naming them all with row counts. A reader that
 honors the manifest never sees partial output from a failed or
 speculatively-retried task (Spark may run duplicate attempts; the
-losing attempt's staging file is simply never manifested —
-``abort()`` sweeps strays). This is the same two-phase scheme Spark's
-own FileOutputCommitter uses, expressed in the Python DataSource API.
+losing attempt's staging file is simply never manifested). This is the
+same two-phase scheme Spark's own FileOutputCommitter uses, expressed
+in the Python DataSource API.
+
+Caveats (by construction of the local-rename protocol):
+- The driver renames files written by executor tasks, so driver and
+  executors must share a filesystem (true in local mode and on any
+  shared mount; an object-store deployment would move the rename into
+  a per-task commit or use a path-listing manifest instead).
+- ``abort()`` can only remove staging files whose commit messages
+  reached the driver; a task that died before returning one leaves a
+  ``.….staging`` stray. An overwrite-mode ``commit()`` sweeps strays;
+  in append mode they persist on disk but are never manifested, so
+  manifest-honoring readers never see them.
 """
 
 from __future__ import annotations
@@ -63,6 +74,23 @@ class CandyReportsWriter(DataSourceWriter):
         return _PartFile(staged=staged, final=os.path.join(self.path, name), rows=n)
 
     def commit(self, messages) -> None:
+        committed = {os.path.basename(m.final) for m in messages} | {
+            "manifest.json"
+        }
+        if self.overwrite:
+            # honor mode("overwrite"): drop every file from prior runs
+            # (data files AND crashed-task staging strays) that this
+            # commit does not produce, so stale parts never sit next to
+            # a fresh manifest
+            for entry in os.listdir(self.path):
+                full = os.path.join(self.path, entry)
+                if entry not in committed and not any(
+                    full == m.staged for m in messages
+                ):
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
         files = []
         for m in messages:
             os.rename(m.staged, m.final)

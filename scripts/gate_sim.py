@@ -80,6 +80,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report and continue
             bad.append(name)
             print(f"{i:3d} {name}: ERROR {type(exc).__name__}: {exc}")
+        finally:
+            # a few queries persist() intra-plan relations (bigram-LM
+            # occurrence table, pagerank edges); drop them between
+            # queries so a full catalog run doesn't accumulate cache
+            spark.catalog.clearCache()
     print(f"BAD={len(bad)} {bad}")
     spark.stop()
     return 1 if bad else 0

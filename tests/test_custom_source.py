@@ -155,3 +155,42 @@ def test_custom_python_datasource_writer_manifest(spark, sf_correctness, tmp_pat
     assert {(r.doc_id, r.lang, r.source) for r in back.collect()} == {
         (r.doc_id, r.lang, r.source) for r in docs.collect()
     }
+
+
+def test_custom_python_datasource_writer_overwrite_sweeps_stale(
+    spark, sf_correctness, tmp_path
+):
+    """mode('overwrite') must leave ONLY the fresh run's files: stale
+    parts from a prior run and crashed-task staging strays are swept,
+    so directory contents == fresh manifest exactly."""
+    import json as _json
+
+    from candy_store_etl_spark.sources.custom_sink import CandyReportsDataSource
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    spark.dataSource.register(CandyReportsDataSource)
+    docs = load_table(spark, sf_correctness, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "reports")
+    docs.repartition(4).write.format("candy_reports").option("path", out).mode(
+        "append"
+    ).save()
+    first_files = {p for p in os.listdir(out) if p.endswith(".jsonl")}
+    assert len(first_files) == 4
+    # simulate a crashed-task stray from an earlier attempt
+    stray = os.path.join(out, ".part-99999-deadbeef.jsonl.staging")
+    with open(stray, "w") as f:
+        f.write("{}\n")
+
+    docs.repartition(2).write.format("candy_reports").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    with open(f"{out}/manifest.json") as f:
+        manifest = _json.load(f)
+    assert len(manifest["files"]) == 2
+    on_disk = set(os.listdir(out))
+    assert on_disk == {e["file"] for e in manifest["files"]} | {"manifest.json"}
+    # stale first-run parts and the stray are gone
+    assert not (first_files & on_disk)
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert back.count() == docs.count()
