@@ -1,3 +1,17 @@
-from .candy_dag import CANDY_DAG_TASKS, build_airflow_dag, topological_order
+from .candy_dag import (
+    CANDY_DAG_TASKS,
+    StageContext,
+    build_airflow_dag,
+    run_dag,
+    run_stage,
+    topological_order,
+)
 
-__all__ = ["CANDY_DAG_TASKS", "build_airflow_dag", "topological_order"]
+__all__ = [
+    "CANDY_DAG_TASKS",
+    "StageContext",
+    "build_airflow_dag",
+    "run_dag",
+    "run_stage",
+    "topological_order",
+]

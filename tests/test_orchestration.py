@@ -55,3 +55,57 @@ def test_airflow_binding_is_import_gated():
     pytest.importorskip("airflow", reason="airflow not installed here")
     dag = build_airflow_dag()
     assert len(dag.tasks) == len(CANDY_DAG_TASKS)
+
+
+def test_run_dag_executes_full_graph_and_matches_pipeline(spark, tmp_path):
+    """Drive every task through run_stage in topological order (exactly
+    what the Airflow PythonOperators do) and require the five report
+    CSVs to equal the single-session pipeline's outputs — proving the
+    graph really is resumable from parquet stage boundaries alone."""
+    import os
+
+    import pandas as pd
+
+    from candy_store_etl_spark.orchestration import StageContext, run_dag
+    from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+    from candy_store_etl_spark.sources.candy import read_products
+    from candy_store_etl_spark.sources.sinks import save_single_csv
+
+    ref_data = "/root/reference/data/dataset_5"
+    if not os.path.isdir(ref_data):
+        pytest.skip("reference dataset not present")
+    dates = [f"202402{d:02d}" for d in range(1, 11)]
+    paths = tuple(
+        os.path.join(ref_data, f"transactions_{d}.json") for d in dates
+    )
+
+    ctx = StageContext(
+        session_factory=lambda: spark,
+        transaction_paths=paths,
+        products_path=os.path.join(ref_data, "products.csv"),
+        workdir=str(tmp_path / "dagwork"),
+    )
+    run_dag(ctx)
+
+    # the one-session pipeline, exported through the same CSV sink
+    want_dir = str(tmp_path / "want")
+    products = read_products(spark, ctx.products_path)
+    for name, df in run_pipeline(spark, list(paths), products).items():
+        if name == "order_line_items":
+            df = df.orderBy("order_id", "product_id")
+        elif name == "orders":
+            df = df.orderBy("order_id")
+        elif name == "daily_summary":
+            df = df.orderBy("date")
+        save_single_csv(df, want_dir, f"{name}.csv")
+
+    for name in [
+        "order_line_items",
+        "products_updated",
+        "orders",
+        "daily_summary",
+        "sales_profit_forecast",
+    ]:
+        got = pd.read_csv(os.path.join(ctx.workdir, "reports", f"{name}.csv"))
+        want = pd.read_csv(os.path.join(want_dir, f"{name}.csv"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
