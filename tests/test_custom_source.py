@@ -194,3 +194,67 @@ def test_custom_python_datasource_writer_overwrite_sweeps_stale(
     assert not (first_files & on_disk)
     back = spark.read.json(f"{out}/*.jsonl")
     assert back.count() == docs.count()
+
+
+def test_read_jdbc_executes_against_embedded_derby(spark, sf_smoke):
+    """Real end-to-end JDBC execution (reference data_processor.py:87-101
+    reads MySQL): load the 36-row products table into an in-memory
+    Derby database through the session JVM, then read it back through
+    read_jdbc — both the single-partition and the partitioned
+    (partitionColumn/bounds/numPartitions) paths."""
+    from candy_store_etl_spark.sources.candy import read_jdbc, read_products
+
+    ref_products = "/root/reference/data/dataset_5/products.csv"
+    if not os.path.exists(ref_products):
+        pytest.skip("reference dataset not present")
+    products = read_products(spark, ref_products)
+    rows = products.collect()
+    assert len(rows) == 36
+
+    url = "jdbc:derby:memory:candyjdbc;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE products (product_id INT PRIMARY KEY, "
+            "product_name VARCHAR(128), sales_price DOUBLE, stock INT)"
+        )
+        ps = conn.prepareStatement("INSERT INTO products VALUES (?, ?, ?, ?)")
+        for r in rows:
+            ps.setInt(1, r.product_id)
+            ps.setString(2, r.product_name)
+            ps.setDouble(3, float(r.sales_price))
+            ps.setInt(4, int(r.stock))
+            ps.executeUpdate()
+        ps.close()
+        st.close()
+    finally:
+        conn.close()
+
+    back = read_jdbc(spark, "jdbc:derby:memory:candyjdbc", "products")
+    want = {
+        (r.product_id, r.product_name, float(r.sales_price), r.stock)
+        for r in rows
+    }
+    got = {
+        (r.PRODUCT_ID, r.PRODUCT_NAME, r.SALES_PRICE, r.STOCK)
+        for r in back.collect()
+    }
+    assert got == want
+
+    # partitioned read: 4 bounded partitions over product_id
+    part = read_jdbc(
+        spark,
+        "jdbc:derby:memory:candyjdbc",
+        "products",
+        partitionColumn="PRODUCT_ID",
+        lowerBound="1",
+        upperBound="37",
+        numPartitions="4",
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert {
+        (r.PRODUCT_ID, r.PRODUCT_NAME, r.SALES_PRICE, r.STOCK)
+        for r in part.collect()
+    } == want
