@@ -103,10 +103,13 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             == _BLOOM_BENCH_CHAR
         ).alias("is_bench"),
     )
+    # consumed twice (bloom construction + exact verification) — cache
+    # so the benchmark tokenization/distinct runs once
     bench_grams = (
         staged.filter("is_bench")
         .select(F.explode("grams").alias("gram"))
         .distinct()
+        .cache()
     )
 
     def positions(gram: F.Column) -> list[F.Column]:
@@ -168,8 +171,10 @@ _SALT_R = 8
     doc=f"Salted shuffle join: fact rows carry salt = "
     f"pmod(hash(linenumber, partkey), {_SALT_R}); the orders side is "
     f"exploded ×{_SALT_R} so the composite key (orderkey, salt) spreads "
-    "any hot orderkey across reducers. shuffle_hash hint models the "
-    "too-big-to-broadcast dimension; the result is salt-invariant, so "
+    "any hot orderkey across reducers. Unlike salted_nation_sales_join "
+    "(which Catalyst broadcasts at gate SF, so the salted shuffle never "
+    "executes), the shuffle_hash hint forces the real salted exchange — "
+    "the plan test pins ShuffledHashJoin. Result is salt-invariant, so "
     "the oracle is the unsalted join.",
     tags=("join", "skew"),
 )

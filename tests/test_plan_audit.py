@@ -68,6 +68,12 @@ EXCHANGE_CAP_OVERRIDES = {
     # is never self-joined at fact size, so the exchanges are all on
     # pre-reduced relations
     "event_funnel": 6,
+    # bloom prefilter: bench-gram distinct (cached, re-printed under
+    # both its consumers), bloom position-set distinct, might-contain
+    # hit count, exact-verify join, final per-doc count — five genuine
+    # shuffle boundaries, every one over a bench-bounded or
+    # candidate-bounded relation (never the raw corpus explode)
+    "bloom_decontaminate_docs": 6,
 }
 
 BATCH_QUERIES = sorted(
