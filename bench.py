@@ -36,7 +36,24 @@ HEADLINE = [
     "ann_topk_lsh",
     # the stateful flagship (bucketed grouped-map greedy allocation)
     "inventory_allocation",
+    # round-3 scale operators
+    "bloom_decontaminate_docs",
+    "sessionize_events_gap",
 ]
+
+
+def _wait_for_quiet(max_wait_s: float = 60.0) -> float:
+    """BENCH_r02 was inflated ~20% by ambient load (concurrent test
+    runs). Wait briefly for the 1-minute loadavg to drop below half the
+    benched core count; give up after ``max_wait_s`` and record the
+    ambient load either way so a noisy number is at least labeled."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    deadline = time.monotonic() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > cpus / 2 and time.monotonic() < deadline:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return load
 
 # the reference's own workload: its five outputs on its own dataset
 # (timed only when the read-only reference checkout is present)
@@ -46,6 +63,7 @@ CANDY_REF_DATA = "/root/reference/data/dataset_5"
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ambient_load = _wait_for_quiet()
     spark = build_session("candy-store-etl-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_map()
@@ -118,6 +136,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "ambient_load_1m": round(ambient_load, 2),
             }
         )
     )

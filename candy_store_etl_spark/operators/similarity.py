@@ -717,3 +717,171 @@ def cosine_topk_pq(
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF twin: integer-quantized k-means, fully oracle-able
+# ---------------------------------------------------------------------------
+
+
+def _quantized(col: F.Column, scale: float = 1_000_000.0) -> F.Column:
+    """array<float> -> array<long> via floor(x*scale + 0.5).
+
+    float->double widening is exact and the floor formula is a single
+    sequence of correctly-rounded IEEE ops, so both engines (and a
+    driver-side ``math.floor(float(x)*scale + 0.5)``) produce identical
+    integers. With |x| <= ~0.53 and 64 dims, dot products stay under
+    2^53 — exact in long AND double.
+    """
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+    )
+
+
+def _ldot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _list_score(q: F.Column, c: F.Column) -> F.Column:
+    """Centroid affinity dot(q,c)/|c| — every input integer-exact, the
+    division/sqrt single correctly-rounded IEEE ops, so the double is
+    bit-identical across engines and partitionings."""
+    return _ldot(q, c).cast("double") / F.sqrt(_ldot(c, c).cast("double"))
+
+
+def _ivf_assign_portable(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-list id per vector: broadcast the k centroids, argmax by
+    (score DESC, list_id) — the tie-break makes the argmax total."""
+    from pyspark.sql import Window
+
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vid",
+        "q",
+        "list_id",
+        _list_score(F.col("q"), F.col("c")).alias("score"),
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("score").desc(), F.col("list_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "list_id", "q")
+    )
+
+
+def cosine_topk_ivf_portable(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF top-k whose ENTIRE training loop is cross-engine exact.
+
+    The throughput tier (``cosine_topk_ivf``) trains float k-means in
+    numpy — data-dependent float means are order-sensitive, so that
+    tier is rows-only at the gate. This twin quantizes embeddings to
+    integer micro-units first: Lloyd means become exact integer sums
+    with a portable floor-division, centroid affinities divide
+    integer-exact dots by one IEEE sqrt, and every argmax carries a
+    list_id tie-break — so DuckDB can replay training, probing, and
+    rerank bit-identically (the same fast-tier/portable-twin split as
+    minhash xxhash64 vs md5). Same deterministic stride seeding as
+    ``_centroid_seeds``.
+
+    Scale shape: per-iteration cost is one broadcast(k×dim) join + one
+    (list,dim) grouped sum; vectors shuffle only for the per-vid argmax
+    window. The numpy tier + persisted partition-pruned index remain
+    the production path; this twin is the correctness anchor.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
+    )
+    corpus = base.filter(F.col("vid") != query_id).cache()
+    qrow = base.filter(F.col("vid") == query_id).select("q").first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow["q"]])
+
+    n_rows = corpus.count()
+    stride = max(1, n_rows // n_centroids)
+    seeds = (
+        corpus.filter(F.col("vid") % stride == 0)
+        .orderBy("vid")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vid")) - 1)
+        .cast("long")
+        .alias("list_id"),
+        F.col("q").alias("c"),
+    )
+
+    for _ in range(iterations):
+        assigned = _ivf_assign_portable(corpus, cents)
+        per_dim = assigned.select(
+            "list_id", F.posexplode("q").alias("d", "val")
+        )
+        means = per_dim.groupBy("list_id", "d").agg(
+            # portable floor-division: exact integer sum/count widened to
+            # double (both < 2^53), one correctly-rounded divide, floor —
+            # identical in Spark and DuckDB regardless of sign (Spark's
+            # `div` truncates toward zero, DuckDB's `//` floors, so
+            # neither native operator is usable here)
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+        cents = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+
+    probed = (
+        cents.select(
+            "list_id", _list_score(qlit, F.col("c")).alias("score")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("list_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("list_id")
+    )
+    final_assign = _ivf_assign_portable(corpus, cents)
+    cand = final_assign.join(F.broadcast(probed), "list_id")
+
+    cos = _ldot(F.col("q"), qlit).cast("double") / (
+        F.sqrt(_ldot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_ldot(qlit, qlit).cast("double"))
+    )
+    ranked = cand.select("vid", cos.alias("cos")).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), F.col("vid").asc())
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        F.col("vid").alias("vec_id"),
+        F.col("rnk").cast("int").alias("rnk"),
+        (F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "cosine_sim"
+        ),
+    )

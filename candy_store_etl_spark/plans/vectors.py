@@ -717,3 +717,108 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(planes.shape[0])
     ]
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Portable IVF twin: integer-quantized k-means, trained inside the
+# oracle too (the fast-tier/portable-twin split, completed for ANN).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sql_dot(a: str, b: str) -> str:
+    """Exact integer dot widened to double (values < 2^53)."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> {a}[i]*{b}[i])) AS DOUBLE)"
+    )
+
+
+def _ivf_sql_score(q: str, c: str) -> str:
+    return f"({_ivf_sql_dot(q, c)} / sqrt({_ivf_sql_dot(c, c)}))"
+
+
+def _ivf_sql_assign(out: str, cents: str) -> str:
+    """One Lloyd assignment: argmax centroid per vector with the
+    (score DESC, list_id) total order."""
+    return f"""{out} AS (
+      SELECT vid, list_id, q FROM (
+        SELECT co.vid, s.list_id, co.q,
+               row_number() OVER (PARTITION BY co.vid ORDER BY
+                 {_ivf_sql_score("co.q", "s.c")} DESC, s.list_id) AS rn
+        FROM corpus co CROSS JOIN {cents} s) WHERE rn = 1
+    )"""
+
+
+def _ivf_sql_update(assign: str, mname: str, cname: str) -> str:
+    """One Lloyd update: per-(list, dim) integer mean with the portable
+    floor-division (see cosine_topk_ivf_portable)."""
+    return f"""{mname} AS (
+      SELECT list_id, t.d,
+             CAST(FLOOR(CAST(SUM(q[t.d]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cv
+      FROM {assign} CROSS JOIN generate_series(1, 64) AS t(d)
+      GROUP BY list_id, t.d
+    ),
+    {cname} AS (SELECT list_id, list(cv ORDER BY d) AS c FROM {mname} GROUP BY list_id)"""
+
+
+_IVF_PORTABLE_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id AS vid, q FROM base WHERE vec_id <> 0),
+    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
+    seeds AS (
+      SELECT vid, q FROM corpus
+      WHERE vid % (SELECT GREATEST(1, COUNT(*) // 16) FROM corpus) = 0
+      ORDER BY vid LIMIT 16
+    ),
+    c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS list_id, q AS c
+           FROM seeds),
+    {_ivf_sql_assign("a1", "c0")},
+    {_ivf_sql_update("a1", "m1", "c1")},
+    {_ivf_sql_assign("a2", "c1")},
+    {_ivf_sql_update("a2", "m2", "c2")},
+    probe AS (
+      SELECT list_id FROM (
+        SELECT s.list_id,
+               row_number() OVER (ORDER BY {_ivf_sql_score("qq", "s.c")} DESC,
+                                  s.list_id) AS rn
+        FROM c2 s CROSS JOIN qv) WHERE rn <= 4
+    ),
+    {_ivf_sql_assign("a3", "c2")},
+    rer AS (
+      SELECT vid,
+             {_ivf_sql_dot("q", "qq")}
+               / (sqrt({_ivf_sql_dot("q", "q")}) * sqrt({_ivf_sql_dot("qq", "qq")}))
+               AS cos
+      FROM a3 JOIN probe USING (list_id) CROSS JOIN qv
+    )
+    SELECT vid AS vec_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vid) AS INTEGER) AS rnk,
+           FLOOR(cos*1000000.0 + 0.5)/1000000.0 AS cosine_sim
+    FROM rer QUALIFY rnk <= 10
+    """
+
+
+@register(
+    "ann_topk_ivf_portable",
+    oracle=_IVF_PORTABLE_ORACLE,
+    doc="IVF top-k whose TRAINING is oracled, not just its output "
+    "shape: embeddings quantize to integer micro-units, so Lloyd means "
+    "are exact integer sums with a portable floor-division, centroid "
+    "affinities are integer dots over one IEEE sqrt, and every argmax "
+    "carries a list_id tie-break — DuckDB replays seeding, two Lloyd "
+    "iterations, probing, and the exact rerank bit-identically. "
+    "Completes the fast-tier/portable-twin pattern for ANN: "
+    "ann_topk_ivf (numpy float k-means, rows-only) keeps the "
+    "throughput, this twin carries the oracle.",
+    tags=("vectors", "ann", "ivf", "portable"),
+)
+def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf_portable
+
+    return cosine_topk_ivf_portable(load_table(spark, sf_dir, "embeddings"))

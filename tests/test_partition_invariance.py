@@ -41,6 +41,13 @@ REPRESENTATIVES = [
     "monthly_cohort_retention",
     "weekly_active_users",
     "snapshot_diff_cdc",
+    # round-3 additions: the integer-quantized k-means twin (Lloyd
+    # means must be partition-order-free), the bloom prefilter
+    # (candidate set must not depend on probe partitioning), and the
+    # two-window sessionizer
+    "ann_topk_ivf_portable",
+    "bloom_decontaminate_docs",
+    "sessionize_events_gap",
 ]
 
 

@@ -22,11 +22,20 @@ ALLOW_NESTED_LOOP = {
     "region_pairs_cross",
     # cross join against the single-row broadcast grand total
     "nation_revenue_share",
+    # every vector scores all k=16 broadcast centroids (the k-means
+    # assignment primitive — k-bounded, never data×data)
+    "ann_topk_ivf_portable",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
 # each one join + one grouped sum
-ALLOW_MANY_EXCHANGES = {"inventory_allocation_chained", "supplier_pagerank"}
+ALLOW_MANY_EXCHANGES = {
+    "inventory_allocation_chained",
+    "supplier_pagerank",
+    # two unrolled Lloyd iterations + final assignment, each its own
+    # argmax window + (list,dim) grouped mean — iterative by design
+    "ann_topk_ivf_portable",
+}
 MAX_EXCHANGES = 4
 # per-query overrides where the default cap miscounts BY DESIGN:
 # minhash caches the signature relation, and the formatted plan
