@@ -885,3 +885,170 @@ def cosine_topk_ivf_portable(
             "cosine_sim"
         ),
     )
+
+
+def _pq_books_from_rows(rows: DataFrame, m_sub: int, d_sub: int) -> DataFrame:
+    """(m, code, c8) codeword relation from whole-vector rows: subspace
+    m of seed r is the r-th codeword of book m."""
+    return rows.select(
+        "code",
+        F.explode(
+            F.array(*[F.lit(m) for m in range(m_sub)])
+        ).alias("m"),
+        "q",
+    ).select(
+        "m", "code", F.expr(f"slice(q, m * {d_sub} + 1, {d_sub})").alias("c8")
+    )
+
+
+def _pq_encode_portable(
+    corpus: DataFrame, books: DataFrame, m_sub: int, d_sub: int
+) -> DataFrame:
+    """(vid, m, code): per-subspace argmin_code |c|^2 - 2 x.c — every
+    term an exact long, so the argmin (with code tie-break) is a pure
+    integer total order, no floats anywhere."""
+    from pyspark.sql import Window
+
+    sub = corpus.select(
+        "vid",
+        F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m"),
+        "q",
+    ).select(
+        "vid", "m", F.expr(f"slice(q, m * {d_sub} + 1, {d_sub})").alias("qm")
+    )
+    scored = sub.join(F.broadcast(books), "m").select(
+        "vid",
+        "m",
+        "code",
+        (_ldot(F.col("c8"), F.col("c8")) - 2 * _ldot(F.col("qm"), F.col("c8")))
+        .alias("dist2"),
+    )
+    w = Window.partitionBy("vid", "m").orderBy(
+        F.col("dist2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "m", "code")
+    )
+
+
+def cosine_topk_pq_portable(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    k: int = 10,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    candidates: int = 100,
+) -> DataFrame:
+    """PQ top-k whose codebook TRAINING and ADC scan are cross-engine
+    exact — the PQ analog of ``cosine_topk_ivf_portable``.
+
+    Integer-quantized vectors make per-subspace encoding a pure integer
+    argmin (|c|^2 - 2 x.c with a code tie-break), Lloyd means the same
+    portable floor-division as the IVF twin, and the asymmetric-distance
+    score an exact integer SUM of M lookup-table probes — floats appear
+    only in the final exact-cosine rerank of the ``candidates`` buffer,
+    as single correctly-rounded IEEE ops. The numpy tier
+    (``cosine_topk_pq``) keeps the throughput and stays rows-only.
+    """
+    from pyspark.sql import Window
+
+    d_sub = 64 // m_subspaces
+    base = emb.select(
+        F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
+    )
+    corpus = base.filter(F.col("vid") != query_id).cache()
+    qrow = base.filter(F.col("vid") == query_id).select("q").first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qints = [int(v) for v in qrow["q"]]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qints])
+
+    n_rows = corpus.count()
+    stride = max(1, n_rows // n_codes)
+    seeds = (
+        corpus.filter(F.col("vid") % stride == 0)
+        .orderBy("vid")
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1)
+            .cast("long")
+            .alias("code"),
+            "q",
+        )
+    )
+    books = _pq_books_from_rows(seeds, m_subspaces, d_sub)
+
+    for _ in range(iterations):
+        enc = _pq_encode_portable(corpus, books, m_subspaces, d_sub)
+        per_dim = (
+            enc.join(corpus, "vid")
+            .select(
+                "m",
+                "code",
+                F.posexplode(
+                    F.expr(f"slice(q, m * {d_sub} + 1, {d_sub})")
+                ).alias("j", "val"),
+            )
+        )
+        books = (
+            per_dim.groupBy("m", "code", "j")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c8")
+            )
+        )
+
+    enc = _pq_encode_portable(corpus, books, m_subspaces, d_sub)
+    # integer LUT: dot of the query's m-th subvector with each codeword
+    qarr = "array(" + ", ".join(f"{v}L" for v in qints) + ")"
+    lut = books.select(
+        "m",
+        "code",
+        _ldot(
+            F.expr(f"slice({qarr}, m * {d_sub} + 1, {d_sub})"), F.col("c8")
+        ).alias("l"),
+    )
+    shortlist = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vid")
+        .agg(F.sum("l").alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("vid").asc())
+        .limit(candidates)
+        .select("vid")
+    )
+
+    cos = _ldot(F.col("q"), qlit).cast("double") / (
+        F.sqrt(_ldot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_ldot(qlit, qlit).cast("double"))
+    )
+    ranked = (
+        corpus.join(F.broadcast(shortlist), "vid")
+        .select("vid", cos.alias("cos"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("vid").asc())
+            ),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        F.col("vid").alias("vec_id"),
+        F.col("rnk").cast("int").alias("rnk"),
+        (F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "cosine_sim"
+        ),
+    )

@@ -822,3 +822,120 @@ def ann_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf_portable
 
     return cosine_topk_ivf_portable(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Portable PQ twin — codebook training + ADC scan in exact integers
+# ---------------------------------------------------------------------------
+
+
+def _pq_sql_dot8(a: str, b: str) -> str:
+    """Exact BIGINT dot over an 8-dim subspace."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1, 8), "
+        f"i -> {a}[i]*{b}[i])) AS BIGINT)"
+    )
+
+
+def _pq_sql_encode(out: str, books: str) -> str:
+    """Per-(vector, subspace) integer argmin |c|^2 - 2 x.c with a code
+    tie-break — no floats."""
+    qm = "list_slice(co.q, t.m*8 + 1, t.m*8 + 8)"
+    return f"""{out} AS (
+      SELECT vid, m, code FROM (
+        SELECT co.vid, t.m, b.code,
+               row_number() OVER (PARTITION BY co.vid, t.m ORDER BY
+                 {_pq_sql_dot8("b.c8", "b.c8")}
+                   - 2*{_pq_sql_dot8(qm, "b.c8")} ASC, b.code ASC) AS rn
+        FROM corpus co
+        CROSS JOIN generate_series(0, 7) AS t(m)
+        JOIN {books} b ON b.m = t.m) WHERE rn = 1
+    )"""
+
+
+def _pq_sql_update(enc: str, mname: str, bname: str) -> str:
+    return f"""{mname} AS (
+      SELECT e.m, e.code, t.j,
+             CAST(FLOOR(CAST(SUM(list_extract(co.q, e.m*8 + t.j)) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS cv
+      FROM {enc} e JOIN corpus co USING (vid)
+      CROSS JOIN generate_series(1, 8) AS t(j)
+      GROUP BY e.m, e.code, t.j
+    ),
+    {bname} AS (SELECT m, code, list(cv ORDER BY j) AS c8
+                FROM {mname} GROUP BY m, code)"""
+
+
+_PQ_PORTABLE_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id AS vid, q FROM base WHERE vec_id <> 0),
+    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vid) - 1 AS code, q FROM (
+        SELECT vid, q FROM corpus
+        WHERE vid % (SELECT GREATEST(1, COUNT(*) // 16) FROM corpus) = 0
+        ORDER BY vid LIMIT 16)
+    ),
+    b0 AS (
+      SELECT t.m, s.code, list_slice(s.q, t.m*8 + 1, t.m*8 + 8) AS c8
+      FROM seeds s CROSS JOIN generate_series(0, 7) AS t(m)
+    ),
+    {_pq_sql_encode("e1", "b0")},
+    {_pq_sql_update("e1", "u1", "b1")},
+    {_pq_sql_encode("e2", "b1")},
+    {_pq_sql_update("e2", "u2", "b2")},
+    {_pq_sql_encode("e3", "b2")},
+    lut AS (
+      SELECT b.m, b.code,
+             {_pq_sql_dot8("list_slice(qv.qq, b.m*8 + 1, b.m*8 + 8)", "b.c8")}
+               AS l
+      FROM b2 b CROSS JOIN qv
+    ),
+    shortlist AS (
+      SELECT vid FROM (
+        SELECT e.vid,
+               row_number() OVER (ORDER BY SUM(l) DESC, e.vid ASC) AS rn
+        FROM e3 e JOIN lut USING (m, code)
+        GROUP BY e.vid) WHERE rn <= 100
+    ),
+    rer AS (
+      SELECT co.vid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                                          i -> co.q[i]*qv.qq[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                                          i -> co.q[i]*co.q[i])) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                                          i -> qv.qq[i]*qv.qq[i])) AS DOUBLE)))
+               AS cos
+      FROM corpus co JOIN shortlist USING (vid) CROSS JOIN qv
+    )
+    SELECT vid AS vec_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vid) AS INTEGER) AS rnk,
+           FLOOR(cos*1000000.0 + 0.5)/1000000.0 AS cosine_sim
+    FROM rer QUALIFY rnk <= 10
+    """
+
+
+@register(
+    "ann_topk_pq_portable",
+    oracle=_PQ_PORTABLE_ORACLE,
+    doc="PQ top-k whose codebook TRAINING and ADC scan are oracled: "
+    "integer-quantized vectors make per-subspace encoding a pure "
+    "integer argmin (|c|^2 - 2 x.c, code tie-break), Lloyd means the "
+    "portable floor-division, and the asymmetric-distance score an "
+    "exact integer SUM of M=8 LUT probes — floats only in the final "
+    "exact-cosine rerank of the 100-row buffer (single "
+    "correctly-rounded IEEE ops). With ann_topk_ivf_portable this "
+    "completes the fast-tier/portable-twin pattern across every ANN "
+    "tier; ann_topk_pq (numpy float k-means) keeps the throughput.",
+    tags=("vectors", "ann", "pq", "portable"),
+)
+def ann_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_pq_portable
+
+    return cosine_topk_pq_portable(load_table(spark, sf_dir, "embeddings"))

@@ -46,6 +46,7 @@ REPRESENTATIVES = [
     # (candidate set must not depend on probe partitioning), and the
     # two-window sessionizer
     "ann_topk_ivf_portable",
+    "ann_topk_pq_portable",
     "bloom_decontaminate_docs",
     "sessionize_events_gap",
 ]

@@ -35,6 +35,7 @@ ALLOW_MANY_EXCHANGES = {
     # two unrolled Lloyd iterations + final assignment, each its own
     # argmax window + (list,dim) grouped mean — iterative by design
     "ann_topk_ivf_portable",
+    "ann_topk_pq_portable",
 }
 MAX_EXCHANGES = 4
 # per-query overrides where the default cap miscounts BY DESIGN:
