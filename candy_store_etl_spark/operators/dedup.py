@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
+from ..sources.tpch import repartition_for_compute
 
 
 def exact_dedup(
@@ -78,6 +79,24 @@ def _shingle_hashes(th: Column, n: int = 3) -> Column:
     whole = F.aggregate(th, F.lit(0).cast("long"), combine)
     shingled = F.transform(F.sequence(F.lit(0), F.size(th) - n), window_hash)
     return F.when(F.size(th) <= n, F.array(whole)).otherwise(shingled)
+
+
+def _explode_nonempty(df, alias: str, expr: Column, *keep: str):
+    """``explode`` WITHOUT the optimizer's inferred generate filter.
+
+    ``InferFiltersFromGenerate`` rewrites ``explode(e)`` into
+    ``Filter(size(e) > 0) + Generate`` with the FULL generator
+    expression inlined into the filter; the filter then pushes below
+    the compute-repartition to the (often single-split) scan, where the
+    whole tokenize/shingle/hash chain evaluates a second time —
+    serially (measured 5x end-to-end on the bloom decontamination
+    query, and a double evaluation everywhere else). ``explode_outer``
+    infers no filter; the equivalent null-row drop afterwards touches
+    only the exploded OUTPUT column. Semantics are identical: empty and
+    null arrays contribute no rows either way.
+    """
+    out = df.select(*keep, F.explode_outer(expr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
 
 
 def minhash_perm_arrays(num_perm: int):
@@ -128,15 +147,15 @@ def minhash_signatures(
     """
     a_mult, b_add = minhash_perm_arrays(num_perm)
     mask = F.lit(0xFFFFFFFF)
+    # tiny-input, heavy-derivation: spread the shingle/hash chain
+    # across cores before it starts (see repartition_for_compute)
+    df = repartition_for_compute(df)
     hashed = df.select(
         F.col(id_col).alias("id"),
         _token_hashes(tokens(F.col(text_col))).alias("th"),
     )
-    flat = hashed.select(
-        "id",
-        F.explode(
-            F.array_distinct(_shingle_hashes(F.col("th"), shingle_n))
-        ).alias("h"),
+    flat = _explode_nonempty(
+        hashed, "h", F.array_distinct(_shingle_hashes(F.col("th"), shingle_n)), "id"
     )
     mins = [
         F.min(
@@ -195,19 +214,18 @@ def minhash_signatures_oph(
         raise ValueError(f"num_perm={num_perm} must be a power of two")
     bin_bits = num_perm.bit_length() - 1
     shift = 32 - bin_bits
+    df = repartition_for_compute(df)
     if portable:
         # md5-derived shingle hash (see minhash_signatures_portable) —
         # same binning/densification on an engine-reproducible hash, so
         # the WHOLE OPH construction (including circular borrowing) is
         # value-checked by the DuckDB oracle of
         # minhash_neardup_pairs_oph_portable
-        flat = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    word_shingles(tokens(F.col(text_col)), shingle_n)
-                )
-            ).alias("s"),
+        flat = _explode_nonempty(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            "s",
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
+            "id",
         ).select(
             "id",
             F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
@@ -219,11 +237,11 @@ def minhash_signatures_oph(
             F.col(id_col).alias("id"),
             _token_hashes(tokens(F.col(text_col))).alias("th"),
         )
-        flat = hashed.select(
+        flat = _explode_nonempty(
+            hashed,
+            "h",
+            F.array_distinct(_shingle_hashes(F.col("th"), shingle_n)),
             "id",
-            F.explode(
-                F.array_distinct(_shingle_hashes(F.col("th"), shingle_n))
-            ).alias("h"),
         )
     # per-shingle work is ONE shift — the min per (doc, bin) reduces
     # map-side in the first aggregate, so at most num_perm rows per doc
@@ -301,11 +319,12 @@ def minhash_signatures_portable(
     """
     a_mult, b_add = minhash_perm_arrays(num_perm)
     mask = F.lit(0xFFFFFFFF)
-    flat = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
-        ).alias("s"),
+    df = repartition_for_compute(df)
+    flat = _explode_nonempty(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        "s",
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
+        "id",
     ).select(
         "id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
@@ -535,9 +554,12 @@ def simhash(
         if portable
         else F.xxhash64("tok")
     )
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
+    df = repartition_for_compute(df)
+    toked = _explode_nonempty(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        "tok",
+        tokens(F.col(text_col)),
+        "id",
     ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(

@@ -287,15 +287,19 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _BENCH_PREFIX_MAX
         ).alias("is_bench"),
     )
+    # explode_outer + null-drop blocks InferFiltersFromGenerate from
+    # re-evaluating the whole shingle chain in a pushed-down filter
+    # (see operators/dedup._explode_nonempty)
     bench_grams = (
         staged.filter("is_bench")
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
     )
     corpus = staged.filter(~F.col("is_bench")).select(
         "doc_id", F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
-    )
+        F.explode_outer("grams").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     hits = (
         corpus.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")

@@ -55,8 +55,24 @@ from .registry import register
 # ---------------------------------------------------------------------------
 
 _BLOOM_N = 8  # n-gram width (typical benchmark-decontamination width)
-_BLOOM_M = 1 << 16  # bits in the filter (position-set cardinality bound)
+_BLOOM_MIN_M = 1 << 16  # floor on filter size
+_BLOOM_BITS_PER_ELEMENT = 16  # sizing rule: m >= 16n keeps fpp ~1e-3
 _BLOOM_K = 3  # hash functions per gram
+
+
+def bloom_m_for(n_elements: int) -> int:
+    """Power-of-two filter size for ``n_elements``: a FIXED m saturates
+    once the benchmark outgrows it (measured: the sf0.1 benchmark set
+    drove fpp to ~0.97 at m=2^16, making the prefilter a no-op and the
+    query 10x slower), so m scales at ~16 bits/element. The broadcast
+    position set is then O(n_bench) ints — still ~10x smaller than
+    broadcasting the n-gram strings themselves, which is the point."""
+    m = _BLOOM_MIN_M
+    while m < _BLOOM_BITS_PER_ELEMENT * n_elements:
+        m <<= 1
+    return m
+
+
 # benchmark slice: first md5 hex char == 'a' (deterministic 1/16 slice,
 # disjoint in expectation from benchmark_decontamination's '00'..'0f')
 _BLOOM_BENCH_CHAR = "a"
@@ -84,15 +100,19 @@ _SQL_SHINGLES8 = f"""CASE WHEN len(toks) <= {_BLOOM_N}
     FROM cg JOIN bg USING (gram) GROUP BY doc_id
     """,
     doc=f"Bloom-prefiltered {_BLOOM_N}-gram decontamination. The corpus "
-    "side probes a broadcast Bloom position set (size bounded by "
-    f"m={_BLOOM_M} regardless of benchmark size) before the exact "
-    "verification join; false positives are eliminated by the exact "
-    "join, so the oracle is the naive exact SQL. The Bloom hashes use "
-    "xxhash64 freely — they never reach the output.",
+    "side probes a broadcast Bloom position set (~16 bits per benchmark "
+    "gram — an order smaller than broadcasting the gram strings) before "
+    "the exact verification join; false positives are eliminated by the "
+    "exact join, so the oracle is the naive exact SQL. The Bloom hashes "
+    "use xxhash64 freely — they never reach the output.",
     tags=("text", "decontamination", "bloom"),
 )
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.tpch import repartition_for_compute
+
+    # one 600 KB file feeds ~10^5 8-gram shingles — spread the
+    # derivation before it starts (measured 7 s single-core at sf0.1)
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id",
         F.array_distinct(
@@ -107,42 +127,55 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the benchmark tokenization/distinct runs once
     bench_grams = (
         staged.filter("is_bench")
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
         .cache()
     )
 
+    m_bits = bloom_m_for(bench_grams.count())
+
     def positions(gram: F.Column) -> list[F.Column]:
         return [
-            F.pmod(F.xxhash64(gram, F.lit(s)), F.lit(_BLOOM_M))
+            F.pmod(F.xxhash64(gram, F.lit(s)), F.lit(m_bits))
             for s in range(_BLOOM_K)
         ]
 
     # The "bits" of the filter, as a distinct position relation bounded
     # by m rows — broadcastable even when bench_grams is not.
+    # cached: consumed by k semi-joins — without the cache each join
+    # replans and re-executes the position-set construction
     bloom = (
         bench_grams.select(
             F.explode(F.array(*positions(F.col("gram")))).alias("pos")
         )
         .distinct()
+        .cache()
     )
 
-    corpus = staged.filter(~F.col("is_bench")).select(
-        "doc_id", F.explode("grams").alias("gram")
+    # explode_outer + null-drop: the regular explode's inferred
+    # size(grams)>0 filter inlines the whole shingle chain and pushes
+    # it below the repartition — a serial second evaluation (see
+    # operators/dedup._explode_nonempty; measured 5x on this query)
+    corpus = (
+        staged.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
-    probes = corpus.select(
-        "doc_id",
-        "gram",
-        F.explode(F.array(*positions(F.col("gram")))).alias("pos"),
-    )
-    # A gram might-be-contained iff ALL k of its positions are set.
-    candidates = (
-        probes.join(F.broadcast(bloom), "pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .filter(F.col("hits") == _BLOOM_K)
-        .select("doc_id", "gram")
-    )
+    # A gram might-be-contained iff ALL k of its positions are set:
+    # k chained broadcast SEMI-joins against the one position relation
+    # — entirely map-side, so the membership test shuffles nothing
+    # (the first form of this query exploded k probe rows and counted
+    # hits==k through a (doc_id, gram) shuffle; measured 4x slower at
+    # sf0.1 and needlessly exchanges the full corpus-gram relation).
+    candidates = corpus
+    for s, pos in enumerate(positions(F.col("gram"))):
+        candidates = candidates.withColumn(f"p{s}", pos).join(
+            F.broadcast(bloom),
+            F.col(f"p{s}") == bloom["pos"],
+            "left_semi",
+        )
+    candidates = candidates.select("doc_id", "gram")
     # Exact verification join removes Bloom false positives; only the
     # tiny candidate set reaches it.
     return (

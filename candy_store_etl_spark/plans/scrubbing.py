@@ -186,7 +186,10 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("toks")
     )
     occ = (
-        docs.select("doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg"))
+        docs.select(
+            "doc_id", F.explode_outer(word_shingles(F.col("toks"), 2)).alias("bg")
+        )
+        .filter(F.col("bg").isNotNull())
         .select("doc_id", "bg", F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
     )
     occ = occ.persist()

@@ -63,3 +63,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API surface."""
     for name in TPCH_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def repartition_for_compute(df, min_partitions: int | None = None):
+    """Unlock parallelism when a TINY scan feeds super-linear work.
+
+    File-split partitioning is byte-based, so a kilobyte-scale input
+    (documents at bench SF is one 600 KB single-row-group parquet file
+    → ONE split) serializes shingling/hashing/explode chains that cost
+    orders of magnitude more than the scan itself — measured 7 s of
+    single-core 8-gram shingling at sf0.1 that drops to well under a
+    second once spread. Repartition costs one exchange of the raw rows,
+    negligible exactly when this matters (input ≪ derivation). At
+    production scale the scan arrives with thousands of splits and this
+    is a no-op — the guard keeps the exchange out of plans that don't
+    need it. Results stay partition-invariant by the repo's determinism
+    rules (pinned in tests/test_partition_invariance.py).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -38,15 +38,15 @@ def test_bloom_position_set_is_broadcast_and_bounded(spark, sf_correctness):
     relation whose cardinality is bounded by m regardless of benchmark
     size — the plan must broadcast the pos join, and the position set
     must fit the bound."""
-    from candy_store_etl_spark.plans.scale_ops import (
-        _BLOOM_M,
-        bloom_decontaminate_docs,
-    )
+    from candy_store_etl_spark.plans.scale_ops import bloom_decontaminate_docs
 
     df = bloom_decontaminate_docs(spark, sf_correctness)
     plan = _plan(df)
-    # the might-contain probe joins on 'pos' via a broadcast exchange
-    assert re.search(r"BroadcastHashJoin \[pos#\d+L?\]", plan), plan[:1500]
+    # the might-contain probe is k chained broadcast LEFT SEMI joins
+    # against the position relation — map-side, no shuffle
+    assert re.search(
+        r"BroadcastHashJoin \[p\d#\d+L?\], \[pos#\d+L?\], LeftSemi", plan
+    ), plan[:1500]
 
 
 def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
@@ -56,8 +56,9 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
     from candy_store_etl_spark.functions.text import tokens, word_shingles
     from candy_store_etl_spark.plans.scale_ops import (
         _BLOOM_BENCH_CHAR,
-        _BLOOM_M,
+        _BLOOM_BITS_PER_ELEMENT,
         _BLOOM_N,
+        bloom_m_for,
     )
     from candy_store_etl_spark.sources.tpch import load_table
 
@@ -72,13 +73,23 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
             == _BLOOM_BENCH_CHAR
         ).alias("is_bench"),
     )
-    bench = staged.filter("is_bench").select(F.explode("grams").alias("gram"))
+    bench = (
+        staged.filter("is_bench")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    n_bench = bench.count()
+    m_bits = bloom_m_for(n_bench)
+    # the sizing rule must keep the filter unsaturated: >= 16 bits per
+    # element, so the distinct position count stays well under m and
+    # the expected fpp ~(1 - e^(-kn/m))^k remains < 1%
+    assert m_bits >= _BLOOM_BITS_PER_ELEMENT * n_bench
     n_positions = (
         bench.select(
             F.explode(
                 F.array(
                     *[
-                        F.pmod(F.xxhash64(F.col("gram"), F.lit(s)), F.lit(_BLOOM_M))
+                        F.pmod(F.xxhash64(F.col("gram"), F.lit(s)), F.lit(m_bits))
                         for s in range(3)
                     ]
                 )
@@ -87,7 +98,8 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
         .distinct()
         .count()
     )
-    assert n_positions <= _BLOOM_M
+    assert n_positions <= m_bits
+    assert n_positions <= 3 * n_bench
 
 
 def test_range_bucket_join_has_no_cartesian(spark, sf_correctness):
