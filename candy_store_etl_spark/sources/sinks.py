@@ -81,3 +81,46 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    *,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance op every long-lived
+    table needs (streaming sinks and fine-grained partitioned writes
+    accumulate kilobyte files; at 100 TB the resulting task-per-file
+    scheduling and footer-read overhead dominates scans).
+
+    Sizes the output from the INPUT's real bytes (``ceil(bytes /
+    target_mb)``), then either ``repartitionByRange(sort_by)`` — which
+    both compacts and gives each output file a disjoint key range, so
+    min/max zone maps prune like the Z-order layout pass — or a plain
+    round-robin ``repartition`` when no layout key is given. Returns
+    the number of files written. The rewrite is one shuffle of the
+    data; at scale this runs per-partition (compact only partitions
+    whose file count exceeds a threshold), which composes as a filter
+    on the partition column before this call.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if sort_by:
+        shaped = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        shaped = df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(out_path)
+    return len(glob.glob(os.path.join(out_path, "part-*.parquet")))

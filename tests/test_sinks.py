@@ -116,3 +116,41 @@ def test_orc_roundtrip_partitioned(spark, sf_correctness, tmp_path):
     assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)]" in plan, (
         plan[:2000]
     )
+
+
+def test_compact_files_merges_small_files(spark, sf_correctness, tmp_path):
+    """64 kilobyte-scale fragments must compact to the size-derived
+    file count with content unchanged; with a sort key, output files
+    carry disjoint key ranges (zone-map-prunable layout)."""
+    from candy_store_etl_spark.sources.sinks import compact_files
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_correctness, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(64).write.parquet(frag)
+    assert len(list((tmp_path / "frag").glob("part-*.parquet"))) == 64
+
+    out = str(tmp_path / "compact")
+    n = compact_files(spark, frag, out, target_mb=128)
+    assert n == 1  # well under one target file of input bytes
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+    # layout-sorted compaction: disjoint doc_id ranges per file
+    out2 = str(tmp_path / "compact_sorted")
+    n2 = compact_files(spark, frag, out2, target_mb=1, sort_by=["doc_id"])
+    assert n2 >= 1
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for p in sorted((tmp_path / "compact_sorted").glob("part-*.parquet")):
+        t = pq.read_table(p, columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        if ids:
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint key ranges
