@@ -227,3 +227,45 @@ def test_oph_precision_recall_on_testdata(spark, sf_correctness):
     quality bars as the classic multi-permutation signatures — the
     densification step is what makes this hold for short docs."""
     _assert_estimator_quality(spark, sf_correctness, "oph")
+
+
+def test_explode_nonempty_matches_plain_explode(spark):
+    """The InferFiltersFromGenerate workaround must be a pure
+    optimization: identical rows to plain explode for empty, null, and
+    populated arrays."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.operators.dedup import _explode_nonempty
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
+        "id int, xs array<string>",
+    )
+    got = _explode_nonempty(df, "x", F.col("xs"), "id")
+    want = df.select("id", F.explode("xs").alias("x"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_repartition_for_compute_noop_on_split_input(spark, sf_correctness, tmp_path):
+    """The guard must leave already-parallel scans untouched (no
+    repartition exchange at production-scale file counts) and spread
+    single-split scans to defaultParallelism."""
+    from candy_store_etl_spark.sources.tpch import (
+        load_table,
+        repartition_for_compute,
+    )
+
+    docs = load_table(spark, sf_correctness, "documents")
+    spread = repartition_for_compute(docs)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    many = str(tmp_path / "many")
+    docs.repartition(16).write.parquet(many)
+    already = spark.read.parquet(many)
+    n_before = already.rdd.getNumPartitions()
+    assert n_before >= spark.sparkContext.defaultParallelism
+    out = repartition_for_compute(already)
+    assert out is already  # identity — no exchange added
