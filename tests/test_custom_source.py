@@ -258,3 +258,24 @@ def test_read_jdbc_executes_against_embedded_derby(spark, sf_smoke):
         (r.PRODUCT_ID, r.PRODUCT_NAME, r.SALES_PRICE, r.STOCK)
         for r in part.collect()
     } == want
+
+
+def test_write_jdbc_roundtrip_via_derby(spark, sf_correctness):
+    """Write direction of the JDBC story: Spark's JDBC writer creates
+    and populates a Derby table, and read_jdbc round-trips it."""
+    from candy_store_etl_spark.sources.candy import read_jdbc
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    nation = load_table(spark, sf_correctness, "nation")
+    url = "jdbc:derby:memory:candyjdbcw;create=true"
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(spark, "jdbc:derby:memory:candyjdbcw", "nation")
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in nation.collect()
+    }
