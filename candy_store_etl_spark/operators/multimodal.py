@@ -225,3 +225,70 @@ def sample_frames(decoded: DataFrame, every_k: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+SEGMENTED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("clip_idx", IntegerType(), False),
+        StructField("start_sample", LongType(), False),
+        StructField("clip_len", LongType(), False),
+        StructField("clip_md5", StringType(), False),
+    ]
+)
+
+
+def segment_audio(media: DataFrame, *, codec: str = "fake") -> DataFrame:
+    """Audio-style windowed segmentation: binary payload → fixed-size
+    clips (digest-derived frame size stands in for sample-rate math),
+    one output row per clip with its byte range and content digest.
+
+    The Arrow-batched slicing over the binary column is the real
+    contract a waveform chunker runs under (a real deployment decodes
+    PCM and windows samples instead of raw bytes; no audio libs ship in
+    this container, same policy as ``decode_media``). Deterministic by
+    construction, so the registered query carries a full DuckDB oracle
+    (digest arithmetic + substr windows — ASCII corpus makes char
+    windows equal byte windows).
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs an audio library not present in this "
+            "container; only the deterministic 'fake' codec is available"
+        )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None or len(buf) == 0:
+                    continue
+                data = bytes(buf)
+                clip = 64 + hashlib.sha256(data).digest()[3] % 64
+                for i in range((len(data) + clip - 1) // clip):
+                    seg = data[i * clip : (i + 1) * clip]
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            i * clip,
+                            len(seg),
+                            hashlib.md5(seg).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "clip_idx",
+                    "start_sample",
+                    "clip_len",
+                    "clip_md5",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        segment, SEGMENTED_SCHEMA
+    )

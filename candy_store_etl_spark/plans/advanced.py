@@ -14,6 +14,7 @@ from ..operators.multimodal import (
     decode_media,
     resize_media,
     sample_frames,
+    segment_audio,
 )
 from ..sources.tpch import load_table
 from ..timeseries.forecast import forecast_metrics
@@ -586,3 +587,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media_column(docs, "doc_id", "text")
     decoded = decode_media(media, n_features=16)
     return sample_frames(decoded, every_k=2)
+
+
+@register(
+    "multimodal_segment_audio",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, text, sha256(text) AS hx,
+             strlen(text) AS n
+      FROM documents
+    ),
+    p AS (
+      SELECT media_id, text, n, 64 + {_SQL_SHA_BYTE(3)} % 64 AS clip
+      FROM h WHERE n > 0
+    ),
+    c AS (
+      SELECT media_id, text, n, clip,
+             unnest(generate_series(
+               0, CAST(CEIL(CAST(n AS DOUBLE) / clip) AS BIGINT) - 1))
+               AS clip_idx
+      FROM p
+    )
+    SELECT media_id,
+           CAST(clip_idx AS INTEGER) AS clip_idx,
+           CAST(clip_idx * clip AS BIGINT) AS start_sample,
+           CAST(LEAST(clip, n - clip_idx * clip) AS BIGINT) AS clip_len,
+           md5(substr(text, CAST(clip_idx * clip + 1 AS INTEGER),
+                      CAST(clip AS INTEGER))) AS clip_md5
+    FROM c
+    """,
+    doc="Audio-style windowed segmentation (the waveform-chunking "
+    "stage of a multimodal pipeline): binary payload fans out to "
+    "fixed-size clips — frame size digest-derived by the stub codec — "
+    "one row per clip with byte range and content md5. Arrow-batched "
+    "mapInPandas over the binary column (real chunker contract; "
+    "codec stubbed, same policy as decode). Fully oracled: digest "
+    "arithmetic for the frame size, substr windows for the clip "
+    "bytes (ASCII corpus: char windows == byte windows), md5 hex "
+    "portable across engines. Narrow fan-out, no shuffle.",
+    tags=("multimodal", "mapInPandas", "audio"),
+)
+def multimodal_segment_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text", mime="audio/fake")
+    return segment_audio(media)

@@ -88,3 +88,41 @@ def test_resize_media_stub_contract(media):
 def test_resize_real_codec_is_stubbed(media):
     with pytest.raises(NotImplementedError):
         resize_media(media, codec="pillow")
+
+
+def test_segment_audio_clips_reassemble_payload(spark, sf_correctness):
+    """Clips must tile the payload exactly: contiguous byte ranges,
+    md5-consistent content, and full coverage (sum of clip lengths ==
+    payload bytes)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.operators.multimodal import (
+        attach_media_column,
+        segment_audio,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_correctness, "documents").limit(50)
+    media = attach_media_column(docs, "doc_id", "text", mime="audio/fake")
+    segs = segment_audio(media).collect()
+    payloads = {
+        r.media_id: bytes(r.content)
+        for r in media.select("media_id", "content").collect()
+    }
+    by_media = {}
+    for r in segs:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {m for m, b in payloads.items() if len(b) > 0}
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r.clip_idx)
+        buf = payloads[mid]
+        pos = 0
+        for r in rows:
+            assert r.start_sample == pos
+            seg = buf[pos : pos + r.clip_len]
+            assert len(seg) == r.clip_len
+            assert hashlib.md5(seg).hexdigest() == r.clip_md5
+            pos += r.clip_len
+        assert pos == len(buf)
