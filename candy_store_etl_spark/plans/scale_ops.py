@@ -104,7 +104,11 @@ _SQL_SHINGLES8 = f"""CASE WHEN len(toks) <= {_BLOOM_N}
     "gram — an order smaller than broadcasting the gram strings) before "
     "the exact verification join; false positives are eliminated by the "
     "exact join, so the oracle is the naive exact SQL. The Bloom hashes "
-    "use xxhash64 freely — they never reach the output.",
+    "use xxhash64 freely — they never reach the output. Broadcast "
+    "bound: ~16 bits/element holds to benchmarks of ~1e8 grams "
+    "(hundreds of MB); past that, drop the broadcast hint and the same "
+    "plan degrades to a shuffled semi-join on pos, or shard the "
+    "position set by pmod(pos, S) into S co-partitioned filters.",
     tags=("text", "decontamination", "bloom"),
 )
 def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
