@@ -54,6 +54,12 @@ def cosine_topk_blockwise(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine similarity, vectorized per Arrow batch."""
+    from ..sources.tpch import repartition_for_compute
+
+    # a single-split scan would run the matmul on one core (see
+    # repartition_for_compute); partial top-k per partition keeps the
+    # result partition-count-invariant
+    emb = repartition_for_compute(emb)
     q = _as_unit(query)
     out_schema = StructType(
         [
@@ -96,6 +102,9 @@ def cosine_topk_arrow(
     ``cosine_topk_blockwise`` (pinned in tests)."""
     import pyarrow as pa
 
+    from ..sources.tpch import repartition_for_compute
+
+    emb = repartition_for_compute(emb)  # see cosine_topk_blockwise
     q = _as_unit(query)
     out_schema = StructType(
         [
