@@ -75,3 +75,29 @@ def metric_total(df: DataFrame, metric: str, *, node_contains: str = "") -> int:
         for nm in executed_plan_metrics(df)
         if node_contains.lower() in nm.node.lower()
     )
+
+
+# ---------------------------------------------------------------------------
+# Formatted-plan-text property extraction — ONE definition shared by the
+# enforcing audit (tests/test_plan_audit.py) and the published artifact
+# (scripts/gen_plans.py -> PLANS.md), so the reviewable numbers can
+# never drift from the enforced ones.
+# ---------------------------------------------------------------------------
+
+
+def count_unique_shuffles(tree: str) -> int:
+    """Distinct shuffle Exchange operators in a formatted plan tree.
+
+    Counts UNIQUE operator ids: the formatted tree re-prints a shared
+    (e.g. cached) subtree under every consumer, so the same
+    executed-once exchange can appear many times. BroadcastExchange is
+    deliberately excluded (matched by the leading ``- Exchange``)."""
+    import re
+
+    return len(set(re.findall(r"[+:]- Exchange[^(]*\((\d+)\)", tree)))
+
+
+def count_unique_broadcasts(tree: str) -> int:
+    import re
+
+    return len(set(re.findall(r"[+:]- BroadcastExchange[^(]*\((\d+)\)", tree)))

@@ -81,7 +81,7 @@ def _shingle_hashes(th: Column, n: int = 3) -> Column:
     return F.when(F.size(th) <= n, F.array(whole)).otherwise(shingled)
 
 
-def _explode_nonempty(df, alias: str, expr: Column, *keep: str):
+def explode_nonempty(df, alias: str, expr: Column, *keep: str):
     """``explode`` WITHOUT the optimizer's inferred generate filter.
 
     ``InferFiltersFromGenerate`` rewrites ``explode(e)`` into
@@ -154,7 +154,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         _token_hashes(tokens(F.col(text_col))).alias("th"),
     )
-    flat = _explode_nonempty(
+    flat = explode_nonempty(
         hashed, "h", F.array_distinct(_shingle_hashes(F.col("th"), shingle_n)), "id"
     )
     mins = [
@@ -221,7 +221,7 @@ def minhash_signatures_oph(
         # the WHOLE OPH construction (including circular borrowing) is
         # value-checked by the DuckDB oracle of
         # minhash_neardup_pairs_oph_portable
-        flat = _explode_nonempty(
+        flat = explode_nonempty(
             df.select(F.col(id_col).alias("id"), F.col(text_col)),
             "s",
             F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
@@ -237,7 +237,7 @@ def minhash_signatures_oph(
             F.col(id_col).alias("id"),
             _token_hashes(tokens(F.col(text_col))).alias("th"),
         )
-        flat = _explode_nonempty(
+        flat = explode_nonempty(
             hashed,
             "h",
             F.array_distinct(_shingle_hashes(F.col("th"), shingle_n)),
@@ -320,7 +320,7 @@ def minhash_signatures_portable(
     a_mult, b_add = minhash_perm_arrays(num_perm)
     mask = F.lit(0xFFFFFFFF)
     df = repartition_for_compute(df)
-    flat = _explode_nonempty(
+    flat = explode_nonempty(
         df.select(F.col(id_col).alias("id"), F.col(text_col)),
         "s",
         F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
@@ -555,7 +555,7 @@ def simhash(
         else F.xxhash64("tok")
     )
     df = repartition_for_compute(df)
-    toked = _explode_nonempty(
+    toked = explode_nonempty(
         df.select(F.col(id_col).alias("id"), F.col(text_col)),
         "tok",
         tokens(F.col(text_col)),

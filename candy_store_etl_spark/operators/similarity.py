@@ -861,6 +861,10 @@ def cosine_topk_ivf_portable(
             ).alias("c")
         )
 
+    # the trained 16-row centroid relation feeds probe scoring AND the
+    # final assignment — cache it so the unrolled Lloyd training plan
+    # executes once, not once per consumer
+    cents = cents.cache()
     probed = (
         cents.select(
             "list_id", _list_score(qlit, F.col("c")).alias("score")
@@ -1021,6 +1025,9 @@ def cosine_topk_pq_portable(
             )
         )
 
+    # trained codebooks feed the final encode AND the LUT — cache so
+    # the unrolled training plan executes once (same as the IVF twin)
+    books = books.cache()
     enc = _pq_encode_portable(corpus, books, m_subspaces, d_sub)
     # integer LUT: dot of the query's m-th subvector with each codeword
     qarr = "array(" + ", ".join(f"{v}L" for v in qints) + ")"

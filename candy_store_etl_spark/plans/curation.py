@@ -35,6 +35,7 @@ from ..operators.dedup import (
     minhash_signatures_portable,
     minhash_similarity,
 )
+from ..operators.dedup import explode_nonempty
 from ..operators.graph import component_labels
 from ..sources.tpch import load_table
 from .registry import register
@@ -287,19 +288,20 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _BENCH_PREFIX_MAX
         ).alias("is_bench"),
     )
-    # explode_outer + null-drop blocks InferFiltersFromGenerate from
+    # explode_nonempty blocks InferFiltersFromGenerate from
     # re-evaluating the whole shingle chain in a pushed-down filter
-    # (see operators/dedup._explode_nonempty)
-    bench_grams = (
-        staged.filter("is_bench")
-        .select(F.explode_outer("grams").alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .distinct()
+    bench_grams = explode_nonempty(
+        staged.filter("is_bench"), "gram", F.col("grams")
+    ).distinct()
+    corpus = explode_nonempty(
+        staged.filter(~F.col("is_bench")).withColumn(
+            "n_grams", F.size("grams").cast("long")
+        ),
+        "gram",
+        F.col("grams"),
+        "doc_id",
+        "n_grams",
     )
-    corpus = staged.filter(~F.col("is_bench")).select(
-        "doc_id", F.size("grams").cast("long").alias("n_grams"),
-        F.explode_outer("grams").alias("gram"),
-    ).filter(F.col("gram").isNotNull())
     hits = (
         corpus.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import SQL_MONEY_SUM, money_sum
 from ..functions.text import SQL_TOKENS, tokens, word_shingles
+from ..operators.dedup import explode_nonempty
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -130,9 +131,7 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed twice (bloom construction + exact verification) — cache
     # so the benchmark tokenization/distinct runs once
     bench_grams = (
-        staged.filter("is_bench")
-        .select(F.explode_outer("grams").alias("gram"))
-        .filter(F.col("gram").isNotNull())
+        explode_nonempty(staged.filter("is_bench"), "gram", F.col("grams"))
         .distinct()
         .cache()
     )
@@ -157,14 +156,11 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    # explode_outer + null-drop: the regular explode's inferred
-    # size(grams)>0 filter inlines the whole shingle chain and pushes
-    # it below the repartition — a serial second evaluation (see
-    # operators/dedup._explode_nonempty; measured 5x on this query)
-    corpus = (
-        staged.filter(~F.col("is_bench"))
-        .select("doc_id", F.explode_outer("grams").alias("gram"))
-        .filter(F.col("gram").isNotNull())
+    # explode_nonempty blocks InferFiltersFromGenerate from
+    # re-evaluating the whole shingle chain in a pushed-down filter
+    # (measured 5x on this query)
+    corpus = explode_nonempty(
+        staged.filter(~F.col("is_bench")), "gram", F.col("grams"), "doc_id"
     )
     # A gram might-be-contained iff ALL k of its positions are set:
     # k chained broadcast SEMI-joins against the one position relation

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import SQL_FROUND, fround
 from ..functions.text import tokens, word_shingles
+from ..operators.dedup import explode_nonempty
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -185,13 +186,9 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    occ = (
-        docs.select(
-            "doc_id", F.explode_outer(word_shingles(F.col("toks"), 2)).alias("bg")
-        )
-        .filter(F.col("bg").isNotNull())
-        .select("doc_id", "bg", F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
-    )
+    occ = explode_nonempty(
+        docs, "bg", word_shingles(F.col("toks"), 2), "doc_id"
+    ).select("doc_id", "bg", F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
     occ = occ.persist()
     c2 = occ.groupBy("w1", "bg").agg(F.count("*").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))

@@ -74,23 +74,6 @@ class CandyReportsWriter(DataSourceWriter):
         return _PartFile(staged=staged, final=os.path.join(self.path, name), rows=n)
 
     def commit(self, messages) -> None:
-        committed = {os.path.basename(m.final) for m in messages} | {
-            "manifest.json"
-        }
-        if self.overwrite:
-            # honor mode("overwrite"): drop every file from prior runs
-            # (data files AND crashed-task staging strays) that this
-            # commit does not produce, so stale parts never sit next to
-            # a fresh manifest
-            for entry in os.listdir(self.path):
-                full = os.path.join(self.path, entry)
-                if entry not in committed and not any(
-                    full == m.staged for m in messages
-                ):
-                    try:
-                        os.remove(full)
-                    except OSError:
-                        pass
         files = []
         for m in messages:
             os.rename(m.staged, m.final)
@@ -101,6 +84,24 @@ class CandyReportsWriter(DataSourceWriter):
         }
         with open(os.path.join(self.path, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
+        if self.overwrite:
+            # honor mode("overwrite"): drop every file from prior runs
+            # (data files AND crashed-task staging strays) that this
+            # commit did not produce. The sweep runs AFTER the renames
+            # and the new manifest hit disk, so a crash at any point
+            # leaves a manifest whose named files all still exist —
+            # either the complete old snapshot or the complete new one
+            # (possibly with stale extras that the next overwrite or a
+            # manifest-honoring reader ignores).
+            committed = {os.path.basename(m.final) for m in messages} | {
+                "manifest.json"
+            }
+            for entry in os.listdir(self.path):
+                if entry not in committed:
+                    try:
+                        os.remove(os.path.join(self.path, entry))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:

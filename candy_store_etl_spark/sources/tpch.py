@@ -82,6 +82,13 @@ def repartition_for_compute(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Probe via the scan's file listing, NOT df.rdd.getNumPartitions():
+    # under AQE, Dataset.rdd materializes the adaptive plan and can
+    # eagerly execute upstream shuffle stages just to read a partition
+    # count. inputFiles() is metadata-only. Non-scan inputs (joins,
+    # aggregates — empty file list) are left untouched: they already
+    # carry shuffle-partition parallelism.
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df

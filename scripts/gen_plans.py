@@ -29,6 +29,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    from candy_store_etl_spark.metrics import (
+        count_unique_broadcasts,
+        count_unique_shuffles,
+    )
     from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
     from candy_store_etl_spark.session import build_session
 
@@ -55,10 +59,8 @@ def main() -> None:
         # executed AQE plans append "== Initial Plan ==" after the final
         # plan — count (and show) only the final plan
         tree = tree.split("== Initial Plan ==")[0].rstrip()
-        n_shuffle = len(set(re.findall(r"[+:]- Exchange[^(]*\((\d+)\)", tree)))
-        n_bcast = len(
-            set(re.findall(r"[+:]- BroadcastExchange[^(]*\((\d+)\)", tree))
-        )
+        n_shuffle = count_unique_shuffles(tree)
+        n_bcast = count_unique_broadcasts(tree)
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
         print(f"## {name}\n")

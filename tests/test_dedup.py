@@ -229,19 +229,19 @@ def test_oph_precision_recall_on_testdata(spark, sf_correctness):
     _assert_estimator_quality(spark, sf_correctness, "oph")
 
 
-def test_explode_nonempty_matches_plain_explode(spark):
+def testexplode_nonempty_matches_plain_explode(spark):
     """The InferFiltersFromGenerate workaround must be a pure
     optimization: identical rows to plain explode for empty, null, and
     populated arrays."""
     from pyspark.sql import functions as F
 
-    from candy_store_etl_spark.operators.dedup import _explode_nonempty
+    from candy_store_etl_spark.operators.dedup import explode_nonempty
 
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
         "id int, xs array<string>",
     )
-    got = _explode_nonempty(df, "x", F.col("xs"), "id")
+    got = explode_nonempty(df, "x", F.col("xs"), "id")
     want = df.select("id", F.explode("xs").alias("x"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 

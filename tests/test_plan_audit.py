@@ -9,6 +9,7 @@ import re
 
 import pytest
 
+from candy_store_etl_spark.metrics import count_unique_shuffles
 from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
 
 _ensure_loaded()
@@ -107,11 +108,7 @@ def test_plan_shape(spark, sf_correctness, name):
         assert "BroadcastNestedLoopJoin" not in tree, f"{name}:\n{tree}"
     if name not in ALLOW_MANY_EXCHANGES:
         cap = EXCHANGE_CAP_OVERRIDES.get(name, MAX_EXCHANGES)
-        # count UNIQUE shuffle exchanges: the formatted tree re-prints a
-        # shared (e.g. cached) subtree under every consumer, so the same
-        # executed-once exchange can appear many times; the operator id
-        # in parentheses identifies it
-        n_exchange = len(set(re.findall(r"[+:]- Exchange[^(]*\((\d+)\)", tree)))
+        n_exchange = count_unique_shuffles(tree)
         assert n_exchange <= cap, (
             f"{name}: {n_exchange} unique shuffles (max {cap}):\n{tree}"
         )

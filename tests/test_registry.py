@@ -29,6 +29,7 @@ def test_registration_order_starts_with_priority():
 
 
 def test_driver_window_is_fully_covered():
-    """Exactly 50 priority entries → the driver window is entirely
-    chosen by us, never by incidental import order."""
-    assert len(_WINDOW_PRIORITY) >= 50
+    """EXACTLY 50 priority entries — the driver verifies only the first
+    50 registered queries, so a 51st entry would silently fall outside
+    the window while every other registry test stayed green."""
+    assert len(_WINDOW_PRIORITY) == 50

@@ -57,6 +57,7 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
     from candy_store_etl_spark.plans.scale_ops import (
         _BLOOM_BENCH_CHAR,
         _BLOOM_BITS_PER_ELEMENT,
+        _BLOOM_K,
         _BLOOM_N,
         bloom_m_for,
     )
@@ -90,7 +91,7 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
                 F.array(
                     *[
                         F.pmod(F.xxhash64(F.col("gram"), F.lit(s)), F.lit(m_bits))
-                        for s in range(3)
+                        for s in range(_BLOOM_K)
                     ]
                 )
             ).alias("pos")
@@ -99,7 +100,7 @@ def test_bloom_prefilter_prunes_before_exact_join(spark, sf_correctness):
         .count()
     )
     assert n_positions <= m_bits
-    assert n_positions <= 3 * n_bench
+    assert n_positions <= _BLOOM_K * n_bench
 
 
 def test_range_bucket_join_has_no_cartesian(spark, sf_correctness):
