@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from candy_store_etl_spark.caching import release_caches  # noqa: E402
 from candy_store_etl_spark.plans import query_map  # noqa: E402
 from candy_store_etl_spark.session import build_session  # noqa: E402
 
@@ -42,16 +43,18 @@ HEADLINE = [
 ]
 
 
-def _wait_for_quiet(max_wait_s: float = 60.0) -> float:
-    """BENCH_r02 was inflated ~20% by ambient load (concurrent test
-    runs). Wait briefly for the 1-minute loadavg to drop below half the
-    benched core count; give up after ``max_wait_s`` and record the
-    ambient load either way so a noisy number is at least labeled."""
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _wait_for_quiet(max_wait_s: float = 600.0, target: float = 2.0) -> float:
+    """BENCH_r02 was inflated ~20% by ambient load and r3's
+    `corpus_curation` number was taken at load 6.5 — numbers above ~2
+    are noise, not measurements. Wait up to ``max_wait_s`` (10 min) for
+    the 1-minute loadavg to drop below ``target``; only then proceed.
+    Never hard-fail: the per-round driver needs the JSON line, so after
+    the deadline the run proceeds and the recorded ambient_load_1m
+    labels the number as noisy."""
     deadline = time.monotonic() + max_wait_s
     load = os.getloadavg()[0]
-    while load > cpus / 2 and time.monotonic() < deadline:
-        time.sleep(5)
+    while load > target and time.monotonic() < deadline:
+        time.sleep(10)
         load = os.getloadavg()[0]
     return load
 
@@ -91,6 +94,7 @@ def main() -> None:
         # execution can achieve.
         best = float("inf")
         for _ in range(3):
+            release_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode(
@@ -118,6 +122,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
+            release_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             for df in run_pipeline(spark, paths, products).values():

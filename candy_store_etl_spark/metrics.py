@@ -91,13 +91,33 @@ def count_unique_shuffles(tree: str) -> int:
     Counts UNIQUE operator ids: the formatted tree re-prints a shared
     (e.g. cached) subtree under every consumer, so the same
     executed-once exchange can appear many times. BroadcastExchange is
-    deliberately excluded (matched by the leading ``- Exchange``)."""
+    deliberately excluded (matched by the leading ``- Exchange``).
+
+    Raises on simple-mode plan text (``Exchange hashpartitioning(...)``
+    with no trailing operator id) — silently returning 0 there would
+    make a shuffle-cap audit vacuously pass."""
     import re
 
+    _assert_formatted_tree(tree)
     return len(set(re.findall(r"[+:]- Exchange[^(]*\((\d+)\)", tree)))
+
+
+def _assert_formatted_tree(tree: str) -> None:
+    """Every Exchange line in explain('formatted') output carries a
+    trailing ``(id)``; simple-mode lines carry partitioning detail and
+    ``[plan_id=..]`` instead. Reject the latter loudly."""
+    import re
+
+    for m in re.finditer(r"[+:]- (?:Broadcast)?Exchange[^\n]*", tree):
+        if not re.search(r"\(\d+\)\s*$", m.group(0)):
+            raise ValueError(
+                "plan text is not explain('formatted') output — Exchange "
+                f"line has no operator id: {m.group(0)!r}"
+            )
 
 
 def count_unique_broadcasts(tree: str) -> int:
     import re
 
+    _assert_formatted_tree(tree)
     return len(set(re.findall(r"[+:]- BroadcastExchange[^(]*\((\d+)\)", tree)))

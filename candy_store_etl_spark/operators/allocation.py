@@ -41,6 +41,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import tracked_cache
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 ALLOCATED_COL = "allocated_qty"
@@ -209,7 +211,7 @@ def allocate_greedy_chained(
     )
     # cache: every round filters this frame — uncached, each round
     # would redo the scan + ntile window
-    chunked = items.withColumn("__chunk", F.ntile(chunks).over(w)).cache()
+    chunked = items.withColumn("__chunk", F.ntile(chunks).over(w)).transform(tracked_cache)
     remaining = stock.select(product_col, F.col(stock_col).cast("long").alias(stock_col))
     outs: list[DataFrame] = []
     for k in range(1, chunks + 1):
@@ -222,7 +224,7 @@ def allocate_greedy_chained(
             stock_col=stock_col,
             order_by=order_by,
             buckets=buckets,
-        ).cache()
+        ).transform(tracked_cache)
         outs.append(out_k)
         remaining = (
             final_stock(
@@ -231,7 +233,7 @@ def allocate_greedy_chained(
             .select(
                 product_col, F.col("current_stock").cast("long").alias(stock_col)
             )
-            .cache()
+            .transform(tracked_cache)
         )
     result = outs[0]
     for o in outs[1:]:

@@ -30,6 +30,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 from ..functions.text import tokens, word_shingles
 from ..sources.tpch import repartition_for_compute
 
@@ -92,8 +94,13 @@ def explode_nonempty(df, alias: str, expr: Column, *keep: str):
     serially (measured 5x end-to-end on the bloom decontamination
     query, and a double evaluation everywhere else). ``explode_outer``
     infers no filter; the equivalent null-row drop afterwards touches
-    only the exploded OUTPUT column. Semantics are identical: empty and
-    null arrays contribute no rows either way.
+    only the exploded OUTPUT column. Empty and null arrays contribute
+    no rows either way. ONE deliberate difference from plain
+    ``explode``: a NULL *element* inside a non-empty array would emit a
+    null row under ``explode`` but is dropped here by the
+    ``isNotNull`` post-filter. Every in-repo call site feeds arrays of
+    non-null elements (token/shingle hashes, split grams); do not use
+    this helper where null elements are meaningful rows.
     """
     out = df.select(*keep, F.explode_outer(expr).alias(alias))
     return out.filter(F.col(alias).isNotNull())
@@ -519,7 +526,7 @@ def minhash_dedup_pairs(
     portable = method in ("portable", "oph_portable")
     sigs = sig_fn(
         df, id_col, text_col, num_perm=num_perm, shingle_n=shingle_n
-    ).cache()
+    ).transform(tracked_cache)
     cands = lsh_candidate_pairs(
         sigs, num_perm=num_perm, bands=bands, portable=portable
     )

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 def connected_components(
     edges: DataFrame,
@@ -162,12 +164,12 @@ def pagerank_integer(
     SCALE = 10**12
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").persist()
+    ed = e.join(deg, "src").transform(tracked_persist)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     n = nodes.count()
     init = int(SCALE // n)

@@ -27,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..caching import tracked_cache
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -632,7 +634,7 @@ def pq_train(
     books = np.ascontiguousarray(
         seeds.reshape(n_codes, m_subspaces, d_sub).transpose(1, 0, 2)
     )
-    emb_n = _normalized(emb, id_col, vec_col).cache()
+    emb_n = _normalized(emb, id_col, vec_col).transform(tracked_cache)
     try:
         for _ in range(iterations):
             codes = pq_encode(emb_n, books)
@@ -819,7 +821,7 @@ def cosine_topk_ivf_portable(
     base = emb.select(
         F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
     )
-    corpus = base.filter(F.col("vid") != query_id).cache()
+    corpus = base.filter(F.col("vid") != query_id).transform(tracked_cache)
     qrow = base.filter(F.col("vid") == query_id).select("q").first()
     if qrow is None:
         raise ValueError(f"query id {query_id} not found")
@@ -864,7 +866,7 @@ def cosine_topk_ivf_portable(
     # the trained 16-row centroid relation feeds probe scoring AND the
     # final assignment — cache it so the unrolled Lloyd training plan
     # executes once, not once per consumer
-    cents = cents.cache()
+    cents = cents.transform(tracked_cache)
     probed = (
         cents.select(
             "list_id", _list_score(qlit, F.col("c")).alias("score")
@@ -975,7 +977,7 @@ def cosine_topk_pq_portable(
     base = emb.select(
         F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
     )
-    corpus = base.filter(F.col("vid") != query_id).cache()
+    corpus = base.filter(F.col("vid") != query_id).transform(tracked_cache)
     qrow = base.filter(F.col("vid") == query_id).select("q").first()
     if qrow is None:
         raise ValueError(f"query id {query_id} not found")
@@ -1027,7 +1029,7 @@ def cosine_topk_pq_portable(
 
     # trained codebooks feed the final encode AND the LUT — cache so
     # the unrolled training plan executes once (same as the IVF twin)
-    books = books.cache()
+    books = books.transform(tracked_cache)
     enc = _pq_encode_portable(corpus, books, m_subspaces, d_sub)
     # integer LUT: dot of the query's m-th subvector with each codeword
     qarr = "array(" + ", ".join(f"{v}L" for v in qints) + ")"

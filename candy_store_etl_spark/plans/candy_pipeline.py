@@ -37,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 from ..operators.allocation import allocate_greedy, final_stock
 from ..sources.candy import read_transactions
 from ..timeseries.forecast import forecast_wide
@@ -365,17 +367,17 @@ def run_pipeline(
     """All five reference outputs from one transactions scan."""
     # txns is consumed twice (line items + order headers) — cached, the
     # multiLine JSON parse happens once instead of per-consumer
-    txns = load_daily_transactions(spark, transaction_paths).cache()
+    txns = load_daily_transactions(spark, transaction_paths).transform(tracked_cache)
     line_items = build_line_items(txns, products)
     # line_items feeds four downstream outputs → cache the (small
     # relative to source) derived relation instead of re-deriving
-    line_items = line_items.cache()
+    line_items = line_items.transform(tracked_cache)
     # the profit-carrying orders relation and the daily summary are
     # each consumed twice more (orders output + daily ← orders_full;
     # forecast ← daily); caching them cuts the re-derivation chain back
     # to the JSON scan on every output
-    orders_full = build_orders_with_profit(line_items, txns).cache()
-    daily = build_daily_summary(orders_full).cache()
+    orders_full = build_orders_with_profit(line_items, txns).transform(tracked_cache)
+    daily = build_daily_summary(orders_full).transform(tracked_cache)
     return {
         "order_line_items": line_items.select(
             "order_id", "product_id", "quantity", "unit_price", "line_total"

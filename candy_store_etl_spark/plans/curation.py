@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 from ..functions.rounding import SQL_FROUND, SQL_FTRUNC, fround, ftrunc
 from ..functions.text import SQL_TOKENS, tokens, word_shingles
 from ..operators.dedup import (
@@ -563,8 +565,8 @@ def incremental_neardup_probe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     index = docs.filter(~is_new)
     # each signature relation feeds two consumers (bucket probe + the
     # similarity join side) — cache so the shingle+min-agg pass runs once
-    q_sigs = minhash_signatures(incoming, "doc_id", "text", num_perm=64).cache()
-    ix_sigs = minhash_signatures(index, "doc_id", "text", num_perm=64).cache()
+    q_sigs = minhash_signatures(incoming, "doc_id", "text", num_perm=64).transform(tracked_cache)
+    ix_sigs = minhash_signatures(index, "doc_id", "text", num_perm=64).transform(tracked_cache)
     cands = lsh_probe_pairs(q_sigs, ix_sigs, num_perm=64, bands=16)
     sigs = q_sigs.union(ix_sigs)
     return (
@@ -668,10 +670,10 @@ def incremental_neardup_probe_lsh_portable(
     index = docs.filter(~is_new)
     q_sigs = minhash_signatures_portable(
         incoming, "doc_id", "text", num_perm=64
-    ).cache()
+    ).transform(tracked_cache)
     ix_sigs = minhash_signatures_portable(
         index, "doc_id", "text", num_perm=64
-    ).cache()
+    ).transform(tracked_cache)
     cands = lsh_probe_pairs(q_sigs, ix_sigs, num_perm=64, bands=16, portable=True)
     sigs = q_sigs.union(ix_sigs)
     return (

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from ..functions.text import tokens
 from ..sources.tpch import load_table
 from .registry import register
@@ -226,7 +228,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens(F.col("text")).alias("toks")
     )
     occ = docs.select("doc_id", F.explode("toks").alias("tok"))
-    occ = occ.persist()
+    occ = occ.transform(tracked_persist)
     vocab = (
         occ.groupBy("tok")
         .agg(F.count("*").alias("n"))

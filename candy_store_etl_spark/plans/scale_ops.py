@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
+
 from ..functions.rounding import SQL_MONEY_SUM, money_sum
 from ..functions.text import SQL_TOKENS, tokens, word_shingles
 from ..operators.dedup import explode_nonempty
@@ -133,7 +135,7 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_grams = (
         explode_nonempty(staged.filter("is_bench"), "gram", F.col("grams"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
 
     m_bits = bloom_m_for(bench_grams.count())
@@ -153,7 +155,7 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*positions(F.col("gram")))).alias("pos")
         )
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
 
     # explode_nonempty blocks InferFiltersFromGenerate from

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from ..functions.rounding import SQL_FROUND, fround
 from ..functions.text import tokens, word_shingles
 from ..operators.dedup import explode_nonempty
@@ -189,7 +191,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = explode_nonempty(
         docs, "bg", word_shingles(F.col("toks"), 2), "doc_id"
     ).select("doc_id", "bg", F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"))
-    occ = occ.persist()
+    occ = occ.transform(tracked_persist)
     c2 = occ.groupBy("w1", "bg").agg(F.count("*").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     model = (

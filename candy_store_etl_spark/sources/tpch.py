@@ -89,6 +89,37 @@ def repartition_for_compute(df, min_partitions: int | None = None):
     # aggregates — empty file list) are left untouched: they already
     # carry shuffle-partition parallelism.
     files = df.inputFiles()
-    if files and len(files) < target:
+    if not files or len(files) >= target:
+        return df
+    # Few FILES does not mean few SPLITS: scan parallelism is byte-based,
+    # so one multi-GB file yields many splits and needs no exchange.
+    # Estimate splits as sum(ceil(size / maxPartitionBytes)) from
+    # metadata-only FileSystem stats (at most target-1 files reach this
+    # branch, so the stat fan-out is bounded).
+    if _estimated_scan_splits(spark, files) < target:
         return df.repartition(target)
     return df
+
+
+def _estimated_scan_splits(spark: SparkSession, files: list[str]) -> int:
+    """Spark's own split math: ceil(len / maxPartitionBytes) per file.
+
+    Sizes come from the Hadoop FileSystem API so any scheme the scan
+    can read (file://, hdfs://, s3a://) can be stat'ed. A stat failure
+    falls back to 1 split for that file — the conservative direction,
+    since under-counting splits at worst adds one raw-row exchange
+    (the original behavior), never removes needed parallelism."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    max_bytes = jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    splits = 0
+    for f in files:
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            length = path.getFileSystem(hconf).getFileStatus(path).getLen()
+            splits += max(1, -(-int(length) // int(max_bytes)))
+        except Exception:
+            splits += 1
+    return splits

@@ -16,6 +16,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from candy_store_etl_spark.caching import release_caches  # noqa: E402
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -81,9 +83,10 @@ def main() -> int:
             bad.append(name)
             print(f"{i:3d} {name}: ERROR {type(exc).__name__}: {exc}")
         finally:
-            # a few queries persist() intra-plan relations (bigram-LM
-            # occurrence table, pagerank edges); drop them between
-            # queries so a full catalog run doesn't accumulate cache
+            # queries cache/persist intra-plan relations through the
+            # tracked-caching layer; release them (and clearCache as a
+            # backstop) so a full catalog run doesn't accumulate cache
+            release_caches()
             spark.catalog.clearCache()
     print(f"BAD={len(bad)} {bad}")
     spark.stop()

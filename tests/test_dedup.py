@@ -246,6 +246,27 @@ def testexplode_nonempty_matches_plain_explode(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def testexplode_nonempty_drops_null_elements(spark):
+    """Documented divergence from plain explode: a NULL *element* inside
+    a non-empty array emits a null row under explode but is dropped by
+    explode_nonempty's output filter. Pin it so a call site that needs
+    null-element rows finds out here, not in production."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.operators.dedup import explode_nonempty
+
+    df = spark.createDataFrame(
+        [(1, ["a", None, "b"])], "id int, xs array<string>"
+    )
+    got = sorted(map(tuple, explode_nonempty(df, "x", F.col("xs"), "id").collect()))
+    plain = sorted(
+        map(tuple, df.select("id", F.explode("xs").alias("x")).collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or ""),
+    )
+    assert got == [(1, "a"), (1, "b")]
+    assert (1, None) in plain  # the row plain explode keeps and we drop
+
+
 def test_repartition_for_compute_noop_on_split_input(spark, sf_correctness, tmp_path):
     """The guard must leave already-parallel scans untouched (no
     repartition exchange at production-scale file counts) and spread

@@ -108,4 +108,4 @@ def test_run_dag_executes_full_graph_and_matches_pipeline(spark, tmp_path):
     ]:
         got = pd.read_csv(os.path.join(ctx.workdir, "reports", f"{name}.csv"))
         want = pd.read_csv(os.path.join(want_dir, f"{name}.csv"))
-        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)

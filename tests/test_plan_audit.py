@@ -112,3 +112,52 @@ def test_plan_shape(spark, sf_correctness, name):
         assert n_exchange <= cap, (
             f"{name}: {n_exchange} unique shuffles (max {cap}):\n{tree}"
         )
+
+
+def test_no_untracked_cache_in_query_paths():
+    """Every cache/persist in library code must go through the tracked
+    layer (candy_store_etl_spark.caching) so embedding applications can
+    release a query's working set after the action — a raw .cache()
+    inside a registered plan is a leak no consumer can reclaim."""
+    import pathlib
+
+    import candy_store_etl_spark
+
+    root = pathlib.Path(candy_store_etl_spark.__file__).parent
+    bad = []
+    for p in sorted(root.rglob("*.py")):
+        if p.name == "caching.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.(cache|persist)\(", line):
+                bad.append(f"{p.relative_to(root)}:{i}: {line.strip()}")
+    assert not bad, "untracked cache/persist sites:\n" + "\n".join(bad)
+
+
+def test_tracked_caches_release_fully(spark, sf_correctness):
+    """Cache-heavy registered queries (signature caches, persisted
+    bigram occurrences, pagerank edge/node persists, pipeline stages)
+    must leave the session's CacheManager EMPTY after release_caches()
+    — bounded memory for a consumer running the whole catalog."""
+    from candy_store_etl_spark.caching import (
+        release_caches,
+        tracked_count,
+    )
+
+    release_caches()
+    spark.catalog.clearCache()
+    for name in [
+        "minhash_neardup_pairs",
+        "doc_bigram_logprob",
+        "supplier_pagerank",
+        "bloom_decontaminate_docs",
+    ]:
+        QUERIES[name].fn(spark, sf_correctness).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    assert tracked_count() > 0, "expected tracked cache registrations"
+    release_caches()
+    assert tracked_count() == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "cached relations survived release_caches()"
+    )
