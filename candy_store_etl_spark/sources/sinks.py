@@ -88,7 +88,7 @@ def compact_files(
     in_path: str,
     out_path: str,
     *,
-    target_mb: int = 128,
+    target_mb: float = 128,
     sort_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction — the maintenance op every long-lived

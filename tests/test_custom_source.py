@@ -279,3 +279,67 @@ def test_write_jdbc_roundtrip_via_derby(spark, sf_correctness):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in nation.collect()
     }
+
+
+def test_jdbc_pushdown_filter_and_partition_bounds(spark, sf_correctness):
+    """The 100×-scale JDBC contract (round-4 verdict item): predicates
+    must reach the database as pushed filters (the reference's
+    full-table scan, data_processor.py:87-101, is exactly what a large
+    deployment must not do), and a partitioned read must issue
+    BOUND-disjoint per-split queries that reassemble the exact result.
+
+    Evidence asserted: `PushedFilters` with the comparison on the JDBC
+    scan relation in the plan, `numPartitions=4` on the relation, and
+    the 4 splits' union equal to the filtered table."""
+    from candy_store_etl_spark.sources.candy import read_jdbc
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    nation = load_table(spark, sf_correctness, "nation")
+    url = "jdbc:derby:memory:candyjdbcpd;create=true"
+    (
+        nation.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation")
+        .mode("overwrite")
+        .save()
+    )
+
+    filtered = read_jdbc(spark, "jdbc:derby:memory:candyjdbcpd", "nation").filter(
+        "n_regionkey >= 2"
+    )
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "JDBCRelation(nation)" in plan, plan
+    import re as _re
+
+    m = _re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual(n_regionkey,2)" in m.group(1), plan
+    want = {tuple(r) for r in nation.filter("n_regionkey >= 2").collect()}
+    assert {tuple(r) for r in filtered.collect()} == want
+
+    part = read_jdbc(
+        spark,
+        "jdbc:derby:memory:candyjdbcpd",
+        "nation",
+        partitionColumn="n_nationkey",
+        lowerBound="0",
+        upperBound="25",
+        numPartitions="4",
+    ).filter("n_regionkey >= 2")
+    pplan = part._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "numPartitions=4" in pplan, pplan
+    assert "GreaterThanOrEqual(n_regionkey,2)" in pplan, pplan
+    # per-split partition-bound SQL: each of the 4 splits contributes a
+    # disjoint N_NATIONKEY stripe; the stripes reassemble exactly
+    assert part.rdd.getNumPartitions() == 4
+    per_split = (
+        part.select("n_nationkey")
+        .rdd.mapPartitions(lambda it: [sorted(r[0] for r in it)])
+        .collect()
+    )
+    flat = [k for chunk in per_split for k in chunk]
+    assert len(flat) == len(set(flat)), "splits overlap"
+    assert {tuple(r) for r in part.collect()} == want

@@ -121,3 +121,125 @@ def test_sessionize_single_user_shuffle(spark, sf_correctness):
     plan = _plan(df)
     n_exchange = len(re.findall(r"[+:]- Exchange", plan))
     assert n_exchange == 1, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Skew handling on ACTUALLY skewed data (round-4 verdict item: the salt
+# must be shown fighting real skew, and AQE must be shown splitting the
+# unsalted form — task-level balance, not plan shape)
+# ---------------------------------------------------------------------------
+
+_HOT_FRACTION_MOD = 5  # every 5th orderkey remaps to the hot key → ~20%
+
+
+def _skewed_lineitem(spark, sf_dir):
+    """lineitem with ~20% of rows remapped onto ONE hot join key."""
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    return load_table(spark, sf_dir, "lineitem").withColumn(
+        "k",
+        F.when(F.col("l_orderkey") % _HOT_FRACTION_MOD == 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+
+
+def _max_partition_rows(df, n, *cols) -> int:
+    """Rows in the fullest of ``n`` hash partitions on ``cols`` — the
+    input of the worst reduce task under that shuffle partitioning."""
+    counts = (
+        df.repartition(n, *[F.col(c) for c in cols])
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    return max(r["cnt"] for r in counts)
+
+
+def test_salting_balances_reducer_input_on_skewed_keys(spark, sf_correctness):
+    """With one key owning ~20% of the fact table, hash partitioning on
+    the bare key funnels the whole hot key into ONE reduce task; the
+    (key, salt) composite must cut the worst task's input by ~R×."""
+    R = 8
+    li = _skewed_lineitem(spark, sf_correctness).withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(R))
+    )
+    hot_rows = li.filter(F.col("k") == 1).count()
+    total = li.count()
+    assert hot_rows > total // 6  # fixture really is skewed (~20%)
+
+    n_part = 64
+    unsalted_max = _max_partition_rows(li, n_part, "k")
+    salted_max = _max_partition_rows(li, n_part, "k", "salt")
+    # the hot key lands whole in one unsalted task...
+    assert unsalted_max >= hot_rows
+    # ...and the salt spreads it: worst task shrinks by ~R (allow 2x
+    # slack for the other keys hashed into the same partitions)
+    assert salted_max <= unsalted_max * 2 // R, (
+        f"salted max {salted_max} vs unsalted {unsalted_max} (R={R})"
+    )
+
+
+def test_aqe_splits_skewed_join_without_salt(spark, sf_correctness):
+    """The unsalted sort-merge join over the skewed fixture must trigger
+    AQE's skew-join split (SortMergeJoin(skew=true) in the FINAL
+    adaptive plan) once the skew thresholds reflect the data size —
+    the runtime safety net behind the explicit salting pattern.
+
+    Two preconditions discovered empirically (each masks skew handling
+    silently, so they're load-bearing documentation as much as setup):
+    - the skewed shuffle needs MULTIPLE map tasks — AQE splits a reduce
+      partition at map-output granularity, so a single-split scan (one
+      small parquet file) leaves nothing to split; hence repartition(16)
+      on the fact side first.
+    - OptimizeSkewedJoin pattern-matches SMJ(Sort(Shuffle),
+      Sort(Shuffle)) only: an aggregate between the dim side's shuffle
+      and its sort (e.g. dim = fact.groupBy(k).agg(...)) breaks the
+      match and disables the split entirely. The dim here is a plain
+      projection so the pattern holds — at scale, salt explicitly when
+      a join side carries post-shuffle operators.
+    """
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    li = _skewed_lineitem(spark, sf_correctness)
+    li = li.repartition(16, F.col("l_partkey"))  # multi-mapper shuffle input
+    dim = load_table(spark, sf_correctness, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    saved = {
+        c: spark.conf.get(c, None)
+        for c in [
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(dim.hint("merge"), "k").select(
+            "k", "o_orderpriority", "l_quantity"
+        )
+        # collect() on THIS DataFrame: a sink write would execute a
+        # different queryExecution and leave this one isFinalPlan=false
+        joined.collect()
+        plan = _plan(joined)  # final adaptive plan, post-execution
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert re.search(r"SortMergeJoin.*skew=true", plan), plan[:3000]
+        assert "AQEShuffleRead skewed" in plan, plan[:3000]
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
