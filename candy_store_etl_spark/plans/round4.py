@@ -1,0 +1,1177 @@
+"""Round-4 surface extensions.
+
+Themes: vector-serving shapes (range search, batched top-k, class
+centroids, int8 scalar quantization), curation economics (global token
+budgets, importance sampling), fuzzy matching (levenshtein), exact
+time-series analytics (gap interpolation, integer-exact OLS, MAD
+anomalies), window distribution functions, bit-set aggregates,
+discrete mode/median, CUBE grouping ids, Spark-4 VARIANT and SQL pipe
+syntax.
+
+Determinism discipline follows NOTES.md: integer micro-units before
+any aggregate, FLOOR(CAST(sum AS DOUBLE)/count) for portable floored
+division, transcendental terms floored at 4-dp resolution before
+summation, array outputs projected to int-derived CSV strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import SQL_FROUND, SQL_MONEY_SUM, fround, money_sum
+from ..functions.text import tokens
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..sources.tpch import load_table
+from .registry import register
+from .vectors import _sql_cosine
+
+# ---------------------------------------------------------------------------
+# Vector serving: range search + batched top-k
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.25
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {SQL_FROUND(_sql_cosine("e.embedding", "q.qe"), 6)} AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+      AND {_sql_cosine("e.embedding", "q.qe")} >= {_RANGE_TAU}
+    """,
+    doc="Range similarity search (all neighbors with cosine >= tau, vs "
+    "the top-k shape): the dedup/recall-sweep query pattern. Same "
+    "codegen zip_with/aggregate fold as ann_topk_cosine; the raw-double "
+    "threshold compare is a single identical IEEE pipeline on both "
+    "engines. Scale path: the LSH bucket prefilter composes in front "
+    "exactly as for top-k (tau bounds the Hamming radius to probe).",
+    tags=("vectors", "ann", "range"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    e = emb.filter(F.col("vec_id") != 0)
+    sim = cosine_similarity(
+        to_double_array(F.col("embedding")), to_double_array(F.col("qe"))
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(sim >= _RANGE_TAU)
+        .select("vec_id", "label", fround(sim, 6).alias("cosine_sim"))
+    )
+
+
+_BATCH_QIDS = (0, 1, 2)
+
+
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN {_BATCH_QIDS}),
+    s AS (
+      SELECT q.qid, e.vec_id, e.label,
+             {SQL_FROUND(_sql_cosine("e.embedding", "q.qe"), 6)} AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id NOT IN {_BATCH_QIDS}
+    )
+    SELECT qid, vec_id, label, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS rnk
+          FROM s)
+    WHERE rnk <= 5
+    """,
+    doc="Batched top-k — the real serving shape (N queries amortize one "
+    "corpus scan): the broadcast query block rides a single pass, and "
+    "the per-query top-k is a partitioned window over the rounded "
+    "score with a vec_id tie-break. At scale the same plan takes a "
+    "whole query TABLE on the broadcast side; the corpus is still "
+    "scanned once, not once per query.",
+    tags=("vectors", "ann", "batch"),
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(_BATCH_QIDS)
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    e = emb.filter(~F.col("vec_id").isin(qids))
+    sim = cosine_similarity(
+        to_double_array(F.col("embedding")), to_double_array(F.col("qe"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", "label", fround(sim, 6).alias("cosine_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class centroids + int8 scalar quantization (integer micro-unit algebra)
+# ---------------------------------------------------------------------------
+
+_SQL_MICRO = (
+    "CAST(FLOOR(CAST(embedding[d] AS DOUBLE)*1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, d - 1 AS pos, {_SQL_MICRO} AS micro
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(d)
+    ),
+    g AS (
+      SELECT label, pos,
+             CAST(FLOOR(CAST(SUM(micro) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cm,
+             COUNT(*) AS cnt
+      FROM x GROUP BY 1, 2
+    )
+    SELECT label,
+           string_agg(CAST(cm AS VARCHAR), ',' ORDER BY pos) AS centroid_micro_csv,
+           CAST(MAX(cnt) AS BIGINT) AS n_vectors
+    FROM g GROUP BY label
+    """,
+    doc="Per-label mean embedding (class centroids — the nearest-"
+    "centroid classifier / cluster-summary primitive). Vectors "
+    "quantize to integer micro-units so the mean is an exact integer "
+    "sum with one portable floored division per dim — bit-identical "
+    "across engines and partitionings (same algebra as the IVF "
+    "portable twin's Lloyd step). One explode + one (label, dim) "
+    "aggregate; output is the int-CSV projection the gate can hash.",
+    tags=("vectors", "centroids"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("micro"),
+    )
+    g = x.groupBy("label", "pos").agg(
+        F.expr("CAST(FLOOR(CAST(SUM(micro) AS DOUBLE)/COUNT(*)) AS BIGINT)").alias(
+            "cm"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return g.groupBy("label").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                lambda s: s["cm"].cast("string"),
+            ),
+        ).alias("centroid_micro_csv"),
+        F.max("cnt").alias("n_vectors"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, d - 1 AS pos, {_SQL_MICRO} AS micro
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(d)
+    ),
+    s AS (SELECT pos, MIN(micro) AS mn, MAX(micro) AS mx FROM x GROUP BY pos),
+    c AS (
+      SELECT vec_id, x.pos,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(FLOOR(CAST((micro - mn) * 255 AS DOUBLE)
+                                  / (mx - mn)) AS BIGINT) END AS code
+      FROM x JOIN s ON x.pos = s.pos
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv,
+           CAST(SUM(code) AS BIGINT) AS code_sum
+    FROM c GROUP BY vec_id
+    """,
+    doc="Int8 scalar quantization — the embedding-storage compressor "
+    "(4x over float32) serving pipelines apply before ANN: per-dim "
+    "global [min,max] in integer micro-units, code = floor(255 * "
+    "(x-min)/(max-min)) — all-integer, so codes are bit-identical "
+    "across engines. The 64-row stats relation is broadcast; the "
+    "corpus sees one narrow pass. Output: per-vector code CSV + "
+    "checksum.",
+    tags=("vectors", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("micro"),
+    )
+    stats = x.groupBy("pos").agg(
+        F.min("micro").alias("mn"), F.max("micro").alias("mx")
+    )
+    c = x.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(FLOOR(CAST((micro - mn) * 255 AS DOUBLE)/(mx - mn)) AS BIGINT)"
+            )
+        )
+        .alias("code"),
+    )
+    return c.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+        ).alias("codes_csv"),
+        F.sum("code").alias("code_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation economics: global token budget + importance sampling
+# ---------------------------------------------------------------------------
+
+_HEAD_BUDGET = 20000
+
+
+@register(
+    "token_budget_head_selection",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM d
+    )
+    SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= {_HEAD_BUDGET}
+    """,
+    doc="Global token-budget head selection: order the corpus by a "
+    "quality proxy (n_chars desc, doc_id tie-break) and keep documents "
+    "while the running token total fits the training budget — the "
+    "'best N tokens' curation cut. Runs the prefix sum on the "
+    "2-column (doc_id, n_toks) projection only; at 100 TB the global "
+    "ordered cumsum becomes repartitionByRange(score) + per-partition "
+    "sums + a broadcast offset join (two passes, no single-task sort).",
+    tags=("text", "curation", "budget"),
+)
+def token_budget_head_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= _HEAD_BUDGET)
+        .select("doc_id", "n_toks", "cum_toks")
+    )
+
+
+# first 6 hex chars of md5 -> integer (DuckDB twin of Spark's conv())
+_SQL_MD5_BUCKET = """
+  list_sum(list_transform(generate_series(1, 6),
+    i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+         * CAST(16 AS BIGINT) ** (6 - i))) % 100
+"""
+
+
+@register(
+    "importance_sampled_docs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             20 + (CAST(substr(source, 4) AS BIGINT) * 7) % 60 AS keep_pct,
+             {_SQL_MD5_BUCKET} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(keep_pct AS BIGINT) AS keep_pct,
+           CAST(bucket AS BIGINT) AS bucket
+    FROM d WHERE bucket < keep_pct
+    """,
+    doc="Importance sampling by source (the DSIR/domain-reweighting "
+    "shape): each source gets a deterministic keep percentage and a "
+    "document survives iff its md5 bucket falls under it — hash-"
+    "derived acceptance, so the SAMPLE is reproducible across runs, "
+    "engines, and repartitionings with zero RNG-state coordination. "
+    "Embarrassingly parallel, no shuffle.",
+    tags=("text", "sampling", "curation"),
+)
+def importance_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep_pct = (
+        F.lit(20)
+        + (F.substring(F.col("source"), 4, 10).cast("long") * 7) % 60
+    ).alias("keep_pct")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    ).alias("bucket")
+    staged = docs.select("doc_id", "source", keep_pct, bucket)
+    return staged.filter(F.col("bucket") < F.col("keep_pct"))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy match: edit distance
+# ---------------------------------------------------------------------------
+
+_FUZZY_QUERY = "red widget"
+
+
+@register(
+    "part_name_levenshtein_match",
+    oracle=f"""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, '{_FUZZY_QUERY}') AS INTEGER) AS edit_dist
+    FROM part
+    WHERE levenshtein(p_name, '{_FUZZY_QUERY}') <= 4
+    """,
+    doc="Fuzzy string match via Levenshtein edit distance (the "
+    "complement of fuzzy_part_name_match's trigram Jaccard: edit "
+    "distance catches transpositions/typos that trigram overlap "
+    "misses). Pure codegen, exact integer output. At 100 TB the same "
+    "predicate runs AFTER a trigram-index candidate semi-join — edit "
+    "distance is the verifier, never the scan filter.",
+    tags=("text", "fuzzy"),
+)
+def part_name_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit(_FUZZY_QUERY))
+    return (
+        part.select("p_partkey", "p_name", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact time-series analytics over the per-day aggregate tier
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event value in exact integer cents (order-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+_SQL_DAILY_CENTS = """
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+"""
+
+
+@register(
+    "interpolate_daily_gaps",
+    oracle=f"""
+    WITH daily AS ({_SQL_DAILY_CENTS}),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(d) FROM daily),
+                                    (SELECT MAX(d) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    masked AS (
+      SELECT s.d,
+             date_diff('day', DATE '1970-01-01', s.d) AS di,
+             CASE WHEN date_diff('day', DATE '1970-01-01', s.d) % 3 != 0
+                  THEN dl.cents END AS known_cents
+      FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+    ),
+    ctx AS (
+      SELECT d, di, known_cents,
+             last_value(known_cents IGNORE NULLS) OVER
+               (ORDER BY di ROWS UNBOUNDED PRECEDING) AS prev_c,
+             last_value(CASE WHEN known_cents IS NOT NULL THEN di END
+                        IGNORE NULLS) OVER
+               (ORDER BY di ROWS UNBOUNDED PRECEDING) AS prev_d,
+             first_value(known_cents IGNORE NULLS) OVER
+               (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c,
+             first_value(CASE WHEN known_cents IS NOT NULL THEN di END
+                         IGNORE NULLS) OVER
+               (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_d
+      FROM masked
+    )
+    SELECT d,
+           CAST(CASE
+             WHEN known_cents IS NOT NULL THEN known_cents
+             WHEN prev_c IS NULL THEN next_c
+             WHEN next_c IS NULL THEN prev_c
+             ELSE prev_c + CAST(FLOOR(CAST((next_c - prev_c) * (di - prev_d)
+                                           AS DOUBLE) / (next_d - prev_d))
+                                AS BIGINT)
+           END AS BIGINT) AS interp_cents,
+           known_cents IS NOT NULL AS is_known
+    FROM ctx
+    """,
+    doc="Gap-fill with linear interpolation over the per-day aggregate "
+    "(every third day masked out as the synthetic gap): bounded-state "
+    "window pass with IGNORE NULLS last/first_value for the bracketing "
+    "known points. Interpolation is exact integer algebra — cents "
+    "deltas times integer day offsets with one portable floored "
+    "division — so both engines produce identical fills. Runs on the "
+    "<=1-row-per-day aggregate, never the fact table.",
+    tags=("timeseries", "window", "interpolation"),
+)
+def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    bounds = daily.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("d")
+    )
+    di = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    masked = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            di.alias("di"),
+            F.when(di % 3 != 0, F.col("cents")).alias("known_cents"),
+        )
+    )
+    w_prev = Window.orderBy("di").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("di").rowsBetween(0, Window.unboundedFollowing)
+    known_di = F.when(F.col("known_cents").isNotNull(), F.col("di"))
+    ctx = masked.select(
+        "d",
+        "di",
+        "known_cents",
+        F.last("known_cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(known_di, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("known_cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(known_di, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("known_cents").isNotNull(), F.col("known_cents"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(
+            F.col("prev_c")
+            + F.expr(
+                "CAST(FLOOR(CAST((next_c - prev_c) * (di - prev_d) AS DOUBLE)"
+                " / (next_d - prev_d)) AS BIGINT)"
+            )
+        )
+    )
+    return ctx.select(
+        "d",
+        interp.cast("long").alias("interp_cents"),
+        F.col("known_cents").isNotNull().alias("is_known"),
+    )
+
+
+@register(
+    "daily_value_regression",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT event_type,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx))
+              * CAST(sx AS DOUBLE)) / n AS intercept_cents,
+           (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+             / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             AS r2
+    FROM a
+    """,
+    doc="Per-series OLS trend — the regr_slope/regr_intercept/regr_r2 "
+    "surface, computed from exact integer sums (n, Sx, Sy, Sxy, Sxx, "
+    "Syy over epoch-days x integer cents) so partial aggregation order "
+    "cannot move a bit: the only floats are the identical final IEEE "
+    "division sequence on both engines. Built-in regr_* accumulate "
+    "doubles and drift by ulps with partition count — equivalence to "
+    "them is pinned in tests, but the registered result is the exact "
+    "form. One shuffle on (type, day), then a per-type scalar fold.",
+    tags=("timeseries", "regression", "agg"),
+)
+def daily_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.expr("CAST(n*sxy - sx*sy AS DOUBLE)")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.expr("CAST(n*syy - sy*sy AS DOUBLE)")
+    slope = num / den
+    return a.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")).alias(
+            "intercept_cents"
+        ),
+        ((num * num) / (den.cast("double") * deny)).alias("r2"),
+    )
+
+
+@register(
+    "daily_value_anomalies_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             (list_sort(list(cents)))[CAST((COUNT(*)+1)//2 AS BIGINT)] AS med_cents
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.d, d.cents, m.med_cents,
+             abs(d.cents - m.med_cents) AS adev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             (list_sort(list(adev)))[CAST((COUNT(*)+1)//2 AS BIGINT)] AS mad_cents
+      FROM dev GROUP BY 1
+    )
+    SELECT v.event_type, v.d, CAST(v.cents AS BIGINT) AS cents,
+           CAST(v.med_cents AS BIGINT) AS med_cents,
+           CAST(a.mad_cents AS BIGINT) AS mad_cents
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    WHERE abs(v.cents - v.med_cents) > 3 * a.mad_cents
+    """,
+    doc="Robust anomaly detection per series: flag days whose absolute "
+    "deviation from the median exceeds 3x the median absolute "
+    "deviation. Medians are DISCRETE (lower-middle element of the "
+    "sorted list) so every quantity stays an exact integer — no "
+    "interpolation float to drift. Both medians run on the per-type "
+    "<=days-sized aggregate, never the fact table; the day relation "
+    "joins back against the broadcast per-type stats.",
+    tags=("timeseries", "anomaly", "robust-stats"),
+)
+def daily_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+
+    ev = load_table(spark, sf_dir, "events")
+    # daily feeds three consumers (median stats, deviation join, MAD
+    # stats) — cache so the fact-table aggregation runs once
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("cents"))
+        .transform(tracked_cache)
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(cents)),"
+            " CAST((count(*)+1) div 2 AS INT))"
+        ).alias("med_cents")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(adev)),"
+            " CAST((count(*)+1) div 2 AS INT))"
+        ).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("cents") - F.col("med_cents")) > 3 * F.col("mad_cents"))
+        .select("event_type", "d", "cents", "med_cents", "mad_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions / bit aggregates / mode & discrete median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_window_distribution",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice, pct_rank, cume, quartile
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    )
+    WHERE p_partkey % 37 = 0
+    """,
+    doc="Ranking-distribution window functions (percent_rank, "
+    "cume_dist, ntile) per brand over an EXPLICIT total order "
+    "(price, partkey) — ntile over a tie-broken order is the only "
+    "deterministic form; both outputs are single exact-integer-ratio "
+    "IEEE divisions. The sampling filter runs AFTER the windows so "
+    "ranks see full groups.",
+    tags=("window", "distribution"),
+)
+def price_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("p_partkey") % 37 == 0)
+    )
+
+
+@register(
+    "user_event_bitmask",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(CASE event_type
+             WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+             WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 32 END) AS BIGINT)
+             AS type_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (bit_or(CASE event_type
+             WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+             WHEN 'signup' THEN 8 WHEN 'error' THEN 16 ELSE 32 END) & 4) != 0
+             AS has_purchase
+    FROM events GROUP BY user_id
+    """,
+    doc="Bit-set aggregation: each event type maps to a bit and "
+    "bit_or() folds a user's behavior into one integer — the compact "
+    "segment/feature-flag encoding (8 bytes of state per user at any "
+    "scale, map-side combinable). Membership tests are then bitwise "
+    "ANDs, not joins.",
+    tags=("agg", "bitmask"),
+)
+def user_event_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(32)
+    )
+    out = ev.groupBy("user_id").agg(
+        F.bit_or(bit).cast("long").alias("type_mask"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        "user_id",
+        "type_mask",
+        "n_events",
+        (F.col("type_mask").bitwiseAND(4) != 0).alias("has_purchase"),
+    )
+
+
+@register(
+    "brand_price_mode_median",
+    oracle="""
+    WITH c AS (
+      SELECT p_brand, p_retailprice, COUNT(*) AS cnt
+      FROM part GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p_brand, p_retailprice AS mode_price, CAST(cnt AS BIGINT) AS mode_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                    ORDER BY cnt DESC, p_retailprice) AS rn FROM c)
+      WHERE rn = 1
+    ),
+    q AS (
+      SELECT p_brand,
+             (list_sort(list(p_retailprice)))[CAST((COUNT(*)+1)//2 AS BIGINT)]
+               AS median_lo_price,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1
+    )
+    SELECT q.p_brand, m.mode_price, m.mode_count, q.median_lo_price, q.n_parts
+    FROM q JOIN m ON q.p_brand = m.p_brand
+    """,
+    doc="Deterministic mode + discrete median per group: mode via "
+    "count-argmax with an explicit price tie-break (the built-in "
+    "mode() has undefined tie order — unusable under a hash gate), "
+    "median as the lower-middle element of the sorted value list "
+    "(an actual data value, no interpolation float). Mode is two "
+    "hash aggregates + a top-1 window; median collects only the "
+    "per-group value list.",
+    tags=("agg", "stats", "mode"),
+)
+def brand_price_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    c = part.groupBy("p_brand", "p_retailprice").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("cnt").desc(), F.col("p_retailprice")
+    )
+    m = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_retailprice").alias("mode_price"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    q = part.groupBy("p_brand").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(p_retailprice)),"
+            " CAST((count(*)+1) div 2 AS INT))"
+        ).alias("median_lo_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return q.join(m, "p_brand")
+
+
+@register(
+    "orders_aging_buckets",
+    oracle="""
+    WITH a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+    b AS (
+      SELECT CASE
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) < 30
+                 THEN '0-29d'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) < 90
+                 THEN '30-89d'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) < 180
+                 THEN '90-179d'
+               ELSE '180d+' END AS age_bucket,
+             o_totalprice
+      FROM orders, a
+    )
+    SELECT age_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(FLOOR(o_totalprice*100 + 0.5))/100.0 AS total_value
+    FROM b GROUP BY 1
+    """,
+    doc="Receivables-style aging buckets: integer day arithmetic "
+    "against a data-derived anchor (max order date, a broadcast "
+    "1-row cross join). Classic warehouse date-bucket rollup — "
+    "datediff/CASE in pure codegen, one grouped pass.",
+    tags=("time", "buckets", "agg"),
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor")
+    )
+    age = F.datediff(F.col("anchor"), F.col("o_orderdate").cast("date"))
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .select(
+            F.when(age < 30, "0-29d")
+            .when(age < 90, "30-89d")
+            .when(age < 180, "90-179d")
+            .otherwise("180d+")
+            .alias("age_bucket"),
+            "o_totalprice",
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), "total_value"),
+        )
+    )
+
+
+@register(
+    "order_cube_grouping_id",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {SQL_MONEY_SUM("o_totalprice", "total_value")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE with grouping() provenance: gid distinguishes a real "
+    "NULL group key from a rolled-up one — the detail order_status_"
+    "cube omits; gid = grouping(a)*2 + grouping(b) is the portable "
+    "spelling (grouping_id() exists on Spark but not every engine). "
+    "All four grouping sets in ONE pass through Spark's Expand.",
+    tags=("agg", "cube", "grouping"),
+)
+def order_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("int") * 2
+        + F.grouping("o_orderpriority").cast("int")
+    ).alias("gid")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        gid,
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 surfaces: VARIANT + SQL pipe syntax
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="Spark-4 VARIANT path for semi-structured data: parse_json() "
+    "into the binary VARIANT encoding once, then typed "
+    "try_variant_get() extraction — unlike get_json_object, the "
+    "parse cost is paid once per row however many fields are "
+    "extracted, and the encoding is columnar-shreddable. Oracle is "
+    "the JSON-string equivalent.",
+    tags=("nested", "variant", "spark4"),
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.parse_json(F.col("props")).alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("k_val"),
+        F.try_variant_get(F.col("v"), "$.k", "long").isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "pipe_syntax_daily_orders",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+    doc="Spark-4 SQL pipe syntax (|> operators compose linearly like "
+    "DataFrame chains): the same logical plan as the classic "
+    "GROUP BY — Catalyst parses pipes into identical operators, so "
+    "this pins that the surface is live and costs nothing. Exact "
+    "integer cents keep the shared result hashable.",
+    tags=("sql", "pipe", "spark4"),
+)
+def pipe_syntax_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(o_orderdate AS DATE) AS order_day
+        |> EXTEND CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders, SUM(cents) AS total_cents
+           GROUP BY order_day
+        |> SELECT order_day, n_orders, total_cents
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal (micronat integer accumulation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS c
+      FROM documents CROSS JOIN generate_series(1, 4096) AS t(i)
+      WHERE i <= strlen(text)
+    ),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1),
+    term AS (
+      SELECT cnt.doc_id,
+             k * CAST(FLOOR(-ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 10000)
+                      AS BIGINT) AS t_micro
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    )
+    SELECT term.doc_id,
+           CAST(FLOOR(CAST(SUM(t_micro) AS DOUBLE) / MAX(n)) AS BIGINT)
+             AS entropy_0p1milli_nats
+    FROM term JOIN tot ON term.doc_id = tot.doc_id
+    GROUP BY term.doc_id
+    """,
+    doc="Character-distribution entropy per document — the classic "
+    "gibberish/encoding-noise detector (low entropy = repeated "
+    "chars/boilerplate, high = random bytes). Per-char -ln(p) terms "
+    "floor at 4-dp nat resolution BEFORE the k-weighted integer sum "
+    "(the bigram-LM micronat discipline), so group sums are order-"
+    "independent and bit-identical across engines; the final "
+    "normalization is one portable floored division. The 4096 cap "
+    "bounds the oracle's series join; the corpus max doc length is "
+    "far below it (pinned by the row-count match).",
+    tags=("text", "quality", "entropy"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    term = cnt.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        (
+            F.col("k")
+            * F.floor(
+                -F.ln(F.col("k").cast("double") / F.col("n").cast("double"))
+                * 10000.0
+            ).cast("long")
+        ).alias("t_micro"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(t_micro) AS DOUBLE) / MAX(n)) AS BIGINT)"
+        ).alias("entropy_0p1milli_nats")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: ViT-style patch-grid planning
+# ---------------------------------------------------------------------------
+
+_PATCH = 8
+
+
+@register(
+    "multimodal_patch_grid",
+    oracle=f"""
+    WITH hh AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, sha256(text) AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id,
+             16 + ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS w,
+             16 + ((strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64 AS h
+      FROM hh
+    ),
+    g AS (
+      SELECT media_id, w, h,
+             CAST(CEIL(CAST(w AS DOUBLE)/{_PATCH}) AS BIGINT) AS cols,
+             CAST(CEIL(CAST(h AS DOUBLE)/{_PATCH}) AS BIGINT) AS rws
+      FROM dims
+    ),
+    r AS (
+      SELECT media_id, w, h, cols,
+             unnest(generate_series(0, rws - 1)) AS pr
+      FROM g
+    )
+    SELECT media_id,
+           CAST(pr AS INTEGER) AS patch_row,
+           CAST(pc AS INTEGER) AS patch_col,
+           CAST(pr * cols + pc AS INTEGER) AS patch_id,
+           CAST(pc * {_PATCH} AS INTEGER) AS x0,
+           CAST(pr * {_PATCH} AS INTEGER) AS y0,
+           CAST(LEAST({_PATCH}, w - pc * {_PATCH}) AS INTEGER) AS pw,
+           CAST(LEAST({_PATCH}, h - pr * {_PATCH}) AS INTEGER) AS ph
+    FROM (SELECT r.*, unnest(generate_series(0, cols - 1)) AS pc FROM r)
+    """,
+    doc="ViT-style patch-grid planning: decoded image dims (the "
+    "Arrow-batched stub codec, operators/multimodal.decode_media) fan "
+    "out to one row per 8x8 patch with grid coordinates, byte "
+    "geometry, and edge-clipped extents — the tokenization layout a "
+    "vision encoder consumes. The grid fan-out itself is pure codegen "
+    "(two nested sequence explodes), no shuffle; pixel extraction "
+    "stays behind the codec contract. Geometry is all-integer, fully "
+    "oracled via sha256 digest arithmetic.",
+    tags=("multimodal", "mapInPandas", "vision"),
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_column, decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_column(docs, "doc_id", "text", mime="image/fake")
+    dec = decode_media(media).select("media_id", "width", "height")
+    g = dec.select(
+        "media_id",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+        F.ceil(F.col("width").cast("double") / _PATCH).cast("long").alias("cols"),
+        F.ceil(F.col("height").cast("double") / _PATCH).cast("long").alias("rws"),
+    )
+    r = g.select(
+        "media_id",
+        "w",
+        "h",
+        "cols",
+        F.explode(F.sequence(F.lit(0), F.col("rws") - 1)).alias("pr"),
+    )
+    rc = r.select(
+        "media_id",
+        "w",
+        "h",
+        "cols",
+        "pr",
+        F.explode(F.sequence(F.lit(0), F.col("cols") - 1)).alias("pc"),
+    )
+    return rc.select(
+        "media_id",
+        F.col("pr").cast("int").alias("patch_row"),
+        F.col("pc").cast("int").alias("patch_col"),
+        (F.col("pr") * F.col("cols") + F.col("pc")).cast("int").alias("patch_id"),
+        (F.col("pc") * _PATCH).cast("int").alias("x0"),
+        (F.col("pr") * _PATCH).cast("int").alias("y0"),
+        F.least(F.lit(_PATCH), F.col("w") - F.col("pc") * _PATCH)
+        .cast("int")
+        .alias("pw"),
+        F.least(F.lit(_PATCH), F.col("h") - F.col("pr") * _PATCH)
+        .cast("int")
+        .alias("ph"),
+    )
+
+
+@register(
+    "token_budget_head_selection_distributed",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_toks,
+             SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM d
+    )
+    SELECT doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM c WHERE cum_toks <= {_HEAD_BUDGET}
+    """,
+    doc="The SCALE form of token_budget_head_selection — identical "
+    "result (same oracle), no single-task global sort: "
+    "repartitionByRange on the quality order gives range-disjoint "
+    "partitions; each computes a local ordered prefix sum; a "
+    "spark_partition_id-keyed per-partition total (tiny, collected "
+    "driver-side like a centroid aggregate) yields each partition's "
+    "global offset, broadcast back as a literal map. Two passes over "
+    "the 2-column projection, worst task holds one partition's rows — "
+    "the distributed-cumsum pattern any global-budget cut needs at "
+    "100 TB.",
+    tags=("text", "curation", "budget", "scale"),
+)
+def token_budget_head_selection_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..caching import tracked_cache
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    n_part = 8
+    ranged = docs.repartitionByRange(
+        n_part, F.col("n_chars").desc(), F.col("doc_id")
+    ).transform(tracked_cache)
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # local ordered prefix sum inside each range partition
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("local_cum", F.sum("n_toks").over(w_local))
+    # per-partition totals: one row per partition — driver-collects a
+    # p-sized list (bounded by the partition count, never data-sized)
+    totals = sorted(
+        (r["pid"], r["t"])
+        for r in with_pid.groupBy("pid")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    offset_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(
+            "cum_toks", F.col("local_cum") + offset_expr[F.col("pid")]
+        )
+        .filter(F.col("cum_toks") <= _HEAD_BUDGET)
+        .select("doc_id", "n_toks", "cum_toks")
+    )

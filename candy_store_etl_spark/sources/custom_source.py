@@ -30,7 +30,12 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 TRANSACTIONS_DDL = (
     "transaction_id int, customer_id int, timestamp string, "
@@ -89,6 +94,65 @@ class CandyTransactionsReader(DataSourceReader):
             )
 
 
+def _read_day_rows(path: str, day: str) -> list[tuple]:
+    with open(path) as f:
+        docs = json.load(f)
+    return [
+        (
+            d.get("transaction_id"),
+            d.get("customer_id"),
+            d.get("timestamp"),
+            [
+                (it.get("product_id"), it.get("product_name"), it.get("qty"))
+                for it in (d.get("items") or [])
+            ],
+            day,
+        )
+        for d in docs
+    ]
+
+
+class CandyTransactionsStreamReader(SimpleDataSourceStreamReader):
+    """Structured-Streaming face of the same source: each day
+    collection is one committed offset range, arriving as its own
+    microbatch — the shape of a Mongo change-stream / daily-drop
+    ingestion. Offsets are day indexes into the sorted file list, so
+    ``readBetweenOffsets`` can replay any committed range exactly
+    (checkpoint recovery is deterministic); ``read`` advances one day
+    per batch. A real change-stream source swaps the file read for a
+    resume-token cursor — offsets and replay keep the same contract."""
+
+    def __init__(self, options: dict) -> None:
+        root = options.get("path")
+        if not root:
+            raise ValueError("candy_transactions requires option 'path'")
+        start = options.get("start", "00000000")
+        end = options.get("end", "99999999")
+        self.days: list[tuple[str, str]] = []
+        for p in sorted(glob.glob(os.path.join(root, "transactions_*.json"))):
+            day = os.path.basename(p)[len("transactions_") : -len(".json")]
+            if start <= day <= end:
+                self.days.append((day, p))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        i = int(start["index"])
+        if i >= len(self.days):
+            return iter(()), {"index": i}
+        day, path = self.days[i]
+        return iter(_read_day_rows(path, day)), {"index": i + 1}
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        rows: list[tuple] = []
+        for day, path in self.days[int(start["index"]) : int(end["index"])]:
+            rows.extend(_read_day_rows(path, day))
+        return iter(rows)
+
+
 class CandyTransactionsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -99,3 +163,6 @@ class CandyTransactionsDataSource(DataSource):
 
     def reader(self, schema) -> CandyTransactionsReader:
         return CandyTransactionsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CandyTransactionsStreamReader:
+        return CandyTransactionsStreamReader(self.options)

@@ -1,0 +1,126 @@
+"""Measure the 10x scaling curve (round-4 verdict item 2).
+
+Runs the headline scale operators at the driver's sf0.1 and the
+derived sf1 (scripts/gen_scale_data.py, 10x rows with per-copy key
+offsets) and records wall-time ratios. The claim under test: the
+banded/bucketed/broadcast-bounded plans scale ~linearly in data volume
+— a ~10x data -> ~10x (or less) time curve, never ~100x. Quadratic
+shapes (all-pairs candidate generation, unsplit hot keys, driver-side
+loops) would show up here as super-linear ratios no plan screenshot
+can hide.
+
+Writes SCALING.md and prints one JSON line.
+
+Usage: python scripts/scaling_curve.py [--sf1 /root/repo/.scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from candy_store_etl_spark.caching import release_caches  # noqa: E402
+from candy_store_etl_spark.plans import query_map  # noqa: E402
+from candy_store_etl_spark.session import build_session  # noqa: E402
+
+QUERIES = [
+    "minhash_neardup_pairs",
+    "bloom_decontaminate_docs",
+    "inventory_allocation",
+    "sessionize_events_gap",
+    "exact_dedup_docs",
+    "corpus_curation",
+    "region_revenue",
+    "ann_topk_lsh",
+    "daily_summary",
+]
+
+# ratio bands for the per-query verdict: 10x data should cost <= ~13x
+# time (linear + a shuffle-constant); anything past 15x is flagged
+SUBLINEAR, LINEAR_MAX = 8.0, 13.0
+
+
+def _time_best(fns, name, spark, sf_dir, trials=2) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        release_caches()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/root/repo/.scale/sf1")
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+    if not os.path.isdir(args.sf1):
+        raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session("candy-store-etl-scaling", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = query_map()
+
+    # warm-up (JVM codegen + Python worker fork) at the smallest SF
+    for name in QUERIES:
+        fns[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    rows = []
+    for name in QUERIES:
+        t_small = _time_best(fns, name, spark, args.sf01, args.trials)
+        t_big = _time_best(fns, name, spark, args.sf1, args.trials)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        verdict = (
+            "sub-linear"
+            if ratio <= SUBLINEAR
+            else "linear" if ratio <= LINEAR_MAX else "SUPER-LINEAR"
+        )
+        rows.append((name, t_small, t_big, ratio, verdict))
+        print(f"{name}: sf0.1={t_small:.2f}s sf1={t_big:.2f}s x{ratio:.1f} {verdict}")
+
+    load = os.getloadavg()[0]
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
+        f.write(
+            "# Measured 10x scaling curve\n\n"
+            "Wall-time at the driver's sf0.1 vs a derived sf1 "
+            "(scripts/gen_scale_data.py: 10x rows, per-copy key offsets, "
+            "word-shuffled documents so replicas are not near-dups, "
+            "noise-perturbed embeddings). Best-of-"
+            f"{args.trials} per SF on local[{cpus}], noop sink, "
+            f"ambient load {load:.1f}.\n\n"
+            "A ~10x data -> <=~13x time row is linear scaling (the "
+            "extra constant is shuffle/scheduling overhead at still-"
+            "small absolute sizes); sub-linear rows are dominated by "
+            "fixed per-query overhead at sf0.1. SUPER-LINEAR would "
+            "indicate a quadratic path and fails the scale review.\n\n"
+            "| query | sf0.1 (s) | sf1 (s) | ratio | verdict |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for name, a, b, r, v in rows:
+            f.write(f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x | {v} |\n")
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_ratio_max",
+                "value": round(max(r for _, _, _, r, _ in rows), 2),
+                "queries": {n: round(r, 2) for n, _, _, r, _ in rows},
+                "ambient_load_1m": round(load, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -343,3 +343,64 @@ def test_jdbc_pushdown_filter_and_partition_bounds(spark, sf_correctness):
     flat = [k for chunk in per_split for k in chunk]
     assert len(flat) == len(set(flat)), "splits overlap"
     assert {tuple(r) for r in part.collect()} == want
+
+
+def test_custom_source_streams_day_per_microbatch(spark, tmp_path):
+    """Streaming face of the Python DataSource: each day collection
+    arrives as its own microbatch (offset = day index), the drained
+    stream equals the batch read, and readBetweenOffsets replays a
+    committed range exactly (checkpoint-recovery contract)."""
+    import json as _json
+
+    from candy_store_etl_spark.sources.custom_source import (
+        CandyTransactionsDataSource,
+        CandyTransactionsStreamReader,
+    )
+
+    root = tmp_path / "days"
+    root.mkdir()
+    for day, txns in [
+        ("20240201", [{"transaction_id": 1, "customer_id": 10,
+                       "timestamp": "2024-02-01 09:00:00",
+                       "items": [{"product_id": 1, "product_name": "a", "qty": 2}]}]),
+        ("20240202", [{"transaction_id": 2, "customer_id": 11,
+                       "timestamp": "2024-02-02 09:00:00", "items": []},
+                      {"transaction_id": 3, "customer_id": 12,
+                       "timestamp": "2024-02-02 10:00:00",
+                       "items": [{"product_id": 2, "product_name": "b", "qty": 1}]}]),
+        ("20240203", [{"transaction_id": 4, "customer_id": 13,
+                       "timestamp": "2024-02-03 09:00:00", "items": []}]),
+    ]:
+        (root / f"transactions_{day}.json").write_text(_json.dumps(txns))
+
+    spark.dataSource.register(CandyTransactionsDataSource)
+    stream = (
+        spark.readStream.format("candy_transactions")
+        .option("path", str(root))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("csetl_custom_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("csetl_custom_stream")
+        batch = (
+            spark.read.format("candy_transactions")
+            .option("path", str(root))
+            .load()
+        )
+        assert got.count() == batch.count() == 4
+        assert sorted(
+            r["day"] for r in got.select("day").distinct().collect()
+        ) == ["20240201", "20240202", "20240203"]
+    finally:
+        q.stop()
+
+    # replay contract: the [1, 3) range re-reads exactly days 2-3
+    rdr = CandyTransactionsStreamReader({"path": str(root)})
+    replay = list(rdr.readBetweenOffsets({"index": 1}, {"index": 3}))
+    assert [r[0] for r in replay] == [2, 3, 4]

@@ -26,6 +26,11 @@ ALLOW_NESTED_LOOP = {
     # every vector scores all k=16 broadcast centroids (the k-means
     # assignment primitive — k-bounded, never data×data)
     "ann_topk_ivf_portable",
+    # round-4: broadcast sides bounded at 1 query row / 3 query rows /
+    # the 1-row max-date anchor — never data×data
+    "ann_range_search",
+    "ann_batch_topk",
+    "orders_aging_buckets",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,

@@ -1,0 +1,150 @@
+"""Unit/property tests for the round-4 surface (beyond the oracle
+gate): builtin-equivalence, tiling invariants, maximality, and
+acceptance-rate properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
+from candy_store_etl_spark.sources.tpch import load_table
+
+_ensure_loaded()
+
+
+def test_regression_matches_regr_builtins(spark, sf_correctness):
+    """The integer-exact OLS must agree with Spark's regr_slope /
+    regr_intercept / regr_r2 (double accumulators) to float tolerance —
+    same math, different determinism discipline."""
+    exact = {
+        r["event_type"]: r
+        for r in QUERIES["daily_value_regression"].fn(spark, sf_correctness).collect()
+    }
+    ev = load_table(spark, sf_correctness, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("double")
+            .alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("c").cast("double").alias("y"))
+    )
+    builtin = {
+        r["event_type"]: r
+        for r in daily.groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.regr_r2("y", "x").alias("r2"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(builtin)
+    for t, e in exact.items():
+        b = builtin[t]
+        assert abs(e["slope_cents_per_day"] - b["slope"]) <= 1e-6 * max(
+            1.0, abs(b["slope"])
+        ), t
+        assert abs(e["intercept_cents"] - b["intercept"]) <= 1e-6 * max(
+            1.0, abs(b["intercept"])
+        ), t
+        assert abs(e["r2"] - b["r2"]) <= 1e-9, t
+
+
+def test_patch_grid_tiles_exactly(spark, sf_correctness):
+    """Patches must tile each decoded image exactly: per media,
+    sum(pw*ph) == width*height, no overlaps (patch_id dense 0..n-1)."""
+    from candy_store_etl_spark.operators.multimodal import (
+        attach_media_column,
+        decode_media,
+    )
+
+    grid = QUERIES["multimodal_patch_grid"].fn(spark, sf_correctness)
+    per_media = grid.groupBy("media_id").agg(
+        F.sum(F.col("pw") * F.col("ph")).alias("area"),
+        F.count(F.lit(1)).alias("n_patches"),
+        F.countDistinct("patch_id").alias("n_ids"),
+        (F.max("patch_id") + 1).alias("max_id1"),
+    )
+    docs = load_table(spark, sf_correctness, "documents")
+    dims = decode_media(
+        attach_media_column(docs, "doc_id", "text", mime="image/fake")
+    ).select("media_id", (F.col("width") * F.col("height")).alias("wh"))
+    joined = per_media.join(dims, "media_id")
+    bad = joined.filter(
+        (F.col("area") != F.col("wh"))
+        | (F.col("n_ids") != F.col("n_patches"))
+        | (F.col("max_id1") != F.col("n_patches"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_int8_codes_in_range_and_extremes(spark, sf_correctness):
+    """Quantization codes live in [0, 255]; every dimension's min maps
+    to 0 and (for non-degenerate dims) its max to 255."""
+    out = QUERIES["embedding_quantize_int8"].fn(spark, sf_correctness)
+    codes = out.select(
+        F.explode(F.split("codes_csv", ",")).alias("s")
+    ).select(F.col("s").cast("int").alias("code"))
+    r = codes.agg(F.min("code"), F.max("code")).first()
+    assert r[0] == 0 and r[1] == 255, r
+
+
+def test_token_budget_selection_is_maximal(spark, sf_correctness):
+    """The head selection must exhaust the budget: adding the next
+    document in the quality order would overshoot it."""
+    sel = QUERIES["token_budget_head_selection"].fn(spark, sf_correctness)
+    rows = sel.collect()
+    total = max(r["cum_toks"] for r in rows)
+    assert total <= 20000
+    docs = load_table(spark, sf_correctness, "documents")
+    kept = {r["doc_id"] for r in rows}
+    from candy_store_etl_spark.functions.text import tokens
+
+    ordered = (
+        docs.select(
+            "doc_id", "n_chars", F.size(tokens(F.col("text"))).alias("n_toks")
+        )
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .collect()
+    )
+    first_dropped = next(r for r in ordered if r["doc_id"] not in kept)
+    assert total + first_dropped["n_toks"] > 20000
+
+
+def test_importance_sampling_rates_track_weights(spark, sf_correctness):
+    """Per-source acceptance must track the deterministic keep_pct
+    within binomial noise (3 sigma)."""
+    out = QUERIES["importance_sampled_docs"].fn(spark, sf_correctness)
+    docs = load_table(spark, sf_correctness, "documents")
+    totals = {r["source"]: r["cnt"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    kept = {r["source"]: (r["cnt"], r["pct"]) for r in
+            out.groupBy("source").agg(
+                F.count("*").alias("cnt"), F.first("keep_pct").alias("pct")
+            ).collect()}
+    for src, (k, pct) in kept.items():
+        n = totals[src]
+        p = pct / 100.0
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(k - n * p) <= 3 * sigma + 3, (src, k, n, pct)
+
+
+def test_interpolation_known_days_pass_through(spark, sf_correctness):
+    """Known (unmasked) days must carry the exact daily cents; every
+    interpolated day must lie within [prev, next] known values."""
+    out = QUERIES["interpolate_daily_gaps"].fn(spark, sf_correctness).collect()
+    by_day = sorted(out, key=lambda r: r["d"])
+    known = [(i, r) for i, r in enumerate(by_day) if r["is_known"]]
+    assert known and len(known) < len(by_day)  # fixture has real gaps
+    for i, r in enumerate(by_day):
+        if r["is_known"]:
+            continue
+        prevs = [kr["interp_cents"] for j, kr in known if j < i]
+        nexts = [kr["interp_cents"] for j, kr in known if j > i]
+        if prevs and nexts:
+            lo, hi = sorted((prevs[-1], nexts[0]))
+            assert lo <= r["interp_cents"] <= hi, r
