@@ -63,7 +63,7 @@ _LOADED = False
 # import order.  Round 4 priority: (a) the four oracled queries that
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
-# portable twin so the driver file stays self-explaining; (b) the 19
+# portable twin so the driver file stays self-explaining; (b) the 20
 # queries new in round 4; (c) flagship re-confirmations (allocation,
 # pipeline aggregates, the ANN/minhash families, forecasts, one
 # streaming query). Queries absent from the registry are ignored, so

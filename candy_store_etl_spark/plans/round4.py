@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import SQL_FROUND, SQL_MONEY_SUM, fround, money_sum
-from ..functions.text import tokens
+from ..functions.text import SQL_TOKENS, tokens
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..sources.tpch import load_table
 from .registry import register
@@ -209,7 +209,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vectors", "quantization"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # x feeds the per-dim stats aggregate AND the code join — cache so
+    # the 64x explode runs once and the doc's one-pass claim holds
     x = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
     ).select(
@@ -218,7 +222,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
         .cast("long")
         .alias("micro"),
-    )
+    ).transform(tracked_cache)
     stats = x.groupBy("pos").agg(
         F.min("micro").alias("mn"), F.max("micro").alias("mx")
     )
@@ -257,8 +261,7 @@ _HEAD_BUDGET = 20000
     oracle=f"""
     WITH d AS (
       SELECT doc_id, n_chars,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                  x -> x != '')) AS BIGINT) AS n_toks
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks
       FROM documents
     ),
     c AS (
@@ -451,7 +454,11 @@ _SQL_DAILY_CENTS = """
     tags=("timeseries", "window", "interpolation"),
 )
 def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir)
+    from ..caching import tracked_cache
+
+    # daily feeds the bounds aggregate AND the spine join — cache so
+    # the events aggregation runs once
+    daily = _daily_cents(spark, sf_dir).transform(tracked_cache)
     bounds = daily.agg(
         F.min("d").alias("dmin"), F.max("d").alias("dmax")
     )
@@ -948,7 +955,7 @@ def pipe_syntax_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ch AS (
       SELECT doc_id, substr(text, i, 1) AS c
       FROM documents CROSS JOIN generate_series(1, 4096) AS t(i)
-      WHERE i <= strlen(text)
+      WHERE i <= length(text)
     ),
     cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
     tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1),
@@ -1105,8 +1112,7 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT doc_id, n_chars,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                  x -> x != '')) AS BIGINT) AS n_toks
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks
       FROM documents
     ),
     c AS (

@@ -74,24 +74,7 @@ class CandyTransactionsReader(DataSourceReader):
         return parts
 
     def read(self, partition: _DayPartition) -> Iterator[tuple]:
-        with open(partition.path) as f:
-            docs = json.load(f)
-        for d in docs:
-            items = d.get("items") or []
-            yield (
-                d.get("transaction_id"),
-                d.get("customer_id"),
-                d.get("timestamp"),
-                [
-                    (
-                        it.get("product_id"),
-                        it.get("product_name"),
-                        it.get("qty"),
-                    )
-                    for it in items
-                ],
-                partition.day,
-            )
+        yield from _read_day_rows(partition.path, partition.day)
 
 
 def _read_day_rows(path: str, day: str) -> list[tuple]:
@@ -116,40 +99,46 @@ class CandyTransactionsStreamReader(SimpleDataSourceStreamReader):
     """Structured-Streaming face of the same source: each day
     collection is one committed offset range, arriving as its own
     microbatch — the shape of a Mongo change-stream / daily-drop
-    ingestion. Offsets are day indexes into the sorted file list, so
-    ``readBetweenOffsets`` can replay any committed range exactly
-    (checkpoint recovery is deterministic); ``read`` advances one day
-    per batch. A real change-stream source swaps the file read for a
-    resume-token cursor — offsets and replay keep the same contract."""
+    ingestion. The offset is the LAST PROCESSED DAY STRING (not a list
+    index): the directory is re-listed on every ``read`` call, so
+    files dropped while the query runs are picked up live, and
+    ``readBetweenOffsets`` replays a committed (start, end] day range
+    deterministically even if the listing has since grown. Like any
+    monotonic-drop ingestion, a file BACKFILLED with a day earlier
+    than the committed offset is skipped — replay old days with a
+    fresh checkpoint (start/end options), the same contract as a
+    resume-token change-stream cursor."""
 
     def __init__(self, options: dict) -> None:
-        root = options.get("path")
-        if not root:
+        self.root = options.get("path")
+        if not self.root:
             raise ValueError("candy_transactions requires option 'path'")
-        start = options.get("start", "00000000")
-        end = options.get("end", "99999999")
-        self.days: list[tuple[str, str]] = []
-        for p in sorted(glob.glob(os.path.join(root, "transactions_*.json"))):
+        self.start = options.get("start", "00000000")
+        self.end = options.get("end", "99999999")
+
+    def _list_days(self) -> list[tuple[str, str]]:
+        days = []
+        for p in sorted(glob.glob(os.path.join(self.root, "transactions_*.json"))):
             day = os.path.basename(p)[len("transactions_") : -len(".json")]
-            if start <= day <= end:
-                self.days.append((day, p))
+            if self.start <= day <= self.end:
+                days.append((day, p))
+        return days
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last_day": "00000000"}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        i = int(start["index"])
-        if i >= len(self.days):
-            return iter(()), {"index": i}
-        day, path = self.days[i]
-        return iter(_read_day_rows(path, day)), {"index": i + 1}
+        last = start["last_day"]
+        for day, path in self._list_days():
+            if day > last:
+                return iter(_read_day_rows(path, day)), {"last_day": day}
+        return iter(()), {"last_day": last}
 
-    def readBetweenOffsets(
-        self, start: dict, end: dict
-    ) -> Iterator[tuple]:
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         rows: list[tuple] = []
-        for day, path in self.days[int(start["index"]) : int(end["index"])]:
-            rows.extend(_read_day_rows(path, day))
+        for day, path in self._list_days():
+            if start["last_day"] < day <= end["last_day"]:
+                rows.extend(_read_day_rows(path, day))
         return iter(rows)
 
 

@@ -1,5 +1,5 @@
-"""Quick per-query gate check: run named queries (or --new for the
-round-4 module) against the DuckDB oracle at sf0.01, driver-style.
+"""Quick per-query gate check: run the named registered queries
+against the DuckDB oracle at sf0.01, driver-style.
 
 Usage: python scripts/check_queries.py name1 name2 ...
 """
@@ -37,8 +37,8 @@ def main() -> int:
         )
     bad = []
     for name in names:
-        spec = QUERIES[name]
         try:
+            spec = QUERIES[name]
             sdf = spec.fn(spark, sf)
             srows = sorted(
                 tuple(str(x) for x in sorted(zip(sdf.columns, r), key=lambda p: p[0]))

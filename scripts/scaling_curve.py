@@ -66,8 +66,12 @@ def main() -> None:
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # capture ambient BEFORE our own Spark job drives the loadavg up
-    ambient = os.getloadavg()[0]
+    # same quiet gate as bench.py: timings above ~2 loadavg are noise,
+    # and sf0.1/sf1 are timed in separate passes, so load arriving
+    # mid-run would inflate only one side of each ratio
+    from bench import _wait_for_quiet
+
+    ambient = _wait_for_quiet()
     spark = build_session("candy-store-etl-scaling", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_map()

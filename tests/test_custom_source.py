@@ -400,7 +400,23 @@ def test_custom_source_streams_day_per_microbatch(spark, tmp_path):
     finally:
         q.stop()
 
-    # replay contract: the [1, 3) range re-reads exactly days 2-3
+    # replay contract: the (20240201, 20240203] range re-reads exactly
+    # days 2-3, against a listing that may have grown since commit
     rdr = CandyTransactionsStreamReader({"path": str(root)})
-    replay = list(rdr.readBetweenOffsets({"index": 1}, {"index": 3}))
+    replay = list(
+        rdr.readBetweenOffsets(
+            {"last_day": "20240201"}, {"last_day": "20240203"}
+        )
+    )
     assert [r[0] for r in replay] == [2, 3, 4]
+
+    # live pickup: a file dropped after the reader exists is returned
+    # by the next read() call (the listing is not frozen at init)
+    (root / "transactions_20240204.json").write_text(
+        _json.dumps(
+            [{"transaction_id": 5, "customer_id": 14,
+              "timestamp": "2024-02-04 09:00:00", "items": []}]
+        )
+    )
+    rows, off = rdr.read({"last_day": "20240203"})
+    assert [r[0] for r in rows] == [5] and off == {"last_day": "20240204"}
