@@ -1181,3 +1181,286 @@ def token_budget_head_selection_distributed(
         .filter(F.col("cum_toks") <= _HEAD_BUDGET)
         .select("doc_id", "n_toks", "cum_toks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native grouped execution: centroids via applyInArrow
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids_arrow",
+    # exact same algebra as label_centroids => exact same oracle
+    oracle=f"""
+    WITH x AS (
+      SELECT label, d - 1 AS pos, {_SQL_MICRO} AS micro
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(d)
+    ),
+    g AS (
+      SELECT label, pos,
+             CAST(FLOOR(CAST(SUM(micro) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cm,
+             COUNT(*) AS cnt
+      FROM x GROUP BY 1, 2
+    )
+    SELECT label,
+           string_agg(CAST(cm AS VARCHAR), ',' ORDER BY pos) AS centroid_micro_csv,
+           CAST(MAX(cnt) AS BIGINT) AS n_vectors
+    FROM g GROUP BY label
+    """,
+    doc="The Arrow-native fast tier of label_centroids: "
+    "groupBy(label).applyInArrow hands each label's vectors to numpy "
+    "as one zero-copy Arrow table (no pandas materialization, no "
+    "per-dim explode/shuffle — the only exchange is the label "
+    "groupBy). Identical integer micro-unit algebra — quantize, exact "
+    "int64 column sums, FLOOR(sum/count) as the same single IEEE "
+    "divide — so it carries the expression tier's oracle verbatim: "
+    "the fast-tier/same-oracle pattern (cf. ann_topk_blockwise).",
+    tags=("vectors", "centroids", "applyInArrow"),
+)
+def label_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    def centroid(table: "pa.Table") -> "pa.Table":
+        label = table.column("label")[0].as_py()
+        vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+        micro = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+        sums = micro.sum(axis=0)
+        n = micro.shape[0]
+        # same IEEE op as FLOOR(CAST(sum AS DOUBLE)/count) (sums < 2^53)
+        cm = np.floor(sums.astype(np.float64) / n).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "centroid_micro_csv": pa.array(
+                    [",".join(str(int(v)) for v in cm)], type=pa.string()
+                ),
+                "n_vectors": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return emb.groupBy("label").applyInArrow(
+        centroid, "label int, centroid_micro_csv string, n_vectors long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Datasketches HLL (Spark 3.5 hll_sketch_agg family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_sketch_users",
+    # like approx_distinct_users: raw sketch bytes are engine-specific,
+    # so the oracle pins the exact counts plus the PROPERTY flags
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS estimate_within_band,
+           TRUE AS union_matches_direct
+    FROM events GROUP BY event_type
+    """,
+    doc="Apache Datasketches HLL (hll_sketch_agg / hll_union_agg / "
+    "hll_sketch_estimate, Spark 3.5+) — unlike approx_count_distinct's "
+    "opaque HLL++, these sketches are STORABLE and re-aggregatable: "
+    "per-day sketches persist beside the data and roll up to any "
+    "window without rescanning raw events (the incremental-cardinality "
+    "pattern at 100 TB). Property-oracled twice: the direct estimate "
+    "lands within 5% (+/-1) of exact, and the union of per-day "
+    "sketches estimates EXACTLY what the direct sketch does — "
+    "register-wise max is associative, so daily rollup loses nothing.",
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"))
+    )
+    band = F.greatest(
+        (F.col("exact_users").cast("double") * 0.05), F.lit(1.0)
+    )
+    return (
+        direct.join(daily, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users").cast("double")) <= band
+            ).alias("estimate_within_band"),
+            (F.col("union_est") == F.col("est")).alias("union_matches_direct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native pivot API + ANSI-safe try_* arithmetic
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "event_type_pivot_native",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+             AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+             AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+             AS purchase,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                 THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+             AS signup,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                 THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) END), 0) AS BIGINT)
+             AS error
+    FROM events GROUP BY 1
+    """,
+    doc="The native .pivot() API with EXPLICIT values — the form that "
+    "scales: declared pivot values skip the extra distinct-collection "
+    "job AND make output columns deterministic (a driver-inferred "
+    "column set can reorder or grow between runs). Catalyst compiles "
+    "it to the same single-pass conditional aggregation as "
+    "event_type_pivot's hand-built form, which is the oracle.",
+    tags=("agg", "pivot"),
+)
+def event_type_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    out = (
+        ev.select(F.col("ts").cast("date").alias("d"), "event_type", cents.alias("c"))
+        .groupBy("d")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum("c"))
+    )
+    return out.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "safe_arithmetic_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_discount,
+           CASE WHEN l_orderkey > 7 THEN NULL
+                ELSE 9223372036854775800 + l_orderkey END AS overflow_guarded,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) END AS qty_nonzero
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="ANSI-mode-safe arithmetic via the try_* family: Spark 4 runs "
+    "ANSI by default, where /0 and long overflow THROW mid-job — "
+    "try_divide / try_add return NULL instead, turning a poison row "
+    "into a null you can quarantine rather than a dead 100 TB job. "
+    "Oracle spells the same semantics with CASE guards (DuckDB also "
+    "errors on /0 and bigint overflow).",
+    tags=("ansi", "null_safety"),
+)
+def safe_arithmetic_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_discount"
+        ),
+        F.try_add(F.lit(9223372036854775800), F.col("l_orderkey")).alias(
+            "overflow_guarded"
+        ),
+        F.when(F.col("l_quantity") != 0, F.col("l_quantity").cast("long")).alias(
+            "qty_nonzero"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert/delete) semantics as a full-outer reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "products_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT p_partkey, p_retailprice + 1.0 AS new_price, FALSE AS is_delete
+      FROM part WHERE p_partkey % 10 = 0
+      UNION ALL
+      SELECT p_partkey + 1000000, 9.99, FALSE
+      FROM part WHERE p_partkey % 97 = 0
+      UNION ALL
+      SELECT p_partkey, NULL, TRUE FROM part WHERE p_partkey % 50 = 25
+    )
+    SELECT COALESCE(t.p_partkey, u.p_partkey) AS p_partkey,
+           CASE WHEN u.p_partkey IS NULL THEN 'keep'
+                WHEN u.is_delete THEN 'delete'
+                WHEN t.p_partkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           CASE WHEN u.p_partkey IS NULL THEN t.p_retailprice
+                WHEN u.is_delete THEN NULL
+                ELSE u.new_price END AS final_price
+    FROM part t FULL OUTER JOIN updates u ON t.p_partkey = u.p_partkey
+    """,
+    doc="MERGE INTO semantics (matched-update, matched-delete, "
+    "not-matched-insert, untouched-keep) expressed as ONE full-outer "
+    "reconciliation join plus a CASE action column — the engine-level "
+    "plan a Delta/Iceberg MERGE lowers to. The updates feed is "
+    "deterministic (derived from part), so the result is oracled "
+    "end-to-end; at scale the join shuffles on the merge key once and "
+    "file rewriting is the sink's concern (cf. compact_files).",
+    tags=("warehouse", "merge", "upsert"),
+)
+def products_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    updates = (
+        part.filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") + 1.0).alias("new_price"),
+            F.lit(False).alias("is_delete"),
+        )
+        .union(
+            part.filter(F.col("p_partkey") % 97 == 0).select(
+                (F.col("p_partkey") + 1000000).alias("p_partkey"),
+                F.lit(9.99).alias("new_price"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+        .union(
+            part.filter(F.col("p_partkey") % 50 == 25).select(
+                "p_partkey",
+                F.lit(None).cast("double").alias("new_price"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    t = part.select(F.col("p_partkey").alias("tk"), "p_retailprice")
+    u = updates.select(
+        F.col("p_partkey").alias("uk"), "new_price", "is_delete"
+    )
+    j = t.join(u, t.tk == u.uk, "full_outer")
+    return j.select(
+        F.coalesce("tk", "uk").alias("p_partkey"),
+        F.when(F.col("uk").isNull(), "keep")
+        .when(F.col("is_delete"), "delete")
+        .when(F.col("tk").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("uk").isNull(), F.col("p_retailprice"))
+        .when(F.col("is_delete"), F.lit(None).cast("double"))
+        .otherwise(F.col("new_price"))
+        .alias("final_price"),
+    )
