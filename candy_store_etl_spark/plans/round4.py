@@ -1464,3 +1464,85 @@ def products_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("new_price"))
         .alias("final_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (cross-document shared n-token windows)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 8  # window length in tokens
+_SUBSTR_MAX_DF = 10  # boilerplate guard: ignore grams in > this many docs
+
+
+@register(
+    "exact_substring_dup_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             md5(list_aggregate(list_slice(tk, i, i + {_SUBSTR_N} - 1),
+                                'string_agg', ' ')) AS g
+      FROM toks CROSS JOIN generate_series(1, 4096) AS t(i)
+      WHERE i + {_SUBSTR_N} - 1 <= len(tk)
+    ),
+    keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_MAX_DF}
+    ),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g
+      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(COUNT(DISTINCT g) AS BIGINT) AS shared_windows
+    FROM pair GROUP BY 1, 2
+    """,
+    doc="Exact-substring duplication pairs (the ExactSubstr signal of "
+    "Lee et al. 2022, 'Deduplicating Training Data Makes Language "
+    "Models Better', re-expressed relationally): documents sharing "
+    f"any verbatim {_SUBSTR_N}-token window, found by exploding "
+    "window hashes and equi-joining on the hash — candidate "
+    "generation shuffles on the gram key only, never compares all "
+    "pairs. The doc-frequency band (2..{max_df}) is the standard "
+    "boilerplate guard: a gram in thousands of documents is template "
+    "text, and dropping it also bounds the join fan-out per key at "
+    "scale. Complements MinHash (set overlap) with ORDERED verbatim "
+    "overlap; md5 over the space-joined window keeps the key portable "
+    "across engines.",
+    tags=("text", "dedup", "exact-substring"),
+)
+def exact_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+    from ..operators.dedup import explode_nonempty
+    from ..sources.tpch import repartition_for_compute
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", tokens(F.col("text")).alias("tk"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_SUBSTR_N - 1)),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice("tk", i, _SUBSTR_N))
+        ),
+    )
+    grams = (
+        explode_nonempty(
+            docs.filter(F.size("tk") >= _SUBSTR_N), "g", windows, "doc_id"
+        )
+        .distinct()
+        .transform(tracked_cache)
+    )
+    keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        (F.col("df") >= 2) & (F.col("df") <= _SUBSTR_MAX_DF)
+    )
+    a = grams.join(keep.select("g"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    return (
+        a.select(F.col("doc_id").alias("id_a"), "g")
+        .join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("g").alias("shared_windows"))
+    )

@@ -52,3 +52,33 @@ def test_metrics_expose_final_aqe_plan(spark, sf_correctness):
     ]
     # the FINAL aggregate emitted exactly the result rows
     assert min(agg_rows) == len(res), (agg_rows, len(res))
+
+
+def test_observation_api_collects_inline_metrics(spark, sf_correctness):
+    """df.observe(): named aggregates piggyback on the action (no
+    second scan) — the in-pipeline data-quality counters pattern
+    (row counts, null counts, revenue checksums riding every batch)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    obs = Observation("li_quality")
+    li = load_table(spark, sf_correctness, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "price_cents"
+        ),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+    )
+    out = li.filter(F.col("l_quantity") > 10).count()
+    got = obs.get
+    exact = load_table(spark, sf_correctness, "lineitem")
+    assert got["n_rows"] == exact.count()
+    assert got["null_qty"] == 0
+    assert out < got["n_rows"]
+    want_cents = exact.select(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+    ).first()[0]
+    assert got["price_cents"] == want_cents

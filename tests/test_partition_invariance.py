@@ -49,6 +49,17 @@ REPRESENTATIVES = [
     "ann_topk_pq_portable",
     "bloom_decontaminate_docs",
     "sessionize_events_gap",
+    # round-4 additions: integer-micro centroid means (expression AND
+    # Arrow-grouped tiers), the fixed-range distributed cumsum (its
+    # internal range partitioning must not inherit the session shuffle
+    # count), micronat entropy sums, integer-exact OLS, and the
+    # MAD discrete medians (collect_list order must not leak)
+    "label_centroids",
+    "label_centroids_arrow",
+    "token_budget_head_selection_distributed",
+    "doc_char_entropy",
+    "daily_value_regression",
+    "daily_value_anomalies_mad",
 ]
 
 
