@@ -40,6 +40,11 @@ HEADLINE = [
     # round-3 scale operators
     "bloom_decontaminate_docs",
     "sessionize_events_gap",
+    # round-4 additions: ordered-verbatim dedup, vision patch layout,
+    # Arrow-grouped centroid tier
+    "exact_substring_dup_pairs",
+    "multimodal_patch_grid",
+    "label_centroids_arrow",
 ]
 
 

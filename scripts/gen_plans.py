@@ -25,6 +25,10 @@ HEADLINE = [
     "salted_skew_join_revenue",
     "range_bucket_join_events",
     "ann_topk_lsh",
+    # round-4 headline additions
+    "exact_substring_dup_pairs",
+    "token_budget_head_selection_distributed",
+    "multimodal_patch_grid",
 ]
 
 
