@@ -43,7 +43,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
 
 # table -> {column: stride_source_column} key-offset plan; stride is
 # max(source column) + 1 so copies never collide
@@ -107,7 +106,12 @@ def _perturb_embeddings(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.scale/sf1")
+    ap.add_argument(
+        "--copies", type=int, default=10,
+        help="replication factor (10 -> sf1, 100 -> sf10)",
+    )
     args = ap.parse_args()
+    copies = args.copies
     strides = _strides()
 
     for table in [
@@ -134,7 +138,7 @@ def main() -> None:
             print(f"{table}: 1 copy ({base.num_rows} rows)")
             continue
         plan = KEY_PLAN[table]
-        for k in range(COPIES):
+        for k in range(copies):
             cols = {}
             for name in schema.names:
                 arr = base.column(name)
@@ -158,7 +162,7 @@ def main() -> None:
                     cols[name] = arr
             t = pa.table(cols, schema=schema)
             pq.write_table(t, os.path.join(dst_dir, f"part-{k}.parquet"))
-        print(f"{table}: {COPIES} copies ({base.num_rows * COPIES} rows)")
+        print(f"{table}: {copies} copies ({base.num_rows * copies} rows)")
 
 
 if __name__ == "__main__":

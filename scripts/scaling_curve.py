@@ -1,17 +1,22 @@
-"""Measure the 10x scaling curve (round-4 verdict item 2).
+"""Measure the scaling curve (round-4 verdict item 2).
 
 Runs the headline scale operators at the driver's sf0.1 and the
 derived sf1 (scripts/gen_scale_data.py, 10x rows with per-copy key
-offsets) and records wall-time ratios. The claim under test: the
+offsets) — and, when an sf10 directory exists (--copies 100), a third
+point giving TWO measured decades. The claim under test: the
 banded/bucketed/broadcast-bounded plans scale ~linearly in data volume
 — a ~10x data -> ~10x (or less) time curve, never ~100x. Quadratic
 shapes (all-pairs candidate generation, unsplit hot keys, driver-side
 loops) would show up here as super-linear ratios no plan screenshot
-can hide.
+can hide — and a quadratic term hiding under fixed overhead at sf1
+surfaces at sf10.
 
 Writes SCALING.md and prints one JSON line.
 
-Usage: python scripts/scaling_curve.py [--sf1 /root/repo/.scale/sf1]
+Usage:
+  python scripts/gen_scale_data.py                      # sf1
+  python scripts/gen_scale_data.py --out .scale/sf10 --copies 100
+  python scripts/scaling_curve.py [--sf10 /root/repo/.scale/sf10]
 """
 
 from __future__ import annotations
@@ -40,9 +45,25 @@ QUERIES = [
     "daily_summary",
 ]
 
-# ratio bands for the per-query verdict: 10x data should cost <= ~13x
+# the subset measured at sf10 (kept small: each sf10 trial is ~10-60s)
+SF10_QUERIES = [
+    "minhash_neardup_pairs",
+    "bloom_decontaminate_docs",
+    "inventory_allocation",
+    "sessionize_events_gap",
+    "exact_dedup_docs",
+    "daily_summary",
+]
+
+# ratio bands for the per-decade verdict: 10x data should cost <= ~13x
 # time (linear + a shuffle-constant); anything past 15x is flagged
 SUBLINEAR, LINEAR_MAX = 8.0, 13.0
+
+
+def _verdict(ratio: float) -> str:
+    if ratio <= SUBLINEAR:
+        return "sub-linear"
+    return "linear" if ratio <= LINEAR_MAX else "SUPER-LINEAR"
 
 
 def _time_best(fns, name, spark, sf_dir, trials=2) -> float:
@@ -60,14 +81,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default="/root/repo/.scale/sf1")
+    ap.add_argument("--sf10", default="/root/repo/.scale/sf10")
     ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
     if not os.path.isdir(args.sf1):
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
+    have_sf10 = os.path.isdir(args.sf10)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # same quiet gate as bench.py: timings above ~2 loadavg are noise,
-    # and sf0.1/sf1 are timed in separate passes, so load arriving
+    # and the SFs are timed in separate passes, so load arriving
     # mid-run would inflate only one side of each ratio
     from bench import _wait_for_quiet
 
@@ -84,55 +107,74 @@ def main() -> None:
 
     rows = []
     for name in QUERIES:
-        t_small = _time_best(fns, name, spark, args.sf01, args.trials)
-        t_big = _time_best(fns, name, spark, args.sf1, args.trials)
-        ratio = t_big / t_small if t_small > 0 else float("inf")
-        verdict = (
-            "sub-linear"
-            if ratio <= SUBLINEAR
-            else "linear" if ratio <= LINEAR_MAX else "SUPER-LINEAR"
-        )
-        rows.append((name, t_small, t_big, ratio, verdict))
-        print(f"{name}: sf0.1={t_small:.2f}s sf1={t_big:.2f}s x{ratio:.1f} {verdict}")
+        t01 = _time_best(fns, name, spark, args.sf01, args.trials)
+        t1 = _time_best(fns, name, spark, args.sf1, args.trials)
+        r1 = t1 / t01 if t01 > 0 else float("inf")
+        t10 = r10 = None
+        if have_sf10 and name in SF10_QUERIES:
+            t10 = _time_best(fns, name, spark, args.sf10, args.trials)
+            r10 = t10 / t1 if t1 > 0 else float("inf")
+        rows.append((name, t01, t1, r1, t10, r10))
+        ten = f" sf10={t10:.2f}s x{r10:.1f} {_verdict(r10)}" if t10 else ""
+        print(f"{name}: sf0.1={t01:.2f}s sf1={t1:.2f}s x{r1:.1f} "
+              f"{_verdict(r1)}{ten}")
 
-    load = ambient
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
         f.write(
-            "# Measured 10x scaling curve\n\n"
-            "Wall-time at the driver's sf0.1 vs a derived sf1 "
-            "(scripts/gen_scale_data.py: 10x rows, per-copy key offsets, "
-            "word-shuffled documents so replicas are not near-dups, "
-            "noise-perturbed embeddings). Best-of-"
+            "# Measured scaling curve (10x per step)\n\n"
+            "Wall-time at the driver's sf0.1 vs derived sf1"
+            + (" and sf10" if have_sf10 else "")
+            + " (scripts/gen_scale_data.py: replicated rows with "
+            "per-copy key offsets, word-shuffled documents so replicas "
+            "are not near-dups, noise-perturbed embeddings). Best-of-"
             f"{args.trials} per SF on local[{cpus}], noop sink, "
-            f"ambient load {load:.1f}.\n\n"
-            "A ~10x data -> <=~13x time row is linear scaling (the "
+            f"ambient load {ambient:.1f}.\n\n"
+            "A 10x data -> <=~13x time decade is linear scaling (the "
             "extra constant is shuffle/scheduling overhead at still-"
-            "small absolute sizes); sub-linear rows are dominated by "
-            "fixed per-query overhead at sf0.1. SUPER-LINEAR would "
-            "indicate a quadratic path and fails the scale review.\n\n"
-            "| query | sf0.1 (s) | sf1 (s) | ratio | verdict |\n"
-            "|---|---|---|---|---|\n"
+            "small absolute sizes); sub-linear decades are dominated "
+            "by fixed per-query overhead. SUPER-LINEAR would indicate "
+            "a quadratic path and fails the scale review. The second "
+            "decade (sf1 -> sf10) is the stronger evidence: fixed "
+            "overheads are already amortized, so a hidden quadratic "
+            "term cannot hide there.\n\n"
+            "| query | sf0.1 (s) | sf1 (s) | x(0.1→1) | sf10 (s) "
+            "| x(1→10) | verdict |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
-        for name, a, b, r, v in rows:
-            f.write(f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x | {v} |\n")
+        for name, t01, t1, r1, t10, r10 in rows:
+            v = _verdict(r10 if r10 is not None else r1)
+            s10 = f"{t10:.2f}" if t10 is not None else "—"
+            sr10 = f"{r10:.1f}x" if r10 is not None else "—"
+            f.write(
+                f"| {name} | {t01:.2f} | {t1:.2f} | {r1:.1f}x "
+                f"| {s10} | {sr10} | {v} |\n"
+            )
         f.write(
             "\nPer-query notes: `bloom_decontaminate_docs` carries the "
-            "largest ratio because the benchmark gram set (and so the "
-            "Bloom position relation built per run) grows with the "
-            "corpus — still far under linear in total work. "
-            "`minhash_neardup_pairs` stays near-flat because the "
-            "sf1 documents are word-shuffled (replicas are NOT "
-            "near-dups), so candidate pairs do not inflate; signature "
-            "cost grows ~10x but is absorbed by the 32 cores the "
-            "sf0.1 run under-utilizes.\n"
+            "largest first-decade ratio because the benchmark gram set "
+            "(and so the Bloom position relation built per run) grows "
+            "with the corpus — still far under linear in total work. "
+            "`minhash_neardup_pairs` stays near-flat in the first "
+            "decade because the scaled documents are word-shuffled "
+            "(replicas are NOT near-dups), so candidate pairs do not "
+            "inflate; signature cost grows ~10x but is absorbed by the "
+            "32 cores the sf0.1 run under-utilizes.\n"
         )
+    worst = max(
+        (r for *_, r1, _, r10 in rows for r in (r1, r10) if r is not None),
+        default=0.0,
+    )
     print(
         json.dumps(
             {
                 "metric": "scaling_ratio_max",
-                "value": round(max(r for _, _, _, r, _ in rows), 2),
-                "queries": {n: round(r, 2) for n, _, _, r, _ in rows},
-                "ambient_load_1m": round(load, 2),
+                "value": round(worst, 2),
+                "queries": {
+                    n: {"x01_1": round(r1, 2),
+                        "x1_10": round(r10, 2) if r10 is not None else None}
+                    for n, _, _, r1, _, r10 in rows
+                },
+                "ambient_load_1m": round(ambient, 2),
             }
         )
     )
