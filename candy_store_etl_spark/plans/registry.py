@@ -63,11 +63,12 @@ _LOADED = False
 # import order.  Round 4 priority: (a) the four oracled queries that
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
-# portable twin so the driver file stays self-explaining; (b) the 20
-# queries new in round 4; (c) flagship re-confirmations (allocation,
-# pipeline aggregates, the ANN/minhash families, forecasts, one
-# streaming query). Queries absent from the registry are ignored, so
-# this list is safe across refactors.
+# portable twin so the driver file stays self-explaining; (b) the 26
+# queries new in round 4 (sections b1 + b2 below: 20 + 6); (c) 14
+# flagship re-confirmations (allocation, pipeline aggregates, the
+# minhash tier pairs, one streaming query). 10 + 26 + 14 = 50.
+# Queries absent from the registry are ignored, so this list is safe
+# across refactors.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) never-windowed oracled queries + fast-tier/twin pairs
     "ann_topk_ivf",
@@ -101,6 +102,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pipe_syntax_daily_orders",
     "doc_char_entropy",
     "multimodal_patch_grid",
+    # (b2) round-4 batch-3 additions (registered after the first
+    # window draft; all gate-sim green)
+    "label_centroids_arrow",
+    "hll_sketch_users",
+    "event_type_pivot_native",
+    "safe_arithmetic_ops",
+    "products_merge_upsert",
+    "exact_substring_dup_pairs",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
     "inventory_allocation",
     "inventory_allocation_chained",
@@ -109,19 +118,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "region_revenue",
     "corpus_curation",
     "exact_dedup_docs",
-    "ann_topk_cosine",
-    "ann_topk_lsh",
-    "embedding_neardup_pairs_lsh",
     "minhash_neardup_pairs_oph",
     "minhash_neardup_pairs_oph_portable",
     "neardup_clusters_minhash",
     "neardup_clusters_minhash_portable",
     "incremental_neardup_probe_lsh",
     "incremental_neardup_probe_lsh_portable",
-    "linear_forecast_daily_value",
-    "seasonal_forecast_daily_value",
     "streaming_dedup_events",
-    "doc_packing",
 )
 
 

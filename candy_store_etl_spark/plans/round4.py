@@ -1223,7 +1223,11 @@ def label_centroids_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def centroid(table: "pa.Table") -> "pa.Table":
         label = table.column("label")[0].as_py()
-        vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+        # actual zero-copy: view the ListArray's flat values buffer and
+        # reshape — to_pylist() would materialize 64N Python floats
+        emb_col = table.column("embedding").combine_chunks()
+        flat = np.asarray(emb_col.flatten(), dtype=np.float64)
+        vecs = flat.reshape(len(emb_col), -1)
         micro = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
         sums = micro.sum(axis=0)
         n = micro.shape[0]
@@ -1472,6 +1476,7 @@ def products_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_N = 8  # window length in tokens
 _SUBSTR_MAX_DF = 10  # boilerplate guard: ignore grams in > this many docs
+_SUBSTR_MAX_TOKENS = 4096  # window-start cap per doc (both engines)
 
 
 @register(
@@ -1505,12 +1510,13 @@ _SUBSTR_MAX_DF = 10  # boilerplate guard: ignore grams in > this many docs
     f"any verbatim {_SUBSTR_N}-token window, found by exploding "
     "window hashes and equi-joining on the hash — candidate "
     "generation shuffles on the gram key only, never compares all "
-    "pairs. The doc-frequency band (2..{max_df}) is the standard "
+    f"pairs. The doc-frequency band (2..{_SUBSTR_MAX_DF}) is the standard "
     "boilerplate guard: a gram in thousands of documents is template "
     "text, and dropping it also bounds the join fan-out per key at "
     "scale. Complements MinHash (set overlap) with ORDERED verbatim "
     "overlap; md5 over the space-joined window keeps the key portable "
-    "across engines.",
+    f"across engines. Window starts cap at {_SUBSTR_MAX_TOKENS} tokens "
+    "per document on BOTH engines (one shared constant).",
     tags=("text", "dedup", "exact-substring"),
 )
 def exact_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1521,8 +1527,15 @@ def exact_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(
         load_table(spark, sf_dir, "documents")
     ).select("doc_id", tokens(F.col("text")).alias("tk"))
+    # cap matches the oracle's generate_series bound: documents beyond
+    # _SUBSTR_MAX_TOKENS tokens contribute their first windows only
     windows = F.transform(
-        F.sequence(F.lit(1), F.size("tk") - (_SUBSTR_N - 1)),
+        F.sequence(
+            F.lit(1),
+            F.least(
+                F.size("tk") - (_SUBSTR_N - 1), F.lit(_SUBSTR_MAX_TOKENS)
+            ),
+        ),
         lambda i: F.md5(
             F.concat_ws(" ", F.slice("tk", i, _SUBSTR_N))
         ),

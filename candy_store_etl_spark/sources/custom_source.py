@@ -61,11 +61,10 @@ class CandyTransactionsReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         """One partition per day file inside [start, end] — date-range
         pruning at planning time, parallel reads at execution time."""
-        parts = []
-        for p in sorted(glob.glob(os.path.join(self.root, "transactions_*.json"))):
-            day = os.path.basename(p)[len("transactions_") : -len(".json")]
-            if self.start <= day <= self.end:
-                parts.append(_DayPartition(day, p))
+        parts = [
+            _DayPartition(day, p)
+            for day, p in _list_day_files(self.root, self.start, self.end)
+        ]
         if not parts:
             raise ValueError(
                 f"no transactions_*.json in {self.root!r} within "
@@ -75,6 +74,18 @@ class CandyTransactionsReader(DataSourceReader):
 
     def read(self, partition: _DayPartition) -> Iterator[tuple]:
         yield from _read_day_rows(partition.path, partition.day)
+
+
+def _list_day_files(root: str, start: str, end: str) -> list[tuple[str, str]]:
+    """Sorted (day, path) pairs for transactions_*.json within
+    [start, end] — the ONE definition of which files constitute the
+    dataset, shared by the batch planner and the stream reader."""
+    days = []
+    for p in sorted(glob.glob(os.path.join(root, "transactions_*.json"))):
+        day = os.path.basename(p)[len("transactions_") : -len(".json")]
+        if start <= day <= end:
+            days.append((day, p))
+    return days
 
 
 def _read_day_rows(path: str, day: str) -> list[tuple]:
@@ -101,12 +112,15 @@ class CandyTransactionsStreamReader(SimpleDataSourceStreamReader):
     microbatch — the shape of a Mongo change-stream / daily-drop
     ingestion. The offset is the LAST PROCESSED DAY STRING (not a list
     index): the directory is re-listed on every ``read`` call, so
-    files dropped while the query runs are picked up live, and
-    ``readBetweenOffsets`` replays a committed (start, end] day range
-    deterministically even if the listing has since grown. Like any
-    monotonic-drop ingestion, a file BACKFILLED with a day earlier
-    than the committed offset is skipped — replay old days with a
-    fresh checkpoint (start/end options), the same contract as a
+    files dropped while the query runs are picked up live. Each batch
+    ingests exactly ONE day, so a committed (start, end] range always
+    denotes the single day ``end`` — ``readBetweenOffsets`` replays
+    that day's file alone, which stays byte-identical to the original
+    batch even if the listing has since grown (a day BACKFILLED inside
+    the range after commit is NOT retroactively added to the replay).
+    Like any monotonic-drop ingestion, a backfilled day at-or-before
+    the committed offset is skipped by ``read`` — replay old days with
+    a fresh checkpoint (start/end options), the same contract as a
     resume-token change-stream cursor."""
 
     def __init__(self, options: dict) -> None:
@@ -116,30 +130,25 @@ class CandyTransactionsStreamReader(SimpleDataSourceStreamReader):
         self.start = options.get("start", "00000000")
         self.end = options.get("end", "99999999")
 
-    def _list_days(self) -> list[tuple[str, str]]:
-        days = []
-        for p in sorted(glob.glob(os.path.join(self.root, "transactions_*.json"))):
-            day = os.path.basename(p)[len("transactions_") : -len(".json")]
-            if self.start <= day <= self.end:
-                days.append((day, p))
-        return days
-
     def initialOffset(self) -> dict:
         return {"last_day": "00000000"}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         last = start["last_day"]
-        for day, path in self._list_days():
+        for day, path in _list_day_files(self.root, self.start, self.end):
             if day > last:
                 return iter(_read_day_rows(path, day)), {"last_day": day}
         return iter(()), {"last_day": last}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows: list[tuple] = []
-        for day, path in self._list_days():
-            if start["last_day"] < day <= end["last_day"]:
-                rows.extend(_read_day_rows(path, day))
-        return iter(rows)
+        # each batch commits exactly one day (see read), so the range
+        # identifies the single day `end`; replaying only it keeps
+        # recovery byte-identical to the original batch even if files
+        # were backfilled inside (start, end) after the commit
+        for day, path in _list_day_files(self.root, self.start, self.end):
+            if day == end["last_day"]:
+                return iter(_read_day_rows(path, day))
+        return iter(())
 
 
 class CandyTransactionsDataSource(DataSource):

@@ -16,6 +16,12 @@ written at commit time), not a footer sweep; ``write_manifest`` /
 per file of metadata — still far cheaper than scheduling a task per
 file — and is driver-side metadata work, the same place Delta reads
 its transaction log.
+
+Only TOP-LEVEL PRIMITIVE columns can be indexed: parquet row-group
+statistics address LEAF columns, and mapping an arrow field position
+onto leaves is wrong the moment a nested column precedes the target —
+``collect_file_stats`` therefore resolves the column by its leaf
+``path_in_schema`` and rejects nested paths outright.
 """
 
 from __future__ import annotations
@@ -30,22 +36,50 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "_stats_manifest.json"
 
 
+def _leaf_index(md, column: str) -> int:
+    """Parquet LEAF index of a top-level primitive column, resolved by
+    path_in_schema (never by arrow field position — a struct or list
+    earlier in the schema has multiple/offset leaves)."""
+    hits = [
+        i
+        for i in range(len(md.schema))
+        if md.schema.column(i).path.split(".")[0] == column
+    ]
+    if len(hits) != 1 or md.schema.column(hits[0]).path != column:
+        raise ValueError(
+            f"{column!r} is not a top-level primitive column "
+            f"(leaf paths: {[md.schema.column(i).path for i in hits]})"
+        )
+    return hits[0]
+
+
+def _coerce(v):
+    """Keep stats JSON-native and ORDER-comparable: ints/floats/bools
+    pass through; anything else (Decimal, date, bytes) becomes a
+    string and the file is treated as stats-less rather than risking
+    lexicographic comparison of numerics."""
+    return v if isinstance(v, (int, float, bool, str)) else None
+
+
 def collect_file_stats(path: str, column: str) -> list[dict]:
     """Footer [min, max] of ``column`` per file (metadata-only)."""
     stats = []
     for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
         md = pq.read_metadata(f)
-        names = md.schema.to_arrow_schema().names
-        ci = names.index(column)
+        ci = _leaf_index(md, column)
         mins, maxs = [], []
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(ci).statistics
             if st is None or not st.has_min_max:
                 mins, maxs = [], []
                 break
-            mins.append(st.min)
-            maxs.append(st.max)
-        entry = {"file": f, "rows": md.num_rows}
+            mn, mx = _coerce(st.min), _coerce(st.max)
+            if mn is None or mx is None or isinstance(mn, str) != isinstance(mx, str):
+                mins, maxs = [], []
+                break
+            mins.append(mn)
+            maxs.append(mx)
+        entry = {"file": os.path.basename(f), "rows": md.num_rows}
         if mins:
             entry["min"] = min(mins)
             entry["max"] = max(maxs)
@@ -59,7 +93,7 @@ def write_manifest(path: str, column: str) -> str:
     manifest = {"column": column, "files": collect_file_stats(path, column)}
     out = os.path.join(path, MANIFEST_NAME)
     with open(out, "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
+        json.dump(manifest, f, indent=1)
     return out
 
 
@@ -73,10 +107,13 @@ def read_pruned(
     """Scan only the files whose [min, max] intersects [lo, hi].
 
     Consults the persisted manifest when present (planning-time, no
-    footer I/O), else sweeps footers. Files without stats are kept —
-    pruning must never be lossy. The residual filter is still applied,
-    so results equal ``spark.read.parquet(path).filter(...)`` exactly;
-    only the file list shrinks.
+    footer I/O), else sweeps footers. Pruning is NEVER lossy: files
+    without stats are kept, and files present in the directory but
+    absent from the manifest (appended after ``write_manifest``) get a
+    fresh footer probe instead of being silently dropped. The residual
+    filter is still applied, so results equal
+    ``spark.read.parquet(path).filter(...)`` exactly; only the file
+    list shrinks.
     """
     mpath = os.path.join(path, MANIFEST_NAME)
     if os.path.exists(mpath):
@@ -86,14 +123,27 @@ def read_pruned(
             raise ValueError(
                 f"manifest indexes {manifest['column']!r}, not {column!r}"
             )
-        entries = manifest["files"]
+        entries = {e["file"]: e for e in manifest["files"]}
+        # staleness repair: footer-probe any file the manifest missed
+        on_disk = [
+            os.path.basename(f)
+            for f in sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        ]
+        missing = [f for f in on_disk if f not in entries]
+        if missing:
+            fresh = {
+                e["file"]: e for e in collect_file_stats(path, column)
+            }
+            for f in missing:
+                entries[f] = fresh.get(f, {"file": f})
+        entries = [entries[f] for f in on_disk]
     else:
         entries = collect_file_stats(path, column)
 
     keep = [
-        e["file"]
+        os.path.join(path, e["file"])
         for e in entries
-        if "min" not in e or not (_lt(hi, e["min"]) or _lt(e["max"], lo))
+        if "min" not in e or not (hi < e["min"] or e["max"] < lo)
     ]
     from pyspark.sql import functions as F
 
@@ -105,10 +155,3 @@ def read_pruned(
         .parquet(*keep)
         .filter((F.col(column) >= lo) & (F.col(column) <= hi))
     )
-
-
-def _lt(a, b) -> bool:
-    """Compare stats values that may round-trip through JSON as str."""
-    if isinstance(a, str) or isinstance(b, str):
-        return str(a) < str(b)
-    return a < b

@@ -142,7 +142,7 @@ def main() -> None:
             "|---|---|---|---|---|---|---|\n"
         )
         for name, t01, t1, r1, t10, r10 in rows:
-            v = _verdict(r10 if r10 is not None else r1)
+            v = _verdict(max(r1, r10) if r10 is not None else r1)
             s10 = f"{t10:.2f}" if t10 is not None else "—"
             sr10 = f"{r10:.1f}x" if r10 is not None else "—"
             f.write(

@@ -400,15 +400,25 @@ def test_custom_source_streams_day_per_microbatch(spark, tmp_path):
     finally:
         q.stop()
 
-    # replay contract: the (20240201, 20240203] range re-reads exactly
-    # days 2-3, against a listing that may have grown since commit
+    # replay contract: a committed range denotes its END day only
+    # (each batch ingests exactly one day), so recovery re-reads that
+    # day's file byte-identically — a file backfilled INSIDE the range
+    # after commit must NOT be retroactively added to the replay
     rdr = CandyTransactionsStreamReader({"path": str(root)})
     replay = list(
+        rdr.readBetweenOffsets(
+            {"last_day": "20240201"}, {"last_day": "20240202"}
+        )
+    )
+    assert [r[0] for r in replay] == [2, 3]
+    # a wider committed range still replays only its END day — day 2
+    # sitting inside (20240201, 20240203] is not re-emitted
+    replay3 = list(
         rdr.readBetweenOffsets(
             {"last_day": "20240201"}, {"last_day": "20240203"}
         )
     )
-    assert [r[0] for r in replay] == [2, 3, 4]
+    assert [r[0] for r in replay3] == [4]
 
     # live pickup: a file dropped after the reader exists is returned
     # by the next read() call (the listing is not frozen at init)

@@ -142,3 +142,46 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_correctness):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_manifest_staleness_repair_and_nested_rejection(spark, sf_correctness, tmp_path):
+    """Files appended AFTER write_manifest must still be scanned (a
+    stale manifest may prune, never lose), and indexing a nested
+    column must be rejected loudly — parquet stats address leaves, and
+    leaf positions shift under nested schemas."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_correctness, "documents")
+    table = str(tmp_path / "t")
+    docs.filter(F.col("doc_id") < 250).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(table)
+    write_manifest(table, "doc_id")
+    # append a file the manifest has never seen, holding ids 250+
+    docs.filter(F.col("doc_id") >= 250).repartition(1).write.mode(
+        "append"
+    ).parquet(table)
+
+    got = read_pruned(spark, table, "doc_id", 240, 260)
+    want = spark.read.parquet(table).filter(
+        (F.col("doc_id") >= 240) & (F.col("doc_id") <= 260)
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+    # nested columns: stats are per-leaf; reject instead of misindexing
+    emb = load_table(spark, sf_correctness, "embeddings")
+    etable = str(tmp_path / "e")
+    emb.repartition(1).write.mode("overwrite").parquet(etable)
+    with _pytest.raises(ValueError, match="top-level primitive"):
+        write_manifest(etable, "embedding")
+    # but a primitive AFTER the nested column resolves correctly: the
+    # label leaf sits at a different leaf index than its arrow position
+    write_manifest(etable, "label")
+    f = sorted(__import__("glob").glob(etable + "/part-*.parquet"))[0]
+    md = pq.read_metadata(f)
+    from candy_store_etl_spark.sources.file_index import _leaf_index
+
+    assert _leaf_index(md, "label") == 2  # vec_id, embedding.element, label
