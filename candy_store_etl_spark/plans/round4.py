@@ -977,17 +977,23 @@ def pipe_syntax_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor at 4-dp nat resolution BEFORE the k-weighted integer sum "
     "(the bigram-LM micronat discipline), so group sums are order-"
     "independent and bit-identical across engines; the final "
-    "normalization is one portable floored division. The 4096 cap "
-    "bounds the oracle's series join; the corpus max doc length is "
-    "far below it (pinned by the row-count match).",
+    "normalization is one portable floored division. Char positions "
+    "cap at 4096 on BOTH engines (one shared bound), so a regenerated "
+    "corpus with longer documents cannot desync the oracle.",
     tags=("text", "quality", "entropy"),
 )
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # char positions cap at 4096 on BOTH engines (the oracle's
+    # generate_series bound) — longer documents contribute their first
+    # 4096 chars; current corpora sit far below the cap
     ch = docs.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+            F.expr(
+                "transform(sequence(1, least(length(text), 4096)),"
+                " i -> substr(text, i, 1))"
+            )
         ).alias("c"),
     )
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
