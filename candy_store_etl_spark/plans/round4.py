@@ -1565,3 +1565,102 @@ def exact_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count_distinct("g").alias("shared_windows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training + dataset-card surfaces
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_top_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks CROSS JOIN generate_series(1, 64) AS t(i)
+      WHERE i <= length(tok) - 1
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    doc="The first iteration of BPE tokenizer training: count adjacent "
+    "symbol pairs across the corpus and take the most frequent (the "
+    "pair a BPE trainer would merge next), deterministic tie-break on "
+    "the pair itself. One explode + one grouped count + TakeOrdered — "
+    "each further merge round is the same plan over re-segmented "
+    "tokens, so the full trainer is this query iterated (cf. the "
+    "unrolled-rounds pattern of supplier_pagerank). Char positions "
+    "bound by token length on both engines.",
+    tags=("text", "tokenizer", "bpe"),
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import explode_nonempty
+    from ..sources.tpch import repartition_for_compute
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = explode_nonempty(
+        docs.select(tokens(F.col("text")).alias("tk")), "tok", F.col("tk")
+    )
+    pairs = explode_nonempty(
+        toks.select(
+            # pair positions cap at 64 on BOTH engines (the oracle's
+            # generate_series bound; no real token approaches it)
+            F.expr(
+                "transform(sequence(1, least(greatest(length(tok) - 1, 1), 64)),"
+                " i -> substr(tok, i, 2))"
+            ).alias("ps"),
+        ).filter(F.length(F.col("ps")[0]) == 2),
+        "pair",
+        F.col("ps"),
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "dataset_card_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(FLOOR(CAST(SUM(n_toks) AS DOUBLE)/COUNT(*)) AS BIGINT)
+             AS mean_tokens_per_doc
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Dataset-card statistics — the per-(source, language) rollup "
+    "every corpus release publishes (doc counts, token/char totals, "
+    "mean document length): one grouped pass, integer sums with the "
+    "portable floored mean. At 100 TB this runs as the standing "
+    "metrics job whose output IS the documentation table.",
+    tags=("text", "stats", "dataset-card"),
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(n_toks) AS DOUBLE)/COUNT(*)) AS BIGINT)"
+        ).alias("mean_tokens_per_doc"),
+    )
