@@ -1664,3 +1664,58 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR(CAST(SUM(n_toks) AS DOUBLE)/COUNT(*)) AS BIGINT)"
         ).alias("mean_tokens_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# File-index consultation inside a registered query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pruned_range_scan_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents WHERE doc_id BETWEEN 10 AND 40
+    """,
+    doc="The stats file index (sources/file_index.py) exercised as a "
+    "QUERY: the documents table is laid out once per session into a "
+    "range-compacted scratch copy with a persisted min/max manifest "
+    "(the commit-time step of a table format), and the range query is "
+    "answered via read_pruned — the scan opens only the files whose "
+    "footer range overlaps, planning from manifest metadata alone. "
+    "Pruning is provably lossless: the result equals the plain "
+    "filtered scan, which is the oracle. The layout write is the "
+    "idempotent setup a real table maintains continuously via "
+    "compact_files.",
+    tags=("warehouse", "file-index", "pruning"),
+)
+def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.file_index import MANIFEST_NAME, read_pruned, write_manifest
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"csetl_file_index_{key}"
+    )
+    if not os.path.exists(os.path.join(scratch, MANIFEST_NAME)):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.repartitionByRange(6, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        write_manifest(scratch, "doc_id")
+    pruned = read_pruned(spark, scratch, "doc_id", 10, 40)
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -148,3 +148,103 @@ def test_interpolation_known_days_pass_through(spark, sf_correctness):
         if prevs and nexts:
             lo, hi = sorted((prevs[-1], nexts[0]))
             assert lo <= r["interp_cents"] <= hi, r
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) for the round-4 primitives —
+# the algebra must hold for ARBITRARY inputs, not just the fixtures.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=2,
+        max_size=64,
+    )
+)
+def test_int8_quantize_roundtrip_error_bound(micro):
+    """The int8 code algebra (floor(255*(x-mn)/(mx-mn))) must always
+    produce codes in [0, 255] with reconstruction error <= one
+    quantization step — pure-Python replay of the registered query's
+    exact integer formula."""
+    mn, mx = min(micro), max(micro)
+    for x in micro:
+        if mx == mn:
+            code = 0
+        else:
+            import math
+
+            code = int(math.floor(float((x - mn) * 255) / (mx - mn)))
+        assert 0 <= code <= 255
+        if mx != mn:
+            recon = mn + code * (mx - mn) / 255.0
+            assert abs(recon - x) <= (mx - mn) / 255.0 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**4),  # day index
+            st.integers(min_value=-(10**8), max_value=10**8),  # cents
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interpolation_formula_is_bounded_and_exact_at_knowns(points):
+    """prev + floor((next-prev)*(d-pd)/(nd-pd)) must land within
+    [min(prev,next), max(prev,next)] for every gap day and reproduce
+    the known value at both endpoints — the registered query's exact
+    integer formula."""
+    import math
+
+    pts = sorted(points)
+    for (pd_, pc), (nd, nc) in zip(pts, pts[1:]):
+        for d in range(pd_, nd + 1):
+            interp = pc + int(
+                math.floor(float((nc - pc) * (d - pd_)) / (nd - pd_))
+            )
+            lo, hi = sorted((pc, nc))
+            assert lo <= interp <= hi
+            if d == pd_:
+                assert interp == pc
+            if d == nd:
+                assert interp == nc
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # doc quality key
+            st.integers(min_value=0, max_value=500),  # n_toks
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    st.integers(min_value=0, max_value=5000),  # budget
+)
+def test_token_budget_prefix_is_maximal_and_ordered(docs, budget):
+    """The head-selection invariant for arbitrary corpora: the kept
+    set is exactly the longest prefix of the quality order whose token
+    sum fits the budget."""
+    ordered = sorted(enumerate(docs), key=lambda t: (-t[1][0], t[0]))
+    cum, kept = 0, []
+    for idx, (_, toks) in ordered:
+        cum += toks
+        if cum <= budget:
+            kept.append(idx)
+        else:
+            break
+    total = sum(docs[i][1] for i in kept)
+    assert total <= budget
+    if len(kept) < len(docs):
+        nxt = ordered[len(kept)][0]
+        assert total + docs[nxt][1] > budget
