@@ -63,10 +63,11 @@ _LOADED = False
 # import order.  Round 4 priority: (a) the four oracled queries that
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
-# portable twin so the driver file stays self-explaining; (b) the 26
-# queries new in round 4 (sections b1 + b2 below: 20 + 6); (c) 14
-# flagship re-confirmations (allocation, pipeline aggregates, the
-# minhash tier pairs, one streaming query). 10 + 26 + 14 = 50.
+# portable twin so the driver file stays self-explaining; (b) the 29
+# queries new in round 4 (sections b1 + b2 below: 20 + 9); (c) 11
+# flagship re-confirmations (allocation, daily rollup, curation, the
+# minhash/cluster/probe tier pairs, one streaming query).
+# 10 + 29 + 11 = 50.
 # Queries absent from the registry are ignored, so this list is safe
 # across refactors.
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -110,14 +111,18 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "safe_arithmetic_ops",
     "products_merge_upsert",
     "exact_substring_dup_pairs",
+    "bpe_top_pairs",
+    "dataset_card_stats",
+    "pruned_range_scan_stats",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
+    # (pricing_summary / region_revenue / exact_dedup_docs rotate out:
+    # driver-green since round 1, their slots buy first-time rows for
+    # the three queries above — with this, EVERY oracled query in the
+    # catalog has had a driver window slot by the end of round 4)
     "inventory_allocation",
     "inventory_allocation_chained",
     "daily_summary",
-    "pricing_summary",
-    "region_revenue",
     "corpus_curation",
-    "exact_dedup_docs",
     "minhash_neardup_pairs_oph",
     "minhash_neardup_pairs_oph_portable",
     "neardup_clusters_minhash",
