@@ -1546,13 +1546,16 @@ def exact_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("tk", i, _SUBSTR_N))
         ),
     )
-    grams = (
-        explode_nonempty(
-            docs.filter(F.size("tk") >= _SUBSTR_N), "g", windows, "doc_id"
-        )
-        .distinct()
-        .transform(tracked_cache)
-    )
+    # (doc, gram) duplicates only arise WITHIN a document (the same
+    # window text repeated), so array_distinct on the per-row window
+    # list dedups for free — the former cross-corpus .distinct() paid
+    # a full gram-relation shuffle for what one row-local pass gives
+    grams = explode_nonempty(
+        docs.filter(F.size("tk") >= _SUBSTR_N),
+        "g",
+        F.array_distinct(windows),
+        "doc_id",
+    ).transform(tracked_cache)
     keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         (F.col("df") >= 2) & (F.col("df") <= _SUBSTR_MAX_DF)
     )

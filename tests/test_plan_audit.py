@@ -86,10 +86,11 @@ EXCHANGE_CAP_OVERRIDES = {
     # bench-bounded or candidate-bounded relation (never the raw
     # corpus-gram explode, whose membership test is map-side)
     "bloom_decontaminate_docs": 7,
-    # compute-repartition + cached gram distinct + df-band aggregate +
-    # the gram-keyed candidate join + the per-pair count — each over
-    # the gram or candidate relation, never an all-pairs product
-    "exact_substring_dup_pairs": 5,
+    # compute-repartition + df-band aggregate + the gram-keyed
+    # candidate join + the per-pair count — each over the gram or
+    # candidate relation, never an all-pairs product (the former
+    # cross-corpus distinct() shuffle is gone: in-row array_distinct)
+    "exact_substring_dup_pairs": 4,
 }
 
 BATCH_QUERIES = sorted(
