@@ -1722,3 +1722,98 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_SQL_SUBSTR_PAIRS_CTES = f"""
+    toks AS (
+      SELECT doc_id, {{SQL_TOKENS}} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             md5(list_aggregate(list_slice(tk, i, i + {_SUBSTR_N} - 1),
+                                'string_agg', ' ')) AS g
+      FROM toks CROSS JOIN generate_series(1, {_SUBSTR_MAX_TOKENS}) AS t(i)
+      WHERE i + {_SUBSTR_N} - 1 <= len(tk)
+    ),
+    keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_MAX_DF}
+    ),
+    pair AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "exact_substring_dup_savings",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SUBSTR_PAIRS_CTES.replace("{{SQL_TOKENS}}", "{SQL_TOKENS}").format(SQL_TOKENS=SQL_TOKENS)},
+    alledges AS (
+      SELECT src AS a, dst AS b FROM pair
+      UNION ALL SELECT dst, src FROM pair
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN alledges e ON e.a = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+    ),
+    rep AS (
+      SELECT l.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN d.doc_id = l.cluster_id THEN d.n_chars
+                           ELSE 0 END) AS BIGINT) AS survivor_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+      GROUP BY 1
+    )
+    SELECT cluster_id, n_docs,
+           CAST(n_docs - 1 AS BIGINT) AS n_dups,
+           CAST(total_chars - survivor_chars AS BIGINT) AS chars_saved
+    FROM rep WHERE n_docs >= 2
+    """,
+    doc="The dedup DECISION layer for the ordered-overlap family: "
+    "exact-substring pairs closed into connected components "
+    "(operators/graph min-label propagation), lowest doc_id elected "
+    "survivor per cluster, and the report a curation run acts on — "
+    "duplicates to drop and bytes reclaimed. Same pipeline shape as "
+    "neardup_clusters over MinHash edges; the oracle rebuilds the "
+    "pairs and closes them with recursive-CTE reachability. "
+    "Components shuffle node-sized state only; edges come from the "
+    "banded candidate join, never all pairs.",
+    tags=("text", "dedup", "graph", "exact-substring"),
+)
+def exact_substring_dup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import component_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_substring_dup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = component_labels(docs.select("doc_id"), pairs, "doc_id")
+    rep = (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("component"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).alias("survivor_chars"),
+        )
+    )
+    return rep.filter(F.col("n_docs") >= 2).select(
+        "cluster_id",
+        "n_docs",
+        (F.col("n_docs") - 1).cast("long").alias("n_dups"),
+        (F.col("total_chars") - F.col("survivor_chars"))
+        .cast("long")
+        .alias("chars_saved"),
+    )

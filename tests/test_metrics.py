@@ -82,3 +82,32 @@ def test_observation_api_collects_inline_metrics(spark, sf_correctness):
         F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
     ).first()[0]
     assert got["price_cents"] == want_cents
+
+
+def test_headline_queries_do_not_spill(spark, sf_correctness):
+    """Executed-plan spillSize must be ZERO for the heavy catalog
+    queries at the gate SF: spill means a partition outgrew execution
+    memory — survivable but slow, and at 100 TB the signal to resize
+    spark.sql.shuffle.partitions / maxPartitionBytes. Pinning zero
+    here catches a memory-shape regression (e.g. an accidental
+    single-partition window over fact data) the plan audit can't see."""
+    from candy_store_etl_spark.caching import release_caches
+    from candy_store_etl_spark.metrics import executed_plan_metrics
+    from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+
+    for name in [
+        "minhash_neardup_pairs",
+        "inventory_allocation",
+        "exact_substring_dup_pairs",
+        "bloom_decontaminate_docs",
+    ]:
+        df = QUERIES[name].fn(spark, sf_correctness)
+        df.write.format("noop").mode("overwrite").save()
+        spilled = sum(
+            nm.metrics.get("spillSize", 0) for nm in executed_plan_metrics(df)
+        )
+        release_caches()
+        spark.catalog.clearCache()
+        assert spilled == 0, f"{name} spilled {spilled} bytes"
