@@ -64,10 +64,11 @@ _LOADED = False
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
 # portable twin so the driver file stays self-explaining; (b) the 29
-# queries new in round 4 (sections b1 + b2 below: 20 + 9); (c) 11
-# flagship re-confirmations (allocation, daily rollup, curation, the
+# queries new in round 4 (sections b1 + b2 below: 20 + 10); (c) 10
+# flagship re-confirmations (allocation, daily rollup, the
 # minhash/cluster/probe tier pairs, one streaming query).
-# 10 + 29 + 11 = 50.
+# 10 + 30 + 10 = 50. corpus_curation joins pricing_summary /
+# region_revenue / exact_dedup_docs in rotating out (green since r1).
 # Queries absent from the registry are ignored, so this list is safe
 # across refactors.
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -114,6 +115,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bpe_top_pairs",
     "dataset_card_stats",
     "pruned_range_scan_stats",
+    "exact_substring_dup_savings",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
     # (pricing_summary / region_revenue / exact_dedup_docs rotate out:
     # driver-green since round 1, their slots buy first-time rows for
@@ -122,7 +124,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "inventory_allocation",
     "inventory_allocation_chained",
     "daily_summary",
-    "corpus_curation",
     "minhash_neardup_pairs_oph",
     "minhash_neardup_pairs_oph_portable",
     "neardup_clusters_minhash",
