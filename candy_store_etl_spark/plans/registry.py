@@ -63,8 +63,8 @@ _LOADED = False
 # import order.  Round 4 priority: (a) the four oracled queries that
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
-# portable twin so the driver file stays self-explaining; (b) the 29
-# queries new in round 4 (sections b1 + b2 below: 20 + 10); (c) 10
+# portable twin so the driver file stays self-explaining; (b) the
+# 30 queries new in round 4 (sections b1 + b2 below: 20 + 10); (c) 10
 # flagship re-confirmations (allocation, daily rollup, the
 # minhash/cluster/probe tier pairs, one streaming query).
 # 10 + 30 + 10 = 50. corpus_curation joins pricing_summary /
@@ -117,10 +117,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pruned_range_scan_stats",
     "exact_substring_dup_savings",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
-    # (pricing_summary / region_revenue / exact_dedup_docs rotate out:
-    # driver-green since round 1, their slots buy first-time rows for
-    # the three queries above — with this, EVERY oracled query in the
-    # catalog has had a driver window slot by the end of round 4)
+    # (pricing_summary / region_revenue / exact_dedup_docs /
+    # corpus_curation rotate out: driver-green since round 1, their
+    # slots buy first-time rows for section b2's last four queries —
+    # with this, EVERY oracled query in the catalog has had a driver
+    # window slot by the end of round 4)
     "inventory_allocation",
     "inventory_allocation_chained",
     "daily_summary",

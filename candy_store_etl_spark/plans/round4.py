@@ -1484,24 +1484,32 @@ _SUBSTR_N = 8  # window length in tokens
 _SUBSTR_MAX_DF = 10  # boilerplate guard: ignore grams in > this many docs
 _SUBSTR_MAX_TOKENS = 4096  # window-start cap per doc (both engines)
 
-
-@register(
-    "exact_substring_dup_pairs",
-    oracle=f"""
-    WITH toks AS (
+# ONE DuckDB definition of the gram relation (toks -> windows -> md5
+# keys -> doc-frequency band), consumed by BOTH substring oracles so
+# the pair finder and the savings report can only drift together.
+def _sql_substr_gram_ctes() -> str:
+    return f"""
+    toks AS (
       SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
     ),
     grams AS (
       SELECT DISTINCT doc_id,
              md5(list_aggregate(list_slice(tk, i, i + {_SUBSTR_N} - 1),
                                 'string_agg', ' ')) AS g
-      FROM toks CROSS JOIN generate_series(1, 4096) AS t(i)
+      FROM toks CROSS JOIN generate_series(1, {_SUBSTR_MAX_TOKENS}) AS t(i)
       WHERE i + {_SUBSTR_N} - 1 <= len(tk)
     ),
     keep AS (
       SELECT g FROM grams GROUP BY g
       HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_MAX_DF}
-    ),
+    )
+"""
+
+
+@register(
+    "exact_substring_dup_pairs",
+    oracle=f"""
+    WITH {_sql_substr_gram_ctes()},
     pair AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g
       FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
@@ -1696,17 +1704,37 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("warehouse", "file-index", "pruning"),
 )
 def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
     import hashlib
+    import json as _json
     import os
     import tempfile
 
     from ..sources.file_index import MANIFEST_NAME, read_pruned, write_manifest
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"csetl_file_index_{key}"
-    )
-    if not os.path.exists(os.path.join(scratch, MANIFEST_NAME)):
+    # scratch key includes a CONTENT fingerprint of the source file —
+    # regenerated testdata at the same path gets a fresh layout copy
+    # instead of silently serving stale rows
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"csetl_file_index_{key}")
+    mpath = os.path.join(scratch, MANIFEST_NAME)
+
+    def _scratch_intact() -> bool:
+        if not os.path.exists(mpath):
+            return False
+        with open(mpath) as f:
+            listed = {e["file"] for e in _json.load(f)["files"]}
+        on_disk = {
+            os.path.basename(x)
+            for x in _glob.glob(os.path.join(scratch, "part-*.parquet"))
+        }
+        return listed == on_disk  # a /tmp cleaner may remove parts
+
+    if not _scratch_intact():
         docs = load_table(spark, sf_dir, "documents")
         (
             docs.repartitionByRange(6, "doc_id")
@@ -1724,33 +1752,15 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SUBSTR_PAIRS_CTES = f"""
-    toks AS (
-      SELECT doc_id, {{SQL_TOKENS}} AS tk FROM documents
-    ),
-    grams AS (
-      SELECT DISTINCT doc_id,
-             md5(list_aggregate(list_slice(tk, i, i + {_SUBSTR_N} - 1),
-                                'string_agg', ' ')) AS g
-      FROM toks CROSS JOIN generate_series(1, {_SUBSTR_MAX_TOKENS}) AS t(i)
-      WHERE i + {_SUBSTR_N} - 1 <= len(tk)
-    ),
-    keep AS (
-      SELECT g FROM grams GROUP BY g
-      HAVING COUNT(*) BETWEEN 2 AND {_SUBSTR_MAX_DF}
-    ),
+@register(
+    "exact_substring_dup_savings",
+    oracle=f"""
+    WITH RECURSIVE {_sql_substr_gram_ctes()},
     pair AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
       WHERE a.doc_id < b.doc_id
-    )
-"""
-
-
-@register(
-    "exact_substring_dup_savings",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_SUBSTR_PAIRS_CTES.replace("{{SQL_TOKENS}}", "{SQL_TOKENS}").format(SQL_TOKENS=SQL_TOKENS)},
+    ),
     alledges AS (
       SELECT src AS a, dst AS b FROM pair
       UNION ALL SELECT dst, src FROM pair

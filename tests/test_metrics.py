@@ -104,10 +104,15 @@ def test_headline_queries_do_not_spill(spark, sf_correctness):
         "bloom_decontaminate_docs",
     ]:
         df = QUERIES[name].fn(spark, sf_correctness)
-        df.write.format("noop").mode("overwrite").save()
-        spilled = sum(
-            nm.metrics.get("spillSize", 0) for nm in executed_plan_metrics(df)
-        )
+        # collect() on THIS DataFrame: a sink write runs a different
+        # QueryExecution and leaves df's own metrics at zero (the
+        # vacuous-assert trap documented in the first test above)
+        df.collect()
+        metrics = executed_plan_metrics(df)
+        assert any(
+            nm.metrics.get("numOutputRows", 0) > 0 for nm in metrics
+        ), f"{name}: plan did not execute — metrics would be vacuous"
+        spilled = sum(nm.metrics.get("spillSize", 0) for nm in metrics)
         release_caches()
         spark.catalog.clearCache()
         assert spilled == 0, f"{name} spilled {spilled} bytes"

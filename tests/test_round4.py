@@ -84,13 +84,42 @@ def test_patch_grid_tiles_exactly(spark, sf_correctness):
 
 def test_int8_codes_in_range_and_extremes(spark, sf_correctness):
     """Quantization codes live in [0, 255]; every dimension's min maps
-    to 0 and (for non-degenerate dims) its max to 255."""
+    to 0 and (for non-degenerate dims) its max to 255. A Python replay
+    of the formula over the raw vectors must reproduce Spark's emitted
+    codes exactly — this equality is what entitles the hypothesis
+    property tests below to validate the formula in pure Python."""
+    import math
+
     out = QUERIES["embedding_quantize_int8"].fn(spark, sf_correctness)
     codes = out.select(
         F.explode(F.split("codes_csv", ",")).alias("s")
     ).select(F.col("s").cast("int").alias("code"))
     r = codes.agg(F.min("code"), F.max("code")).first()
     assert r[0] == 0 and r[1] == 255, r
+
+    emb = {
+        row["vec_id"]: row["embedding"]
+        for row in load_table(spark, sf_correctness, "embeddings").collect()
+    }
+    micro = {
+        vid: [int(math.floor(float(x) * 1e6 + 0.5)) for x in v]
+        for vid, v in emb.items()
+    }
+    dims = len(next(iter(micro.values())))
+    mn = [min(m[d] for m in micro.values()) for d in range(dims)]
+    mx = [max(m[d] for m in micro.values()) for d in range(dims)]
+    spark_codes = {
+        row["vec_id"]: [int(x) for x in row["codes_csv"].split(",")]
+        for row in out.collect()
+    }
+    for vid, m in micro.items():
+        replay = [
+            0
+            if mx[d] == mn[d]
+            else int(math.floor(float((m[d] - mn[d]) * 255) / (mx[d] - mn[d])))
+            for d in range(dims)
+        ]
+        assert replay == spark_codes[vid], vid
 
 
 def test_token_budget_selection_is_maximal(spark, sf_correctness):
@@ -140,14 +169,26 @@ def test_interpolation_known_days_pass_through(spark, sf_correctness):
     by_day = sorted(out, key=lambda r: r["d"])
     known = [(i, r) for i, r in enumerate(by_day) if r["is_known"]]
     assert known and len(known) < len(by_day)  # fixture has real gaps
+    import math
+
     for i, r in enumerate(by_day):
         if r["is_known"]:
             continue
-        prevs = [kr["interp_cents"] for j, kr in known if j < i]
-        nexts = [kr["interp_cents"] for j, kr in known if j > i]
-        if prevs and nexts:
-            lo, hi = sorted((prevs[-1], nexts[0]))
+        prev = [(j, kr) for j, kr in known if j < i]
+        nxt = [(j, kr) for j, kr in known if j > i]
+        if prev and nxt:
+            pj, pr = prev[-1]
+            nj, nr = nxt[0]
+            lo, hi = sorted((pr["interp_cents"], nr["interp_cents"]))
             assert lo <= r["interp_cents"] <= hi, r
+            # Python replay of the registered formula must equal
+            # Spark's fill exactly — ties the hypothesis property
+            # tests' local re-implementation to the real query
+            pc, nc = pr["interp_cents"], nr["interp_cents"]
+            replay = pc + int(
+                math.floor(float((nc - pc) * (i - pj)) / (nj - pj))
+            )
+            assert replay == r["interp_cents"], (r, replay)
 
 
 # ---------------------------------------------------------------------------
@@ -170,8 +211,9 @@ from hypothesis import strategies as st
 def test_int8_quantize_roundtrip_error_bound(micro):
     """The int8 code algebra (floor(255*(x-mn)/(mx-mn))) must always
     produce codes in [0, 255] with reconstruction error <= one
-    quantization step — pure-Python replay of the registered query's
-    exact integer formula."""
+    quantization step. Pure-Python replay of the formula; its equality
+    with the Spark expression is pinned on real data by
+    test_int8_codes_in_range_and_extremes above."""
     mn, mx = min(micro), max(micro)
     for x in micro:
         if mx == mn:
@@ -201,8 +243,9 @@ def test_int8_quantize_roundtrip_error_bound(micro):
 def test_interpolation_formula_is_bounded_and_exact_at_knowns(points):
     """prev + floor((next-prev)*(d-pd)/(nd-pd)) must land within
     [min(prev,next), max(prev,next)] for every gap day and reproduce
-    the known value at both endpoints — the registered query's exact
-    integer formula."""
+    the known value at both endpoints. Pure-Python replay; equality
+    with the Spark expression is pinned on real data by
+    test_interpolation_known_days_pass_through above."""
     import math
 
     pts = sorted(points)
