@@ -27,10 +27,12 @@ ALLOW_NESTED_LOOP = {
     # assignment primitive — k-bounded, never data×data)
     "ann_topk_ivf_portable",
     # round-4: broadcast sides bounded at 1 query row / 3 query rows /
-    # the 1-row max-date anchor — never data×data
+    # the 1-row max-date anchor / 1-row scalar aggregates — never
+    # data×data
     "ann_range_search",
     "ann_batch_topk",
     "orders_aging_buckets",
+    "supplier_triangle_count",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
@@ -91,6 +93,12 @@ EXCHANGE_CAP_OVERRIDES = {
     # candidate relation, never an all-pairs product (the former
     # cross-corpus distinct() shuffle is gone: in-row array_distinct)
     "exact_substring_dup_pairs": 4,
+    # the audited COLD plan re-derives the cached edge relation once
+    # per consumer (wedge left, wedge right, closing edge, edge count)
+    # with distinct exchange ids; at execution the cache fills once
+    # and the real exchange count is the edge build + wedge join +
+    # triangle join + three scalar aggregates
+    "supplier_triangle_count": 9,
 }
 
 BATCH_QUERIES = sorted(
