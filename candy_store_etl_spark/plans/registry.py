@@ -64,11 +64,12 @@ _LOADED = False
 # have never had a driver CORRECTNESS row (round-3 post-window
 # additions), each rows-only fast tier seated adjacent to its oracled
 # portable twin so the driver file stays self-explaining; (b) the
-# 30 queries new in round 4 (sections b1 + b2 below: 20 + 10); (c) 10
+# 31 queries new in round 4 (sections b1 + b2 below: 20 + 11); (c) 9
 # flagship re-confirmations (allocation, daily rollup, the
 # minhash/cluster/probe tier pairs, one streaming query).
-# 10 + 30 + 10 = 50. corpus_curation joins pricing_summary /
-# region_revenue / exact_dedup_docs in rotating out (green since r1).
+# 10 + 31 + 9 = 50. Rotated out (all driver-green in earlier rounds):
+# pricing_summary, region_revenue, exact_dedup_docs, corpus_curation,
+# inventory_allocation_chained.
 # Queries absent from the registry are ignored, so this list is safe
 # across refactors.
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -116,6 +117,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dataset_card_stats",
     "pruned_range_scan_stats",
     "exact_substring_dup_savings",
+    "supplier_triangle_count",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
     # (pricing_summary / region_revenue / exact_dedup_docs /
     # corpus_curation rotate out: driver-green since round 1, their
@@ -123,7 +125,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # with this, EVERY oracled query in the catalog has had a driver
     # window slot by the end of round 4)
     "inventory_allocation",
-    "inventory_allocation_chained",
     "daily_summary",
     "minhash_neardup_pairs_oph",
     "minhash_neardup_pairs_oph_portable",
