@@ -35,6 +35,7 @@ from candy_store_etl_spark.session import build_session  # noqa: E402
 
 QUERIES = [
     "minhash_neardup_pairs",
+    "exact_substring_dup_pairs",
     "bloom_decontaminate_docs",
     "inventory_allocation",
     "sessionize_events_gap",
@@ -48,6 +49,8 @@ QUERIES = [
 # the subset measured at sf10 (kept small: each sf10 trial is ~10-60s)
 SF10_QUERIES = [
     "minhash_neardup_pairs",
+    "exact_substring_dup_pairs",
+    "exact_substring_dup_pairs",
     "bloom_decontaminate_docs",
     "inventory_allocation",
     "sessionize_events_gap",
@@ -67,6 +70,14 @@ def _verdict(ratio: float) -> str:
 
 
 def _time_best(fns, name, spark, sf_dir, trials=2) -> float:
+    # one untimed pass at the TARGET SF first: the first touch of a
+    # multi-GB sf10 table pays cold page-cache I/O and JVM ramp that
+    # measured 2-5x the steady state (observed: 108s -> 51s -> 20s on
+    # identical trials) — without this, best-of-N reads cold I/O as
+    # super-linear scaling
+    release_caches()
+    spark.catalog.clearCache()
+    fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     best = float("inf")
     for _ in range(trials):
         release_caches()
@@ -89,6 +100,11 @@ def main() -> None:
     have_sf10 = os.path.isdir(args.sf10)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # sf10 holds ~17x the bench data volume; the bench default of 8g
+    # driver heap GC-thrashes under 32 concurrent tasks there (observed
+    # GCLocker retry storms killing the JVM mid-run). The machine has
+    # 128 GiB — give this script a roomier default, still overridable.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
     # same quiet gate as bench.py: timings above ~2 loadavg are noise,
     # and the SFs are timed in separate passes, so load arriving
     # mid-run would inflate only one side of each ratio
@@ -127,7 +143,10 @@ def main() -> None:
             + " (scripts/gen_scale_data.py: replicated rows with "
             "per-copy key offsets, word-shuffled documents so replicas "
             "are not near-dups, noise-perturbed embeddings). Best-of-"
-            f"{args.trials} per SF on local[{cpus}], noop sink, "
+            f"{args.trials} per SF after an untimed warm-up pass at "
+            "that SF (cold page-cache I/O on a multi-GB table measured "
+            "2-5x steady state), on "
+            f"local[{cpus}], noop sink, "
             f"ambient load {ambient:.1f}.\n\n"
             "A 10x data -> <=~13x time decade is linear scaling (the "
             "extra constant is shuffle/scheduling overhead at still-"

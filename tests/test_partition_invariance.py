@@ -60,6 +60,12 @@ REPRESENTATIVES = [
     "doc_char_entropy",
     "daily_value_regression",
     "daily_value_anomalies_mad",
+    # late-round-4 additions: gram-keyed candidate joins + component
+    # closure, ordered top-k over counts, and the oriented wedge joins
+    "exact_substring_dup_pairs",
+    "exact_substring_dup_savings",
+    "bpe_top_pairs",
+    "supplier_triangle_count",
 ]
 
 
