@@ -50,7 +50,6 @@ QUERIES = [
 SF10_QUERIES = [
     "minhash_neardup_pairs",
     "exact_substring_dup_pairs",
-    "exact_substring_dup_pairs",
     "bloom_decontaminate_docs",
     "inventory_allocation",
     "sessionize_events_gap",
