@@ -568,3 +568,88 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got == want  # every row exactly once, across the restart
     epochs = {r.epoch for r in back.select("epoch").distinct().collect()}
     assert len(epochs) == 6  # each file its own epoch, monotonic ids
+
+
+def test_foreachbatch_merge_upsert_sink(spark, sf_correctness, tmp_path):
+    """The production warehouse-sink pattern: a stream drained through
+    foreachBatch, each microbatch MERGE-upserted into a parquet state
+    table (read-modify-write full-outer reconciliation — the same plan
+    a Delta MERGE lowers to). After the drain, the accumulated state
+    must equal the all-at-once batch aggregate: the merge is
+    associative over microbatch boundaries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.plans.streaming_queries import _events_stream
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    state_dir = str(tmp_path / "user_state")
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        inc = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+        )
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            t = cur.select(
+                F.col("user_id").alias("k"),
+                F.col("n_events").alias("tn"),
+                F.col("cents").alias("tc"),
+            )
+            merged = t.join(inc, t.k == inc.user_id, "full_outer").select(
+                F.coalesce("k", "user_id").alias("user_id"),
+                (
+                    F.coalesce("tn", F.lit(0)) + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce("tc", F.lit(0)) + F.coalesce("cents", F.lit(0))
+                ).alias("cents"),
+            )
+        else:
+            merged = inc
+        # stage-then-swap: the read above and the write below touch the
+        # same path, so materialize to a new dir and atomically rename
+        stage = state_dir + f".stage{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        import shutil
+
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(stage, state_dir)
+
+    stream = _events_stream(spark, sf_correctness)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["cents"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in load_table(spark, sf_correctness, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "c"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
