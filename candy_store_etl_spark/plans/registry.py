@@ -120,10 +120,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "supplier_triangle_count",
     # (c) flagship re-confirmations + remaining fast-tier/twin pairs
     # (pricing_summary / region_revenue / exact_dedup_docs /
-    # corpus_curation rotate out: driver-green since round 1, their
-    # slots buy first-time rows for section b2's last four queries —
-    # with this, EVERY oracled query in the catalog has had a driver
-    # window slot by the end of round 4)
+    # corpus_curation / inventory_allocation_chained rotate out:
+    # driver-green in earlier rounds, their slots buy first-time rows
+    # for section b2's last five queries — with this, EVERY oracled
+    # query in the catalog has had a driver window slot by the end of
+    # round 4)
     "inventory_allocation",
     "daily_summary",
     "minhash_neardup_pairs_oph",

@@ -168,15 +168,15 @@ def main() -> None:
                 f"| {s10} | {sr10} | {v} |\n"
             )
         f.write(
-            "\nPer-query notes: `bloom_decontaminate_docs` carries the "
-            "largest first-decade ratio because the benchmark gram set "
+            "\nPer-query notes: `bloom_decontaminate_docs` carries a "
+            "large first-decade ratio because the benchmark gram set "
             "(and so the Bloom position relation built per run) grows "
-            "with the corpus — still far under linear in total work. "
-            "`minhash_neardup_pairs` stays near-flat in the first "
-            "decade because the scaled documents are word-shuffled "
-            "(replicas are NOT near-dups), so candidate pairs do not "
-            "inflate; signature cost grows ~10x but is absorbed by the "
-            "32 cores the sf0.1 run under-utilizes.\n"
+            "with the corpus — still far under linear in total work "
+            "across both decades. The dedup queries' first decades sit "
+            "well under 10x because the 32 cores are under-utilized at "
+            "sf0.1 and because the scaled documents are word-shuffled "
+            "(replicas are NOT near-dups), so candidate-pair output "
+            "does not inflate with corpus size.\n"
         )
     worst = max(
         (r for *_, r1, _, r10 in rows for r in (r1, r10) if r is not None),

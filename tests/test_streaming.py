@@ -571,30 +571,62 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
 
 def test_foreachbatch_merge_upsert_sink(spark, sf_correctness, tmp_path):
-    """The production warehouse-sink pattern: a stream drained through
-    foreachBatch, each microbatch MERGE-upserted into a parquet state
-    table (read-modify-write full-outer reconciliation — the same plan
-    a Delta MERGE lowers to). After the drain, the accumulated state
-    must equal the all-at-once batch aggregate: the merge is
-    associative over microbatch boundaries."""
+    """The production warehouse-sink pattern: a MULTI-batch stream
+    drained through foreachBatch, each microbatch MERGE-upserted into a
+    parquet state table (read-modify-write full-outer reconciliation —
+    the plan a Delta MERGE lowers to), with a batch-id ledger making
+    replayed batches no-ops (foreachBatch is at-least-once; without
+    the guard a crash between state swap and checkpoint commit would
+    double-count on restart). After the drain the accumulated state
+    must equal the all-at-once batch aggregate — the merge is
+    associative over microbatch boundaries — and a manual replay of a
+    committed batch must change nothing."""
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
-    from candy_store_etl_spark.plans.streaming_queries import _events_stream
     from candy_store_etl_spark.sources.tpch import load_table
+    from candy_store_etl_spark.streaming.events import stream_events
+
+    # stage events as FOUR files: maxFilesPerTrigger=1 in stream_events
+    # makes each file its own microbatch, so the merge branch and the
+    # cross-batch associativity genuinely execute (a single-file stage
+    # would leave the reconciliation path dead code)
+    events = load_table(spark, sf_correctness, "events")
+    stage = str(tmp_path / "events_stage")
+    events.withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(4))
+    ).write.partitionBy("part").mode("overwrite").parquet(stage)
+    part_dirs = sorted(
+        d for d in os.listdir(stage) if d.startswith("part=")
+    )
+    flat = str(tmp_path / "events_flat")
+    os.makedirs(flat)
+    for i, d in enumerate(part_dirs):
+        src = [f for f in os.listdir(os.path.join(stage, d)) if f.endswith(".parquet")]
+        for j, f in enumerate(src):
+            shutil.copy(
+                os.path.join(stage, d, f), os.path.join(flat, f"ev-{i}-{j}.parquet")
+            )
+    assert len(os.listdir(flat)) >= 4
 
     state_dir = str(tmp_path / "user_state")
+    ledger_dir = str(tmp_path / "applied_batches")
+    os.makedirs(ledger_dir)
+    batches_seen = []
 
     def merge_batch(batch_df, batch_id: int) -> None:
-        inc = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-                ).alias("cents"),
-            )
+        # idempotency ledger: a replayed batch_id is a no-op
+        marker = os.path.join(ledger_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        batches_seen.append(batch_id)
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
         )
         if os.path.isdir(state_dir):
             cur = batch_df.sparkSession.read.parquet(state_dir)
@@ -605,51 +637,60 @@ def test_foreachbatch_merge_upsert_sink(spark, sf_correctness, tmp_path):
             )
             merged = t.join(inc, t.k == inc.user_id, "full_outer").select(
                 F.coalesce("k", "user_id").alias("user_id"),
-                (
-                    F.coalesce("tn", F.lit(0)) + F.coalesce("n_events", F.lit(0))
-                ).alias("n_events"),
-                (
-                    F.coalesce("tc", F.lit(0)) + F.coalesce("cents", F.lit(0))
-                ).alias("cents"),
+                (F.coalesce("tn", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias(
+                    "n_events"
+                ),
+                (F.coalesce("tc", F.lit(0)) + F.coalesce("cents", F.lit(0))).alias(
+                    "cents"
+                ),
             )
         else:
             merged = inc
-        # stage-then-swap: the read above and the write below touch the
-        # same path, so materialize to a new dir and atomically rename
-        stage = state_dir + f".stage{batch_id}"
-        merged.write.mode("overwrite").parquet(stage)
-        import shutil
-
+        # stage-then-swap: read and write touch the same path, so
+        # materialize to a fresh dir first. The rmtree+rename pair is
+        # NOT atomic (a crash in between leaves no state dir) — the
+        # batch-id ledger above is what makes recovery correct: the
+        # replay rebuilds from the last committed checkpoint batch.
+        swap = state_dir + f".stage{batch_id}"
+        merged.write.mode("overwrite").parquet(swap)
         if os.path.isdir(state_dir):
             shutil.rmtree(state_dir)
-        os.rename(stage, state_dir)
+        os.rename(swap, state_dir)
+        with open(marker, "w") as fh:
+            fh.write("applied")
 
-    stream = _events_stream(spark, sf_correctness)
     q = (
-        stream.writeStream.foreachBatch(merge_batch)
+        stream_events(spark, flat)
+        .writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     try:
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream did not drain within 300s"
     finally:
         q.stop()
+    assert len(batches_seen) >= 4, batches_seen  # multi-batch really ran
 
-    got = {
-        r["user_id"]: (r["n_events"], r["cents"])
-        for r in spark.read.parquet(state_dir).collect()
-    }
+    def read_state():
+        return {
+            r["user_id"]: (r["n_events"], r["cents"])
+            for r in spark.read.parquet(state_dir).collect()
+        }
+
+    got = read_state()
     want = {
         r["user_id"]: (r["n"], r["c"])
-        for r in load_table(spark, sf_correctness, "events")
-        .groupBy("user_id")
+        for r in events.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
-                "c"
-            ),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("c"),
         )
         .collect()
     }
     assert got == want and len(got) > 0
+
+    # at-least-once replay: re-applying a committed batch is a no-op
+    replay_df = spark.read.parquet(os.path.join(flat, os.listdir(flat)[0]))
+    merge_batch(replay_df, batches_seen[0])
+    assert read_state() == want
