@@ -247,3 +247,28 @@ def test_zorder_improves_two_dim_locality(spark, sf_correctness):
         assert worst_z * 2 < worst_ok_sort, (worst_z, worst_ok_sort)
     finally:
         df.unpersist()
+
+
+def test_reliable_checkpoint_truncates_lineage(spark, sf_correctness, tmp_path):
+    """df.checkpoint() (reliable, directory-backed — vs the
+    localCheckpoint the CC loop uses) must truncate lineage to a scan
+    of the checkpoint and preserve results: the long-lineage escape
+    hatch for iterative jobs on a real cluster, where executor loss
+    makes localCheckpoint unsafe."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = (
+        load_table(spark, sf_correctness, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    before = {tuple(r) for r in df.collect()}
+    cp = df.checkpoint(eager=True)
+    assert {tuple(r) for r in cp.collect()} == before
+    # lineage is gone: the plan is a scan over the checkpointed RDD
+    plan = cp._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan[:500]
+    assert "HashAggregate" not in plan, plan[:500]

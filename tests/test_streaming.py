@@ -694,3 +694,32 @@ def test_foreachbatch_merge_upsert_sink(spark, sf_correctness, tmp_path):
     replay_df = spark.read.parquet(os.path.join(flat, os.listdir(flat)[0]))
     merge_batch(replay_df, batches_seen[0])
     assert read_state() == want
+
+
+def test_streaming_progress_exposes_state_metrics(spark, sf_correctness, tmp_path):
+    """Operational visibility: a stateful streaming query must report
+    its state-store footprint in lastProgress (numRowsTotal etc.) —
+    the signal a 100 TB deployment alarms on before state outgrows
+    executors."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.plans.streaming_queries import _events_stream
+
+    ev = _events_stream(spark, sf_correctness)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("csetl_progress_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+        assert prog is not None
+        ops = prog["stateOperators"]
+        assert ops and ops[0]["numRowsTotal"] > 0, prog
+        assert prog["sources"][0]["numInputRows"] > 0, prog
+    finally:
+        q.stop()
