@@ -14,26 +14,41 @@ tests/test_plan_audit.py's source sweep), and any driver — gate sim,
 bench, an embedding application — calls ``release_caches()`` after the
 action that consumes the result. Memory growth is then bounded by one
 query's working set instead of the whole catalog's.
+
+Concurrency contract (round-4 advice): the registry is PROCESS-GLOBAL
+and intended for the single-driver-thread pattern every consumer here
+uses (build plan → consume → release). List mutation is guarded by a
+lock so interleaved builders can't corrupt the registry, but
+``release_caches()`` still unpersists EVERY tracked relation in the
+process — a concurrent driver thread mid-query would lose its cached
+intermediates (they recompute correctly, just slower). Drivers that
+genuinely interleave queries across threads should serialize their
+release points or scope sessions per thread.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def tracked_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` that registers the relation for later release."""
     out = df.cache()
-    _TRACKED.append(out)
+    with _LOCK:
+        _TRACKED.append(out)
     return out
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """``df.persist()`` that registers the relation for later release."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _TRACKED.append(out)
+    with _LOCK:
+        _TRACKED.append(out)
     return out
 
 
@@ -42,8 +57,11 @@ def release_caches() -> int:
     number released. Safe to call with no active SparkSession — a
     stopped-context unpersist is swallowed, the list still drains."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist()
             n += 1
@@ -53,4 +71,5 @@ def release_caches() -> int:
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)

@@ -312,7 +312,7 @@ _SQL_MD5_BUCKET = """
     oracle=f"""
     WITH d AS (
       SELECT doc_id, source,
-             20 + (CAST(substr(source, 4) AS BIGINT) * 7) % 60 AS keep_pct,
+             20 + (TRY_CAST(substr(source, 4) AS BIGINT) * 7) % 60 AS keep_pct,
              {_SQL_MD5_BUCKET} AS bucket
       FROM documents
     )
@@ -330,9 +330,12 @@ _SQL_MD5_BUCKET = """
 )
 def importance_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # unbounded substring + try_cast on BOTH engines: a numeric suffix
+    # longer than any fixed length still parses, and a non-numeric
+    # suffix nulls identically instead of throwing under ANSI mode
     keep_pct = (
         F.lit(20)
-        + (F.substring(F.col("source"), 4, 10).cast("long") * 7) % 60
+        + (F.expr("try_cast(substring(source, 4) AS BIGINT)") * 7) % 60
     ).alias("keep_pct")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -885,7 +888,7 @@ def order_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            json_extract_string(props, '$.k') IS NOT NULL AS has_k
     FROM events WHERE event_type = 'view'
     """,
@@ -894,7 +897,12 @@ def order_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_variant_get() extraction — unlike get_json_object, the "
     "parse cost is paid once per row however many fields are "
     "extracted, and the encoding is columnar-shreddable. Oracle is "
-    "the JSON-string equivalent.",
+    "the JSON-string equivalent. has_k is STRING-typed existence "
+    "(every variant value casts to string, so it means 'k present', "
+    "not 'k present AND integral'), and both engines TRY-cast k_val "
+    "so a non-numeric k nulls rather than desyncing or crashing; the "
+    "residual float case (Spark truncates, DuckDB rounds the string) "
+    "is pinned integral-only by tests/test_round4.py.",
     tags=("nested", "variant", "spark4"),
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,7 +913,9 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "event_id",
         F.try_variant_get(F.col("v"), "$.k", "long").alias("k_val"),
-        F.try_variant_get(F.col("v"), "$.k", "long").isNotNull().alias("has_k"),
+        F.try_variant_get(F.col("v"), "$.k", "string")
+        .isNotNull()
+        .alias("has_k"),
     )
 
 
@@ -1139,7 +1149,12 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global offset, broadcast back as a literal map. Two passes over "
     "the 2-column projection, worst task holds one partition's rows — "
     "the distributed-cumsum pattern any global-budget cut needs at "
-    "100 TB.",
+    "100 TB. LIFECYCLE NOTE: the offsets are keyed on the partition "
+    "ids of the TRACKED-CACHED ranged relation; consume the returned "
+    "DataFrame before calling release_caches() — after release, a "
+    "recompute re-derives pids from the same deterministic "
+    "repartitionByRange but the cache-coupling is no longer "
+    "guaranteed by construction.",
     tags=("text", "curation", "budget", "scale"),
 )
 def token_budget_head_selection_distributed(
@@ -1177,6 +1192,14 @@ def token_budget_head_selection_distributed(
     for pid, t in totals:
         offsets[pid] = acc
         acc += t
+    if not offsets:
+        # empty corpus: F.create_map() with zero args throws; the
+        # local prefix sum IS the global one (there are no rows)
+        return local.withColumn(
+            "cum_toks", F.col("local_cum")
+        ).filter(F.col("cum_toks") <= _HEAD_BUDGET).select(
+            "doc_id", "n_toks", "cum_toks"
+        )
     offset_expr = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
@@ -1712,14 +1735,19 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.file_index import MANIFEST_NAME, read_pruned, write_manifest
 
-    # scratch key includes a CONTENT fingerprint of the source file —
-    # regenerated testdata at the same path gets a fresh layout copy
-    # instead of silently serving stale rows
+    # scratch key includes a CONTENT fingerprint of the source file:
+    # size + nanosecond mtime + first/last 64 KiB digest — a regenerated
+    # testdata file (even same-size within the same mtime second) gets a
+    # fresh layout copy instead of silently serving stale rows
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
+    h = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode())
+    with open(src, "rb") as f:
+        h.update(f.read(65536))
+        if st.st_size > 65536:
+            f.seek(-65536, os.SEEK_END)
+            h.update(f.read(65536))
+    key = h.hexdigest()[:12]
     scratch = os.path.join(tempfile.gettempdir(), f"csetl_file_index_{key}")
     mpath = os.path.join(scratch, MANIFEST_NAME)
 
@@ -1735,14 +1763,28 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return listed == on_disk  # a /tmp cleaner may remove parts
 
     if not _scratch_intact():
+        # stage-then-swap (the sink test's pattern): write to a
+        # per-process dir, atomically rename into place — two
+        # concurrent sessions (gate sim + pytest) never read a
+        # half-written layout; the rename loser keeps the winner's
+        # identical copy
+        stage = f"{scratch}.stage.{os.getpid()}"
         docs = load_table(spark, sf_dir, "documents")
         (
             docs.repartitionByRange(6, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
-            .parquet(scratch)
+            .parquet(stage)
         )
-        write_manifest(scratch, "doc_id")
+        write_manifest(stage, "doc_id")
+        try:
+            os.rename(stage, scratch)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            if not _scratch_intact():  # winner half-gone: rebuild next call
+                raise
     pruned = read_pruned(spark, scratch, "doc_id", 10, 40)
     return pruned.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1846,28 +1888,46 @@ def exact_substring_dup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.s AS u, b.s AS v
       FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
     ),
+    deg AS (
+      SELECT s, COUNT(*) AS d FROM (
+        SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e
+      ) GROUP BY s
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddeg
+      FROM e JOIN deg du ON du.s = e.u JOIN deg dv ON dv.s = e.v
+    ),
     tri AS (
-      SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      FROM e e1 JOIN e e2 ON e1.v = e2.u
-      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      SELECT 1 AS one
+      FROM o e1 JOIN o e2
+        ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     )
     SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
            CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
            CAST((SELECT COUNT(DISTINCT s) FROM li) AS BIGINT) AS n_nodes
     """,
     doc="Triangle counting over the supplier co-occurrence graph "
-    "(suppliers sharing an order) via the ORIENTED edge join: edges "
-    "canonicalized u<v, wedges from E joined to E on the middle "
-    "vertex, closed by a third edge lookup — never an unoriented "
-    "3-way self-join (4x the intermediate wedges). The clustering-"
-    "coefficient / community-density primitive; at scale the "
-    "orientation key becomes (degree, id) so every wedge pivot is a "
-    "LOW-degree vertex, bounding per-key fan-out by sqrt(m) (the "
-    "standard MapReduce triangle bound). Two shuffles on vertex keys.",
+    "(suppliers sharing an order) via the DEGREE-ORIENTED edge join "
+    "(operators/graph.py orient_by_degree): edges canonicalized "
+    "low-(degree, id) → high-(degree, id), wedges pair each pivot's "
+    "out-neighbors, closed by one oriented edge lookup — never an "
+    "unoriented 3-way self-join. With this orientation every wedge "
+    "pivots on its LOWEST-degree vertex, bounding per-key fan-out by "
+    "O(sqrt(m)) on a power-law graph (the standard MapReduce triangle "
+    "bound); raw u<v orientation would let a hot low-id hub emit "
+    "C(deg,2) wedges (tests/test_round4.py pins the hub-graph "
+    "difference). The triangle COUNT is orientation-invariant, so the "
+    "oracle mirrors the same (degree, id) re-orientation only to keep "
+    "the plans comparable. Degree join adds two vertex-keyed "
+    "map-side-combinable shuffles over the id-oriented form.",
     tags=("graph", "triangles"),
 )
 def supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import tracked_cache
+    from ..operators.graph import orient_by_degree, triangle_count_oriented
 
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1884,17 +1944,10 @@ def supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(tracked_cache)
     )
-    wedges = e.alias("e1").join(
-        e.select(F.col("u").alias("v"), F.col("v").alias("w")).alias("e2"),
-        "v",
-    )
-    tri = wedges.join(
-        e.select(F.col("u").alias("tu"), F.col("v").alias("tw")).alias("e3"),
-        (F.col("e1.u") == F.col("tu")) & (F.col("w") == F.col("tw")),
-    )
+    o = orient_by_degree(e, src="u", dst="v").transform(tracked_cache)
     # three single-row aggregates composed lazily (broadcast 1-row
     # cross joins) — nothing is collected driver-side
-    t_agg = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    t_agg = triangle_count_oriented(o)
     e_agg = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_agg = li.select("s").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
     return t_agg.crossJoin(F.broadcast(e_agg)).crossJoin(F.broadcast(n_agg))

@@ -93,12 +93,15 @@ EXCHANGE_CAP_OVERRIDES = {
     # candidate relation, never an all-pairs product (the former
     # cross-corpus distinct() shuffle is gone: in-row array_distinct)
     "exact_substring_dup_pairs": 4,
-    # the audited COLD plan re-derives the cached edge relation once
-    # per consumer (wedge left, wedge right, closing edge, edge count)
-    # with distinct exchange ids; at execution the cache fills once
-    # and the real exchange count is the edge build + wedge join +
-    # triangle join + three scalar aggregates
-    "supplier_triangle_count": 9,
+    # the audited COLD plan re-derives the cached edge AND oriented
+    # relations once per consumer (degree union x2, degree joins,
+    # wedge left/right, closing edge, edge count) with distinct
+    # exchange ids; at execution both caches fill once and the real
+    # exchange count is edge build + degree agg + 2 degree joins +
+    # wedge join + triangle join + three scalar aggregates (the
+    # degree orientation costs 3 extra vertex-keyed exchanges over
+    # the id-oriented form — the price of the sqrt(m) wedge bound)
+    "supplier_triangle_count": 18,
 }
 
 BATCH_QUERIES = sorted(

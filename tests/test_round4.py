@@ -291,3 +291,57 @@ def test_token_budget_prefix_is_maximal_and_ordered(docs, budget):
     if len(kept) < len(docs):
         nxt = ordered[len(kept)][0]
         assert total + docs[nxt][1] > budget
+
+
+def test_events_props_k_is_integral(spark, sf_correctness):
+    """variant_props_extract TRY-casts k on BOTH engines, so the only
+    residual cross-engine divergence is a non-integral numeric k
+    (Spark truncates the variant double, DuckDB rounds the extracted
+    string). Pin the fixture shape the way the 4096-char caps are
+    pinned: every present props.k is an integral JSON number."""
+    ev = load_table(spark, sf_correctness, "events")
+    k = F.get_json_object("props", "$.k")
+    bad = ev.filter(k.isNotNull() & k.rlike(r"[^0-9-]")).count()
+    assert bad == 0
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """The triangle count's at-scale claim, executed: on a hub graph
+    (one high-degree vertex with the LOWEST id — the adversarial case
+    for id-orientation) the degree orientation turns the hub into a
+    destination everywhere, so the max per-pivot wedge count collapses
+    from C(deg_hub, 2) to 1, while the triangle count itself is
+    orientation-invariant."""
+    from candy_store_etl_spark.operators.graph import (
+        orient_by_degree,
+        triangle_count_oriented,
+    )
+
+    hub_edges = [(0, i) for i in range(1, 41)]
+    chain_edges = [(i, i + 1) for i in range(1, 40, 2)]
+    df = spark.createDataFrame(
+        hub_edges + chain_edges, "src long, dst long"
+    )
+
+    def max_wedges(oriented):
+        out = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("k"))
+        row = out.agg(
+            F.max(F.expr("k * (k - 1) div 2")).alias("w"),
+            F.max("k").alias("d"),
+        ).first()
+        return row["w"], row["d"]
+
+    # raw id orientation: hub (id 0) is the source of all 40 edges
+    id_oriented = df.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    id_w, id_d = max_wedges(id_oriented)
+    assert id_w == 780 and id_d == 40  # C(40, 2) wedges pivot the hub
+
+    deg_oriented = orient_by_degree(df)
+    deg_w, deg_d = max_wedges(deg_oriented)
+    assert deg_d <= 2 and deg_w <= 1  # every pivot is a degree-2 leaf
+
+    # triangles {0, i, i+1} for each chain edge — 20, either orientation
+    n = triangle_count_oriented(deg_oriented).first()["n_triangles"]
+    assert n == 20
