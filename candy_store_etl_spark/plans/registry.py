@@ -72,68 +72,75 @@ _LOADED = False
 # inventory_allocation_chained.
 # Queries absent from the registry are ignored, so this list is safe
 # across refactors.
+# Round-5 window. The rotation backlog is empty (every oracled query
+# has a green driver row from rounds 1-4), so the policy is: (a) every
+# query that is NEW or whose plan/oracle/schema CHANGED in round 5
+# heads the window, fast tier seated next to its twin; (b) the
+# remaining slots re-confirm flagships whose most recent driver row is
+# OLDEST (rotated out in r3/r4 or last seen r1/r2), spread across
+# every family (relational core, dedup/text, ANN, scale ops,
+# warehouse, streaming twins). Rotated out: the 31 round-4-new queries
+# plus the r4 re-confirmation tail — all driver-green in
+# CORRECTNESS_r04.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) never-windowed oracled queries + fast-tier/twin pairs
-    "ann_topk_ivf",
-    "ann_topk_ivf_portable",
-    "ann_topk_pq",
-    "ann_topk_pq_portable",
-    "multimodal_segment_audio",
-    "ann_topk_arrow",
-    "minhash_neardup_pairs",
-    "minhash_neardup_pairs_portable",
-    "simhash_neardup_pairs",
-    "simhash_neardup_pairs_portable",
-    # (b) new in round 4
-    "ann_range_search",
-    "ann_batch_topk",
-    "label_centroids",
-    "embedding_quantize_int8",
-    "token_budget_head_selection",
-    "token_budget_head_selection_distributed",
-    "importance_sampled_docs",
-    "part_name_levenshtein_match",
-    "interpolate_daily_gaps",
-    "daily_value_regression",
-    "daily_value_anomalies_mad",
-    "price_window_distribution",
-    "user_event_bitmask",
-    "brand_price_mode_median",
-    "orders_aging_buckets",
-    "order_cube_grouping_id",
-    "variant_props_extract",
-    "pipe_syntax_daily_orders",
-    "doc_char_entropy",
-    "multimodal_patch_grid",
-    # (b2) round-4 batch-3 additions (registered after the first
-    # window draft; all gate-sim green)
-    "label_centroids_arrow",
-    "hll_sketch_users",
-    "event_type_pivot_native",
-    "safe_arithmetic_ops",
-    "products_merge_upsert",
-    "exact_substring_dup_pairs",
-    "bpe_top_pairs",
-    "dataset_card_stats",
-    "pruned_range_scan_stats",
-    "exact_substring_dup_savings",
-    "supplier_triangle_count",
-    # (c) flagship re-confirmations + remaining fast-tier/twin pairs
-    # (pricing_summary / region_revenue / exact_dedup_docs /
-    # corpus_curation / inventory_allocation_chained rotate out:
-    # driver-green in earlier rounds, their slots buy first-time rows
-    # for section b2's last five queries — with this, EVERY oracled
-    # query in the catalog has had a driver window slot by the end of
-    # round 4)
-    "inventory_allocation",
+    # (a) new or changed in round 5
+    "inventory_allocation",  # vectorized greedy kernel
+    "inventory_allocation_arrow",  # NEW: Arrow twin, same oracle
+    "inventory_allocation_chained",  # shares the changed kernel
+    "supplier_triangle_count",  # degree-oriented plan + oracle
+    "exact_substring_dup_savings",  # + cap-coverage columns
+    "variant_props_extract",  # string-typed has_k, TRY_CAST oracle
+    "importance_sampled_docs",  # unbounded substr + try_cast
+    "token_budget_head_selection_distributed",  # empty-corpus guard
+    "pruned_range_scan_stats",  # content-fingerprint + stage-swap
+    # (b) flagship re-confirmations, oldest evidence first
+    # relational core (last windowed r1-r3)
+    "pricing_summary",
+    "order_rollup",
+    "brand_revenue",
+    "region_revenue",
+    "top_orders_per_customer",
+    "event_type_pivot",
+    "hourly_event_stats",
+    "top20_orders",
+    "null_handling_ops",
+    "json_extract_events",
     "daily_summary",
-    "minhash_neardup_pairs_oph",
-    "minhash_neardup_pairs_oph_portable",
-    "neardup_clusters_minhash",
-    "neardup_clusters_minhash_portable",
-    "incremental_neardup_probe_lsh",
-    "incremental_neardup_probe_lsh_portable",
-    "streaming_dedup_events",
+    # dedup / text analysis
+    "exact_dedup_docs",
+    "corpus_curation",
+    "neardup_clusters",
+    "token_jaccard_pairs",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "tfidf_top_terms",
+    "pii_redact_docs",
+    "benchmark_decontamination",
+    "bloom_decontaminate_docs",
+    "doc_packing",
+    "dataset_split_assignment",
+    # ANN / vectors
+    "ann_topk_cosine",
+    "ann_topk_blockwise",
+    "ann_topk_lsh",
+    "embedding_neardup_pairs_lsh",
+    "embedding_random_projection",
+    # scale ops
+    "salted_skew_join_revenue",
+    "sessionize_events_gap",
+    "range_bucket_join_events",
+    "grouped_topk_agg",
+    "lateral_top_orders",
+    # warehouse / advanced
+    "price_history_scd2",
+    "snapshot_diff_cdc",
+    "monthly_cohort_retention",
+    "supplier_pagerank",
+    "event_funnel",
+    # streaming batch-twins
+    "streaming_hourly_stats",
+    "streaming_interval_join",
 )
 
 

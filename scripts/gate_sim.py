@@ -5,13 +5,28 @@ canonicalization + stringified value compare — the same shape the
 driver uses (its canonicalizer sorts rows via pandas, which is why
 registered plans must never emit raw list cells).
 
-Usage:  python scripts/gate_sim.py [sf_dir] [query ...]
+Usage:  python scripts/gate_sim.py [--changed-since] [sf_dir] [query ...]
+
+``--changed-since`` makes the run INCREMENTAL: each query is
+fingerprinted by the content of its source-file closure (the module
+defining it plus every candy_store_etl_spark module it transitively
+imports, plus __spark_entry__.py and the oracle SQL text), and queries
+whose fingerprint matches a previously-green run recorded in
+``.gate_cache.json`` are skipped. A 169-query full run costs ~10 min;
+the incremental mode keeps full-fidelity checking cheap enough to run
+per commit (round-4 verdict item 8). Any schema/row/value/exception
+failure is never cached, and the cache is keyed on the sf_dir so
+correctness runs at different SFs don't mask each other.
+
 Prints one line per query and a final summary; exit code 1 on any bad.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,6 +37,131 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = "candy_store_etl_spark"
+_CACHE_PATH = os.path.join(_REPO, ".gate_cache.json")
+
+
+def _package_modules() -> dict[str, str]:
+    """module name → file path, for every module in the package."""
+    out = {}
+    root = os.path.join(_REPO, _PKG)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, _REPO)[:-3].replace(os.sep, ".")
+            if rel.endswith(".__init__"):
+                rel = rel[: -len(".__init__")]
+            out[rel] = path
+    return out
+
+
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+([.\w]+)\s+import\s+([\w, .*()]+)|import\s+([\w.]+))",
+    re.M,
+)
+
+
+def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
+    """Static import graph within the package. The registry module's
+    imports of plan modules are EXCLUDED: _ensure_loaded imports every
+    plan module as loader wiring, which would make the closure total
+    and defeat incrementality — a registry.py change itself still
+    invalidates everything (it is in every closure)."""
+    deps: dict[str, set[str]] = {}
+    for mod, path in mods.items():
+        with open(path) as f:
+            src = f.read()
+        found: set[str] = set()
+        for m in _IMPORT_RE.finditer(src):
+            base, names, plain = m.group(1), m.group(2), m.group(3)
+            target = None
+            if plain:
+                target = plain
+            elif base:
+                if base.startswith("."):
+                    up = len(base) - len(base.lstrip("."))
+                    parts = mod.split(".")[: -up or None]
+                    stem = base.lstrip(".")
+                    target = ".".join(parts + ([stem] if stem else []))
+                else:
+                    target = base
+            if not target or not target.startswith(_PKG):
+                continue
+            cands = [target] + [
+                f"{target}.{n.strip()}"
+                for n in (names or "").split(",")
+                if n.strip().isidentifier()
+            ]
+            for c in cands:
+                if c in mods:
+                    found.add(c)
+        if mod == f"{_PKG}.plans.registry":
+            found = {d for d in found if not d.startswith(f"{_PKG}.plans.")}
+        deps[mod] = found
+    return deps
+
+
+def _fingerprints() -> dict[str, str]:
+    """query name → md5 over (closure file contents, entry module,
+    oracle SQL)."""
+    from candy_store_etl_spark.plans import QUERIES, query_map
+
+    query_map()  # triggers registry._ensure_loaded
+    mods = _package_modules()
+    deps = _module_deps(mods)
+    file_md5: dict[str, str] = {}
+
+    def fmd5(path: str) -> str:
+        if path not in file_md5:
+            with open(path, "rb") as f:
+                file_md5[path] = hashlib.md5(f.read()).hexdigest()
+        return file_md5[path]
+
+    closure_cache: dict[str, tuple[str, ...]] = {}
+
+    def closure(mod: str) -> tuple[str, ...]:
+        if mod not in closure_cache:
+            seen: set[str] = set()
+            stack = [mod]
+            while stack:
+                m = stack.pop()
+                if m in seen or m not in mods:
+                    continue
+                seen.add(m)
+                stack.extend(deps.get(m, ()))
+            closure_cache[mod] = tuple(sorted(seen))
+        return closure_cache[mod]
+
+    entry_path = os.path.join(_REPO, "__spark_entry__.py")
+    out = {}
+    for name, spec in QUERIES.items():
+        h = hashlib.md5()
+        for m in closure(spec.fn.__module__):
+            h.update(m.encode())
+            h.update(fmd5(mods[m]).encode())
+        h.update(fmd5(entry_path).encode())
+        h.update((spec.oracle or "<rows-only>").encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def _load_cache() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cache(cache: dict) -> None:
+    tmp = f"{_CACHE_PATH}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=0, sort_keys=True)
+    os.replace(tmp, _CACHE_PATH)
 
 
 def _canon(df):
@@ -39,8 +179,21 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--changed-since"]
+    incremental = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    fps = _fingerprints() if incremental else {}
+    cache = _load_cache() if incremental else {}
+    cache_key = f"sf:{os.path.abspath(sf_dir)}"
+    green: dict[str, str] = dict(cache.get(cache_key, {}))
+    if incremental:
+        n_skip = sum(
+            1 for n, fp in fps.items()
+            if green.get(n) == fp and (not only or n in only)
+        )
+        print(f"incremental: {n_skip} unchanged-green queries will be skipped")
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,9 +211,13 @@ def main() -> int:
     for i, (name, fn) in enumerate(queries.items(), 1):
         if only and name not in only:
             continue
+        if incremental and green.get(name) == fps.get(name):
+            continue
+        ok = False
         try:
             sdf = fn(spark, sf_dir).toPandas()
             if name not in oracles:
+                ok = True
                 print(f"{i:3d} {name}: rows_only rows={len(sdf)}")
                 continue
             ddf = con.execute(oracles[name]).df()
@@ -78,16 +235,25 @@ def main() -> int:
                 print(s[neq].head(3).to_string())
                 print(d[neq].head(3).to_string())
             else:
+                ok = True
                 print(f"{i:3d} {name}: ok rows={len(s)}")
         except Exception as exc:  # noqa: BLE001 — report and continue
             bad.append(name)
             print(f"{i:3d} {name}: ERROR {type(exc).__name__}: {exc}")
         finally:
+            if incremental and name in fps:
+                if ok:
+                    green[name] = fps[name]
+                else:
+                    green.pop(name, None)
             # queries cache/persist intra-plan relations through the
             # tracked-caching layer; release them (and clearCache as a
             # backstop) so a full catalog run doesn't accumulate cache
             release_caches()
             spark.catalog.clearCache()
+    if incremental:
+        cache[cache_key] = green
+        _save_cache(cache)
     print(f"BAD={len(bad)} {bad}")
     spark.stop()
     return 1 if bad else 0

@@ -29,6 +29,9 @@ HEADLINE = [
     "exact_substring_dup_pairs",
     "token_budget_head_selection_distributed",
     "multimodal_patch_grid",
+    # round-5: degree-oriented triangles, cap-coverage savings
+    "supplier_triangle_count",
+    "exact_substring_dup_savings",
 ]
 
 

@@ -46,7 +46,8 @@ QUERIES = [
     "daily_summary",
 ]
 
-# the subset measured at sf10 (kept small: each sf10 trial is ~10-60s)
+# measured at sf10 too (each trial is ~10-60s); complete since round 5
+# — every headline curve query gets a second decade
 SF10_QUERIES = [
     "minhash_neardup_pairs",
     "exact_substring_dup_pairs",
@@ -54,8 +55,18 @@ SF10_QUERIES = [
     "inventory_allocation",
     "sessionize_events_gap",
     "exact_dedup_docs",
+    "corpus_curation",
+    "region_revenue",
+    "ann_topk_lsh",
     "daily_summary",
 ]
+
+# candy-pipeline scaled inputs (scripts/gen_candy_scale.py): the base
+# is the reference's own 10-day dataset, sf1 = 100 days, sf10 = 1000
+# days — same 10x-per-step semantics as the table queries
+CANDY_BASE = "/root/reference/data/dataset_5"
+CANDY_SF1 = "/root/repo/.scale/candy_sf1"
+CANDY_SF10 = "/root/repo/.scale/candy_sf10"
 
 # ratio bands for the per-decade verdict: 10x data should cost <= ~13x
 # time (linear + a shuffle-constant); anything past 15x is flagged
@@ -134,6 +145,43 @@ def main() -> None:
         print(f"{name}: sf0.1={t01:.2f}s sf1={t1:.2f}s x{r1:.1f} "
               f"{_verdict(r1)}{ten}")
 
+    # the reference's own workload, scaled: 10 → 100 → 1000 days
+    if os.path.isdir(CANDY_BASE) and os.path.isdir(CANDY_SF1):
+        from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+        from candy_store_etl_spark.sources.candy import read_products
+
+        def candy_best(data_dir: str, trials: int) -> float:
+            products = read_products(
+                spark, os.path.join(data_dir, "products.csv")
+            )
+            paths = sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.startswith("transactions_")
+            )
+            best = float("inf")
+            for i in range(trials + 1):  # +1 untimed warm pass
+                release_caches()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                for df in run_pipeline(spark, paths, products).values():
+                    df.write.format("noop").mode("overwrite").save()
+                if i > 0:
+                    best = min(best, time.perf_counter() - t0)
+            return best
+
+        tb = candy_best(CANDY_BASE, args.trials)
+        t1 = candy_best(CANDY_SF1, args.trials)
+        r1 = t1 / tb if tb > 0 else float("inf")
+        t10 = r10 = None
+        if os.path.isdir(CANDY_SF10):
+            t10 = candy_best(CANDY_SF10, args.trials)
+            r10 = t10 / t1 if t1 > 0 else float("inf")
+        rows.append(("candy_pipeline_5_outputs", tb, t1, r1, t10, r10))
+        ten = f" sf10={t10:.2f}s x{r10:.1f} {_verdict(r10)}" if t10 else ""
+        print(f"candy_pipeline_5_outputs: base={tb:.2f}s sf1={t1:.2f}s "
+              f"x{r1:.1f} {_verdict(r1)}{ten}")
+
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
         f.write(
             "# Measured scaling curve (10x per step)\n\n"
@@ -167,6 +215,16 @@ def main() -> None:
                 f"| {name} | {t01:.2f} | {t1:.2f} | {r1:.1f}x "
                 f"| {s10} | {sr10} | {v} |\n"
             )
+        f.write(
+            "\n`candy_pipeline_5_outputs` scales over the reference's "
+            "own workload replicated in TIME (10 → 100 → 1000 distinct "
+            "days, scripts/gen_candy_scale.py: shifted timestamps, "
+            "offset transaction ids, same product catalog) — its "
+            "'sf0.1' column is the reference's base 10-day dataset. "
+            "Streaming throughput is measured separately by "
+            "scripts/streaming_throughput.py, which appends its "
+            "section below.\n"
+        )
         f.write(
             "\nPer-query notes: `bloom_decontaminate_docs` carries a "
             "large first-decade ratio because the benchmark gram set "

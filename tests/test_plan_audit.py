@@ -33,6 +33,9 @@ ALLOW_NESTED_LOOP = {
     "ann_batch_topk",
     "orders_aging_buckets",
     "supplier_triangle_count",
+    # round-5: cap-coverage columns ride a broadcast 1-ROW aggregate
+    # cross join (the lazy scalar pattern) — never data×data
+    "exact_substring_dup_savings",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
