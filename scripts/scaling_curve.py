@@ -131,15 +131,34 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    rows = []
-    for name in QUERIES:
+    def measure(name):
         t01 = _time_best(fns, name, spark, args.sf01, args.trials)
         t1 = _time_best(fns, name, spark, args.sf1, args.trials)
-        r1 = t1 / t01 if t01 > 0 else float("inf")
-        t10 = r10 = None
+        t10 = None
         if have_sf10 and name in SF10_QUERIES:
             t10 = _time_best(fns, name, spark, args.sf10, args.trials)
-            r10 = t10 / t1 if t1 > 0 else float("inf")
+        return t01, t1, t10
+
+    rows = []
+    for name in QUERIES:
+        t01, t1, t10 = measure(name)
+        # a SUPER-LINEAR verdict is an accusation of a quadratic path —
+        # confirm it before reporting: long-session JVM state (heap
+        # grown by earlier sf10 queries, GC alignment) has produced
+        # one-off 3x outliers on a plan that measures sub-linear in
+        # isolation (round 5: minhash 49s vs 13-15s isolated). Re-run
+        # the whole triple and keep per-SF minima; only a REPEATED
+        # super-linear ratio survives into the artifact.
+        def ratios(a, b, c):
+            r1 = b / a if a > 0 else float("inf")
+            r10 = (c / b) if (c is not None and b > 0) else None
+            return r1, r10
+        r1, r10 = ratios(t01, t1, t10)
+        if _verdict(max(r1, r10 or 0)) == "SUPER-LINEAR":
+            u01, u1, u10 = measure(name)
+            t01, t1 = min(t01, u01), min(t1, u1)
+            t10 = min(t10, u10) if (t10 and u10) else (t10 or u10)
+            r1, r10 = ratios(t01, t1, t10)
         rows.append((name, t01, t1, r1, t10, r10))
         ten = f" sf10={t10:.2f}s x{r10:.1f} {_verdict(r10)}" if t10 else ""
         print(f"{name}: sf0.1={t01:.2f}s sf1={t1:.2f}s x{r1:.1f} "
@@ -195,6 +214,11 @@ def main() -> None:
             "2-5x steady state), on "
             f"local[{cpus}], noop sink, "
             f"ambient load {ambient:.1f}.\n\n"
+            "A SUPER-LINEAR first reading is re-measured before it is "
+            "reported: long-session JVM state has produced one-off 3x "
+            "outliers on plans that measure sub-linear in isolation, "
+            "so only a REPEATED super-linear ratio survives into this "
+            "table.\n\n"
             "A 10x data -> <=~13x time decade is linear scaling (the "
             "extra constant is shuffle/scheduling overhead at still-"
             "small absolute sizes); sub-linear decades are dominated "
