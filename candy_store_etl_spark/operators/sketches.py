@@ -1,0 +1,108 @@
+"""Bounded-memory frequent-items: Misra-Gries candidates + exact verify.
+
+The last classic sketch family missing from the catalog (HLL,
+quantile, Bloom, MinHash, SimHash are covered): ε-heavy-hitters.
+On Spark the naive plan — ``groupBy(item).count()`` then filter — is
+already distributed, but at 100 TB its shuffle carries one record per
+DISTINCT item per map partition; for n-gram-shaped domains (quadrillions
+of distinct keys, Zipf-distributed) that shuffle volume is the
+bottleneck. The two-phase sketch plan bounds it:
+
+1. **Candidate generation** — each input partition folds its rows into
+   a Misra-Gries summary of ``k`` counters via ``mapInPandas``. The
+   fold is the MERGEABLE-summaries form (Agarwal et al., PODS'12):
+   per Arrow batch, a C-speed ``value_counts`` is combined into the
+   running summary by adding counts, subtracting the (k+1)-th largest
+   total from everything, and dropping non-positives — never a
+   per-row Python loop. Each partition emits ≤ k candidate rows.
+2. **Exact verify** — the tiny candidate union is broadcast back and
+   the true counts of ONLY those items are computed exactly; the
+   final filter keeps items above the global threshold.
+
+Guarantee (what makes the output deterministic and oracle-checkable):
+a k-counter Misra-Gries summary of a partition with n_p rows retains
+every item whose local count exceeds n_p/(k+1); if an item's GLOBAL
+count exceeds n/(k+1), by pigeonhole some partition holds it above its
+local n_p/(k+1). The union of partition summaries therefore contains
+every item with global count > n/(k+1) — so for any threshold
+n/t with t ≤ k, phase 2's exact filter returns EXACTLY the true
+heavy-hitter set, independent of partitioning, row order, or how the
+sketch pruned everything else (pinned by tests/test_sketches.py on a
+Zipf vocabulary much larger than k, across partitionings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """≤ k candidate values per input partition via a mergeable
+    Misra-Gries fold (see module docstring). Output: distinct ``col``
+    values — a SUPERSET of every item with global frequency >
+    1/(k+1)."""
+
+    out_schema = StructType([StructField(col, StringType(), False)])
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf[col].value_counts()
+            summary = summary.add(counts, fill_value=0)
+            if len(summary) > k:
+                # mergeable-summaries step: SUBTRACT the (k+1)-th
+                # largest from every counter, keep positives (≤ k
+                # survive). The subtraction is load-bearing: each
+                # prune removes ≥ (k+1)·cut of counter mass, so the
+                # cuts sum to ≤ n_p/(k+1) and every item's counter
+                # underestimates its true local count by at most that
+                # — which is exactly why locally-heavy items always
+                # survive. Pruning WITHOUT subtracting (plain top-k)
+                # has no such bound.
+                cut = summary.nlargest(k + 1).iloc[-1]
+                summary = summary - cut
+                summary = summary[summary > 0]
+        yield pd.DataFrame({col: summary.index.astype(str)})
+
+    return items.select(col).mapInPandas(fold, out_schema).distinct()
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, *, t: int, k: int = 256
+) -> DataFrame:
+    """All values of ``col`` with exact count * t > total rows —
+    computed via the sketch-prune + exact-verify plan. ``t`` must be
+    ≤ k for the candidate superset guarantee to hold (asserted).
+
+    Returns (col, cnt, share_ppm): exact count and integer
+    parts-per-million share (count * 1e6 div n), both deterministic.
+    """
+    if t > k:
+        raise ValueError(f"threshold divisor t={t} must be <= k={k}")
+    from ..caching import tracked_cache
+
+    cached = items.select(col).transform(tracked_cache)
+    total = cached.agg(F.count(F.lit(1)).alias("__n"))
+    cands = misra_gries_candidates(cached, col, k)
+    exact = (
+        cached.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * t > F.col("__n"))
+        .select(
+            col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * CAST(1000000 AS BIGINT) div __n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

@@ -93,6 +93,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "importance_sampled_docs",  # unbounded substr + try_cast
     "token_budget_head_selection_distributed",  # empty-corpus guard
     "pruned_range_scan_stats",  # content-fingerprint + stage-swap
+    "heavy_hitter_tokens",  # NEW: MG-candidates + exact-verify
     # (b) flagship re-confirmations, oldest evidence first
     # relational core (last windowed r1-r3)
     "pricing_summary",
@@ -104,7 +105,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "hourly_event_stats",
     "top20_orders",
     "null_handling_ops",
-    "json_extract_events",
     "daily_summary",
     # dedup / text analysis
     "exact_dedup_docs",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import SQL_TOKENS, tokens
 from ..sources.tpch import load_table
 from .advanced import _SQL_ALLOCATION
 from .registry import register
@@ -54,3 +55,47 @@ def inventory_allocation_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
         buckets=64,
     )
+
+
+_HH_T = 200  # heavy-hitter threshold divisor: report tokens > n/200
+_HH_K = 256  # Misra-Gries counters per partition (t <= k required)
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * CAST(1000000 AS BIGINT) // n AS BIGINT) AS share_ppm
+    FROM c, tot WHERE cnt * {_HH_T} > n
+    """,
+    doc="ε-heavy-hitters over document tokens — the frequent-items "
+    "sketch family (completing HLL / quantile / Bloom / MinHash / "
+    "SimHash): per-partition Misra-Gries summaries (k=256 counters, "
+    "mergeable-summaries fold at Arrow-batch granularity, C-speed "
+    "value_counts — no per-row Python) generate ≤ k candidates per "
+    "partition; the broadcast candidate union is verified EXACTLY and "
+    f"filtered at count*{_HH_T} > n. The MG retention guarantee "
+    "(any item over n/(k+1) survives some partition's summary) makes "
+    "the output the exact true heavy-hitter set, deterministic across "
+    "partitionings — so the sketch carries a plain exact-SQL oracle. "
+    "At 100 TB the point is SHUFFLE VOLUME: the naive groupBy(token) "
+    "shuffles every distinct token per map partition; this plan "
+    "shuffles k rows per partition plus the candidate-only exact "
+    "pass. Guarantee + Zipf stress pinned in tests/test_sketches.py.",
+    tags=("text", "sketch", "heavy-hitters", "mapInPandas"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import explode_nonempty
+    from ..operators.sketches import heavy_hitters_exact
+    from ..sources.tpch import repartition_for_compute
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = explode_nonempty(
+        docs.select(tokens(F.col("text")).alias("tk")), "tok", F.col("tk")
+    )
+    return heavy_hitters_exact(toks, "tok", t=_HH_T, k=_HH_K)

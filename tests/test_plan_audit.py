@@ -36,6 +36,9 @@ ALLOW_NESTED_LOOP = {
     # round-5: cap-coverage columns ride a broadcast 1-ROW aggregate
     # cross join (the lazy scalar pattern) — never data×data
     "exact_substring_dup_savings",
+    # round-5: the global-total threshold joins as a broadcast 1-row
+    # aggregate (same lazy scalar pattern)
+    "heavy_hitter_tokens",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,

@@ -1,0 +1,94 @@
+"""Misra-Gries heavy hitters: the retention guarantee under real
+pruning pressure (a Zipf vocabulary much larger than k), candidate
+bounds, and partition invariance — the evidence the documents-fixture
+gate row (31-token vocabulary, sketch never prunes) cannot provide."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from candy_store_etl_spark.operators.sketches import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+
+def _zipf_rows(n_items: int = 2000, total: int = 60_000):
+    """Deterministic Zipf-ish stream: item i gets ~C/(i+1) rows, so a
+    handful of items are heavy and the long tail dwarfs any k."""
+    weights = [1.0 / (i + 1) for i in range(n_items)]
+    scale = total / sum(weights)
+    rows = []
+    for i, w in enumerate(weights):
+        rows.extend([f"item_{i:05d}"] * max(1, int(w * scale)))
+    # deterministic interleave so heavy items are SPREAD, not clumped —
+    # the adversarial arrival order for a pruning sketch
+    rows.sort(key=lambda s: hash((s, len(rows))) % 7919)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def zipf_df(spark_sketch):
+    rows = _zipf_rows()
+    return (
+        spark_sketch.createDataFrame([(r,) for r in rows], "tok string"),
+        rows,
+    )
+
+
+@pytest.fixture(scope="module")
+def spark_sketch(spark):
+    return spark
+
+
+K = 64
+T = 50  # report items with count > n/50 (t <= k)
+
+
+def test_candidates_bounded_and_superset(zipf_df):
+    df, rows = zipf_df
+    n = len(rows)
+    df8 = df.repartition(8)
+    cands = {
+        r["tok"] for r in misra_gries_candidates(df8, "tok", K).collect()
+    }
+    assert len(cands) <= 8 * K  # ≤ k per partition
+    # vocabulary (2000) is much larger than what survives — the sketch
+    # actually pruned
+    assert len(cands) < 2000
+    # retention: every item above n/(K+1) must be a candidate
+    from collections import Counter
+
+    exact = Counter(rows)
+    must_survive = {t for t, c in exact.items() if c > n / (K + 1)}
+    assert must_survive, "fixture must contain genuinely heavy items"
+    assert must_survive <= cands
+
+
+def test_heavy_hitters_match_brute_force_and_partitioning(zipf_df):
+    df, rows = zipf_df
+    from collections import Counter
+
+    n = len(rows)
+    exact = Counter(rows)
+    truth = {
+        t: (c, c * 1_000_000 // n)
+        for t, c in exact.items()
+        if c * T > n
+    }
+    assert truth, "fixture must produce a non-empty heavy set"
+    for parts in (3, 16):
+        got = {
+            r["tok"]: (r["cnt"], r["share_ppm"])
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "tok", t=T, k=K
+            ).collect()
+        }
+        assert got == truth, f"partitions={parts}"
+
+
+def test_threshold_over_k_rejected(zipf_df):
+    df, _ = zipf_df
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "tok", t=K + 1, k=K)
