@@ -94,6 +94,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_budget_head_selection_distributed",  # empty-corpus guard
     "pruned_range_scan_stats",  # content-fingerprint + stage-swap
     "heavy_hitter_tokens",  # NEW: MG-candidates + exact-verify
+    "temperature_mixture_sample",  # NEW: corpus-derived mixture rates
+    "source_mixture_plan",  # NEW: epoch-allocation planning
     # (b) flagship re-confirmations, oldest evidence first
     # relational core (last windowed r1-r3)
     "pricing_summary",
@@ -103,8 +105,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top_orders_per_customer",
     "event_type_pivot",
     "hourly_event_stats",
-    "top20_orders",
-    "null_handling_ops",
     "daily_summary",
     # dedup / text analysis
     "exact_dedup_docs",

@@ -99,3 +99,153 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(tokens(F.col("text")).alias("tk")), "tok", F.col("tk")
     )
     return heavy_hitters_exact(toks, "tok", t=_HH_T, k=_HH_K)
+
+
+# md5 of doc_id -> integer in [0, 1e6): the acceptance lottery shared
+# with the DuckDB oracle (cf. round4._SQL_MD5_BUCKET, which mods 100)
+_SQL_MD5_MICRO = """
+  list_sum(list_transform(generate_series(1, 6),
+    i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+         * CAST(16 AS BIGINT) ** (6 - i))) % 1000000
+"""
+
+
+def _md5_micro(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_s) AS n, SUM(w_s) AS big_w FROM per),
+    rates AS (
+      SELECT source, n_s,
+             CAST(LEAST(CAST(1000000 AS BIGINT),
+                        (((n // 2) * w_s // big_w) * 1000000) // n_s)
+                  AS BIGINT) AS p_micro
+      FROM per, tot
+    )
+    SELECT d.doc_id, d.source, r.p_micro
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_SQL_MD5_MICRO} < r.p_micro
+    """,
+    doc="Temperature-based mixture sampling (the DoReMi/data-mixing "
+    "shape): the target mixture is the alpha=0.5 temperature "
+    "renormalization of the observed source distribution — per-source "
+    "weight isqrt(n_s), budget n/2 documents — and each source's keep "
+    "probability is derived FROM THE CORPUS (unlike "
+    "importance_sampled_docs, whose rates are fixed per source id). "
+    "Every quantity is integer (isqrt = floor of one correctly-"
+    "rounded IEEE sqrt, then integer div throughout), acceptance is "
+    "the shared md5 micro-lottery — bit-identical across engines and "
+    "partitionings. Plan: one tiny source aggregate, a broadcast "
+    "1-row totals join, then a map-side filter over the corpus — no "
+    "fact-table shuffle at any scale.",
+    tags=("text", "sampling", "curation", "mixture"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    per = per.withColumn(
+        "w_s", F.floor(F.sqrt(F.col("n_s").cast("double"))).cast("long")
+    )
+    tot = per.agg(
+        F.sum("n_s").alias("n"), F.sum("w_s").alias("big_w")
+    )
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("(((n div 2) * w_s div big_w) * 1000000) div n_s"),
+            ).alias("p_micro"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_md5_micro(F.col("doc_id")) < F.col("p_micro"))
+        .select("doc_id", "source", "p_micro")
+    )
+
+
+_MIX_MAX_EPOCHS_MICRO = 4_000_000  # repeat any source at most 4 epochs
+
+
+@register(
+    "source_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS tokens_available,
+             CAST(FLOOR(SQRT(CAST(SUM(len({SQL_TOKENS})) AS DOUBLE)))
+                  AS BIGINT) AS w_s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens_available) AS t, SUM(w_s) AS big_w FROM per)
+    SELECT source, tokens_available,
+           CAST((t // 2) * w_s // big_w AS BIGINT) AS target_tokens,
+           CAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available
+                AS BIGINT) AS epochs_micro,
+           CAST(LEAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available,
+                      {_MIX_MAX_EPOCHS_MICRO}) AS BIGINT)
+             AS epochs_capped_micro,
+           CAST(tokens_available *
+                LEAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available,
+                      {_MIX_MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT)
+             AS realized_tokens
+    FROM per, tot
+    """,
+    doc="Mixture EPOCH planning — the per-source repeat table a "
+    "training run publishes (source X repeated 1.37 epochs): targets "
+    "are the alpha=0.5 temperature mixture over AVAILABLE TOKENS with "
+    "a half-total token budget, per-source epochs = target/available "
+    "in integer micro-epochs, capped at 4 epochs (the repeat-harms "
+    "threshold), realized tokens floored back from the cap. The "
+    "planning layer above dataset_card_stats and the sampling ops: "
+    "output is source-cardinality-sized, computed from one grouped "
+    "aggregate + a broadcast 1-row total — nothing data-sized moves.",
+    tags=("text", "curation", "mixture", "planning"),
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("n_toks").alias("tokens_available")
+    ).withColumn(
+        "w_s",
+        F.floor(F.sqrt(F.col("tokens_available").cast("double"))).cast("long"),
+    )
+    tot = per.agg(
+        F.sum("tokens_available").alias("t"), F.sum("w_s").alias("big_w")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    target = F.expr("(t div 2) * w_s div big_w")
+    epochs = F.expr(
+        "((t div 2) * w_s div big_w) * 1000000 div tokens_available"
+    )
+    capped = F.least(epochs, F.lit(_MIX_MAX_EPOCHS_MICRO).cast("long"))
+    return j.select(
+        "source",
+        "tokens_available",
+        target.cast("long").alias("target_tokens"),
+        epochs.cast("long").alias("epochs_micro"),
+        capped.cast("long").alias("epochs_capped_micro"),
+        # integer div, matching the oracle's // — Column "/" is float
+        F.expr(
+            "tokens_available * least(((t div 2) * w_s div big_w) * 1000000"
+            f" div tokens_available, {_MIX_MAX_EPOCHS_MICRO}) div 1000000"
+        )
+        .cast("long")
+        .alias("realized_tokens"),
+    )

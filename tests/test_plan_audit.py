@@ -39,6 +39,10 @@ ALLOW_NESTED_LOOP = {
     # round-5: the global-total threshold joins as a broadcast 1-row
     # aggregate (same lazy scalar pattern)
     "heavy_hitter_tokens",
+    # round-5: mixture rates/plans join the broadcast 1-row corpus
+    # totals (source-cardinality × 1 row — never data×data)
+    "temperature_mixture_sample",
+    "source_mixture_plan",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
