@@ -82,9 +82,17 @@ def _delta_report(timings: dict[str, float]) -> dict | None:
     returns {prev, prev_ambient_load_1m, pct: {q: +/-pct}, flagged:
     [q, ...]} or None when no prior file parses."""
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_num(p: str):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
+    # ignore non-matching strays (BENCH_rerun.json …) instead of
+    # crashing at the very end of a full timed run
     prev_files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if _round_num(p) is not None),
+        key=_round_num,
     )
     for path in reversed(prev_files):
         try:

@@ -131,6 +131,29 @@ def _stock_to_int64(raw: np.ndarray) -> np.ndarray:
     return raw.astype(np.int64)
 
 
+def _qty_to_int64(raw: np.ndarray, qty_col: str) -> np.ndarray:
+    """Quantities must be REAL integers: a null qty silently cast
+    would become INT64_MIN garbage (numpy NaN→int64), which the kernel
+    would misclassify as 'invalid negative'. The row-loop this kernel
+    replaced raised on NaN — keep failing loudly."""
+    if np.issubdtype(raw.dtype, np.floating):
+        if np.isnan(raw).any():
+            raise ValueError(
+                f"items[{qty_col!r}] contains null/NaN quantities — "
+                "clean or filter them before allocation (a null qty "
+                "has no greedy-scan semantics)"
+            )
+        return raw.astype(np.int64)
+    if raw.dtype == object:
+        if any(v is None or v != v for v in raw):
+            raise ValueError(
+                f"items[{qty_col!r}] contains null quantities — clean "
+                "or filter them before allocation"
+            )
+        return np.array([int(v) for v in raw], np.int64)
+    return raw.astype(np.int64)
+
+
 def allocate_greedy(
     items: DataFrame,
     stock: DataFrame,
@@ -200,7 +223,7 @@ def allocate_greedy(
         pdf = pdf.sort_values([product_col, *order_cols], kind="mergesort")
         allocated, cancelled = _greedy_kernel(
             pdf[product_col].to_numpy(),
-            pdf[qty_col].to_numpy().astype(np.int64),
+            _qty_to_int64(pdf[qty_col].to_numpy(), qty_col),
             _stock_to_int64(pdf[_STOCK_COL].to_numpy()),
         )
         out = pdf[item_cols].copy()
@@ -273,7 +296,9 @@ def allocate_greedy_arrow(
 
     def scan_arrow(tbl: "pa.Table") -> "pa.Table":
         tbl = tbl.sort_by(sort_keys)
-        qty = tbl[qty_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = _qty_to_int64(
+            tbl[qty_col].to_numpy(zero_copy_only=False), qty_col
+        )
         prod = tbl[product_col].to_numpy(zero_copy_only=False)
         stock0 = _stock_to_int64(
             tbl[_STOCK_COL].to_numpy(zero_copy_only=False)

@@ -1777,14 +1777,25 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stage)
         )
         write_manifest(stage, "doc_id")
-        try:
-            os.rename(stage, scratch)
-        except OSError:
-            import shutil
+        import shutil
 
-            shutil.rmtree(stage, ignore_errors=True)
-            if not _scratch_intact():  # winner half-gone: rebuild next call
-                raise
+        for attempt in (1, 2):
+            try:
+                os.rename(stage, scratch)
+                break
+            except OSError:
+                if _scratch_intact():
+                    # a concurrent winner renamed an identical copy in:
+                    # keep theirs, drop ours
+                    shutil.rmtree(stage, ignore_errors=True)
+                    break
+                # a CORRUPT scratch survivor blocks the rename (e.g. a
+                # /tmp cleaner removed one part file): replace it with
+                # the freshly staged copy instead of failing forever
+                shutil.rmtree(scratch, ignore_errors=True)
+                if attempt == 2:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
     pruned = read_pruned(spark, scratch, "doc_id", 10, 40)
     return pruned.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -183,34 +183,64 @@ _MIX_MAX_EPOCHS_MICRO = 4_000_000  # repeat any source at most 4 epochs
 
 @register(
     "source_mixture_plan",
+    # every product of two "big" quantities is split as
+    # x*y div d == y*(x div d) + (y*(x mod d)) div d so no intermediate
+    # exceeds int64 until total tokens ~1e15 (petabyte-scale text) —
+    # the naive target*1e6 spelling overflowed ANSI BIGINT at ~2e13
+    # total tokens, inside the 100 TB envelope this plan claims
     oracle=f"""
     WITH per AS (
       SELECT source,
-             CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS tokens_available,
+             CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS a,
              CAST(FLOOR(SQRT(CAST(SUM(len({SQL_TOKENS})) AS DOUBLE)))
-                  AS BIGINT) AS w_s
+                  AS BIGINT) AS w
       FROM documents GROUP BY source
     ),
-    tot AS (SELECT SUM(tokens_available) AS t, SUM(w_s) AS big_w FROM per)
-    SELECT source, tokens_available,
-           CAST((t // 2) * w_s // big_w AS BIGINT) AS target_tokens,
-           CAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available
-                AS BIGINT) AS epochs_micro,
-           CAST(LEAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available,
-                      {_MIX_MAX_EPOCHS_MICRO}) AS BIGINT)
-             AS epochs_capped_micro,
-           CAST(tokens_available *
-                LEAST(((t // 2) * w_s // big_w) * 1000000 // tokens_available,
-                      {_MIX_MAX_EPOCHS_MICRO}) // 1000000 AS BIGINT)
-             AS realized_tokens
-    FROM per, tot
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) // 2 AS b,
+             CAST(SUM(w) AS BIGINT) AS bw
+      FROM per
+    ),
+    s1 AS (
+      SELECT source, a, GREATEST(a, 1) AS ad, w, b, bw FROM per, tot
+    ),
+    s2 AS (
+      SELECT *, w * (b // bw) + (w * (b % bw)) // bw AS target FROM s1
+    ),
+    s3 AS (
+      SELECT *, (target % ad) * 1000 AS r1k FROM s2
+    ),
+    s4 AS (
+      SELECT *,
+             (target // ad) * 1000000
+               + (r1k // ad) * 1000
+               + ((r1k % ad) * 1000) // ad AS em
+      FROM s3
+    ),
+    s5 AS (
+      SELECT *, LEAST(em, {_MIX_MAX_EPOCHS_MICRO}) AS ec FROM s4
+    )
+    SELECT source,
+           CAST(a AS BIGINT) AS tokens_available,
+           CAST(target AS BIGINT) AS target_tokens,
+           CAST(em AS BIGINT) AS epochs_micro,
+           CAST(ec AS BIGINT) AS epochs_capped_micro,
+           CAST(a * (ec // 1000000)
+                + (a // 1000000) * (ec % 1000000)
+                + ((a % 1000000) * (ec % 1000000)) // 1000000
+                AS BIGINT) AS realized_tokens
+    FROM s5
     """,
     doc="Mixture EPOCH planning — the per-source repeat table a "
     "training run publishes (source X repeated 1.37 epochs): targets "
     "are the alpha=0.5 temperature mixture over AVAILABLE TOKENS with "
     "a half-total token budget, per-source epochs = target/available "
     "in integer micro-epochs, capped at 4 epochs (the repeat-harms "
-    "threshold), realized tokens floored back from the cap. The "
+    "threshold), realized tokens floored back from the cap. All "
+    "arithmetic is overflow-split integer (x*y div d computed as "
+    "y*(x div d) + y*(x mod d) div d), safe to ~1e15 total tokens "
+    "under ANSI; empty-text sources divide by GREATEST(a,1) so a "
+    "zero-token source plans zero epochs instead of erroring. The "
     "planning layer above dataset_card_stats and the sampling ops: "
     "output is source-cardinality-sized, computed from one grouped "
     "aggregate + a broadcast 1-row total — nothing data-sized moves.",
@@ -220,31 +250,38 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
     )
-    per = docs.groupBy("source").agg(
-        F.sum("n_toks").alias("tokens_available")
-    ).withColumn(
-        "w_s",
-        F.floor(F.sqrt(F.col("tokens_available").cast("double"))).cast("long"),
+    per = docs.groupBy("source").agg(F.sum("n_toks").alias("a")).withColumn(
+        "w", F.floor(F.sqrt(F.col("a").cast("double"))).cast("long")
     )
-    tot = per.agg(
-        F.sum("tokens_available").alias("t"), F.sum("w_s").alias("big_w")
+    tot = per.agg(F.expr("sum(a) div 2").alias("b"), F.sum("w").alias("bw"))
+    j = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("ad", F.greatest(F.col("a"), F.lit(1).cast("long")))
+        .withColumn(
+            "target", F.expr("w * (b div bw) + (w * (b % bw)) div bw")
+        )
+        .withColumn("r1k", F.expr("(target % ad) * 1000"))
+        .withColumn(
+            "em",
+            F.expr(
+                "(target div ad) * 1000000 + (r1k div ad) * 1000"
+                " + ((r1k % ad) * 1000) div ad"
+            ),
+        )
+        .withColumn(
+            "ec",
+            F.least(F.col("em"), F.lit(_MIX_MAX_EPOCHS_MICRO).cast("long")),
+        )
     )
-    j = per.crossJoin(F.broadcast(tot))
-    target = F.expr("(t div 2) * w_s div big_w")
-    epochs = F.expr(
-        "((t div 2) * w_s div big_w) * 1000000 div tokens_available"
-    )
-    capped = F.least(epochs, F.lit(_MIX_MAX_EPOCHS_MICRO).cast("long"))
     return j.select(
-        "source",
-        "tokens_available",
-        target.cast("long").alias("target_tokens"),
-        epochs.cast("long").alias("epochs_micro"),
-        capped.cast("long").alias("epochs_capped_micro"),
-        # integer div, matching the oracle's // — Column "/" is float
+        F.col("source"),
+        F.col("a").cast("long").alias("tokens_available"),
+        F.col("target").cast("long").alias("target_tokens"),
+        F.col("em").cast("long").alias("epochs_micro"),
+        F.col("ec").cast("long").alias("epochs_capped_micro"),
         F.expr(
-            "tokens_available * least(((t div 2) * w_s div big_w) * 1000000"
-            f" div tokens_available, {_MIX_MAX_EPOCHS_MICRO}) div 1000000"
+            "a * (ec div 1000000) + (a div 1000000) * (ec % 1000000)"
+            " + ((a % 1000000) * (ec % 1000000)) div 1000000"
         )
         .cast("long")
         .alias("realized_tokens"),

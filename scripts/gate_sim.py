@@ -70,9 +70,14 @@ def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
     imports of plan modules are EXCLUDED: _ensure_loaded imports every
     plan module as loader wiring, which would make the closure total
     and defeat incrementality — a registry.py change itself still
-    invalidates everything (it is in every closure)."""
+    invalidates everything (it is in every closure). Two subtleties
+    (round-5 review findings): relative imports inside a package
+    __init__ resolve against the package ITSELF, not its parent; and
+    importing any module executes its ancestor packages' __init__
+    files first, so those are dependencies of every descendant."""
     deps: dict[str, set[str]] = {}
     for mod, path in mods.items():
+        is_pkg = os.path.basename(path) == "__init__.py"
         with open(path) as f:
             src = f.read()
         found: set[str] = set()
@@ -84,7 +89,12 @@ def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
             elif base:
                 if base.startswith("."):
                     up = len(base) - len(base.lstrip("."))
-                    parts = mod.split(".")[: -up or None]
+                    # one dot = current package: the module's parent,
+                    # or the module itself when it IS a package
+                    anchor = mod if is_pkg else mod.rsplit(".", 1)[0]
+                    parts = anchor.split(".")
+                    if up > 1:
+                        parts = parts[: -(up - 1) or None]
                     stem = base.lstrip(".")
                     target = ".".join(parts + ([stem] if stem else []))
                 else:
@@ -99,6 +109,12 @@ def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
             for c in cands:
                 if c in mods:
                     found.add(c)
+        # ancestor packages run at import time — always in the closure
+        parts = mod.split(".")
+        for i in range(1, len(parts)):
+            anc = ".".join(parts[:i])
+            if anc in mods and anc != mod:
+                found.add(anc)
         if mod == f"{_PKG}.plans.registry":
             found = {d for d in found if not d.startswith(f"{_PKG}.plans.")}
         deps[mod] = found
@@ -186,7 +202,22 @@ def main() -> int:
 
     fps = _fingerprints() if incremental else {}
     cache = _load_cache() if incremental else {}
-    cache_key = f"sf:{os.path.abspath(sf_dir)}"
+    # the cache key fingerprints the DATA and this script's own
+    # compare logic, not just query code: regenerated testdata at the
+    # same path (a real event in this repo — see
+    # pruned_range_scan_stats) or an edited canonicalizer must
+    # invalidate every cached green row
+    env_h = hashlib.md5()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            env_h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            env_h.update(f"{t}:missing".encode())
+    with open(os.path.abspath(__file__), "rb") as f:
+        env_h.update(f.read())
+    cache_key = f"sf:{os.path.abspath(sf_dir)}:{env_h.hexdigest()[:12]}"
     green: dict[str, str] = dict(cache.get(cache_key, {}))
     if incremental:
         n_skip = sum(

@@ -41,20 +41,31 @@ N_FILES = 12  # micro-batch count (>= 10 per the round-4 directive)
 
 def _stage_files(spark, src_dir: str, stage_dir: str) -> None:
     """Lay the events table out as N_FILES parquet files so
-    maxFilesPerTrigger=1 yields N_FILES micro-batches."""
+    maxFilesPerTrigger=1 yields N_FILES micro-batches. The stage is
+    keyed on the SOURCE file's identity (size + ns-mtime marker), so a
+    regenerated events table rebuilds the stage instead of silently
+    measuring stale data (the same staleness class
+    pruned_range_scan_stats fingerprints against)."""
+    src = os.path.join(src_dir, "events.parquet")
+    st = os.stat(src)
+    marker_want = f"{st.st_size}:{st.st_mtime_ns}:{N_FILES}"
+    marker_path = os.path.join(stage_dir, "_SOURCE_ID")
     if os.path.isdir(stage_dir):
-        n = len(
-            [f for f in os.listdir(stage_dir) if f.endswith(".parquet")]
-        )
-        if n == N_FILES:
-            return
+        try:
+            with open(marker_path) as f:
+                if f.read() == marker_want:
+                    return
+        except OSError:
+            pass
         shutil.rmtree(stage_dir)
     (
-        spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+        spark.read.parquet(src)
         .repartition(N_FILES)
         .write.mode("overwrite")
         .parquet(stage_dir)
     )
+    with open(marker_path, "w") as f:
+        f.write(marker_want)
 
 
 def _run(spark, stage_dir: str, *, within_watermark: bool) -> dict:

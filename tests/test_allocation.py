@@ -279,3 +279,22 @@ def test_arrow_path_equals_pandas_path(spark, sf_smoke):
         assert sorted(map(tuple, p.collect()), key=lambda t: t[:4]) == sorted(
             map(tuple, a.collect()), key=lambda t: t[:4]
         ), f"buckets={buckets}"
+
+
+def test_null_qty_raises_loudly(spark):
+    """A null qty must fail, not silently become INT64_MIN 'invalid
+    negative' (numpy NaN->int64 emits garbage with only a warning —
+    the pre-vectorization row loop raised ValueError and the kernel
+    entry points must keep that contract)."""
+    from candy_store_etl_spark.operators.allocation import (
+        allocate_greedy_arrow,
+    )
+
+    items = spark.createDataFrame(
+        [(1, 5, 1), (1, None, 2)], "product_id int, qty int, seq int"
+    )
+    stock = spark.createDataFrame([(1, 100)], "product_id int, stock int")
+    for fn in (allocate_greedy, allocate_greedy_arrow):
+        with pytest.raises(Exception) as ei:
+            fn(items, stock, order_by=("seq",)).collect()
+        assert "null" in str(ei.value).lower() or "NaN" in str(ei.value)

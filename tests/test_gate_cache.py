@@ -55,3 +55,31 @@ def test_fingerprint_tracks_closure_content(tmp_path, monkeypatch):
 
     spec = QUERIES["daily_summary"]
     assert spec.oracle is not None  # fingerprint includes oracle text
+
+
+def test_package_init_relative_imports_resolve_to_package_itself():
+    """`from .tpch import load_table` inside sources/__init__.py must
+    resolve against candy_store_etl_spark.sources (the package), not
+    its parent — and ancestor-package __init__ modules are in every
+    descendant's dependency set, because importing a leaf executes
+    them at runtime."""
+    mods = _package_modules()
+    deps = _module_deps(mods)
+    # ancestor packages always present
+    r4 = deps[f"{_PKG}.plans.round4"]
+    assert _PKG in r4 and f"{_PKG}.plans" in r4
+    leaf = deps[f"{_PKG}.operators.graph"]
+    assert f"{_PKG}.operators" in leaf
+    # package __init__ relative imports: resolve a real case if any
+    # package __init__ has `from .x import`, its dep must exist
+    for mod, path in mods.items():
+        if not path.endswith("__init__.py"):
+            continue
+        with open(path) as f:
+            src = f.read()
+        import re as _re
+
+        for m in _re.finditer(r"^from \.(\w+) import", src, _re.M):
+            child = f"{mod}.{m.group(1)}"
+            if child in mods:
+                assert child in deps[mod], (mod, child)
