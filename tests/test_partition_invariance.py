@@ -66,6 +66,12 @@ REPRESENTATIVES = [
     "exact_substring_dup_savings",
     "bpe_top_pairs",
     "supplier_triangle_count",
+    # round-5 additions: sketch-pruned exact verify (MG candidates
+    # differ per partitioning, the verified output must not), the
+    # hash-lottery mixture sample, and the split-arithmetic plan
+    "heavy_hitter_tokens",
+    "temperature_mixture_sample",
+    "source_mixture_plan",
 ]
 
 
