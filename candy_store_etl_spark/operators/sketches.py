@@ -46,9 +46,20 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     """≤ k candidate values per input partition via a mergeable
     Misra-Gries fold (see module docstring). Output: distinct ``col``
     values — a SUPERSET of every item with global frequency >
-    1/(k+1)."""
+    1/(k+1).
 
-    out_schema = StructType([StructField(col, StringType(), False)])
+    The output column keeps the SOURCE column's type: the candidates
+    are joined back against the original relation in the exact-verify
+    phase, and a hardcoded string output would force an implicit
+    string-vs-native cast on that join for int/float keys — silently
+    dropping candidates and voiding the exactness guarantee
+    (round-5 advisory)."""
+
+    src_field = items.schema[col]
+    out_schema = StructType(
+        [StructField(col, src_field.dataType, src_field.nullable)]
+    )
+    keep_str = isinstance(src_field.dataType, StringType)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary = pd.Series(dtype="int64")
@@ -68,7 +79,11 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
                 cut = summary.nlargest(k + 1).iloc[-1]
                 summary = summary - cut
                 summary = summary[summary > 0]
-        yield pd.DataFrame({col: summary.index.astype(str)})
+        vals = summary.index
+        # pandas may have widened the index dtype (e.g. object); pin
+        # strings explicitly, let Arrow cast numerics to the declared
+        # source type
+        yield pd.DataFrame({col: vals.astype(str) if keep_str else vals})
 
     return items.select(col).mapInPandas(fold, out_schema).distinct()
 

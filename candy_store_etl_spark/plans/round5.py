@@ -197,8 +197,12 @@ _MIX_MAX_EPOCHS_MICRO = 4_000_000  # repeat any source at most 4 epochs
       FROM documents GROUP BY source
     ),
     tot AS (
+      -- GREATEST(..., 1) mirrors the ad guard below: bw = 0 only when
+      -- every source has zero tokens, in which case every w is 0 and
+      -- all targets are 0 regardless of the divisor — the guard turns
+      -- an ANSI DIVIDE_BY_ZERO into the correct all-zero plan
       SELECT CAST(SUM(a) AS BIGINT) // 2 AS b,
-             CAST(SUM(w) AS BIGINT) AS bw
+             GREATEST(CAST(SUM(w) AS BIGINT), 1) AS bw
       FROM per
     ),
     s1 AS (
@@ -253,7 +257,13 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(F.sum("n_toks").alias("a")).withColumn(
         "w", F.floor(F.sqrt(F.col("a").cast("double"))).cast("long")
     )
-    tot = per.agg(F.expr("sum(a) div 2").alias("b"), F.sum("w").alias("bw"))
+    # GREATEST(bw, 1): all-empty-text corpus has every w = 0, so the
+    # guard yields the correct all-zero targets instead of ANSI
+    # DIVIDE_BY_ZERO (mirrors the per-source ad guard)
+    tot = per.agg(
+        F.expr("sum(a) div 2").alias("b"),
+        F.greatest(F.sum("w"), F.lit(1).cast("long")).alias("bw"),
+    )
     j = (
         per.crossJoin(F.broadcast(tot))
         .withColumn("ad", F.greatest(F.col("a"), F.lit(1).cast("long")))

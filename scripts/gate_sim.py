@@ -26,7 +26,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -59,52 +58,53 @@ def _package_modules() -> dict[str, str]:
     return out
 
 
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+([.\w]+)\s+import\s+([\w, .*()]+)|import\s+([\w.]+))",
-    re.M,
-)
-
-
 def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
-    """Static import graph within the package. The registry module's
-    imports of plan modules are EXCLUDED: _ensure_loaded imports every
-    plan module as loader wiring, which would make the closure total
-    and defeat incrementality — a registry.py change itself still
-    invalidates everything (it is in every closure). Two subtleties
-    (round-5 review findings): relative imports inside a package
-    __init__ resolve against the package ITSELF, not its parent; and
-    importing any module executes its ancestor packages' __init__
-    files first, so those are dependencies of every descendant."""
+    """Static import graph within the package, built from the AST
+    (round-5 advisory: a line regex missed parenthesized multi-line
+    ``from pkg import (mod_a, mod_b)`` forms — ast.Import /
+    ast.ImportFrom handle every spelling and carry the relative level
+    exactly). The registry module's imports of plan modules are
+    EXCLUDED: _ensure_loaded imports every plan module as loader
+    wiring, which would make the closure total and defeat
+    incrementality — a registry.py change itself still invalidates
+    everything (it is in every closure). Two subtleties (round-5
+    review findings): relative imports inside a package __init__
+    resolve against the package ITSELF, not its parent; and importing
+    any module executes its ancestor packages' __init__ files first,
+    so those are dependencies of every descendant."""
+    import ast
+
     deps: dict[str, set[str]] = {}
     for mod, path in mods.items():
         is_pkg = os.path.basename(path) == "__init__.py"
         with open(path) as f:
-            src = f.read()
+            tree = ast.parse(f.read(), filename=path)
         found: set[str] = set()
-        for m in _IMPORT_RE.finditer(src):
-            base, names, plain = m.group(1), m.group(2), m.group(3)
-            target = None
-            if plain:
-                target = plain
-            elif base:
-                if base.startswith("."):
-                    up = len(base) - len(base.lstrip("."))
-                    # one dot = current package: the module's parent,
-                    # or the module itself when it IS a package
+        targets: list[tuple[str, list[str]]] = []  # (module, names)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    targets.append((alias.name, []))
+            elif isinstance(node, ast.ImportFrom):
+                names = [a.name for a in node.names]
+                if node.level == 0:
+                    targets.append((node.module or "", names))
+                else:
+                    # level=1 anchors at the current package: the
+                    # module's parent, or the module itself when it
+                    # IS a package; each extra level climbs one more
                     anchor = mod if is_pkg else mod.rsplit(".", 1)[0]
                     parts = anchor.split(".")
-                    if up > 1:
-                        parts = parts[: -(up - 1) or None]
-                    stem = base.lstrip(".")
+                    if node.level > 1:
+                        parts = parts[: -(node.level - 1) or None]
+                    stem = node.module or ""
                     target = ".".join(parts + ([stem] if stem else []))
-                else:
-                    target = base
+                    targets.append((target, names))
+        for target, names in targets:
             if not target or not target.startswith(_PKG):
                 continue
             cands = [target] + [
-                f"{target}.{n.strip()}"
-                for n in (names or "").split(",")
-                if n.strip().isidentifier()
+                f"{target}.{n}" for n in names if n.isidentifier()
             ]
             for c in cands:
                 if c in mods:
@@ -117,6 +117,13 @@ def _module_deps(mods: dict[str, str]) -> dict[str, set[str]]:
                 found.add(anc)
         if mod == f"{_PKG}.plans.registry":
             found = {d for d in found if not d.startswith(f"{_PKG}.plans.")}
+        # plans.window holds ONLY ordering state (the driver-window
+        # priority list and the loader import list) — it changes which
+        # queries the driver LOOKS AT, never what any query returns, so
+        # it is excluded from every closure (round-6 split; otherwise a
+        # window rotation would invalidate all ~173 fingerprints via
+        # registry -> window -> every plan module)
+        found.discard(f"{_PKG}.plans.window")
         deps[mod] = found
     return deps
 

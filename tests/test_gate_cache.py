@@ -83,3 +83,74 @@ def test_package_init_relative_imports_resolve_to_package_itself():
             child = f"{mod}.{m.group(1)}"
             if child in mods:
                 assert child in deps[mod], (mod, child)
+
+
+def test_window_module_excluded_from_every_closure():
+    """plans/window.py holds ordering-only state (driver-window
+    priority + loader import list); it must appear in NO module's
+    dependency set, or a window rotation would invalidate all ~173
+    fingerprints through registry -> window -> every plan module
+    (round-6 split, judge item 8)."""
+    mods = _package_modules()
+    deps = _module_deps(mods)
+    win = f"{_PKG}.plans.window"
+    assert win in mods  # the module exists and is scanned...
+    offenders = [m for m, d in deps.items() if win in d]
+    assert not offenders, offenders  # ...but is never a dependency
+
+
+def test_window_rotation_is_fingerprint_neutral(tmp_path):
+    """End-to-end: append a comment to plans/window.py, recompute
+    fingerprints in a subprocess (gate_sim hashes file CONTENTS on
+    disk), and require zero queries to move."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fps1 = _fingerprints()
+    p = os.path.join(repo, "candy_store_etl_spark", "plans", "window.py")
+    with open(p) as f:
+        src = f.read()
+    prog = (
+        "import sys; sys.path.insert(0, '.'); sys.path.insert(0, 'scripts')\n"
+        "import json\n"
+        "from gate_sim import _fingerprints\n"
+        "print(json.dumps(_fingerprints()))\n"
+    )
+    try:
+        with open(p, "w") as f:
+            f.write(src + "\n# rotation-placeholder\n")
+        out = subprocess.run(
+            [_sys.executable, "-c", prog],
+            capture_output=True, text=True, cwd=repo, check=True,
+        )
+        fps2 = json.loads(out.stdout.strip().splitlines()[-1])
+    finally:
+        with open(p, "w") as f:
+            f.write(src)
+    changed = [n for n in fps1 if fps1[n] != fps2.get(n)]
+    assert changed == [], changed
+
+
+def test_multiline_parenthesized_imports_are_seen(tmp_path, monkeypatch):
+    """The AST-based import scan (round-5 advisory) must resolve
+    parenthesized multi-line `from pkg import (a, b)` forms that the
+    old line-regex missed when the names were submodules."""
+    import gate_sim as gs
+
+    pkg = tmp_path / "candy_store_etl_spark"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "sub" / "__init__.py").write_text("")
+    (pkg / "sub" / "mod_a.py").write_text("X = 1\n")
+    (pkg / "sub" / "mod_b.py").write_text("Y = 2\n")
+    (pkg / "user.py").write_text(
+        "from candy_store_etl_spark.sub import (\n    mod_a,\n    mod_b,\n)\n"
+    )
+    monkeypatch.setattr(gs, "_REPO", str(tmp_path))
+    mods = gs._package_modules()
+    deps = gs._module_deps(mods)
+    u = deps["candy_store_etl_spark.user"]
+    assert "candy_store_etl_spark.sub.mod_a" in u
+    assert "candy_store_etl_spark.sub.mod_b" in u

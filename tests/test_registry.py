@@ -5,11 +5,8 @@ must resolve and the window must be exactly the priority head."""
 
 from __future__ import annotations
 
-from candy_store_etl_spark.plans.registry import (
-    QUERIES,
-    _WINDOW_PRIORITY,
-    _ensure_loaded,
-)
+from candy_store_etl_spark.plans.registry import QUERIES, _ensure_loaded
+from candy_store_etl_spark.plans.window import _WINDOW_PRIORITY
 
 _ensure_loaded()
 

@@ -92,3 +92,27 @@ def test_threshold_over_k_rejected(zipf_df):
     df, _ = zipf_df
     with pytest.raises(ValueError):
         heavy_hitters_exact(df, "tok", t=K + 1, k=K)
+
+
+def test_non_string_keys_keep_native_dtype_and_exactness(spark_sketch):
+    """Round-5 advisory: the candidate output must carry the SOURCE
+    column's type — a hardcoded string output made the exact-verify
+    join compare string-vs-int and could silently drop candidates.
+    Zipf-ish int64 keys, k smaller than the vocabulary, verified
+    against brute force."""
+    rows = [(i,) for i in range(500) for _ in range(max(1, 2000 // (i + 1)))]
+    df = spark_sketch.createDataFrame(rows, "uid long").repartition(8)
+
+    cands = misra_gries_candidates(df, "uid", k=32)
+    assert dict(cands.schema["uid"].jsonValue().items())["type"] == "long"
+
+    got = {
+        r["uid"]: r["cnt"]
+        for r in heavy_hitters_exact(df, "uid", t=25, k=32).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(r[0] for r in rows)
+    n = len(rows)
+    want = {u: c for u, c in exact.items() if c * 25 > n}
+    assert got == want and got  # non-empty and exactly the true set
