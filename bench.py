@@ -71,16 +71,23 @@ CANDY_REF_DATA = "/root/reference/data/dataset_5"
 
 # per-query swing beyond this fraction vs the previous round's file is
 # flagged in the output so regressions announce themselves (round-4
-# verdict: a +29% move needed a judge to notice). Cross-round absolute
-# comparisons carry ~30% machine-day drift (see NOTES.md), so flags
-# are a prompt for a pinned-commit A/B, not a verdict by themselves.
-_DELTA_FLAG = 0.15
+# verdict: a +29% move needed a judge to notice). Round 6 tightened
+# the rules after four 10.5-13.8% regressions rode under the old 15%
+# single-round flag: (a) one-round swings flag at 10%; (b) drift
+# COMPOUNDED across the last two files flags at 15%, catching two
+# consecutive just-under-threshold moves in the same direction.
+# Cross-round absolute comparisons carry ~30% machine-day drift (see
+# NOTES.md), so flags are a prompt for a pinned-commit A/B, not a
+# verdict by themselves.
+_DELTA_FLAG = 0.10
+_DELTA_FLAG_2R = 0.15
 
 
 def _delta_report(timings: dict[str, float]) -> dict | None:
-    """Compare against the newest BENCH_r*.json next to this script;
-    returns {prev, prev_ambient_load_1m, pct: {q: +/-pct}, flagged:
-    [q, ...]} or None when no prior file parses."""
+    """Compare against the newest BENCH_r*.json next to this script
+    (and the one before it for compounded drift); returns {prev,
+    prev_ambient_load_1m, pct: {q: +/-pct}, pct_vs_prev2: {q: ...},
+    flagged: [q, ...]} or None when no prior file parses."""
     here = os.path.dirname(os.path.abspath(__file__))
 
     def _round_num(p: str):
@@ -94,27 +101,43 @@ def _delta_report(timings: dict[str, float]) -> dict | None:
          if _round_num(p) is not None),
         key=_round_num,
     )
-    for path in reversed(prev_files):
+
+    def _load(path: str) -> dict | None:
         try:
             with open(path) as f:
-                prev = json.load(f)["parsed"]
-            prev_q = prev["queries"]
+                return json.load(f)["parsed"]
         except Exception:
-            continue
-        pct = {
-            n: round(100.0 * (timings[n] - prev_q[n]) / prev_q[n], 1)
+            return None
+
+    parsed = [(p, d) for p in reversed(prev_files) if (d := _load(p))]
+    if not parsed:
+        return None
+    path, prev = parsed[0]
+    prev_q = prev.get("queries", {})
+    pct = {
+        n: round(100.0 * (timings[n] - prev_q[n]) / prev_q[n], 1)
+        for n in timings
+        if n in prev_q and prev_q[n] > 0
+    }
+    flagged = {n for n, p in pct.items() if abs(p) > 100 * _DELTA_FLAG}
+    out = {
+        "prev": os.path.basename(path),
+        "prev_ambient_load_1m": prev.get("ambient_load_1m"),
+        "pct": pct,
+    }
+    if len(parsed) > 1:
+        path2, prev2 = parsed[1]
+        prev2_q = prev2.get("queries", {})
+        pct2 = {
+            n: round(100.0 * (timings[n] - prev2_q[n]) / prev2_q[n], 1)
             for n in timings
-            if n in prev_q and prev_q[n] > 0
+            if n in prev2_q and prev2_q[n] > 0
         }
-        return {
-            "prev": os.path.basename(path),
-            "prev_ambient_load_1m": prev.get("ambient_load_1m"),
-            "pct": pct,
-            "flagged": sorted(
-                n for n, p in pct.items() if abs(p) > 100 * _DELTA_FLAG
-            ),
-        }
-    return None
+        out["prev2"] = os.path.basename(path2)
+        out["pct_vs_prev2"] = pct2
+        flagged |= {n for n, p in pct2.items() if abs(p) > 100 * _DELTA_FLAG_2R}
+    out["flagged"] = sorted(flagged)
+    return out
 
 
 def main() -> None:

@@ -104,6 +104,7 @@ def ensure_loaded() -> None:
     from . import scale_ops  # noqa: F401  # new in round 3
     from . import round4  # noqa: F401  # new in round 4
     from . import round5  # noqa: F401  # new in round 5
+    from . import round6  # noqa: F401  # new in round 6
 
     from .registry import QUERIES
 

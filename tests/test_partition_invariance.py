@@ -72,6 +72,15 @@ REPRESENTATIVES = [
     "heavy_hitter_tokens",
     "temperature_mixture_sample",
     "source_mixture_plan",
+    # round-6 additions: the sketch row whose candidates REALLY differ
+    # per partitioning (377 distinct > k=128 — verified output must
+    # not), the distributed-ntile bucket assignment (range partition
+    # count must not leak into bucket membership), the centroid-
+    # distance ranking, and the md5-ranked per-group sample
+    "heavy_hitter_char_trigrams",
+    "curriculum_quality_buckets",
+    "embedding_outlier_docs",
+    "reservoir_sample_per_source",
 ]
 
 

@@ -39,6 +39,8 @@ ALLOW_NESTED_LOOP = {
     # round-5: the global-total threshold joins as a broadcast 1-row
     # aggregate (same lazy scalar pattern)
     "heavy_hitter_tokens",
+    # round-6: same sketch plan over char trigrams — same 1-row total
+    "heavy_hitter_char_trigrams",
     # round-5: mixture rates/plans join the broadcast 1-row corpus
     # totals (source-cardinality × 1 row — never data×data)
     "temperature_mixture_sample",
@@ -112,6 +114,19 @@ EXCHANGE_CAP_OVERRIDES = {
     # degree orientation costs 3 extra vertex-keyed exchanges over
     # the id-oriented form — the price of the sqrt(m) wedge bound)
     "supplier_triangle_count": 18,
+    # round-6 distributed NTILE: range repartition + per-pid window +
+    # per-pid count agg + p-row offset window + final bucket agg — the
+    # token_budget_distributed cumsum shape plus one grouped report;
+    # every exchange after the range split moves pid- or bucket-sized
+    # relations
+    "curriculum_quality_buckets": 5,
+    # round-6: the per-vector distance relation (d2) feeds BOTH the
+    # per-label mean and the final ranked join; uncached cold plans
+    # re-print its subtree (cen agg + vec agg) with fresh exchange ids
+    # under each consumer — executed once each at vec/label size, never
+    # data x data (the broadcast sides are 640-row centroids and
+    # 10-row means)
+    "embedding_outlier_docs": 6,
 }
 
 BATCH_QUERIES = sorted(
