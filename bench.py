@@ -47,6 +47,11 @@ HEADLINE = [
     "exact_substring_dup_pairs",
     "multimodal_patch_grid",
     "label_centroids_arrow",
+    # round-5/6 additions: the MG sketch, the shuffle-free chunker,
+    # and the distributed NTILE
+    "heavy_hitter_tokens",
+    "doc_chunking",
+    "curriculum_quality_buckets",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -530,6 +531,123 @@ def streaming_inventory_allocation(
         stateStructType=ALLOC_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+ALLOC_BUCKET_STATE_SCHEMA = StructType(
+    [
+        StructField("products", ArrayType(LongType()), False),
+        StructField("remaining", ArrayType(LongType()), False),
+    ]
+)
+
+
+def make_bucket_allocation_fn(initial_stock: dict[int, int]):
+    """Per-BUCKET stateful function: the state row holds the
+    (products, remaining) stock vectors for every product hashed into
+    the bucket, and each micro-batch frame is allocated with the SAME
+    vectorized ``_greedy_kernel`` the batch flagship runs (sorted
+    (product, seq), per-group certain-prefix pass)."""
+    import numpy as np
+
+    from ..operators.allocation import _greedy_kernel, _qty_to_int64
+
+    def allocate(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            prods0, rems0 = state.get
+            stock_map = dict(zip(prods0, rems0))
+        else:
+            stock_map = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["product_id", "seq"], kind="mergesort")
+            prod = pdf["product_id"].to_numpy().astype(np.int64)
+            qty = _qty_to_int64(pdf["qty"].to_numpy(), "qty")
+            n = len(qty)
+            starts = np.empty(n, dtype=bool)
+            if n:
+                starts[0] = True
+                starts[1:] = prod[1:] != prod[:-1]
+            start_idx = np.flatnonzero(starts)
+            group_products = prod[start_idx]
+            group_stock = np.fromiter(
+                (
+                    stock_map.get(p, initial_stock.get(p, 0))
+                    for p in group_products.tolist()
+                ),
+                np.int64,
+                count=len(group_products),
+            )
+            # the kernel reads stock at group-start rows only
+            stock_rows = np.zeros(n, np.int64)
+            stock_rows[start_idx] = group_stock
+            allocated, cancelled = _greedy_kernel(prod, qty, stock_rows)
+            # per-group allocation totals -> updated remaining stock
+            used = (
+                np.add.reduceat(allocated, start_idx)
+                if n
+                else np.empty(0, np.int64)
+            )
+            for p, s, u in zip(
+                group_products.tolist(), group_stock.tolist(), used.tolist()
+            ):
+                stock_map[p] = int(s - u)
+            res = pdf[["product_id", "seq", "qty", "event_time"]].copy()
+            res["allocated_qty"] = allocated.astype(np.int32)
+            res["cancelled"] = cancelled.astype(np.int32)
+            yield res[
+                [
+                    "product_id",
+                    "seq",
+                    "qty",
+                    "allocated_qty",
+                    "cancelled",
+                    "event_time",
+                ]
+            ]
+        state.update(
+            (list(stock_map.keys()), [int(v) for v in stock_map.values()])
+        )
+
+    return allocate
+
+
+def streaming_inventory_allocation_bucketed(
+    stream: DataFrame,
+    initial_stock: dict[int, int],
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """``streaming_inventory_allocation`` with BUCKET-keyed state — the
+    streaming twin of the batch operator's ``buckets`` option, and the
+    fix for the same bottleneck: with millions of low-traffic products,
+    per-product state groups pay the Arrow/pandas per-group overhead
+    once per product per micro-batch (measured 17 k rows/s sustained at
+    sf1's 200 k products — the overhead, not the scan, is the bill).
+    Hashing products into ``buckets`` state keys turns that into
+    ``buckets`` group invocations per batch over (product, seq)-sorted
+    frames running the batch flagship's vectorized kernel, with the
+    state row carrying the bucket's (products, remaining) stock
+    vectors. Results are identical (allocation is per-product
+    independent; parity with the per-product form is pinned in
+    tests/test_streaming.py). Size ``buckets`` so one bucket's product
+    vector stays comfortably in a state row — at 1e9 products and 64 k
+    buckets that is ~15 k products/row; state rows total = bucket
+    count, not product count."""
+    bucket = F.pmod(F.hash(F.col("product_id")), F.lit(buckets))
+    return (
+        stream.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandasWithState(
+            make_bucket_allocation_fn(initial_stock),
+            outputStructType=ALLOC_OUTPUT_SCHEMA,
+            stateStructType=ALLOC_BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )
 
 

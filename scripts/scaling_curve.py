@@ -44,22 +44,22 @@ QUERIES = [
     "region_revenue",
     "ann_topk_lsh",
     "daily_summary",
+    # round-5 additions (round-5 verdict item 5): the MG sketch
+    # shuffles k rows/partition; the two mixture queries claim zero
+    # fact-table shuffles — their curves verify both claims
+    "heavy_hitter_tokens",
+    "temperature_mixture_sample",
+    "source_mixture_plan",
+    # round-6 additions: the pruning sketch row, the shuffle-free
+    # chunker, and the distributed NTILE
+    "heavy_hitter_char_trigrams",
+    "doc_chunking",
+    "curriculum_quality_buckets",
 ]
 
 # measured at sf10 too (each trial is ~10-60s); complete since round 5
 # — every headline curve query gets a second decade
-SF10_QUERIES = [
-    "minhash_neardup_pairs",
-    "exact_substring_dup_pairs",
-    "bloom_decontaminate_docs",
-    "inventory_allocation",
-    "sessionize_events_gap",
-    "exact_dedup_docs",
-    "corpus_curation",
-    "region_revenue",
-    "ann_topk_lsh",
-    "daily_summary",
-]
+SF10_QUERIES = list(QUERIES)
 
 # candy-pipeline scaled inputs (scripts/gen_candy_scale.py): the base
 # is the reference's own 10-day dataset, sf1 = 100 days, sf10 = 1000

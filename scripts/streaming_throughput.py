@@ -1,25 +1,31 @@
-"""Measure sustained streaming throughput for the keyed streaming
-dedup — the one execution surface with zero perf numbers through
-round 4 (round-4 verdict item 3).
+"""Measure sustained streaming throughput + state-store growth for the
+streaming operator family (round-5 item 3 started with keyed dedup;
+round-6 item 6 broadens to an operator whose state GROWS).
 
-Method: the sf1 events table is staged as N parquet files; the
-file-source stream (maxFilesPerTrigger=1) then yields exactly N
-micro-batches. The query runs dedup_event_stream — the state-store
-twin of batch DISTINCT — into a foreachBatch count sink (forces full
-materialization per batch, no driver collect). Sustained throughput is
-sum(numInputRows) / sum(triggerExecution) over completed batches
-EXCLUDING the first (cold Python workers + empty state store make
-batch 0 unrepresentative of steady state; the point of a streaming
-number is steady state). Both state policies are measured:
+Method: the sf1 events table (and a lineitem-derived allocation feed)
+is staged as N parquet files; the file-source stream
+(maxFilesPerTrigger=1) then yields exactly N micro-batches into a
+foreachBatch count sink (forces full materialization per batch, no
+driver collect). Sustained throughput is sum(numInputRows) /
+sum(triggerExecution) over completed batches EXCLUDING the first
+(cold Python workers + empty state store make batch 0
+unrepresentative; the point of a streaming number is steady state).
+State growth is read from each batch's stateOperators progress
+(numRowsTotal / numRowsUpdated) — the evidence that throughput parity
+between state policies holds on operators whose state actually grows,
+not just on dedup.
 
+Operators measured:
 - global dedup (dropDuplicates, state never expires) — the gate twin;
-- dropDuplicatesWithinWatermark — the bounded-state production
-  variant at 100 TB.
+- dropDuplicatesWithinWatermark — the bounded-state production policy;
+- windowed hourly stats (watermarked tumbling window aggregate);
+- stateful greedy allocation (applyInPandasWithState, running
+  per-product stock — the flagship's streaming twin).
 
 Appends a section to SCALING.md — run AFTER scripts/scaling_curve.py,
 which rewrites that file.
 
-Usage: python scripts/streaming_throughput.py [--events-dir .scale/sf1]
+Usage: python scripts/streaming_throughput.py [--sf-dir .scale/sf1]
 """
 
 from __future__ import annotations
@@ -34,20 +40,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from candy_store_etl_spark.session import build_session  # noqa: E402
 
 N_FILES = 12  # micro-batch count (>= 10 per the round-4 directive)
 
 
-def _stage_files(spark, src_dir: str, stage_dir: str) -> None:
-    """Lay the events table out as N_FILES parquet files so
+def _stage(spark, build_df, src_path: str, stage_dir: str) -> None:
+    """Lay a relation out as N_FILES parquet files so
     maxFilesPerTrigger=1 yields N_FILES micro-batches. The stage is
     keyed on the SOURCE file's identity (size + ns-mtime marker), so a
-    regenerated events table rebuilds the stage instead of silently
+    regenerated source rebuilds the stage instead of silently
     measuring stale data (the same staleness class
     pruned_range_scan_stats fingerprints against)."""
-    src = os.path.join(src_dir, "events.parquet")
-    st = os.stat(src)
+    st = os.stat(src_path)
     marker_want = f"{st.st_size}:{st.st_mtime_ns}:{N_FILES}"
     marker_path = os.path.join(stage_dir, "_SOURCE_ID")
     if os.path.isdir(stage_dir):
@@ -58,26 +65,28 @@ def _stage_files(spark, src_dir: str, stage_dir: str) -> None:
         except OSError:
             pass
         shutil.rmtree(stage_dir)
-    (
-        spark.read.parquet(src)
-        .repartition(N_FILES)
-        .write.mode("overwrite")
-        .parquet(stage_dir)
+    build_df(spark).repartition(N_FILES).write.mode("overwrite").parquet(
+        stage_dir
     )
     with open(marker_path, "w") as f:
         f.write(marker_want)
 
 
-def _run(spark, stage_dir: str, *, within_watermark: bool) -> dict:
-    from candy_store_etl_spark.streaming.events import (
-        dedup_event_stream,
-        stream_events,
-    )
+def _run(spark, stage_dir: str, make_query, schema: str | None = None) -> dict:
+    """Run stream -> make_query(stream) -> foreachBatch count sink with
+    availableNow; return throughput + state-growth stats."""
+    if schema is None:
+        from candy_store_etl_spark.streaming.events import stream_events
 
-    stream = stream_events(spark, stage_dir)
-    deduped = dedup_event_stream(
-        stream, within_watermark=within_watermark
-    )
+        stream = stream_events(spark, stage_dir)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stage_dir)
+        )
+    out = make_query(stream)
     sink_rows = []
 
     def sink(batch_df, batch_id):  # full materialization, no collect
@@ -85,7 +94,7 @@ def _run(spark, stage_dir: str, *, within_watermark: bool) -> dict:
 
     ckpt = tempfile.mkdtemp(prefix="stream_tp_ckpt_")
     q = (
-        deduped.writeStream.outputMode("append")
+        out.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -95,14 +104,18 @@ def _run(spark, stage_dir: str, *, within_watermark: bool) -> dict:
     q.awaitTermination()
     wall = time.perf_counter() - t0
     prog = [json.loads(p.json) for p in q.recentProgress]
-    batches = [
-        p for p in prog if p.get("numInputRows", 0) > 0
-    ]
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
     steady = batches[1:] if len(batches) > 1 else batches
     rows = sum(p["numInputRows"] for p in steady)
-    secs = sum(
-        p["durationMs"]["triggerExecution"] for p in steady
-    ) / 1000.0
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+    state_total = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in batches
+    ]
+    state_updated = [
+        sum(op.get("numRowsUpdated", 0) for op in p.get("stateOperators", []))
+        for p in batches
+    ]
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "batches": len(batches),
@@ -110,67 +123,145 @@ def _run(spark, stage_dir: str, *, within_watermark: bool) -> dict:
         "emitted_rows": sum(sink_rows),
         "sustained_rows_per_sec": round(rows / secs) if secs else None,
         "wall_seconds": round(wall, 2),
+        "state_rows_final": state_total[-1] if state_total else 0,
+        "state_rows_max": max(state_total, default=0),
+        "state_rows_updated_per_batch": (
+            round(sum(state_updated) / len(state_updated))
+            if state_updated
+            else 0
+        ),
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events-dir", default="/root/repo/.scale/sf1")
+    ap.add_argument("--sf-dir", "--events-dir", dest="sf_dir",
+                    default="/root/repo/.scale/sf1")
     args = ap.parse_args()
 
     from bench import _wait_for_quiet
+
+    from candy_store_etl_spark.streaming.events import (
+        dedup_event_stream,
+        streaming_inventory_allocation,
+        streaming_inventory_allocation_bucketed,
+        windowed_event_stats,
+    )
 
     ambient = _wait_for_quiet()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session("candy-store-etl-stream-tp", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    stage_dir = os.path.join(
-        os.path.dirname(args.events_dir.rstrip("/")), "stream_events_staged"
+    scale_root = os.path.dirname(args.sf_dir.rstrip("/"))
+
+    ev_stage = os.path.join(scale_root, "stream_events_staged")
+    _stage(
+        spark,
+        lambda s: s.read.parquet(os.path.join(args.sf_dir, "events.parquet")),
+        os.path.join(args.sf_dir, "events.parquet"),
+        ev_stage,
     )
-    _stage_files(spark, args.events_dir, stage_dir)
+
+    # allocation feed: lineitem as (product_id, seq, qty, event_time);
+    # seq = orderkey * 8 + linenumber keeps the per-product replay
+    # order deterministic across partitionings (linenumber < 8 in
+    # TPC-H-shaped data)
+    li_src = os.path.join(args.sf_dir, "lineitem.parquet")
+
+    def _alloc_feed(s):
+        return (
+            s.read.parquet(li_src)
+            .select(
+                F.col("l_partkey").alias("product_id"),
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("seq"),
+                F.col("l_quantity").cast("int").alias("qty"),
+                F.lit(None).cast("timestamp").alias("event_time"),
+            )
+        )
+
+    alloc_stage = os.path.join(scale_root, "stream_alloc_staged")
+    _stage(spark, _alloc_feed, li_src, alloc_stage)
+    stock0 = {
+        int(r.p_partkey): int(r.p_size) * 40
+        for r in spark.read.parquet(
+            os.path.join(args.sf_dir, "part.parquet")
+        ).select("p_partkey", "p_size").collect()
+    }
+    alloc_schema = "product_id long, seq long, qty int, event_time timestamp"
 
     # warm-up run (worker fork + codegen), then the measured runs
-    _run(spark, stage_dir, within_watermark=False)
+    _run(spark, ev_stage, lambda s: dedup_event_stream(s, within_watermark=False))
     results = {
         "streaming_dedup_global": _run(
-            spark, stage_dir, within_watermark=False
+            spark, ev_stage,
+            lambda s: dedup_event_stream(s, within_watermark=False),
         ),
         "streaming_dedup_within_watermark": _run(
-            spark, stage_dir, within_watermark=True
+            spark, ev_stage,
+            lambda s: dedup_event_stream(s, within_watermark=True),
+        ),
+        "streaming_hourly_stats": _run(
+            spark, ev_stage, windowed_event_stats
+        ),
+        "streaming_stateful_allocation": _run(
+            spark, alloc_stage,
+            lambda s: streaming_inventory_allocation(s, stock0),
+            schema=alloc_schema,
+        ),
+        "streaming_stateful_allocation_bucketed": _run(
+            spark, alloc_stage,
+            lambda s: streaming_inventory_allocation_bucketed(
+                s, stock0, buckets=64
+            ),
+            schema=alloc_schema,
         ),
     }
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(md_path, "a") as f:
         f.write(
-            "\n## Streaming throughput (sustained, state-store keyed "
-            "dedup)\n\n"
-            f"Events table from `{args.events_dir}` staged as "
-            f"{N_FILES} files → {N_FILES} micro-batches "
-            "(maxFilesPerTrigger=1), foreachBatch count sink, "
-            "availableNow trigger; sustained rows/sec = "
-            "numInputRows / triggerExecution over steady-state batches "
-            "(batch 0 excluded: cold workers + empty state store). "
-            f"local[{cpus}], ambient load {ambient:.1f}.\n\n"
+            "\n## Streaming throughput (sustained) + state growth\n\n"
+            f"Feeds from `{args.sf_dir}` staged as {N_FILES} files → "
+            f"{N_FILES} micro-batches (maxFilesPerTrigger=1), "
+            "foreachBatch count sink, availableNow trigger; sustained "
+            "rows/sec = numInputRows / triggerExecution over "
+            "steady-state batches (batch 0 excluded: cold workers + "
+            "empty state store). State columns read from each batch's "
+            f"stateOperators progress. local[{cpus}], ambient load "
+            f"{ambient:.1f}.\n\n"
             "| query | batches | input rows | emitted | sustained "
-            "rows/s | wall (s) |\n|---|---|---|---|---|---|\n"
+            "rows/s | state rows (final/max) | state upd/batch | wall "
+            "(s) |\n|---|---|---|---|---|---|---|---|\n"
         )
         for name, r in results.items():
             f.write(
                 f"| {name} | {r['batches']} | {r['input_rows']} "
                 f"| {r['emitted_rows']} | {r['sustained_rows_per_sec']} "
+                f"| {r['state_rows_final']}/{r['state_rows_max']} "
+                f"| {r['state_rows_updated_per_batch']} "
                 f"| {r['wall_seconds']} |\n"
             )
         f.write(
-            "\nThe within-watermark variant carries the same keyed "
+            "\nThe within-watermark dedup carries the same keyed "
             "state-store plan but expires state at the watermark — the "
             "policy a 100 TB deployment runs; its throughput parity "
-            "with global dedup shows state-size, not state-policy, is "
-            "the cost driver at this scale. It emits FEWER rows than "
-            "global dedup because file-source batches arrive unordered "
-            "in event time, so rows older than the advancing watermark "
-            "are dropped as late data — correct streaming semantics, "
-            "not a dedup difference.\n"
+            "with global dedup (whose state is strictly larger — see "
+            "the state-rows column) shows state-size, not "
+            "state-policy, is the cost driver at this scale. It emits "
+            "FEWER rows than global dedup because file-source batches "
+            "arrive unordered in event time, so rows older than the "
+            "advancing watermark drop as late data — correct streaming "
+            "semantics, not a dedup difference. The hourly-stats "
+            "window holds one row per open (bucket, type) group; the "
+            "per-product allocation's state is one row per product "
+            "seen, growing to the product-catalog size and no further "
+            "— but its throughput is bounded by per-GROUP overhead "
+            "(one pandas invocation per product per batch at ~3 "
+            "rows/group), which is why the bucket-keyed form exists: "
+            "64 state rows carrying (products, remaining) stock "
+            "vectors, one vectorized batch-kernel scan per bucket per "
+            "batch — identical results (pinned in "
+            "tests/test_streaming.py), state rows = bucket count.\n"
         )
     print(json.dumps({"metric": "streaming_throughput", **results,
                       "ambient_load_1m": round(ambient, 2)}))

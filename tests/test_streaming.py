@@ -723,3 +723,55 @@ def test_streaming_progress_exposes_state_metrics(spark, sf_correctness, tmp_pat
         assert prog["sources"][0]["numInputRows"] > 0, prog
     finally:
         q.stop()
+
+
+def test_bucketed_streaming_allocation_matches_per_product(spark, tmp_path):
+    """Round-6: the bucket-keyed state form (one state row per bucket
+    holding stock VECTORS, batch-kernel scan) must produce exactly the
+    per-product form's allocations — multiple products per bucket,
+    state carrying across batches, a product unseen in batch 1
+    appearing in batch 2, and an unknown product (0 stock)."""
+    from candy_store_etl_spark.streaming.events import (
+        streaming_inventory_allocation_bucketed,
+    )
+
+    rows1 = [(7, 1, 6), (7, 2, 6), (8, 3, 5), (9, 4, 2)]
+    rows2 = [(7, 5, 6), (7, 6, 1), (8, 7, 5), (10, 8, 3), (99, 9, 1)]
+    for rows in [rows1, rows2]:
+        df = spark.createDataFrame(
+            [(p, s, q, None) for p, s, q in rows],
+            "product_id long, seq long, qty int, event_time timestamp",
+        )
+        df.coalesce(1).write.mode("append").parquet(str(tmp_path / "ba_in"))
+    stock = {7: 13, 8: 7, 9: 2, 10: 0}
+
+    def run(factory, table):
+        stream = (
+            spark.readStream.schema(
+                "product_id long, seq long, qty int, event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "ba_in"))
+        )
+        run_stream_to_memory(factory(stream), table, output_mode="append")
+        return {
+            r.seq: (r.product_id, r.allocated_qty, r.cancelled)
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+
+    got_b = run(
+        lambda s: streaming_inventory_allocation_bucketed(
+            s, stock, buckets=2
+        ),
+        "ba_bucketed",
+    )
+    got_p = run(
+        lambda s: streaming_inventory_allocation(s, stock), "ba_perprod"
+    )
+    assert got_b == got_p and len(got_b) == 9
+    # spot-pin the carry-over semantics: product 7 = 6+6 in batch 1,
+    # then 6 cancelled + 1 allocated in batch 2; product 8's second 5
+    # cancelled (7-5=2 left); unknown 99 and zero-stock 10 cancelled
+    assert got_b[5] == (7, 0, 1) and got_b[6] == (7, 1, 0)
+    assert got_b[7] == (8, 0, 1)
+    assert got_b[8] == (10, 0, 1) and got_b[9] == (99, 0, 1)
