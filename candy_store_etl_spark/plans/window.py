@@ -18,68 +18,73 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-5 window, carried until the round-6 rotation (the rotation is
-# the LAST round-6 commit so that one window edit — now isolated in
-# this module — is the only fingerprint-neutral change of the round).
+# Round-6 window. Policy: (a) every query NEW or whose
+# plan/oracle/operator CHANGED in round 6 heads the window; (b) the
+# remaining 40 slots re-confirm by STRICT oldest-evidence order — all
+# 17 queries whose last driver row is round 1 (five rounds stale, the
+# oldest anywhere in the catalog), then 23 of the 42 round-2 rows
+# chosen for family breadth (multimodal decode/resize/frames, both
+# as-of joins, both forecast forms, streaming session/sliding twins,
+# skew salting, SQL-API and pandas-UDF surfaces, percentile/grouping
+# aggregates). The 20 deferred r2 rows plus the r3 cohort are round
+# 7's backlog; the r4 families the round-5 verdict named (ANN portable
+# twins, patch grid, curation composites) queue right behind them —
+# strictly fresher evidence than anything seated here.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) new or changed in round 5
-    "inventory_allocation",  # vectorized greedy kernel
-    "inventory_allocation_arrow",  # NEW: Arrow twin, same oracle
-    "inventory_allocation_chained",  # shares the changed kernel
-    "supplier_triangle_count",  # degree-oriented plan + oracle
-    "exact_substring_dup_savings",  # + cap-coverage columns
-    "variant_props_extract",  # string-typed has_k, TRY_CAST oracle
-    "importance_sampled_docs",  # unbounded substr + try_cast
-    "token_budget_head_selection_distributed",  # empty-corpus guard
-    "pruned_range_scan_stats",  # content-fingerprint + stage-swap
-    "heavy_hitter_tokens",  # NEW: MG-candidates + exact-verify
-    "temperature_mixture_sample",  # NEW: corpus-derived mixture rates
-    "source_mixture_plan",  # NEW: epoch-allocation planning
-    # (b) flagship re-confirmations, oldest evidence first
-    # relational core (last windowed r1-r3)
-    "pricing_summary",
-    "order_rollup",
-    "brand_revenue",
-    "region_revenue",
-    "top_orders_per_customer",
-    "event_type_pivot",
-    "hourly_event_stats",
-    "daily_summary",
-    # dedup / text analysis
-    "exact_dedup_docs",
-    "corpus_curation",
-    "neardup_clusters",
-    "token_jaccard_pairs",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "tfidf_top_terms",
-    "pii_redact_docs",
-    "benchmark_decontamination",
-    "bloom_decontaminate_docs",
-    "doc_packing",
-    "dataset_split_assignment",
-    # ANN / vectors
-    "ann_topk_cosine",
-    "ann_topk_blockwise",
-    "ann_topk_lsh",
-    "embedding_neardup_pairs_lsh",
-    "embedding_random_projection",
-    # scale ops
-    "salted_skew_join_revenue",
-    "sessionize_events_gap",
-    "range_bucket_join_events",
-    "grouped_topk_agg",
-    "lateral_top_orders",
-    # warehouse / advanced
-    "price_history_scd2",
-    "snapshot_diff_cdc",
-    "monthly_cohort_retention",
-    "supplier_pagerank",
-    "event_funnel",
-    # streaming batch-twins
-    "streaming_hourly_stats",
-    "streaming_interval_join",
+    # (a) new or changed in round 6
+    "exact_substring_dup_pairs",  # doc-list plan + 60-bit int keys
+    "exact_substring_dup_savings",  # rides the restructured pairs
+    "heavy_hitter_char_trigrams",  # NEW: MG row that really prunes
+    "doc_chunking",  # NEW: overlapping context windows
+    "curriculum_quality_buckets",  # NEW: distributed NTILE
+    "embedding_outlier_docs",  # NEW: centroid-distance top-k
+    "reservoir_sample_per_source",  # NEW: md5-ranked group sample
+    "token_budget_head_selection_distributed",  # broadcast-join offsets
+    "source_mixture_plan",  # bw zero-guard (advisory)
+    "heavy_hitter_tokens",  # dtype-derived MG fold (advisory)
+    "table_log_time_travel",  # NEW: snapshot/commit + time travel
+    # (b) re-confirmations, strict oldest-evidence first
+    # last seated round 1 (all 17)
+    "buyers_except",
+    "buyers_intersect",
+    "buyers_union",
+    "customers_with_orders",
+    "customers_without_orders",
+    "distinct_order_profiles",
+    "doc_bpe_token_stats",
+    "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "explode_embeddings",
+    "json_extract_events",
+    "lineitem_rollup",
+    "nation_customer_counts",
+    "parts_per_flag",
+    "row_ops",
+    "top20_orders",
+    "user_running_value",
+    # last seated round 2 (23 of 42, breadth-first)
+    "above_avg_balance_customers",
+    "approx_distinct_users",
+    "brand_price_geomean",
+    "customer_order_full_outer",
+    "daily_revenue_moving_avg",
+    "errors_after_purchase",
+    "linear_forecast_daily_value",
+    "lineitem_measures_unpivot",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "orders_above_customer_avg",
+    "pandas_udf_score",
+    "price_quartiles_by_brand",
+    "purchase_asof_signup",
+    "purchase_asof_signup_cogrouped",
+    "revenue_grouping_sets",
+    "salted_nation_sales_join",
+    "seasonal_forecast_daily_value",
+    "sql_api_pricing",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
 )
 
 
