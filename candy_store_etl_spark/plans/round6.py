@@ -114,8 +114,10 @@ _MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
     "count = 1 + ceil(max(n-chunk,0)/stride), all integer — no "
     "silent drop; the only cap is "
     f"{_MAX_CHUNKS} chunks/doc, shared with the oracle). Pure "
-    "row-local codegen: sequence + explode + slice + concat_ws; no "
-    "shuffle at all — the 100 TB plan is embarrassingly parallel and "
+    "row-local codegen: sequence + explode + slice + concat_ws; the "
+    "only exchange in the plan is the tiny-scan compute repartition "
+    "(sources/tpch.repartition_for_compute — gone at real file "
+    "sizes), so the 100 TB plan is embarrassingly parallel and "
     "output-bound.",
     tags=("text", "chunking", "rag"),
 )

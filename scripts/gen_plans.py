@@ -32,6 +32,12 @@ HEADLINE = [
     # round-5: degree-oriented triangles, cap-coverage savings
     "supplier_triangle_count",
     "exact_substring_dup_savings",
+    # round-6: the MG pruning row, the shuffle-free chunker, the
+    # distributed NTILE, and the heavy-hitter token sketch
+    "heavy_hitter_char_trigrams",
+    "doc_chunking",
+    "curriculum_quality_buckets",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -100,10 +100,13 @@ EXCHANGE_CAP_OVERRIDES = {
     # bench-bounded or candidate-bounded relation (never the raw
     # corpus-gram explode, whose membership test is map-side)
     "bloom_decontaminate_docs": 7,
-    # compute-repartition + df-band aggregate + the gram-keyed
-    # candidate join + the per-pair count — each over the gram or
-    # candidate relation, never an all-pairs product (the former
-    # cross-corpus distinct() shuffle is gone: in-row array_distinct)
+    # round-6 doc-list plan: compute-repartition + df-band aggregate +
+    # the keep join's gram-side exchange + the pair count (the
+    # per-gram collect_list reuses the join partitioning; the executed
+    # sf0.1 plan in PLANS.md shows 3 unique exchanges — the cold
+    # sf0.01 audit plan re-prints the cached grams subtree, counting
+    # the compute repartition separately). A regression back to the
+    # two-sided self-join (5+) trips this cap.
     "exact_substring_dup_pairs": 4,
     # the audited COLD plan re-derives the cached edge AND oriented
     # relations once per consumer (degree union x2, degree joins,
