@@ -107,13 +107,18 @@ _MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
              'string_agg', ' ') AS chunk_text
     FROM ch
     """,
-    doc="Context-window chunking — the operator that turns a document "
-    f"corpus into training/RAG windows: {_CHUNK}-token chunks on a "
-    f"{_STRIDE}-token stride ({_CHUNK - _STRIDE}-token overlap), "
-    "ragged tail chunk included so every token is covered (chunk "
-    "count = 1 + ceil(max(n-chunk,0)/stride), all integer — no "
-    "silent drop; the only cap is "
-    f"{_MAX_CHUNKS} chunks/doc, shared with the oracle). Pure "
+    doc="Context-window chunking, the RETRIEVAL-GRADE form of round-3's "
+    "doc_chunks: same full-coverage chunk count (1 + "
+    "ceil(max(n-chunk,0)/stride) — algebraically equal to doc_chunks' "
+    "ceil((n-overlap)/stride); the coverage invariant is pinned in "
+    "tests/test_round6.py), but emitting the raw chunk_text plus "
+    "1-based start_tok offsets — the columns a RAG indexer actually "
+    "stores, where doc_chunks pins content as md5 digests — and a "
+    "shared per-doc chunk cap that ANNOUNCES itself in the formula "
+    "instead of relying on unbounded generate_series. "
+    f"{_CHUNK}-token chunks on a {_STRIDE}-token stride "
+    f"({_CHUNK - _STRIDE}-token overlap); the only cap is "
+    f"{_MAX_CHUNKS} chunks/doc, shared with the oracle. Pure "
     "row-local codegen: sequence + explode + slice + concat_ws; the "
     "only exchange in the plan is the tiny-scan compute repartition "
     "(sources/tpch.repartition_for_compute — gone at real file "
