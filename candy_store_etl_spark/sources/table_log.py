@@ -22,7 +22,13 @@ exactly the way Delta's protocol describes it publicly:
   commits the swap as one atomic version — readers at older versions
   are untouched;
 - ``vacuum`` deletes data files unreferenced by any version >= a
-  retention horizon, the only operation that destroys history.
+  retention horizon, the only operation that destroys history;
+- commits can carry per-file column [min, max] STATS (the
+  Iceberg-manifest half, merged from ``file_index``'s footer probe):
+  ``read_snapshot_pruned`` then plans a range scan from the log
+  alone — no footer I/O for any file whose stats are in its commit
+  entry, and losslessly (stats-less files are kept, the residual
+  filter always applies).
 
 At 100 TB the log is metadata-sized (one small JSON per commit; file
 paths, not data, move through it) and the data plane is plain
@@ -79,12 +85,50 @@ def log_entries(table_dir: str, *, upto: int | None = None) -> list[dict]:
     return out
 
 
+def _file_stats(table_dir: str, names: list[str], cols: list[str]) -> dict:
+    """Per-file {rows, cols: {col: {min, max}}} for the given data
+    files, from parquet footers — the ONE footer sweep a table format
+    pays at commit time so readers never do. Columns resolve by leaf
+    path (file_index's rule: top-level primitives only); a file whose
+    stats are unusable for a column simply omits that column (pruning
+    stays lossless)."""
+    import pyarrow.parquet as pq
+
+    from .file_index import _coerce, _leaf_index
+
+    out = {}
+    for name in names:
+        md = pq.read_metadata(os.path.join(table_dir, name))
+        entry: dict = {"rows": md.num_rows, "cols": {}}
+        for col in cols:
+            ci = _leaf_index(md, col)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mn, mx = _coerce(st.min), _coerce(st.max)
+                if mn is None or mx is None or (
+                    isinstance(mn, str) != isinstance(mx, str)
+                ):
+                    mins, maxs = [], []
+                    break
+                mins.append(mn)
+                maxs.append(mx)
+            if mins:
+                entry["cols"][col] = {"min": min(mins), "max": max(maxs)}
+        out[name] = entry
+    return out
+
+
 def commit(
     table_dir: str,
     *,
     add: list[str] = (),
     remove: list[str] = (),
     op: str = "commit",
+    stats: dict | None = None,
 ) -> int:
     """Atomically commit the next version. ``add``/``remove`` are data
     file names relative to ``table_dir``. Returns the committed
@@ -100,6 +144,8 @@ def commit(
         "add": sorted(add),
         "remove": sorted(remove),
     }
+    if stats:
+        entry["stats"] = stats
     path = _version_path(table_dir, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -160,17 +206,24 @@ def _stage_dataframe(
     return names
 
 
-def append(df: DataFrame, table_dir: str) -> int:
+def append(
+    df: DataFrame, table_dir: str, *, stats_cols: list[str] = ()
+) -> int:
     """Append df as a new version (data files immutable, commit
-    atomic)."""
+    atomic). ``stats_cols`` embeds per-file [min, max] column stats in
+    the commit entry (one footer sweep at write time) so
+    ``read_snapshot_pruned`` can plan from the log alone."""
     os.makedirs(table_dir, exist_ok=True)
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
     names = _stage_dataframe(df, table_dir, hint)
-    return commit(table_dir, add=names, op="append")
+    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    return commit(table_dir, add=names, op="append", stats=stats)
 
 
-def overwrite(df: DataFrame, table_dir: str) -> int:
+def overwrite(
+    df: DataFrame, table_dir: str, *, stats_cols: list[str] = ()
+) -> int:
     """Replace the table contents in ONE commit: readers see either
     the old snapshot or the new one, never a mix."""
     os.makedirs(table_dir, exist_ok=True)
@@ -178,21 +231,93 @@ def overwrite(df: DataFrame, table_dir: str) -> int:
     hint = 0 if latest is None else latest + 1
     old = [os.path.basename(p) for p in snapshot_files(table_dir)]
     names = _stage_dataframe(df, table_dir, hint)
-    return commit(table_dir, add=names, remove=old, op="overwrite")
+    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    return commit(table_dir, add=names, remove=old, op="overwrite", stats=stats)
 
 
 def compact(
-    spark: SparkSession, table_dir: str, *, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_files: int = 1,
+    sort_by: str | None = None,
+    stats_cols: list[str] = (),
 ) -> int:
     """Rewrite the CURRENT snapshot into ``target_files`` files and
-    commit the swap atomically; prior versions still time-travel."""
+    commit the swap atomically; prior versions still time-travel.
+    ``sort_by`` range-partitions + sorts the rewrite on a key so the
+    new files carry DISJOINT key ranges — the layout that makes
+    stats-pruning decisive (file_index's compaction rule, applied at
+    the commit level)."""
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
     old = [os.path.basename(p) for p in snapshot_files(table_dir)]
-    df = read_snapshot(spark, table_dir).coalesce(target_files)
+    df = read_snapshot(spark, table_dir)
+    if sort_by is not None:
+        df = df.repartitionByRange(target_files, sort_by).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        df = df.coalesce(target_files)
     names = _stage_dataframe(df, table_dir, latest + 1)
-    return commit(table_dir, add=names, remove=old, op="compact")
+    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    return commit(table_dir, add=names, remove=old, op="compact", stats=stats)
+
+
+def snapshot_file_stats(
+    table_dir: str, *, version: int | None = None
+) -> dict[str, dict]:
+    """file name -> stats entry for the files live at ``version``,
+    taken from the commit that ADDED each file (files are immutable,
+    so add-time stats never go stale)."""
+    stats: dict[str, dict] = {}
+    live: set[str] = set()
+    for entry in log_entries(table_dir, upto=version):
+        live.difference_update(entry["remove"])
+        live.update(entry["add"])
+        for name, st in entry.get("stats", {}).items():
+            stats[name] = st
+    return {n: stats[n] for n in live if n in stats}
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    *,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Range scan of a snapshot planned FROM THE LOG: files whose
+    committed [min, max] for ``column`` cannot intersect [lo, hi] are
+    never opened (no footer I/O at read time at all — the stats were
+    collected once at commit). Lossless: files without committed
+    stats for the column are kept, and the residual filter always
+    applies, so the result equals the plain filtered snapshot scan
+    exactly. Returns (df, files_kept, files_total)."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_dir, version=version)
+    stats = snapshot_file_stats(table_dir, version=version)
+    kept = []
+    for p in files:
+        entry = stats.get(os.path.basename(p), {})
+        if entry.get("rows") == 0:
+            continue  # a committed-empty file can never contribute rows
+        st = entry.get("cols", {}).get(column)
+        if st is None or (st["min"] <= hi and st["max"] >= lo):
+            kept.append(p)
+    if not kept:
+        # all files pruned: scan one file for the schema, filter out
+        # everything (keeps the result exactly equal to the full scan)
+        base = spark.read.parquet(*files).filter(F.lit(False))
+        return base, 0, len(files)
+    df = spark.read.parquet(*kept).filter(
+        (F.col(column) >= lo) & (F.col(column) <= hi)
+    )
+    return df, len(kept), len(files)
 
 
 def vacuum(table_dir: str, *, retain_from_version: int = 0) -> list[str]:

@@ -99,3 +99,49 @@ def test_snapshot_scan_prunes_columns_and_pushes_filters(spark, table):
     )
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,90)]" in plan
     assert "doc_id" in plan and "ReadSchema" in plan
+
+
+def test_commit_stats_prune_from_log_alone(spark, table):
+    """Iceberg-manifest shape: stats collected once at commit time let
+    a range read plan from the log with zero read-time footer I/O —
+    and losslessly (equal to the plain filtered scan)."""
+    tl.append(_df(spark, range(0, 50)), table, stats_cols=["doc_id"])
+    tl.append(_df(spark, range(50, 100)), table, stats_cols=["doc_id"])
+    # disjoint-range compaction makes stats decisive
+    tl.compact(
+        spark, table, target_files=4, sort_by="doc_id",
+        stats_cols=["doc_id"],
+    )
+    stats = tl.snapshot_file_stats(table)
+    assert len(stats) == 4 and all(
+        "doc_id" in e["cols"] for e in stats.values()
+    )
+    df, kept, total = tl.read_snapshot_pruned(spark, table, "doc_id", 10, 20)
+    assert total == 4 and kept == 1  # one range file covers [10, 20]
+    want = sorted(
+        (r.doc_id, r.n_chars)
+        for r in tl.read_snapshot(spark, table)
+        .filter("doc_id between 10 and 20")
+        .collect()
+    )
+    got = sorted((r.doc_id, r.n_chars) for r in df.collect())
+    assert got == want and len(got) == 11
+
+
+def test_stats_pruning_is_lossless_without_stats(spark, table):
+    """Files committed WITHOUT stats are kept, never dropped."""
+    tl.append(_df(spark, range(0, 10)), table)  # no stats_cols
+    tl.append(_df(spark, range(10, 20)), table, stats_cols=["doc_id"])
+    df, kept, total = tl.read_snapshot_pruned(spark, table, "doc_id", 2, 4)
+    # stats-less files always kept; the stats'd file [10,19] pruned
+    assert kept < total
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == [2, 3, 4]
+
+
+def test_pruned_read_of_empty_match_returns_empty_not_error(spark, table):
+    tl.overwrite(_df(spark, range(5)), table, stats_cols=["doc_id"])
+    df, kept, total = tl.read_snapshot_pruned(
+        spark, table, "doc_id", 1000, 2000
+    )
+    assert kept == 0 and df.count() == 0
