@@ -53,13 +53,21 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     phase, and a hardcoded string output would force an implicit
     string-vs-native cast on that join for int/float keys — silently
     dropping candidates and voiding the exactness guarantee
-    (round-5 advisory)."""
+    (round-5 advisory).
+
+    NULL keys are excluded at the source (round-6 review): they are
+    not items — and letting null-bearing int64 batches through would
+    coerce the whole pandas column to float64, corrupting candidate
+    values above 2^53 on the round-trip and silently dropping a true
+    heavy hitter. ``heavy_hitters_exact`` applies the same filter to
+    its denominator, so both phases see one universe."""
 
     src_field = items.schema[col]
     out_schema = StructType(
-        [StructField(col, src_field.dataType, src_field.nullable)]
+        [StructField(col, src_field.dataType, False)]
     )
     keep_str = isinstance(src_field.dataType, StringType)
+    items = items.filter(F.col(col).isNotNull())
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary = pd.Series(dtype="int64")
@@ -97,12 +105,18 @@ def heavy_hitters_exact(
 
     Returns (col, cnt, share_ppm): exact count and integer
     parts-per-million share (count * 1e6 div n), both deterministic.
+    NULL keys are not items: excluded from candidates, counts, AND the
+    total n (one universe across both phases — round-6 review).
     """
     if t > k:
         raise ValueError(f"threshold divisor t={t} must be <= k={k}")
     from ..caching import tracked_cache
 
-    cached = items.select(col).transform(tracked_cache)
+    cached = (
+        items.select(col)
+        .filter(F.col(col).isNotNull())
+        .transform(tracked_cache)
+    )
     total = cached.agg(F.count(F.lit(1)).alias("__n"))
     cands = misra_gries_candidates(cached, col, k)
     exact = (

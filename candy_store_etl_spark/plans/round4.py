@@ -1761,47 +1761,36 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
-    import hashlib
     import json as _json
     import os
     import tempfile
 
     from ..sources.file_index import MANIFEST_NAME, read_pruned, write_manifest
+    from ..sources.scratch import content_fingerprint, ensure_scratch
 
-    # scratch key includes a CONTENT fingerprint of the source file:
-    # size + nanosecond mtime + first/last 64 KiB digest — a regenerated
-    # testdata file (even same-size within the same mtime second) gets a
-    # fresh layout copy instead of silently serving stale rows
+    # scratch key is the shared CONTENT fingerprint (size + ns-mtime +
+    # first/last 64 KiB) — a regenerated testdata file (even same-size
+    # within the same mtime second) gets a fresh layout copy instead
+    # of silently serving stale rows; build/validate semantics are the
+    # shared stage-then-swap (sources/scratch.py, round-6 dedup of
+    # three drifting copies of this pattern)
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    h = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode())
-    with open(src, "rb") as f:
-        h.update(f.read(65536))
-        if st.st_size > 65536:
-            f.seek(-65536, os.SEEK_END)
-            h.update(f.read(65536))
-    key = h.hexdigest()[:12]
+    key = content_fingerprint(src)
     scratch = os.path.join(tempfile.gettempdir(), f"csetl_file_index_{key}")
-    mpath = os.path.join(scratch, MANIFEST_NAME)
 
-    def _scratch_intact() -> bool:
+    def _intact(d: str) -> bool:
+        mpath = os.path.join(d, MANIFEST_NAME)
         if not os.path.exists(mpath):
             return False
         with open(mpath) as f:
             listed = {e["file"] for e in _json.load(f)["files"]}
         on_disk = {
             os.path.basename(x)
-            for x in _glob.glob(os.path.join(scratch, "part-*.parquet"))
+            for x in _glob.glob(os.path.join(d, "part-*.parquet"))
         }
         return listed == on_disk  # a /tmp cleaner may remove parts
 
-    if not _scratch_intact():
-        # stage-then-swap (the sink test's pattern): write to a
-        # per-process dir, atomically rename into place — two
-        # concurrent sessions (gate sim + pytest) never read a
-        # half-written layout; the rename loser keeps the winner's
-        # identical copy
-        stage = f"{scratch}.stage.{os.getpid()}"
+    def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         (
             docs.repartitionByRange(6, "doc_id")
@@ -1810,25 +1799,8 @@ def pruned_range_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(stage)
         )
         write_manifest(stage, "doc_id")
-        import shutil
 
-        for attempt in (1, 2):
-            try:
-                os.rename(stage, scratch)
-                break
-            except OSError:
-                if _scratch_intact():
-                    # a concurrent winner renamed an identical copy in:
-                    # keep theirs, drop ours
-                    shutil.rmtree(stage, ignore_errors=True)
-                    break
-                # a CORRUPT scratch survivor blocks the rename (e.g. a
-                # /tmp cleaner removed one part file): replace it with
-                # the freshly staged copy instead of failing forever
-                shutil.rmtree(scratch, ignore_errors=True)
-                if attempt == 2:
-                    shutil.rmtree(stage, ignore_errors=True)
-                    raise
+    ensure_scratch(scratch, _build, _intact)
     pruned = read_pruned(spark, scratch, "doc_id", 10, 40)
     return pruned.agg(
         F.count(F.lit(1)).alias("n_docs"),

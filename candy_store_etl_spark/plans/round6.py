@@ -206,9 +206,13 @@ def _global_row_number(
 
 @register(
     "curriculum_quality_buckets",
+    # COALESCE(n_toks, 0): a NULL-text doc sorts NULLS FIRST in Spark
+    # but NULLS LAST in DuckDB — pinning it to 0 tokens (the sensible
+    # curriculum position) keeps the engines' orderings identical
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks
+      SELECT doc_id,
+             COALESCE(CAST(len({SQL_TOKENS}) AS BIGINT), 0) AS n_toks
       FROM documents
     ),
     b AS (
@@ -239,7 +243,10 @@ def _global_row_number(
 )
 def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+        "doc_id",
+        F.coalesce(
+            F.size(tokens(F.col("text"))).cast("long"), F.lit(0).cast("long")
+        ).alias("n_toks"),
     )
     rn = _global_row_number(d, [F.col("n_toks"), F.col("doc_id")], _NTILE_PARTS)
     # exact SQL NTILE(k) from (rank rn, total n): the first n % k
@@ -451,56 +458,44 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("warehouse", "table-format", "time-travel"),
 )
 def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql.types import (
         IntegerType,
-        LongType,
         StringType,
         StructField,
         StructType,
     )
 
     from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    h = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode())
-    with open(src, "rb") as f:
-        h.update(f.read(65536))
-    key = h.hexdigest()[:12]
+    key = content_fingerprint(src)
     table = os.path.join(tempfile.gettempdir(), f"csetl_table_log_{key}")
 
-    def _intact() -> bool:
-        if tl.current_version(table) != 3:
+    def _intact(d: str) -> bool:
+        # the query time-travels through EVERY version, so every
+        # version's snapshot must be on disk — validating only the
+        # latest let a /tmp cleaner's partial deletion crash forever
+        # (round-6 review)
+        if tl.current_version(d) != 3:
             return False
         return all(
-            os.path.exists(p) for p in tl.snapshot_files(table)
+            os.path.exists(p)
+            for v in range(4)
+            for p in tl.snapshot_files(d, version=v)
         )
 
-    if not _intact():
-        stage = f"{table}.stage.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
+    def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         tl.append(docs.filter(F.col("doc_id") % 2 == 0), stage)
         tl.append(docs.filter(F.col("doc_id") % 2 == 1), stage)
         tl.overwrite(docs.filter(F.col("doc_id") < 100), stage)
         tl.compact(spark, stage)
-        for attempt in (1, 2):
-            try:
-                os.rename(stage, table)
-                break
-            except OSError:
-                if _intact():  # a concurrent winner built the same table
-                    shutil.rmtree(stage, ignore_errors=True)
-                    break
-                shutil.rmtree(table, ignore_errors=True)
-                if attempt == 2:
-                    shutil.rmtree(stage, ignore_errors=True)
-                    raise
+
+    ensure_scratch(table, _build, _intact)
     entries = tl.log_entries(table)
     schema = StructType(
         [
@@ -555,51 +550,36 @@ def table_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("warehouse", "table-format", "pruning"),
 )
 def table_log_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
-    import shutil
     import tempfile
 
     from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    h = hashlib.md5(f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}:pruned".encode())
-    with open(src, "rb") as f:
-        h.update(f.read(65536))
-    key = h.hexdigest()[:12]
+    key = content_fingerprint(src, extra="pruned")
     table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_pruned_{key}")
 
-    def _intact() -> bool:
-        if tl.current_version(table) != 1:
+    def _intact(d: str) -> bool:
+        # only the LATEST snapshot is read here, but its stats must be
+        # complete for the log-planned pruning to be meaningful
+        if tl.current_version(d) != 1:
             return False
-        stats = tl.snapshot_file_stats(table)
-        files = tl.snapshot_files(table)
+        files = tl.snapshot_files(d)
+        stats = tl.snapshot_file_stats(d)
         return bool(files) and all(
             os.path.exists(p) for p in files
         ) and len(stats) == len(files)
 
-    if not _intact():
-        stage = f"{table}.stage.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
+    def _build(stage: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         tl.append(docs, stage, stats_cols=["doc_id"])
         tl.compact(
             spark, stage, target_files=6, sort_by="doc_id",
             stats_cols=["doc_id"],
         )
-        for attempt in (1, 2):
-            try:
-                os.rename(stage, table)
-                break
-            except OSError:
-                if _intact():
-                    shutil.rmtree(stage, ignore_errors=True)
-                    break
-                shutil.rmtree(table, ignore_errors=True)
-                if attempt == 2:
-                    shutil.rmtree(stage, ignore_errors=True)
-                    raise
+
+    ensure_scratch(table, _build, _intact)
     pruned, _kept, _total = tl.read_snapshot_pruned(
         spark, table, "doc_id", 10, 40
     )

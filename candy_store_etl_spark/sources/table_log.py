@@ -300,6 +300,12 @@ def read_snapshot_pruned(
     from pyspark.sql import functions as F
 
     files = snapshot_files(table_dir, version=version)
+    if not files:
+        # mirror read_snapshot's explicit error rather than letting a
+        # zero-path parquet read raise something unrelated
+        raise ValueError(
+            f"snapshot {version!r} of {table_dir} has no data files"
+        )
     stats = snapshot_file_stats(table_dir, version=version)
     kept = []
     for p in files:
@@ -310,9 +316,9 @@ def read_snapshot_pruned(
         if st is None or (st["min"] <= hi and st["max"] >= lo):
             kept.append(p)
     if not kept:
-        # all files pruned: scan one file for the schema, filter out
-        # everything (keeps the result exactly equal to the full scan)
-        base = spark.read.parquet(*files).filter(F.lit(False))
+        # all files pruned: ONE file supplies the schema, the
+        # always-false filter keeps the result equal to the full scan
+        base = spark.read.parquet(files[0]).filter(F.lit(False))
         return base, 0, len(files)
     df = spark.read.parquet(*kept).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)

@@ -471,7 +471,16 @@ ALLOC_STATE_SCHEMA = StructType([StructField("remaining", LongType(), False)])
 
 def make_allocation_fn(initial_stock: dict[int, int]):
     """Build the per-group stateful function. ``initial_stock`` is a
-    small catalog map shipped in the task closure (broadcast-sized)."""
+    small catalog map shipped in the task closure (broadcast-sized).
+
+    The group's rows arrive as an ITERATOR of Arrow-chunked frames in
+    no guaranteed order (chunk boundary = arrow.maxRecordsPerBatch,
+    default 10k rows): sorting each chunk independently would allocate
+    later seqs before earlier ones whenever one micro-batch exceeds a
+    chunk (round-6 review finding) — so the chunks are concatenated
+    and sorted ONCE per micro-batch before the scan. The whole group's
+    batch already had to fit one task; the concat changes peak memory
+    by at most one chunk."""
 
     def allocate(
         key: tuple,
@@ -483,36 +492,40 @@ def make_allocation_fn(initial_stock: dict[int, int]):
             (remaining,) = state.get
         else:
             remaining = int(initial_stock.get(product_id, 0))
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq", kind="mergesort")
-            allocated = []
-            cancelled = []
-            for q in pdf["qty"].astype(int):
-                if 0 <= q <= remaining:
-                    allocated.append(q)
-                    cancelled.append(0)
-                    remaining -= q
-                else:
-                    allocated.append(0)
-                    cancelled.append(1 if q > 0 else 0)
-            res = pdf[["product_id", "seq", "qty", "event_time"]].copy()
-            res["allocated_qty"] = allocated
-            res["cancelled"] = cancelled
-            out.append(
-                res[
-                    [
-                        "product_id",
-                        "seq",
-                        "qty",
-                        "allocated_qty",
-                        "cancelled",
-                        "event_time",
-                    ]
-                ]
-            )
+        chunks = list(pdfs)
+        if not chunks:  # timeout-only invocation: nothing to allocate
+            state.update((int(remaining),))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values("seq", kind="mergesort")
+        allocated = []
+        cancelled = []
+        for q in pdf["qty"].astype(int):
+            if 0 <= q <= remaining:
+                allocated.append(q)
+                cancelled.append(0)
+                remaining -= q
+            else:
+                allocated.append(0)
+                cancelled.append(1 if q > 0 else 0)
+        res = pdf[["product_id", "seq", "qty", "event_time"]].copy()
+        res["allocated_qty"] = allocated
+        res["cancelled"] = cancelled
         state.update((int(remaining),))
-        yield from out
+        yield res[
+            [
+                "product_id",
+                "seq",
+                "qty",
+                "allocated_qty",
+                "cancelled",
+                "event_time",
+            ]
+        ]
 
     return allocate
 
@@ -562,7 +575,16 @@ def make_bucket_allocation_fn(initial_stock: dict[int, int]):
             stock_map = dict(zip(prods0, rems0))
         else:
             stock_map = {}
-        for pdf in pdfs:
+        # Arrow chunks a group's micro-batch at maxRecordsPerBatch in
+        # no guaranteed order: concatenate BEFORE sorting, or a
+        # product spanning two chunks would allocate later seqs first
+        # (round-6 review finding; same fix as make_allocation_fn)
+        chunks = list(pdfs)
+        merged = (
+            [pd.concat(chunks, ignore_index=True)] if len(chunks) > 1
+            else chunks
+        )
+        for pdf in merged:
             pdf = pdf.sort_values(["product_id", "seq"], kind="mergesort")
             prod = pdf["product_id"].to_numpy().astype(np.int64)
             qty = _qty_to_int64(pdf["qty"].to_numpy(), "qty")

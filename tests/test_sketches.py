@@ -116,3 +116,22 @@ def test_non_string_keys_keep_native_dtype_and_exactness(spark_sketch):
     n = len(rows)
     want = {u: c for u, c in exact.items() if c * 25 > n}
     assert got == want and got  # non-empty and exactly the true set
+
+
+def test_null_keys_excluded_and_big_int64_keys_survive(spark_sketch):
+    """Round-6 review: null-bearing int64 batches coerce to float64 in
+    pandas, corrupting keys above 2^53 and silently dropping them from
+    the exact-verify join. Nulls are now filtered at the source (one
+    universe for candidates AND the denominator), so keys far above
+    2^53 must survive bit-exact alongside nulls."""
+    big = (1 << 60) + 12345  # would corrupt through float64
+    rows = [(big,)] * 500 + [(None,)] * 300 + [
+        (i,) for i in range(200) for _ in range(3)
+    ]
+    df = spark_sketch.createDataFrame(rows, "uid long").repartition(6)
+    got = {
+        r["uid"]: (r["cnt"], r["share_ppm"])
+        for r in heavy_hitters_exact(df, "uid", t=4, k=32).collect()
+    }
+    # universe excludes nulls: n = 500 + 600 = 1100; big has 500/1100
+    assert got == {big: (500, 500 * 1_000_000 // 1100)}

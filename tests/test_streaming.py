@@ -775,3 +775,58 @@ def test_bucketed_streaming_allocation_matches_per_product(spark, tmp_path):
     assert got_b[5] == (7, 0, 1) and got_b[6] == (7, 1, 0)
     assert got_b[7] == (8, 0, 1)
     assert got_b[8] == (10, 0, 1) and got_b[9] == (99, 0, 1)
+
+
+def test_streaming_allocation_correct_across_arrow_chunk_boundaries(
+    spark, tmp_path
+):
+    """Round-6 review finding: a group's micro-batch arrives as an
+    ITERATOR of Arrow chunks in arrival order — sorting each chunk
+    independently allocates later seqs first whenever a batch spans
+    chunks. Force 2-row chunks and an adversarial reverse-seq file:
+    the big late order (seq 6, qty 10) must be CANCELLED because seqs
+    1-5 (qty 1 each) drain stock 10 to 5 first."""
+    from candy_store_etl_spark.streaming.events import (
+        streaming_inventory_allocation_bucketed,
+    )
+
+    rows = [(7, s, 1) for s in range(1, 6)] + [(7, 6, 10)]
+    rows.sort(key=lambda r: -r[1])  # reversed seq order in the file
+    df = spark.createDataFrame(
+        [(p, s, q, None) for p, s, q in rows],
+        "product_id long, seq long, qty int, event_time timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "cb_in"))
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        for factory, table in [
+            (
+                lambda s: streaming_inventory_allocation(s, {7: 10}),
+                "cb_perprod",
+            ),
+            (
+                lambda s: streaming_inventory_allocation_bucketed(
+                    s, {7: 10}, buckets=2
+                ),
+                "cb_bucketed",
+            ),
+        ]:
+            stream = (
+                spark.readStream.schema(
+                    "product_id long, seq long, qty int, event_time timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path / "cb_in"))
+            )
+            run_stream_to_memory(factory(stream), table, output_mode="append")
+            got = {
+                r.seq: (r.allocated_qty, r.cancelled)
+                for r in spark.sql(f"SELECT * FROM {table}").collect()
+            }
+            assert got[6] == (0, 1), (table, got)  # the late big order
+            assert all(got[s] == (1, 0) for s in range(1, 6)), (table, got)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
