@@ -116,6 +116,12 @@ def _run(spark, stage_dir: str, make_query, schema: str | None = None) -> dict:
         sum(op.get("numRowsUpdated", 0) for op in p.get("stateOperators", []))
         for p in batches
     ]
+    state_bytes = [
+        sum(
+            op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", [])
+        )
+        for p in batches
+    ]
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "batches": len(batches),
@@ -130,6 +136,7 @@ def _run(spark, stage_dir: str, make_query, schema: str | None = None) -> dict:
             if state_updated
             else 0
         ),
+        "state_mb_max": round(max(state_bytes, default=0) / 1e6, 1),
     }
 
 
@@ -230,8 +237,9 @@ def main() -> None:
             f"stateOperators progress. local[{cpus}], ambient load "
             f"{ambient:.1f}.\n\n"
             "| query | batches | input rows | emitted | sustained "
-            "rows/s | state rows (final/max) | state upd/batch | wall "
-            "(s) |\n|---|---|---|---|---|---|---|---|\n"
+            "rows/s | state rows (final/max) | state upd/batch | "
+            "state MB (max) | wall (s) |\n|---|---|---|---|---|---|"
+            "---|---|---|\n"
         )
         for name, r in results.items():
             f.write(
@@ -239,6 +247,7 @@ def main() -> None:
                 f"| {r['emitted_rows']} | {r['sustained_rows_per_sec']} "
                 f"| {r['state_rows_final']}/{r['state_rows_max']} "
                 f"| {r['state_rows_updated_per_batch']} "
+                f"| {r['state_mb_max']} "
                 f"| {r['wall_seconds']} |\n"
             )
         f.write(
