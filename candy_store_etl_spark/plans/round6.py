@@ -589,3 +589,117 @@ def table_log_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_PMI_MIN_SUPPORT = 5  # pairs must occur at least this often
+_PMI_TOP = 30
+
+
+@register(
+    "collocation_pmi_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {SQL_TOKENS} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT tk[i] AS x, tk[i+1] AS y
+      FROM toks CROSS JOIN generate_series(1, 100000) AS t(i)
+      WHERE i <= len(tk) - 1
+    ),
+    uni AS (
+      SELECT x AS tok, COUNT(*) AS c FROM (
+        SELECT x FROM bg UNION ALL SELECT y FROM bg
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM bg),
+    pair AS (
+      SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY 1, 2
+      HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+    ),
+    scored AS (
+      SELECT p.x, p.y, CAST(p.cxy AS BIGINT) AS cxy,
+             CAST(FLOOR(ln(
+               (CAST(p.cxy AS DOUBLE) * (CAST(tot.n AS DOUBLE) * 2.0))
+               / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))
+             ) * 10000) AS BIGINT) AS pmi_0p1milli_nats
+      FROM pair p
+      JOIN uni ux ON ux.tok = p.x
+      JOIN uni uy ON uy.tok = p.y
+      CROSS JOIN tot
+    )
+    SELECT x, y, cxy, pmi_0p1milli_nats,
+           CAST(row_number() OVER (
+             ORDER BY pmi_0p1milli_nats DESC, x, y) AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY rnk <= {_PMI_TOP}
+    """,
+    doc="Collocation mining by pointwise mutual information — the "
+    "corpus statistic behind tokenizer merge scoring and phrase "
+    "detection (word2vec's phrase pass): adjacent-token pairs with "
+    f"support >= {_PMI_MIN_SUPPORT}, scored ln(c_xy * 2N / (c_x * "
+    "c_y)) where unigram counts come from the pair relation's slots "
+    f"(2N positions), top {_PMI_TOP} on a total order. The log "
+    "floors at 4-dp nat resolution (the doc_char_entropy micronat "
+    "discipline) with an IDENTICALLY-associated double expression on "
+    "both engines, so the score is bit-portable. Plan: in-row bigram "
+    "transform + one map-combined pair count + one vocab-sized "
+    "unigram count joined twice + a 1-row total — at 100 TB the pair "
+    "relation is the only data-sized shuffle; the unigram side is "
+    "vocabulary-sized and the final top-k is TakeOrdered over the "
+    "support-filtered pairs.",
+    tags=("text", "collocation", "pmi", "stats"),
+)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+    from ..operators.dedup import explode_nonempty
+
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents")
+    ).select(tokens(F.col("text")).alias("tk"))
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(tk) - 1, 1)),"
+        " i -> struct(element_at(tk, i) AS x, element_at(tk, i + 1) AS y))"
+    )
+    bg = (
+        explode_nonempty(
+            docs.filter(F.size("tk") >= 2), "b", bigrams
+        )
+        .select("b.x", "b.y")
+        .transform(tracked_cache)
+    )
+    uni = (
+        bg.select(F.col("x").alias("tok"))
+        .unionAll(bg.select(F.col("y").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    pair = (
+        bg.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_SUPPORT)
+    )
+    scored = (
+        pair.join(uni.select(F.col("tok").alias("x"), F.col("c").alias("cx")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("c").alias("cy")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("cxy"),
+            F.floor(
+                F.ln(
+                    (F.col("cxy").cast("double") * (F.col("n").cast("double") * F.lit(2.0)))
+                    / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+                )
+                * 10000.0
+            )
+            .cast("long")
+            .alias("pmi_0p1milli_nats"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_0p1milli_nats").desc(), "x", "y")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _PMI_TOP)
+    )

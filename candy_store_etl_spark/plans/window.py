@@ -19,14 +19,14 @@ safe across refactors.
 from __future__ import annotations
 
 # Round-6 window. Policy: (a) every query NEW or whose
-# plan/oracle/operator CHANGED in round 6 heads the window (12); (b)
-# the remaining 38 slots re-confirm by STRICT oldest-evidence order —
+# plan/oracle/operator CHANGED in round 6 heads the window (13); (b)
+# the remaining 37 slots re-confirm by STRICT oldest-evidence order —
 # all 17 queries whose last driver row is round 1 (five rounds stale,
-# the oldest anywhere in the catalog), then 21 of the 42 round-2 rows
+# the oldest anywhere in the catalog), then 20 of the 42 round-2 rows
 # chosen for family breadth (multimodal decode/resize/frames, both
 # as-of joins, both forecast forms, streaming session/sliding twins,
 # skew salting, SQL-API and pandas-UDF surfaces, percentile/grouping
-# aggregates). The 21 deferred r2 rows plus the r3 cohort are round
+# aggregates). The 22 deferred r2 rows plus the r3 cohort are round
 # 7's backlog; the r4 families the round-5 verdict named (ANN portable
 # twins, patch grid, curation composites) queue right behind them —
 # strictly fresher evidence than anything seated here.
@@ -44,6 +44,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_tokens",  # dtype-derived MG fold (advisory)
     "table_log_time_travel",  # NEW: snapshot/commit + time travel
     "table_log_pruned_scan",  # NEW: log-planned stats pruning
+    "collocation_pmi_top",  # NEW: PMI collocations, micronat logs
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 1 (all 17)
     "buyers_except",
@@ -70,7 +71,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_order_full_outer",
     "daily_revenue_moving_avg",
     "linear_forecast_daily_value",
-    "lineitem_measures_unpivot",
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize",

@@ -81,6 +81,7 @@ REPRESENTATIVES = [
     "curriculum_quality_buckets",
     "embedding_outlier_docs",
     "reservoir_sample_per_source",
+    "collocation_pmi_top",
 ]
 
 

@@ -41,6 +41,9 @@ ALLOW_NESTED_LOOP = {
     "heavy_hitter_tokens",
     # round-6: same sketch plan over char trigrams — same 1-row total
     "heavy_hitter_char_trigrams",
+    # round-6: the PMI denominator joins as a broadcast 1-row bigram
+    # total (same lazy scalar pattern)
+    "collocation_pmi_top",
     # round-5: mixture rates/plans join the broadcast 1-row corpus
     # totals (source-cardinality × 1 row — never data×data)
     "temperature_mixture_sample",
@@ -123,6 +126,12 @@ EXCHANGE_CAP_OVERRIDES = {
     # every exchange after the range split moves pid- or bucket-sized
     # relations
     "curriculum_quality_buckets": 5,
+    # round-6 PMI: compute-repartition + map-combined pair count +
+    # the doubled-unigram count + the two vocab-keyed score joins —
+    # each over the pair or vocabulary relation (the bigram relation
+    # is cached; the cold plan re-prints its subtree per consumer),
+    # plus the support-filtered top-k window; never all-pairs
+    "collocation_pmi_top": 5,
     # round-6: the per-vector distance relation (d2) feeds BOTH the
     # per-label mean and the final ranked join; uncached cold plans
     # re-print its subtree (cen agg + vec agg) with fresh exchange ids
