@@ -38,6 +38,7 @@ HEADLINE = [
     "doc_chunking",
     "curriculum_quality_buckets",
     "heavy_hitter_tokens",
+    "collocation_pmi_top",
 ]
 
 
