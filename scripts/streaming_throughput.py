@@ -150,6 +150,8 @@ def main() -> None:
 
     from candy_store_etl_spark.streaming.events import (
         dedup_event_stream,
+        interval_join_streams,
+        stream_events,
         streaming_inventory_allocation,
         streaming_inventory_allocation_bucketed,
         windowed_event_stats,
@@ -209,6 +211,18 @@ def main() -> None:
         ),
         "streaming_hourly_stats": _run(
             spark, ev_stage, windowed_event_stats
+        ),
+        # stream-stream interval join: the events feed read through
+        # two independent source readers — the two sides buffer keyed
+        # state independently and the time bound drives BOTH buffers'
+        # expiry (the state-growth story a stream-stream join lives or
+        # dies by)
+        "streaming_interval_join": _run(
+            spark,
+            ev_stage,
+            lambda s: interval_join_streams(
+                s, stream_events(spark, ev_stage)
+            ),
         ),
         "streaming_stateful_allocation": _run(
             spark, alloc_stage,
