@@ -140,6 +140,97 @@ def _run(spark, stage_dir: str, make_query, schema: str | None = None) -> dict:
     }
 
 
+def _run_merge_upsert(spark, stage_dir: str) -> dict:
+    """CDC-style warehouse sink: every micro-batch MERGE-upserts a
+    per-user aggregate into a parquet state table via the full-outer
+    reconciliation (the plan a Delta MERGE lowers to), guarded by a
+    batch-id ledger (foreachBatch is at-least-once). State lives in
+    the warehouse, not the state store, so the state columns report
+    the table's row count and on-disk size instead of stateOperators."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.streaming.events import stream_events
+
+    workdir = tempfile.mkdtemp(prefix="stream_tp_merge_")
+    state_dir = os.path.join(workdir, "state")
+    ledger_dir = os.path.join(workdir, "ledger")
+    os.makedirs(ledger_dir)
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            t = cur.select(
+                F.col("user_id").alias("k"),
+                F.col("n_events").alias("tn"),
+                F.col("cents").alias("tc"),
+            )
+            merged = t.join(inc, t.k == inc.user_id, "full_outer").select(
+                F.coalesce("k", "user_id").alias("user_id"),
+                (
+                    F.coalesce("tn", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce("tc", F.lit(0)) + F.coalesce("cents", F.lit(0))
+                ).alias("cents"),
+            )
+        else:
+            merged = inc
+        swap = state_dir + f".stage{batch_id}"
+        merged.write.mode("overwrite").parquet(swap)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(swap, state_dir)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    ckpt = os.path.join(workdir, "ckpt")
+    q = (
+        stream_events(spark, stage_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    steady = batches[1:] if len(batches) > 1 else batches
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+    state_rows = spark.read.parquet(state_dir).count()
+    state_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(state_dir, "*.parquet"))
+    )
+    out = {
+        "batches": len(batches),
+        "input_rows": sum(p["numInputRows"] for p in batches),
+        "emitted_rows": state_rows,
+        "sustained_rows_per_sec": round(rows / secs) if secs else None,
+        "wall_seconds": round(wall, 2),
+        "state_rows_final": state_rows,
+        "state_rows_max": state_rows,
+        "state_rows_updated_per_batch": state_rows,  # full rewrite/batch
+        "state_mb_max": round(state_bytes / 1e6, 1),
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", "--events-dir", dest="sf_dir",
@@ -224,6 +315,7 @@ def main() -> None:
                 s, stream_events(spark, ev_stage)
             ),
         ),
+        "streaming_cdc_merge_upsert": _run_merge_upsert(spark, ev_stage),
         "streaming_stateful_allocation": _run(
             spark, alloc_stage,
             lambda s: streaming_inventory_allocation(s, stock0),
@@ -284,7 +376,16 @@ def main() -> None:
             "64 state rows carrying (products, remaining) stock "
             "vectors, one vectorized batch-kernel scan per bucket per "
             "batch — identical results (pinned in "
-            "tests/test_streaming.py), state rows = bucket count.\n"
+            "tests/test_streaming.py), state rows = bucket count. The "
+            "stream-stream interval join buffers BOTH sides keyed; the "
+            "time bound expires both buffers — the property that keeps "
+            "a stream-stream join finite at 100 TB. The CDC "
+            "merge-upsert's state is a parquet warehouse table (the "
+            "full-outer reconciliation a Delta MERGE lowers to, "
+            "batch-id-ledgered for at-least-once replay); its state "
+            "columns report the table itself, rewritten per batch — "
+            "at real scale the rewrite narrows to touched partitions "
+            "or a table-format MERGE.\n"
         )
     print(json.dumps({"metric": "streaming_throughput", **results,
                       "ambient_load_1m": round(ambient, 2)}))
