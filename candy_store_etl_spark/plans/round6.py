@@ -593,6 +593,7 @@ def table_log_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PMI_MIN_SUPPORT = 5  # pairs must occur at least this often
 _PMI_TOP = 30
+_PMI_MAX_POS = 100000  # bigram-start cap per doc, shared with the oracle
 
 
 @register(
@@ -603,7 +604,7 @@ _PMI_TOP = 30
     ),
     bg AS (
       SELECT tk[i] AS x, tk[i+1] AS y
-      FROM toks CROSS JOIN generate_series(1, 100000) AS t(i)
+      FROM toks CROSS JOIN generate_series(1, {_PMI_MAX_POS}) AS t(i)
       WHERE i <= len(tk) - 1
     ),
     uni AS (
@@ -638,7 +639,9 @@ _PMI_TOP = 30
     "detection (word2vec's phrase pass): adjacent-token pairs with "
     f"support >= {_PMI_MIN_SUPPORT}, scored ln(c_xy * 2N / (c_x * "
     "c_y)) where unigram counts come from the pair relation's slots "
-    f"(2N positions), top {_PMI_TOP} on a total order. The log "
+    f"(2N positions), top {_PMI_TOP} on a total order. Bigram start "
+    f"positions cap at {_PMI_MAX_POS} per doc on BOTH engines (the "
+    "_TRI_MAX_POS shared-cap discipline). The log "
     "floors at 4-dp nat resolution (the doc_char_entropy micronat "
     "discipline) with an IDENTICALLY-associated double expression on "
     "both engines, so the score is bit-portable. Plan: in-row bigram "
@@ -657,7 +660,8 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).select(tokens(F.col("text")).alias("tk"))
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(tk) - 1, 1)),"
+        "transform(sequence(1, greatest(least(size(tk) - 1,"
+        f" {_PMI_MAX_POS}), 1)),"
         " i -> struct(element_at(tk, i) AS x, element_at(tk, i + 1) AS y))"
     )
     bg = (

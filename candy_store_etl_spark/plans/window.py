@@ -110,6 +110,7 @@ def ensure_loaded() -> None:
     from . import round4  # noqa: F401  # new in round 4
     from . import round5  # noqa: F401  # new in round 5
     from . import round6  # noqa: F401  # new in round 6
+    from . import round7  # noqa: F401  # new in round 7
 
     from .registry import QUERIES
 

@@ -56,7 +56,13 @@ def ensure_scratch(
         return
     stage = f"{scratch_dir}.stage.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
-    build(stage)
+    try:
+        build(stage)
+    except BaseException:
+        # a failed build must not leak a partial stage dir: the next
+        # run is a new pid, so nothing would ever reclaim the orphan
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     for attempt in (1, 2):
         try:
             os.rename(stage, scratch_dir)

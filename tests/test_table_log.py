@@ -145,3 +145,180 @@ def test_pruned_read_of_empty_match_returns_empty_not_error(spark, table):
         spark, table, "doc_id", 1000, 2000
     )
     assert kept == 0 and df.count() == 0
+
+
+# ---- round 7: checkpoints, commit retry, vacuum grace, native reader
+
+
+def test_checkpoint_bounds_replay_and_preserves_results(spark, table):
+    """Snapshot resolution replays O(interval) tail commits after the
+    auto-written checkpoint, NOT the whole log — and reads the same
+    rows either way (checkpoint deleted = forced full replay)."""
+    n_commits = tl.CHECKPOINT_INTERVAL + 3  # crosses one auto-checkpoint
+    for i in range(n_commits):
+        tl.append(_df(spark, [i]), table, stats_cols=["doc_id"])
+    info = tl.snapshot_replay_info(table)
+    assert info["checkpoint_version"] == tl.CHECKPOINT_INTERVAL
+    # versions 0..12 exist; checkpoint at 10 -> replay 11, 12 only
+    assert info["entries_replayed"] == n_commits - 1 - tl.CHECKPOINT_INTERVAL
+    assert info["live_files"] > 0
+    via_ckpt = _rows(spark, table)
+    # time travel BELOW the checkpoint still full-replays correctly
+    assert _rows(spark, table, 2) == [(0, 0), (1, 10), (2, 20)]
+    # stats survive the checkpoint: pruning still plans from the log
+    df, kept, total = tl.read_snapshot_pruned(spark, table, "doc_id", 5, 5)
+    assert kept == 1 and total >= n_commits
+    # delete the checkpoint + hint -> full replay gives identical rows
+    os.remove(
+        os.path.join(table, tl.LOG_DIR, f"{tl.CHECKPOINT_INTERVAL:08d}.checkpoint.json")
+    )
+    os.remove(os.path.join(table, tl.LOG_DIR, tl.LAST_CHECKPOINT))
+    info = tl.snapshot_replay_info(table)
+    assert info["checkpoint_version"] is None
+    assert info["entries_replayed"] == n_commits
+    assert _rows(spark, table) == via_ckpt
+
+
+def test_stale_last_checkpoint_hint_is_advisory(spark, table):
+    """A _last_checkpoint pointing past the requested version (or at a
+    deleted file) falls back to the glob, never crashes or resolves
+    the wrong snapshot."""
+    for i in range(tl.CHECKPOINT_INTERVAL + 1):
+        tl.append(_df(spark, [i]), table)
+    # ask for a version BELOW the checkpointed one: hint is unusable
+    info = tl.snapshot_replay_info(table, version=3)
+    assert info["checkpoint_version"] is None
+    assert info["entries_replayed"] == 4
+    assert _rows(spark, table, 3) == [(i, i * 10) for i in range(4)]
+
+
+def test_commit_with_retry_rederives_against_refreshed_log(
+    spark, table, monkeypatch
+):
+    """The loser of a version race re-derives from the WINNER's
+    snapshot: the derive callback sees the refreshed latest version on
+    the retry attempt."""
+    tl.append(_df(spark, [1]), table)
+    real_commit = tl.commit
+    interloper = {"done": False}
+
+    def racing_commit(table_dir, **kw):
+        # an interloping writer wins the version race exactly once:
+        # their commit lands and ours surfaces as the loser's error
+        if not interloper["done"]:
+            interloper["done"] = True
+            real_commit(table_dir, add=[], op="interloper")
+            raise tl.ConcurrentCommitError("lost the race")
+        return real_commit(table_dir, **kw)
+
+    monkeypatch.setattr(tl, "commit", racing_commit)
+    seen = []
+
+    def derive(latest):
+        seen.append(latest)
+        return {"add": [], "op": f"derived-at-{latest}"}
+
+    v = tl.commit_with_retry(table, derive)
+    monkeypatch.undo()
+    assert seen == [0, 1]  # re-derived against the interloper's commit
+    assert v == 2
+    assert tl.log_entries(table)[-1]["op"] == "derived-at-1"
+
+
+def test_commit_with_retry_bounded_attempts(spark, table, monkeypatch):
+    tl.append(_df(spark, [1]), table)
+    tl.commit(table, add=[], op="occupier")  # version 1 exists
+    monkeypatch.setattr(tl, "current_version", lambda _d: 0)  # always stale
+    with pytest.raises(tl.ConcurrentCommitError):
+        tl.commit_with_retry(table, lambda v: {"add": []}, max_attempts=3)
+
+
+def test_vacuum_spares_young_unreferenced_files(spark, table):
+    """The staged-rename race window: a data file present in the table
+    dir but not yet referenced by any commit is NOT vacuumed while
+    young; with grace 0 (or old mtime) it is reclaimed."""
+    tl.append(_df(spark, [1, 2]), table)
+    staged = os.path.join(table, "v00000001-999-part-inflight.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"not-yet-committed")
+    assert tl.vacuum(table) == []  # young + unreferenced -> protected
+    assert os.path.exists(staged)
+    # aged out of the grace window -> reclaimable orphan
+    old = os.stat(staged).st_mtime - tl.VACUUM_GRACE_SECONDS - 10
+    os.utime(staged, (old, old))
+    assert tl.vacuum(table) == [os.path.basename(staged)]
+
+
+def test_vacuum_reclaims_nonconvention_committed_names(spark, table):
+    """Files added via the public commit(add=...) API outside the
+    v*-* naming convention are vacuumable once unreferenced."""
+    tl.append(_df(spark, [1]), table)
+    extra = os.path.join(table, "external-file.parquet")
+    _df(spark, [7]).coalesce(1).write.mode("overwrite").parquet(table + ".tmp")
+    import glob as _g, shutil as _sh
+    src = _g.glob(table + ".tmp/part-*.parquet")[0]
+    _sh.move(src, extra)
+    _sh.rmtree(table + ".tmp")
+    tl.commit(table, add=["external-file.parquet"], op="external-add")
+    tl.overwrite(_df(spark, [9]), table)  # drops it from the snapshot
+    removed = tl.vacuum(table, retain_from_version=2)
+    assert "external-file.parquet" in removed
+
+
+def _register_table_log_source(spark):
+    from candy_store_etl_spark.sources import table_log_source
+
+    table_log_source.register(spark)
+
+
+def test_native_reader_reads_snapshots_and_time_travels(spark, table):
+    tl.append(_df(spark, [1, 2]), table)
+    tl.overwrite(_df(spark, [9]), table)
+    _register_table_log_source(spark)
+    latest = spark.read.format("table_log").option("path", table).load()
+    assert sorted((r.doc_id, r.n_chars) for r in latest.collect()) == [(9, 90)]
+    v0 = (
+        spark.read.format("table_log")
+        .option("path", table)
+        .option("version", 0)
+        .load()
+    )
+    assert sorted((r.doc_id, r.n_chars) for r in v0.collect()) == [
+        (1, 10),
+        (2, 20),
+    ]
+    assert [f.name for f in latest.schema.fields] == ["doc_id", "n_chars"]
+
+
+def test_native_reader_prunes_files_from_committed_stats(spark, table):
+    """pushFilters turns committed [min,max] stats into planning-time
+    FILE pruning (zero footer I/O), while handing every filter back to
+    Spark so row-level semantics are exact."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from candy_store_etl_spark.sources.table_log_source import TableLogReader
+
+    tl.append(_df(spark, range(0, 50)), table, stats_cols=["doc_id"])
+    tl.append(_df(spark, range(50, 100)), table, stats_cols=["doc_id"])
+    tl.compact(
+        spark, table, target_files=4, sort_by="doc_id", stats_cols=["doc_id"]
+    )
+    reader = TableLogReader({"path": table})
+    pushed = [
+        GreaterThanOrEqual(("doc_id",), 10),
+        LessThanOrEqual(("doc_id",), 20),
+    ]
+    returned = list(reader.pushFilters(pushed))
+    assert returned == pushed  # all filters handed back: lossless
+    parts = reader.partitions()
+    assert len(parts) == 1  # 3 of 4 range files pruned from the log
+    # end-to-end through the engine: values match the plain scan
+    _register_table_log_source(spark)
+    df = (
+        spark.read.format("table_log")
+        .option("path", table)
+        .load()
+        .filter("doc_id between 10 and 20")
+    )
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == list(range(10, 21))
