@@ -29,6 +29,7 @@ release points or scope sessions per thread.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -73,3 +74,21 @@ def release_caches() -> int:
 def tracked_count() -> int:
     with _LOCK:
         return len(_TRACKED)
+
+
+@contextmanager
+def scoped_cache(df: DataFrame):
+    """Cache ``df`` for the duration of a block and unpersist on exit
+    — for per-micro-batch working sets (a streaming sink runs
+    thousands of batches; registering each in the tracked list would
+    grow it unboundedly, and releasing it would drop OTHER queries'
+    caches). The relation never outlives the block, so nothing is
+    left for release_caches() to reclaim."""
+    out = df.cache()
+    try:
+        yield out
+    finally:
+        try:
+            out.unpersist()
+        except Exception:
+            pass

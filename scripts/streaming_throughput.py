@@ -231,6 +231,124 @@ def _run_merge_upsert(spark, stage_dir: str) -> dict:
     return out
 
 
+def _run_merge_upsert_partitioned(spark, sf_dir: str) -> dict:
+    """The round-6 verdict's directive #3: the CDC warehouse sink with
+    rewrite volume proportional to TOUCHED KEYS, not table size
+    (streaming/cdc.py — hash-bucketed files committed through the
+    table log; untouched buckets are never opened). The feed is
+    CDC-shaped: one seed batch carries ~98.9% of history, then 11
+    trickle batches each update ~15 users (one user_id%%1000 slice) —
+    the arrival pattern a warehouse absorbs in production. Reported
+    rewrite fractions are means over the TRICKLE batches; the
+    full-rewrite sink's fraction is 1.0 per batch by construction."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.sources import table_log as tl
+    from candy_store_etl_spark.streaming.cdc import (
+        make_partitioned_cdc_sink,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="stream_tp_cdcpart_")
+    feed_dir = os.path.join(workdir, "feed")
+    os.makedirs(feed_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "value"
+    )
+    # stage slices as single ordered files: 00 = seed, 01..11 = trickles
+    slices = [ev.filter(F.col("user_id") % 1000 < 989)] + [
+        ev.filter(F.col("user_id") % 1000 == 989 + i) for i in range(11)
+    ]
+    for i, s in enumerate(slices):
+        tmp = os.path.join(workdir, f"slice{i}")
+        s.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(feed_dir, f"{i:05d}.parquet"))
+        shutil.rmtree(tmp)
+
+    table = os.path.join(workdir, "warehouse")
+    metrics: list[dict] = []
+
+    def increments(batch_df):
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+
+    sink = make_partitioned_cdc_sink(
+        table,
+        increments,
+        key_col="user_id",
+        add_cols=("n_events", "cents"),
+        n_buckets=1024,
+        metrics=metrics,
+    )
+    ckpt = os.path.join(workdir, "ckpt")
+    q = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    steady = batches[1:] if len(batches) > 1 else batches
+    rows = sum(p["numInputRows"] for p in steady)
+    secs = sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+    # parity: the merged warehouse == the one-shot batch aggregate
+    got = sorted(
+        tuple(r) for r in tl.read_snapshot(spark, table).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in increments(spark.read.parquet(feed_dir)).collect()
+    )
+    assert got == want, "partitioned CDC merge diverged from batch truth"
+    # rewrite volume over the TRICKLE batches (seed excluded): the
+    # full-rewrite sink's fractions are 1.0/1.0 by construction
+    trickles = [m for m in metrics if m["touched_buckets"] < 512]
+    frac_files = sum(
+        m["files_rewritten"] / m["files_total"] for m in trickles
+    ) / max(len(trickles), 1)
+    frac_rows = sum(
+        m["rows_rewritten"] / m["rows_total"] for m in trickles
+    ) / max(len(trickles), 1)
+    state_rows = tl.read_snapshot(spark, table).count()
+    state_bytes = sum(
+        os.path.getsize(p) for p in tl.snapshot_files(table)
+    )
+    out = {
+        "batches": len(batches),
+        "input_rows": sum(p["numInputRows"] for p in batches),
+        "emitted_rows": state_rows,
+        "sustained_rows_per_sec": round(rows / secs) if secs else None,
+        "wall_seconds": round(wall, 2),
+        "state_rows_final": state_rows,
+        "state_rows_max": state_rows,
+        "state_rows_updated_per_batch": (
+            round(sum(m["rows_rewritten"] for m in trickles) / len(trickles))
+            if trickles
+            else 0
+        ),
+        "state_mb_max": round(state_bytes / 1e6, 1),
+        "rewrite_frac_files_mean": round(frac_files, 4),
+        "rewrite_frac_rows_mean": round(frac_rows, 4),
+        "trickle_batches": len(trickles),
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", "--events-dir", dest="sf_dir",
@@ -316,6 +434,9 @@ def main() -> None:
             ),
         ),
         "streaming_cdc_merge_upsert": _run_merge_upsert(spark, ev_stage),
+        "streaming_cdc_merge_partitioned": _run_merge_upsert_partitioned(
+            spark, args.sf_dir
+        ),
         "streaming_stateful_allocation": _run(
             spark, alloc_stage,
             lambda s: streaming_inventory_allocation(s, stock0),
@@ -383,10 +504,28 @@ def main() -> None:
             "merge-upsert's state is a parquet warehouse table (the "
             "full-outer reconciliation a Delta MERGE lowers to, "
             "batch-id-ledgered for at-least-once replay); its state "
-            "columns report the table itself, rewritten per batch — "
-            "at real scale the rewrite narrows to touched partitions "
-            "or a table-format MERGE.\n"
+            "columns report the table itself, rewritten IN FULL per "
+            "batch. The PARTITIONED form (streaming/cdc.py) is the "
+            "at-scale fix: hash-bucketed warehouse files committed "
+            "atomically through the table log (the log doubles as the "
+            "idempotence ledger), so a micro-batch rewrites only the "
+            "buckets its keys hash into — its rewrite fractions above "
+            "are means over the 11 CDC-shaped trickle batches (seed "
+            "batch excluded), vs 1.0 per batch for the full rewrite; "
+            "untouched bucket files keep their inodes (pinned in "
+            "tests/test_cdc.py) and its state upd/batch column is "
+            "ROWS REWRITTEN per trickle batch, not table size.\n"
         )
+        p = results.get("streaming_cdc_merge_partitioned", {})
+        if p:
+            f.write(
+                f"\nPartitioned-CDC rewrite volume: mean "
+                f"{p['rewrite_frac_files_mean']:.2%} of files / "
+                f"{p['rewrite_frac_rows_mean']:.2%} of rows per trickle "
+                f"batch ({p['trickle_batches']} trickle batches, 1024 "
+                "buckets) — the full-rewrite sink rewrites 100% of "
+                "both every batch.\n"
+            )
     print(json.dumps({"metric": "streaming_throughput", **results,
                       "ambient_load_1m": round(ambient, 2)}))
     spark.stop()
