@@ -39,10 +39,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
-def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+def misra_gries_candidates(
+    items: DataFrame, col: str, k: int, *, weight: str | None = None
+) -> DataFrame:
     """≤ k candidate values per input partition via a mergeable
     Misra-Gries fold (see module docstring). Output: distinct ``col``
     values — a SUPERSET of every item with global frequency >
@@ -60,7 +62,13 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     coerce the whole pandas column to float64, corrupting candidate
     values above 2^53 on the round-trip and silently dropping a true
     heavy hitter. ``heavy_hitters_exact`` applies the same filter to
-    its denominator, so both phases see one universe."""
+    its denominator, so both phases see one universe.
+
+    ``weight``: when the input is PRE-AGGREGATED (col, weight) partial
+    counts (e.g. from ``char_ngram_partial_counts``), fold weights
+    instead of row occurrences. The retention bound transfers
+    verbatim — MG over weighted items retains every item whose
+    weighted local mass exceeds W_p/(k+1)."""
 
     src_field = items.schema[col]
     out_schema = StructType(
@@ -68,11 +76,17 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
     )
     keep_str = isinstance(src_field.dataType, StringType)
     items = items.filter(F.col(col).isNotNull())
+    cols = [col] if weight is None else [col, weight]
+    items = items.select(*cols)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summary = pd.Series(dtype="int64")
         for pdf in batches:
-            counts = pdf[col].value_counts()
+            counts = (
+                pdf[col].value_counts()
+                if weight is None
+                else pdf.groupby(col, sort=False)[weight].sum()
+            )
             summary = summary.add(counts, fill_value=0)
             if len(summary) > k:
                 # mergeable-summaries step: SUBTRACT the (k+1)-th
@@ -93,7 +107,7 @@ def misra_gries_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
         # source type
         yield pd.DataFrame({col: vals.astype(str) if keep_str else vals})
 
-    return items.select(col).mapInPandas(fold, out_schema).distinct()
+    return items.mapInPandas(fold, out_schema).distinct()
 
 
 def heavy_hitters_exact(
@@ -123,6 +137,118 @@ def heavy_hitters_exact(
         cached.join(F.broadcast(cands), col)
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * t > F.col("__n"))
+        .select(
+            col,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * CAST(1000000 AS BIGINT) div __n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def char_ngram_partial_counts(
+    docs: DataFrame, text_col: str, *, n: int = 3, max_pos: int | None = None
+) -> DataFrame:
+    """(ngram, cnt) partial counts per Arrow batch, WITHOUT ever
+    materializing one row per n-gram occurrence.
+
+    The explode plan materializes ~len(text) rows per document through
+    the JVM before anything aggregates — at sf10 that is ~450M short
+    strings, and round-6's A/B showed the explode COMPUTE (not cache
+    shape, not shuffle) is the trigram heavy-hitter's entire bill.
+    This counter keeps the occurrence relation virtual: per Arrow
+    batch, each text's code points are decoded once into a numpy
+    uint32 array (``utf-32-le`` — CHARACTER semantics, matching
+    substr-based oracles for all of Unicode), every n-gram window is
+    packed into one int64 (21 bits per code point, collision-free
+    since code points < 2^21), and one ``np.unique`` over the batch's
+    concatenated codes yields the distinct n-grams with counts. Only
+    the DISTINCT n-grams per batch (a vocabulary-sized set) are
+    decoded back to strings and emitted.
+
+    ``max_pos`` caps n-gram START positions per document (shared-cap
+    discipline with SQL oracles: position i in 1..min(len-n+1,
+    max_pos)).
+
+    Feed the result to ``heavy_hitters_from_partials`` (weighted MG
+    fold); at 100 TB the shuffle carries vocabulary-sized partials
+    instead of the corpus's n-gram occurrences."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField("ngram", StringType(), False),
+            StructField("cnt", LongType(), False),
+        ]
+    )
+    mask = (1 << 21) - 1
+
+    def count_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            per_doc = []
+            for s in pdf[text_col]:
+                if s is None:
+                    continue
+                cp = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                )
+                if max_pos is not None:
+                    cp = cp[: max_pos + n - 1]
+                w = len(cp) - n + 1
+                if w <= 0:
+                    continue
+                code = np.zeros(w, dtype=np.int64)
+                for j in range(n):
+                    code = (code << 21) | cp[j : j + w].astype(np.int64)
+                per_doc.append(code)
+            if not per_doc:
+                continue
+            uniq, cnts = np.unique(np.concatenate(per_doc), return_counts=True)
+            grams = [
+                "".join(
+                    chr((int(c) >> (21 * (n - 1 - j))) & mask)
+                    for j in range(n)
+                )
+                for c in uniq
+            ]
+            yield pd.DataFrame(
+                {"ngram": grams, "cnt": cnts.astype("int64")}
+            )
+
+    return docs.select(text_col).mapInPandas(count_batches, out_schema)
+
+
+def heavy_hitters_from_partials(
+    partials: DataFrame, col: str, weight: str, *, t: int, k: int = 256
+) -> DataFrame:
+    """``heavy_hitters_exact`` over a PRE-AGGREGATED (col, weight)
+    relation — same output contract (col, cnt, share_ppm), same
+    retention guarantee (weighted MG), but every phase aggregates
+    weights: the exact-verify shuffle carries partial counts, never
+    occurrences. NULL keys excluded from both phases, as in the
+    unweighted form."""
+    if t > k:
+        raise ValueError(f"threshold divisor t={t} must be <= k={k}")
+    from ..caching import tracked_cache
+
+    cached = (
+        partials.select(col, weight)
+        .filter(F.col(col).isNotNull())
+        .transform(tracked_cache)
+    )
+    total = cached.agg(F.sum(weight).alias("__n"))
+    cands = misra_gries_candidates(cached, col, k, weight=weight)
+    exact = (
+        cached.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.sum(weight).alias("cnt"))
     )
     return (
         exact.crossJoin(F.broadcast(total))

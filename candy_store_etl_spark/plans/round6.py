@@ -56,25 +56,30 @@ _TRI_MAX_POS = 4096  # char-position cap per doc, shared with the oracle
     f"n/{_TRI_T + 1} survives some partition summary, so the "
     f"exact-verified output at cnt*{_TRI_T} > n is the true heavy-"
     "hitter set, deterministic across partitionings. Char positions "
-    f"cap at {_TRI_MAX_POS} per doc on BOTH engines.",
+    f"cap at {_TRI_MAX_POS} per doc on BOTH engines. Round 7: the "
+    "occurrence relation is now VIRTUAL — char_ngram_partial_counts "
+    "packs each trigram window into an int64 (21 bits/code point) "
+    "and np.unique's per Arrow batch, so the pipeline shuffles "
+    "vocabulary-sized (trigram, partial-count) rows instead of "
+    "exploding ~450M occurrence strings through the JVM; the "
+    "weighted MG fold + weighted exact verify keep the identical "
+    "guarantee and oracle. Measured sf10 (scripts/ab_hh_trigrams.py, "
+    "interleaved rotated order): explode tier 50.8 s -> direct tier "
+    "3.2 s (16x), identical rows — retired the catalog's cost "
+    "leader.",
     tags=("text", "sketch", "heavy-hitters", "mapInPandas"),
 )
 def heavy_hitter_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import explode_nonempty
-    from ..operators.sketches import heavy_hitters_exact
+    from ..operators.sketches import (
+        char_ngram_partial_counts,
+        heavy_hitters_from_partials,
+    )
 
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    tris = explode_nonempty(
-        docs.filter(F.length("text") >= 3).select(
-            F.expr(
-                f"transform(sequence(1, least(length(text) - 2,"
-                f" {_TRI_MAX_POS})), i -> substr(text, i, 3))"
-            ).alias("ts")
-        ),
-        "t3",
-        F.col("ts"),
-    )
-    return heavy_hitters_exact(tris, "t3", t=_TRI_T, k=_TRI_K)
+    partials = char_ngram_partial_counts(
+        docs, "text", n=3, max_pos=_TRI_MAX_POS
+    ).withColumnRenamed("ngram", "t3")
+    return heavy_hitters_from_partials(partials, "t3", "cnt", t=_TRI_T, k=_TRI_K)
 
 
 _CHUNK = 32  # tokens per chunk

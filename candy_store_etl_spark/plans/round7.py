@@ -19,8 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import SQL_TOKENS
 from ..sources.tpch import load_table
 from .registry import register
+from .text import _SQL_FILLER
 
 # 13 appends cross one auto-checkpoint (CHECKPOINT_INTERVAL = 10):
 # versions 0..12, checkpoint rides v10, latest replays v11+v12 = 2
@@ -101,4 +103,340 @@ def table_log_checkpoint_native_read(
         F.lit(info["checkpoint_version"]).cast("long").alias(
             "checkpoint_version"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the pretraining-data pipeline as ONE driver-checkable funnel
+# ---------------------------------------------------------------------------
+
+_F_CAP = 18  # max docs per source (domain cap)
+_F_QMIN = 0.6  # quality threshold (same composite formula as
+# corpus_curation, identically associated on both engines; 0.6 binds
+# on the synthetic corpus where corpus_curation's 0.5 does not)
+_F_MIX_NUM, _F_MIX_DEN = 7, 10  # per-source mixture sampling rate 7/10
+_F_PROBE_MOD = 97  # doc_id % MOD == 0 defines the benchmark set
+_F_PROBE_LEN = 40  # chars of each benchmark probe
+_F_WIN = 32  # tokens per training chunk
+_F_BUDGET = 512  # tokens per packed bin
+_F_SHARD = 16  # bins per output shard
+_F_MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
+
+
+@register(
+    "pretraining_pipeline_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {SQL_TOKENS} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text, toks FROM (
+        SELECT *, len(toks) AS n_tokens,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS dr,
+               len(list_filter(toks, x -> x IN {_SQL_FILLER})) * 1.0
+                 / len(toks) AS fr,
+               LEAST(len(toks) / 40.0, 1.0) AS ls
+        FROM base WHERE len(toks) > 0
+      )
+      WHERE n_tokens >= 5
+        AND 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr) >= {_F_QMIN}
+    ),
+    cap AS (
+      SELECT * FROM q
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              <= {_F_CAP}
+    ),
+    ded AS (
+      SELECT * FROM cap
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+    ),
+    bow AS (
+      SELECT * FROM ded
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string(
+          list_sort(list_distinct(toks)), ' '))
+        ORDER BY doc_id) = 1
+    ),
+    probes AS (
+      SELECT list(DISTINCT substr(text, 1, {_F_PROBE_LEN})) AS ps
+      FROM documents WHERE doc_id % {_F_PROBE_MOD} = 0
+    ),
+    clean AS (
+      SELECT b.* FROM bow b CROSS JOIN probes
+      WHERE len(list_filter(ps, p -> contains(b.text, p))) = 0
+    ),
+    mix AS (
+      SELECT * FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS mrk,
+               COUNT(*) OVER (PARTITION BY source) AS mn
+        FROM clean
+      ) WHERE mrk * {_F_MIX_DEN} <= mn * {_F_MIX_NUM}
+    ),
+    chunks AS (
+      SELECT doc_id, g.k AS chunk_idx,
+             LEAST({_F_WIN}, len(toks) - {_F_WIN} * g.k) AS chunk_toks
+      FROM mix CROSS JOIN generate_series(0, {_F_MAX_CHUNKS} - 1) AS g(k)
+      WHERE {_F_WIN} * g.k < len(toks)
+    ),
+    binned AS (
+      SELECT COALESCE(SUM(chunk_toks) OVER (
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_F_BUDGET} AS bin
+      FROM chunks
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM base) AS n0,
+             (SELECT COUNT(*) FROM q) AS n1,
+             (SELECT COUNT(*) FROM cap) AS n2,
+             (SELECT COUNT(*) FROM ded) AS n3,
+             (SELECT COUNT(*) FROM bow) AS n4,
+             (SELECT COUNT(*) FROM clean) AS n5,
+             (SELECT COUNT(*) FROM mix) AS n6,
+             (SELECT COUNT(*) FROM chunks) AS n7,
+             (SELECT COUNT(DISTINCT bin) FROM binned) AS n8
+    )
+    SELECT stage_idx, stage,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out
+    FROM c, (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10))
+           AS v(stage_idx),
+    LATERAL (SELECT CASE stage_idx
+               WHEN 1 THEN 'ingest' WHEN 2 THEN 'quality_filter'
+               WHEN 3 THEN 'domain_cap' WHEN 4 THEN 'exact_dedup'
+               WHEN 5 THEN 'neardup_bow' WHEN 6 THEN 'decontaminate'
+               WHEN 7 THEN 'mixture_sample' WHEN 8 THEN 'chunk'
+               WHEN 9 THEN 'pack' ELSE 'shard_plan' END AS stage,
+             CASE stage_idx
+               WHEN 1 THEN n0 WHEN 2 THEN n0 WHEN 3 THEN n1
+               WHEN 4 THEN n2 WHEN 5 THEN n3 WHEN 6 THEN n4
+               WHEN 7 THEN n5 WHEN 8 THEN n6 WHEN 9 THEN n7
+               ELSE n8 END AS rows_in,
+             CASE stage_idx
+               WHEN 1 THEN n0 WHEN 2 THEN n1 WHEN 3 THEN n2
+               WHEN 4 THEN n3 WHEN 5 THEN n4 WHEN 6 THEN n5
+               WHEN 7 THEN n6 WHEN 8 THEN n7 WHEN 9 THEN n8
+               ELSE (n8 + {_F_SHARD - 1}) // {_F_SHARD} END AS rows_out
+          ) s
+    ORDER BY stage_idx
+    """,
+    doc="THE capstone composite: one end-to-end pretraining-data "
+    "pipeline — quality filter (corpus_curation's exact formula) -> "
+    "domain cap -> exact dedup (content fingerprint) -> bag-of-words "
+    "near-dup (md5 of sorted distinct tokens: word-order-invariant "
+    "dedup, the portable tier of the near-dup family) -> benchmark "
+    "decontamination (drop docs containing any probe prefix from the "
+    f"doc_id%{_F_PROBE_MOD}==0 benchmark set) -> per-source mixture sample "
+    "(head 7/10, integer-exact rank*10<=n*7) -> context-window "
+    "chunking -> token-budget bin packing -> shard plan — emitted as "
+    "a 10-row funnel (stage, rows_in, rows_out), every stage count "
+    "oracled. Plan shape: stages 1-7 are SURVIVAL FLAGS computed in "
+    "ONE scan of the corpus (conditional running sums over the "
+    "source/fingerprint windows — no per-stage materialization, no "
+    "driver loop); the chunk/pack fan-out runs on the survivors with "
+    "the DISTRIBUTED prefix-sum (range partitions + per-partition "
+    "sums + p-row offset window, never a single-task global window); "
+    "the funnel assembles from two 1-row aggregates. At 100 TB this "
+    "is one corpus pass plus bounded-size window shuffles — the "
+    "whole pipeline's cost profile in one driver-checkable row set. "
+    "Cf. reference src/data_processor.py:136-210 (per-stage driver "
+    "loop over collections).",
+    tags=("pipeline", "capstone", "dedup", "curation", "packing"),
+)
+def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+    from .text import _FILLER
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    n_tok = F.size(t)
+    dr = F.size(F.array_distinct(t)) / n_tok.cast("double")
+    fr = F.size(F.filter(t, lambda x: x.isin(*_FILLER))) / n_tok.cast(
+        "double"
+    )
+    ls = F.least(n_tok / F.lit(40.0), F.lit(1.0))
+    quality = 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr)
+    q_ok = (n_tok >= 5) & (quality >= _F_QMIN) & (n_tok > 0)
+
+    probes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _F_PROBE_MOD == 0)
+        .select(F.substring("text", 1, _F_PROBE_LEN).alias("p"))
+        .agg(F.collect_set("p").alias("ps"))
+    )
+
+    flagged = (
+        docs.withColumn("q_ok", q_ok)
+        .withColumn("__fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn(
+            "__bowfp",
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))),
+        )
+        .withColumn("n_toks", n_tok.cast("long"))
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fp = (
+        Window.partitionBy("__fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bow = (
+        Window.partitionBy("__bowfp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src_all = Window.partitionBy("source")
+
+    def flag(c):
+        return F.when(c, F.lit(1)).otherwise(F.lit(0))
+
+    flagged = (
+        flagged.withColumn(
+            "cap_ok",
+            F.col("q_ok") & (F.sum(flag(F.col("q_ok"))).over(w_src) <= _F_CAP),
+        )
+        .withColumn(
+            "ded_ok",
+            F.col("cap_ok")
+            & (F.sum(flag(F.col("cap_ok"))).over(w_fp) == 1),
+        )
+        .withColumn(
+            "bow_ok",
+            F.col("ded_ok")
+            & (F.sum(flag(F.col("ded_ok"))).over(w_bow) == 1),
+        )
+        .crossJoin(F.broadcast(probes))
+        .withColumn(
+            "clean_ok",
+            F.col("bow_ok")
+            & (
+                F.size(
+                    F.filter(
+                        F.col("ps"), lambda p: F.col("text").contains(p)
+                    )
+                )
+                == 0
+            ),
+        )
+        .withColumn(
+            "mix_ok",
+            F.col("clean_ok")
+            & (
+                F.sum(flag(F.col("clean_ok"))).over(w_src) * _F_MIX_DEN
+                <= F.sum(flag(F.col("clean_ok"))).over(w_src_all)
+                * _F_MIX_NUM
+            ),
+        )
+    )
+    from ..caching import tracked_cache
+
+    flagged = tracked_cache(
+        flagged.select(
+            "doc_id", "n_toks", "q_ok", "cap_ok", "ded_ok", "bow_ok",
+            "clean_ok", "mix_ok",
+        )
+    )
+    doc_counts = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(flag(F.col("q_ok"))).alias("n1"),
+        F.sum(flag(F.col("cap_ok"))).alias("n2"),
+        F.sum(flag(F.col("ded_ok"))).alias("n3"),
+        F.sum(flag(F.col("bow_ok"))).alias("n4"),
+        F.sum(flag(F.col("clean_ok"))).alias("n5"),
+        F.sum(flag(F.col("mix_ok"))).alias("n6"),
+    )
+
+    # chunk + pack over the survivors: distributed prefix sum (range
+    # partitions + per-partition totals + p-row offset window), never
+    # a single-task global cumsum
+    chunks = (
+        flagged.filter("mix_ok")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.ceil(F.col("n_toks") / F.lit(_F_WIN)) - 1,
+                        F.lit(_F_MAX_CHUNKS - 1),
+                    ),
+                )
+            ).alias("chunk_idx"),
+            "n_toks",
+        )
+        .withColumn(
+            "chunk_toks",
+            F.least(
+                F.lit(_F_WIN), F.col("n_toks") - _F_WIN * F.col("chunk_idx")
+            ).cast("long"),
+        )
+    )
+    n_part = 8
+    ranged = chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tracked_cache(
+        with_pid.withColumn("local_cum", F.sum("chunk_toks").over(w_local))
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("chunk_toks").alias("pt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pt").over(w_off), F.lit(0).cast("long")).alias(
+                "__off"
+            ),
+        )
+    )
+    binned = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "bin",
+            F.expr(
+                f"(local_cum + __off - chunk_toks) div {_F_BUDGET}"
+            ).cast("long"),
+        )
+    )
+    pack_counts = binned.agg(
+        F.count(F.lit(1)).alias("n7"),
+        F.countDistinct("bin").alias("n8"),
+    )
+
+    names = [
+        "ingest", "quality_filter", "domain_cap", "exact_dedup",
+        "neardup_bow", "decontaminate", "mixture_sample", "chunk",
+        "pack", "shard_plan",
+    ]
+    ins = ["n0", "n0", "n1", "n2", "n3", "n4", "n5", "n6", "n7", "n8"]
+    outs = [
+        "n0", "n1", "n2", "n3", "n4", "n5", "n6", "n7", "n8",
+        f"(n8 + {_F_SHARD - 1}) div {_F_SHARD}",
+    ]
+    stack_args = ", ".join(
+        f"{i + 1}, '{nm}', CAST({a} AS BIGINT), CAST({b} AS BIGINT)"
+        for i, (nm, a, b) in enumerate(zip(names, ins, outs))
+    )
+    return (
+        doc_counts.crossJoin(F.broadcast(pack_counts))
+        .selectExpr(
+            f"stack({len(names)}, {stack_args}) AS "
+            "(stage_idx, stage, rows_in, rows_out)"
+        )
+        .orderBy("stage_idx")
     )

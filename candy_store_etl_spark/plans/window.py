@@ -18,73 +18,74 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-6 window. Policy: (a) every query NEW or whose
-# plan/oracle/operator CHANGED in round 6 heads the window (13); (b)
-# the remaining 37 slots re-confirm by STRICT oldest-evidence order —
-# all 17 queries whose last driver row is round 1 (five rounds stale,
-# the oldest anywhere in the catalog), then 20 of the 42 round-2 rows
-# chosen for family breadth (multimodal decode/resize/frames, both
-# as-of joins, both forecast forms, streaming session/sliding twins,
-# skew salting, SQL-API and pandas-UDF surfaces, percentile/grouping
-# aggregates). The 22 deferred r2 rows plus the r3 cohort are round
-# 7's backlog; the r4 families the round-5 verdict named (ANN portable
-# twins, patch grid, curation composites) queue right behind them —
-# strictly fresher evidence than anything seated here.
+# Round-7 window. Policy: (a) every query NEW or whose
+# plan/oracle/operator-closure CHANGED in round 7 heads the window
+# (7: two new queries; the PMI cap now shared with its oracle; the
+# trigram row's counting tier; the two table_log queries and the
+# checkpoint query sit over the rewritten sources/table_log.py; the
+# token heavy-hitter sits over the weighted-fold sketches.py); (b)
+# the remaining 43 slots re-confirm by STRICT oldest-evidence order —
+# ALL 22 queries whose last driver row is round 2 (the oldest
+# anywhere in the catalog, incl. the NOTES-named errors_after_
+# purchase and lineitem_measures_unpivot), then 21 of the 22 round-3
+# rows (alphabetical; zorder_layout_key defers). Round 8's backlog:
+# zorder_layout_key, then the 41-query r4 cohort (ANN family, patch
+# grid, sketch/window singles), then r5.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) new or changed in round 6
-    "exact_substring_dup_pairs",  # doc-list plan + 60-bit int keys
-    "exact_substring_dup_savings",  # rides the restructured pairs
-    "heavy_hitter_char_trigrams",  # NEW: MG row that really prunes
-    "doc_chunking",  # NEW: overlapping context windows
-    "curriculum_quality_buckets",  # NEW: distributed NTILE
-    "embedding_outlier_docs",  # NEW: centroid-distance top-k
-    "reservoir_sample_per_source",  # NEW: md5-ranked group sample
-    "token_budget_head_selection_distributed",  # broadcast-join offsets
-    "source_mixture_plan",  # bw zero-guard (advisory)
-    "heavy_hitter_tokens",  # dtype-derived MG fold (advisory)
-    "table_log_time_travel",  # NEW: snapshot/commit + time travel
-    "table_log_pruned_scan",  # NEW: log-planned stats pruning
-    "collocation_pmi_top",  # NEW: PMI collocations, micronat logs
+    # (a) new or changed in round 7
+    "pretraining_pipeline_funnel",  # NEW: capstone 10-stage funnel
+    "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
+    "collocation_pmi_top",  # _PMI_MAX_POS now shared with the oracle
+    "heavy_hitter_char_trigrams",  # direct numpy counting tier
+    "heavy_hitter_tokens",  # sketches.py gained the weighted fold
+    "table_log_time_travel",  # table_log.py rewrite underneath
+    "table_log_pruned_scan",  # table_log.py rewrite underneath
     # (b) re-confirmations, strict oldest-evidence first
-    # last seated round 1 (all 17)
-    "buyers_except",
-    "buyers_intersect",
-    "buyers_union",
-    "customers_with_orders",
-    "customers_without_orders",
-    "distinct_order_profiles",
-    "doc_bpe_token_stats",
-    "doc_fingerprint",
-    "doc_rolling_fingerprint",
-    "explode_embeddings",
-    "json_extract_events",
-    "lineitem_rollup",
-    "nation_customer_counts",
-    "parts_per_flag",
-    "row_ops",
-    "top20_orders",
-    "user_running_value",
-    # last seated round 2 (23 of 42, breadth-first)
-    "above_avg_balance_customers",
-    "approx_distinct_users",
-    "brand_price_geomean",
-    "customer_order_full_outer",
-    "daily_revenue_moving_avg",
-    "linear_forecast_daily_value",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "orders_above_customer_avg",
-    "pandas_udf_score",
-    "price_quartiles_by_brand",
-    "purchase_asof_signup",
-    "purchase_asof_signup_cogrouped",
-    "revenue_grouping_sets",
-    "salted_nation_sales_join",
-    "seasonal_forecast_daily_value",
-    "sql_api_pricing",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
+    # last seated round 2 (all 22)
+    "brand_flagship_part",
+    "brand_price_stats",
+    "daily_from_hourly_rollup",
+    "doc_bigrams_udtf",
+    "embedding_array_ops",
+    "embedding_neardup_pairs",
+    "errors_after_purchase",
+    "event_date_spine",
+    "explode_outer_head3",
+    "lineitem_measures_unpivot",
+    "nation_order_years",
+    "null_handling_ops",
+    "order_date_parts",
+    "order_priority_profile",
+    "order_status_cube",
+    "order_value_distribution",
+    "part_name_analysis",
+    "region_pairs_cross",
+    "salted_status_revenue",
+    "token_array_set_ops",
+    "user_first_last_events",
+    "user_sessions",
+    # last seated round 3 (21 of 22; zorder_layout_key defers to r8)
+    "approx_price_quantiles",
+    "data_quality_audit",
+    "doc_bigram_logprob",
+    "doc_chunks",
+    "doc_length_histogram",
+    "doc_quality_classifier",
+    "doc_repetition_stats",
+    "doc_shard_assignment",
+    "domain_capped_sample",
+    "fuzzy_part_name_match",
+    "incremental_neardup_probe",
+    "nation_revenue_share",
+    "null_safe_user_join",
+    "priority_transition_matrix",
+    "shard_token_budget",
+    "stratified_sample_docs",
+    "streaming_static_enrich",
+    "suppliers_covering_brand",
+    "top_terms_per_lang",
+    "vocab_oov_rate",
+    "weekly_active_users",
 )
 
 

@@ -95,6 +95,23 @@ def plan_fused(spark, sf_dir):
     return _finish(items, cands, total)
 
 
+def plan_direct(spark, sf_dir):
+    # round-7 directive: never materialize the occurrence relation —
+    # numpy-packed trigram codes + np.unique per Arrow batch emit
+    # (trigram, partial count); every downstream phase aggregates
+    # vocabulary-sized partials
+    from candy_store_etl_spark.operators.sketches import (
+        char_ngram_partial_counts,
+        heavy_hitters_from_partials,
+    )
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    partials = char_ngram_partial_counts(
+        docs, "text", n=3, max_pos=MAXPOS
+    ).withColumnRenamed("ngram", "t3")
+    return heavy_hitters_from_partials(partials, "t3", "cnt", t=T, k=K)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -105,7 +122,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    modes = {"cur": plan_cur, "nocache": plan_nocache, "fused": plan_fused}
+    modes = {
+        "cur": plan_cur,
+        "nocache": plan_nocache,
+        "fused": plan_fused,
+        "direct": plan_direct,
+    }
     ref = None
     for name, fn in modes.items():
         rows = sorted(map(tuple, fn(spark, sf_dir).collect()))

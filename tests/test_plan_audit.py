@@ -48,6 +48,11 @@ ALLOW_NESTED_LOOP = {
     # totals (source-cardinality × 1 row — never data×data)
     "temperature_mixture_sample",
     "source_mixture_plan",
+    # round-7: the decontamination probe list rides a broadcast 1-ROW
+    # aggregate (list of benchmark prefixes) cross join, and the
+    # funnel assembles from two broadcast 1-row count aggregates —
+    # never data×data
+    "pretraining_pipeline_funnel",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
@@ -55,6 +60,12 @@ ALLOW_NESTED_LOOP = {
 ALLOW_MANY_EXCHANGES = {
     "inventory_allocation_chained",
     "supplier_pagerank",
+    # round-7 capstone: a 10-stage pipeline in one query — four
+    # survival-flag windows (source rank, content-fp, bow-fp, mixture)
+    # plus the chunk fan-out's distributed prefix sum (range exchange
+    # + p-row offset window) and the final count aggregates; each
+    # exchange is a designed pipeline stage, not a regression
+    "pretraining_pipeline_funnel",
     # two unrolled Lloyd iterations + final assignment, each its own
     # argmax window + (list,dim) grouped mean — iterative by design
     "ann_topk_ivf_portable",
@@ -218,4 +229,36 @@ def test_tracked_caches_release_fully(spark, sf_correctness):
     assert tracked_count() == 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "cached relations survived release_caches()"
+    )
+
+
+# grouped-top-k queries whose rank-filter must push BELOW the sort as
+# a WindowGroupLimit (Spark's rank-limit pushdown): without it, every
+# group's FULL row set is sorted and materialized through the window,
+# which at 100 TB is the difference between shuffling top-k per group
+# and shuffling the whole fact table through a sort
+GROUPED_TOP_K = [
+    "reservoir_sample_per_source",
+    "embedding_outlier_docs",
+    "top_orders_per_customer",
+]
+
+
+@pytest.mark.parametrize("name", GROUPED_TOP_K)
+def test_grouped_topk_pushes_window_group_limit(spark, sf_correctness, name):
+    """The EXECUTED plan (AQE-final — collect first, then explain)
+    must contain WindowGroupLimit, in both its partial (map-side,
+    before the shuffle) and final forms — the round-6 verdict's
+    deferred plan assertion (c)."""
+    spark.catalog.clearCache()
+    df = QUERIES[name].fn(spark, sf_correctness)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    n_wgl = tree.count("WindowGroupLimit")
+    assert n_wgl >= 2, (
+        f"{name}: expected partial+final WindowGroupLimit below the "
+        f"sort, found {n_wgl}:\n{tree}"
     )

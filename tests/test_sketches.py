@@ -135,3 +135,71 @@ def test_null_keys_excluded_and_big_int64_keys_survive(spark_sketch):
     }
     # universe excludes nulls: n = 500 + 600 = 1100; big has 500/1100
     assert got == {big: (500, 500 * 1_000_000 // 1100)}
+
+
+def test_char_ngram_partial_counts_unicode_and_cap(spark_sketch):
+    """The numpy trigram counter must agree with Python character
+    slicing — including non-ASCII (code points are counted, not
+    bytes) — and respect the start-position cap."""
+    from collections import Counter
+
+    from candy_store_etl_spark.operators.sketches import (
+        char_ngram_partial_counts,
+    )
+
+    texts = [
+        "hello world",
+        "héllo wörld 你好吗 abc",
+        "ab",  # shorter than n -> contributes nothing
+        "aaaaaa",
+        None,
+        "x" * 50,  # cap binds: only first 10 start positions count
+    ]
+    cap = 10
+    df = spark_sketch.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).repartition(3)
+    got = Counter()
+    for r in char_ngram_partial_counts(
+        df, "text", n=3, max_pos=cap
+    ).collect():
+        got[r.ngram] += r.cnt
+    want = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        s = t[: cap + 2]
+        for i in range(len(s) - 2):
+            want[s[i : i + 3]] += 1
+    assert got == want
+
+
+def test_weighted_partials_equal_unweighted_heavy_hitters(
+    spark_sketch, zipf_df
+):
+    """heavy_hitters_from_partials over pre-aggregated (tok, cnt)
+    partials == heavy_hitters_exact over the raw occurrence stream —
+    the equivalence the 16x direct trigram tier rests on."""
+    from candy_store_etl_spark.operators.sketches import (
+        heavy_hitters_from_partials,
+    )
+
+    df, _rows = zipf_df
+    want = sorted(
+        tuple(r) for r in heavy_hitters_exact(df, "tok", t=48, k=64).collect()
+    )
+    # partials: per-partition pre-counts (several partials per token)
+    partials = (
+        df.repartition(8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .drop("pid")
+    )
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters_from_partials(
+            partials, "tok", "cnt", t=48, k=64
+        ).collect()
+    )
+    assert got == want and got
