@@ -11,6 +11,8 @@ closes it — the same registration machinery as
           .option("path", table_dir)
           .option("version", 3)          # optional time travel
           .load())
+    df.write.format("table_log").option("path", table_dir) \
+      .mode("append").save()             # or mode("overwrite")
 
 Where the scale design lives:
 
@@ -43,8 +45,11 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -53,6 +58,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from . import table_log as tl
@@ -150,6 +156,80 @@ class TableLogReader(DataSourceReader):
         yield from pq.ParquetFile(partition.path).iter_batches()
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    name: str  # table-relative data file name
+    rows: int
+
+
+class TableLogWriter(DataSourceArrowWriter):
+    """Engine-native writes: ``df.write.format("table_log").save()``.
+
+    Each task streams its Arrow batches into ONE parquet file named
+    uniquely for this (task, attempt) directly in the table dir —
+    visible to nobody, because only files referenced by the log exist
+    logically. The DRIVER then turns the collected task messages into
+    a single atomic commit (append, or overwrite = remove the old
+    snapshot + add the new files in one version). This is exactly the
+    two-phase commit a lakehouse writer needs, and the failure story
+    is the table log's own: a crashed/aborted write leaves only
+    never-referenced files, which ``vacuum`` reclaims after the grace
+    window; a commit race surfaces as ``ConcurrentCommitError`` for
+    the caller to retry (the writes need not be redone — re-deriving
+    the commit against the refreshed log suffices for append)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.table_dir = options.get("path")
+        if not self.table_dir:
+            raise ValueError("table_log requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = (
+            f"w{ctx.stageId()}-{ctx.partitionId()}"
+            f"-{ctx.taskAttemptId()}.parquet"
+        )
+        os.makedirs(self.table_dir, exist_ok=True)
+        batches = []
+        rows = 0
+        for batch in iterator:
+            rows += batch.num_rows
+            batches.append(batch)
+        if rows == 0:
+            return _WroteFile(name="", rows=0)
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, os.path.join(self.table_dir, name))
+        return _WroteFile(name=name, rows=rows)
+
+    def commit(self, messages):
+        names = sorted(m.name for m in messages if m and m.rows > 0)
+        if self.overwrite:
+            old = [
+                os.path.basename(p)
+                for p in tl.snapshot_files(self.table_dir)
+            ] if tl.current_version(self.table_dir) is not None else []
+            tl.commit(
+                self.table_dir, add=names, remove=old, op="overwrite"
+            )
+        else:
+            tl.commit(self.table_dir, add=names, op="append")
+
+    def abort(self, messages):
+        # staged files were never referenced by the log; delete what
+        # we can now, vacuum's grace window reclaims the rest
+        for m in messages:
+            if m and m.rows > 0:
+                try:
+                    os.remove(os.path.join(self.table_dir, m.name))
+                except OSError:
+                    pass
+
+
 class TableLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -175,3 +255,6 @@ class TableLogDataSource(DataSource):
 
     def reader(self, schema) -> TableLogReader:
         return TableLogReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TableLogWriter:
+        return TableLogWriter(self.options, overwrite)

@@ -1,16 +1,20 @@
 """Interleaved A/B for the heavy-hitter sketch plan (round-6: the
-trigram row is the new sf10 cost leader at ~53 s).
-
-The production plan caches the exploded item relation and scans it
-three times (total count, MG candidates, exact verify). At sf10 that
-relation is ~450M short strings — the cache itself may be the bill.
+trigram row was the sf10 cost leader at ~53 s; round-7 settled it).
 
 Modes (identical results, asserted):
-  cur     — tracked_cache + 3 scans (production)
+  cur     — the round-6 production plan: tracked_cache'd explode + 3
+            scans (total count, MG candidates, exact verify)
   nocache — same plan, no cache: 3 independent explodes
   fused   — no cache; total count computed WITHOUT exploding (sum of
             per-doc trigram counts — one cheap doc-level aggregate),
             explode only for candidates + exact verify (2 explodes)
+  direct  — ROUND-7 PRODUCTION: never materialize occurrences —
+            numpy-packed trigram codes + np.unique per Arrow batch
+            emit (trigram, partial-count); weighted MG fold + weighted
+            exact verify downstream (operators/sketches.py)
+
+Measured sf10 (2 reps, rotated order): cur 50.8 / nocache 44.1 /
+fused 38.8 / direct 3.2 s — the direct tier is registered.
 
 Usage: python scripts/ab_hh_trigrams.py [sf_dir] [reps]
 """

@@ -55,6 +55,9 @@ QUERIES = [
     "heavy_hitter_char_trigrams",
     "doc_chunking",
     "curriculum_quality_buckets",
+    # round-7 addition: the 10-stage capstone — its curve verifies the
+    # one-scan survival-flag design plus the distributed prefix sum
+    "pretraining_pipeline_funnel",
 ]
 
 # measured at sf10 too (each trial is ~10-60s); complete since round 5

@@ -322,3 +322,42 @@ def test_native_reader_prunes_files_from_committed_stats(spark, table):
     )
     got = sorted(r.doc_id for r in df.collect())
     assert got == list(range(10, 21))
+
+
+def test_native_writer_append_and_overwrite_roundtrip(spark, table):
+    """df.write.format('table_log'): task files + ONE atomic driver
+    commit; append accumulates versions, overwrite swaps the snapshot,
+    reads round-trip through the native reader, and time travel still
+    sees pre-overwrite data."""
+    _register_table_log_source(spark)
+
+    def w(ids, mode):
+        _df(spark, ids).write.format("table_log").option(
+            "path", table
+        ).mode(mode).save()
+
+    w([1, 2], "append")
+    w([3], "append")
+    assert _rows(spark, table) == [(1, 10), (2, 20), (3, 30)]
+    w([9], "overwrite")
+    assert _rows(spark, table) == [(9, 90)]
+    assert _rows(spark, table, 1) == [(1, 10), (2, 20), (3, 30)]
+    ops = [e["op"] for e in tl.log_entries(table)]
+    assert ops == ["append", "append", "overwrite"]
+    via_reader = (
+        spark.read.format("table_log").option("path", table).load()
+    )
+    assert sorted((r.doc_id, r.n_chars) for r in via_reader.collect()) == [
+        (9, 90)
+    ]
+
+
+def test_native_writer_empty_partitions_write_no_files(spark, table):
+    _register_table_log_source(spark)
+    df = _df(spark, [1]).repartition(8)  # 7 empty partitions
+    df.write.format("table_log").option("path", table).mode(
+        "append"
+    ).save()
+    files = tl.snapshot_files(table)
+    assert len(files) == 1  # empty tasks commit nothing
+    assert _rows(spark, table) == [(1, 10)]
