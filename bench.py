@@ -52,6 +52,10 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "doc_chunking",
     "curriculum_quality_buckets",
+    # round-7 additions: the direct (non-explode) trigram sketch tier
+    # and the 10-stage capstone pipeline
+    "heavy_hitter_char_trigrams",
+    "pretraining_pipeline_funnel",
 ]
 
 

@@ -440,3 +440,94 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_idx")
     )
+
+
+@register(
+    "table_log_writer_roundtrip",
+    oracle="""
+    SELECT 0 AS version,
+           CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_chars) FILTER (doc_id % 2 = 0), 0)
+                AS BIGINT) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id < 250
+    """,
+    doc="The ENGINE-NATIVE WRITE path, driver-checked: the scratch "
+    "table is built entirely through df.write.format('table_log') — "
+    "v0 appends the even doc_ids, v1 appends the odds, v2 OVERWRITES "
+    "with doc_id < 250 — then every version is read back through the "
+    "native reader with time travel. Each task stages one parquet "
+    "file (named by stage/partition/attempt) and the DRIVER commits "
+    "the batch as one atomic log version (DataSourceArrowWriter "
+    "two-phase commit); an overwrite removes the prior snapshot and "
+    "adds its files in the SAME version, so readers never see a mix. "
+    "The oracle recomputes each version's contents from the source "
+    "relation: a writer that dropped a task file, double-committed a "
+    "retry, or tore the overwrite hash-mismatches. Completes the "
+    "table-format surface: native reader (checkpointed, "
+    "stats-pruned), native writer, library API, and CDC sink all "
+    "commit through one log.",
+    tags=("warehouse", "table-format", "datasource", "writer"),
+)
+def table_log_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import table_log as tl
+    from ..sources import table_log_source
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    table_log_source.register(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="writer")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_writer_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 2:
+            return False
+        return all(
+            os.path.exists(p)
+            for v in range(3)
+            for p in tl.snapshot_files(d, version=v)
+        )
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+
+        def w(df, mode):
+            df.write.format("table_log").option("path", stage).mode(
+                mode
+            ).save()
+
+        w(docs.filter(F.col("doc_id") % 2 == 0), "append")
+        w(docs.filter(F.col("doc_id") % 2 == 1), "append")
+        w(docs.filter(F.col("doc_id") < 250), "overwrite")
+
+    ensure_scratch(table, _build, _intact)
+    parts = []
+    for v in range(3):
+        snap = (
+            spark.read.format("table_log")
+            .option("path", table)
+            .option("version", v)
+            .load()
+        )
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("total_chars").cast("long").alias("total_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
