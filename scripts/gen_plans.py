@@ -39,6 +39,9 @@ HEADLINE = [
     "curriculum_quality_buckets",
     "heavy_hitter_tokens",
     "collocation_pmi_top",
+    # round-7: the capstone funnel (one-scan survival flags +
+    # distributed prefix sum)
+    "pretraining_pipeline_funnel",
 ]
 
 
