@@ -121,34 +121,13 @@ def heavy_hitters_exact(
     parts-per-million share (count * 1e6 div n), both deterministic.
     NULL keys are not items: excluded from candidates, counts, AND the
     total n (one universe across both phases — round-6 review).
-    """
-    if t > k:
-        raise ValueError(f"threshold divisor t={t} must be <= k={k}")
-    from ..caching import tracked_cache
 
-    cached = (
-        items.select(col)
-        .filter(F.col(col).isNotNull())
-        .transform(tracked_cache)
-    )
-    total = cached.agg(F.count(F.lit(1)).alias("__n"))
-    cands = misra_gries_candidates(cached, col, k)
-    exact = (
-        cached.join(F.broadcast(cands), col)
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * t > F.col("__n"))
-        .select(
-            col,
-            F.col("cnt").cast("long").alias("cnt"),
-            F.expr("cnt * CAST(1000000 AS BIGINT) div __n")
-            .cast("long")
-            .alias("share_ppm"),
-        )
-    )
+    Delegates to ``heavy_hitters_from_partials`` with unit weights —
+    an unweighted occurrence IS a partial count of 1, so one
+    implementation carries the guard, the null-universe discipline,
+    and the threshold/ppm expressions for both forms."""
+    unit = items.select(col).withColumn("__w1", F.lit(1).cast("long"))
+    return heavy_hitters_from_partials(unit, col, "__w1", t=t, k=k)
 
 
 def char_ngram_partial_counts(
@@ -179,6 +158,15 @@ def char_ngram_partial_counts(
     fold); at 100 TB the shuffle carries vocabulary-sized partials
     instead of the corpus's n-gram occurrences."""
     import numpy as np
+
+    if n < 1 or n * 21 > 63:
+        # 21 bits per code point in a SIGNED int64: n >= 4 would wrap
+        # silently in numpy shifts, colliding distinct n-grams into one
+        # code (wrong counts) and decoding garbage — fail loudly instead
+        raise ValueError(
+            f"n={n} not packable: 21-bit-per-codepoint int64 packing "
+            "supports 1 <= n <= 3"
+        )
 
     out_schema = StructType(
         [

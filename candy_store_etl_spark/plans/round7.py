@@ -249,7 +249,7 @@ _F_MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
 def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.text import tokens
+    from ..functions.text import distinct_ratio, stopword_ratio, tokens
     from .text import _FILLER
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -257,10 +257,11 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("toks")
     n_tok = F.size(t)
-    dr = F.size(F.array_distinct(t)) / n_tok.cast("double")
-    fr = F.size(F.filter(t, lambda x: x.isin(*_FILLER))) / n_tok.cast(
-        "double"
-    )
+    # the SHARED quality-formula pieces (functions/text.py) — the
+    # docstring's "corpus_curation's exact formula" claim holds only
+    # if the two queries can't drift apart
+    dr = distinct_ratio(t)
+    fr = stopword_ratio(t, _FILLER)
     ls = F.least(n_tok / F.lit(40.0), F.lit(1.0))
     quality = 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr)
     q_ok = (n_tok >= 5) & (quality >= _F_QMIN) & (n_tok > 0)

@@ -78,6 +78,9 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer won the race for this version."""
 
 
+_UNPINNED = object()  # sentinel: commit() re-reads latest itself
+
+
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, LOG_DIR)
 
@@ -172,15 +175,29 @@ def commit(
     remove: list[str] = (),
     op: str = "commit",
     stats: dict | None = None,
+    base_version: int | None | object = _UNPINNED,
 ) -> int:
     """Atomically commit the next version. ``add``/``remove`` are data
     file names relative to ``table_dir``. Returns the committed
     version; raises ConcurrentCommitError if another writer took it
     (optimistic concurrency — re-derive against the new snapshot and
-    retry)."""
+    retry).
+
+    ``base_version`` PINS the snapshot this commit was derived from
+    (the value ``current_version`` returned when the caller read the
+    table; ``None`` = derived from an empty table): the commit is
+    attempted at exactly ``base_version + 1``, so a concurrent commit
+    landing AFTER the caller's read but BEFORE this call surfaces as
+    ``ConcurrentCommitError`` instead of being silently built over —
+    the check-and-set every optimistic writer needs. Unpinned commits
+    (the default) take the next free version; use that only when the
+    commit does not depend on the snapshot it lands on (pure appends)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
-    latest = current_version(table_dir)
-    version = 0 if latest is None else latest + 1
+    if base_version is _UNPINNED:
+        latest = current_version(table_dir)
+        version = 0 if latest is None else latest + 1
+    else:
+        version = 0 if base_version is None else base_version + 1
     entry = {
         "version": version,
         "op": op,
@@ -224,10 +241,15 @@ def commit_with_retry(
     ``derive(latest_version) -> commit kwargs`` (add/remove/op/stats)
     is re-invoked against the REFRESHED snapshot each time another
     writer wins the version race, so the retried commit is derived
-    from what actually got committed, never from a stale view."""
+    from what actually got committed, never from a stale view. The
+    version ``derive`` observed is PINNED into the commit attempt
+    (``base_version``), so a concurrent commit landing while
+    ``derive`` runs — not just inside ``commit`` itself — is detected
+    and retried rather than silently built over."""
     for attempt in range(1, max_attempts + 1):
+        base = current_version(table_dir)
         try:
-            return commit(table_dir, **derive(current_version(table_dir)))
+            return commit(table_dir, **derive(base), base_version=base)
         except ConcurrentCommitError:
             if attempt == max_attempts:
                 raise
@@ -260,13 +282,23 @@ def checkpoint(table_dir: str, *, version: int | None = None) -> int:
         os.fsync(f.fileno())
     os.replace(tmp, path)
     # _last_checkpoint is a hint (readers re-glob if it's stale/absent)
+    # and must only ADVANCE: checkpointing an old version for time
+    # travel must not repoint latest-snapshot reads below a newer
+    # checkpoint (that would silently regress them to a long replay)
     lc = os.path.join(_log_dir(table_dir), LAST_CHECKPOINT)
-    tmp = f"{lc}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, lc)
+    hinted = -1
+    try:
+        with open(lc) as f:
+            hinted = json.load(f)["version"]
+    except (OSError, ValueError, KeyError):
+        pass
+    if version > hinted:
+        tmp = f"{lc}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, lc)
     _fsync_dir(_log_dir(table_dir))
     return version
 
@@ -416,10 +448,19 @@ def overwrite(
     os.makedirs(table_dir, exist_ok=True)
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
-    old = [os.path.basename(p) for p in snapshot_files(table_dir)]
+    # the remove list is derived from the snapshot read HERE, so the
+    # commit pins that version: a concurrent commit in the staging
+    # window raises ConcurrentCommitError instead of being clobbered
+    old = [
+        os.path.basename(p)
+        for p in snapshot_files(table_dir, version=latest)
+    ] if latest is not None else []
     names = _stage_dataframe(df, table_dir, hint)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
-    return commit(table_dir, add=names, remove=old, op="overwrite", stats=stats)
+    return commit(
+        table_dir, add=names, remove=old, op="overwrite", stats=stats,
+        base_version=latest,
+    )
 
 
 def compact(
@@ -439,8 +480,11 @@ def compact(
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
-    old = [os.path.basename(p) for p in snapshot_files(table_dir)]
-    df = read_snapshot(spark, table_dir)
+    old = [
+        os.path.basename(p)
+        for p in snapshot_files(table_dir, version=latest)
+    ]
+    df = read_snapshot(spark, table_dir, version=latest)
     if sort_by is not None:
         df = df.repartitionByRange(target_files, sort_by).sortWithinPartitions(
             sort_by
@@ -449,7 +493,12 @@ def compact(
         df = df.coalesce(target_files)
     names = _stage_dataframe(df, table_dir, latest + 1)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
-    return commit(table_dir, add=names, remove=old, op="compact", stats=stats)
+    # pinned like overwrite: the rewrite is a function of the snapshot
+    # at ``latest``, so a commit landing mid-compact must win the race
+    return commit(
+        table_dir, add=names, remove=old, op="compact", stats=stats,
+        base_version=latest,
+    )
 
 
 def snapshot_file_stats(

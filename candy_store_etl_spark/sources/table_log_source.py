@@ -185,7 +185,6 @@ class TableLogWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
@@ -195,26 +194,41 @@ class TableLogWriter(DataSourceArrowWriter):
             f"-{ctx.taskAttemptId()}.parquet"
         )
         os.makedirs(self.table_dir, exist_ok=True)
-        batches = []
+        # batch-by-batch through ParquetWriter: peak memory is one
+        # Arrow batch, not the whole task partition
+        writer = None
         rows = 0
-        for batch in iterator:
-            rows += batch.num_rows
-            batches.append(batch)
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.table_dir, name), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
         if rows == 0:
             return _WroteFile(name="", rows=0)
-        table = pa.Table.from_batches(batches)
-        pq.write_table(table, os.path.join(self.table_dir, name))
         return _WroteFile(name=name, rows=rows)
 
     def commit(self, messages):
         names = sorted(m.name for m in messages if m and m.rows > 0)
         if self.overwrite:
+            # pin the snapshot the remove list came from, so a commit
+            # racing in between surfaces as ConcurrentCommitError
+            # instead of being silently built over
+            base = tl.current_version(self.table_dir)
             old = [
                 os.path.basename(p)
-                for p in tl.snapshot_files(self.table_dir)
-            ] if tl.current_version(self.table_dir) is not None else []
+                for p in tl.snapshot_files(self.table_dir, version=base)
+            ] if base is not None else []
             tl.commit(
-                self.table_dir, add=names, remove=old, op="overwrite"
+                self.table_dir, add=names, remove=old, op="overwrite",
+                base_version=base,
             )
         else:
             tl.commit(self.table_dir, add=names, op="append")

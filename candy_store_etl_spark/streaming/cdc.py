@@ -91,11 +91,20 @@ def make_partitioned_cdc_sink(
     given, collects one dict per applied batch with the rewrite-volume
     evidence (buckets/files/rows touched vs total).
     """
+    # the applied-id ledger is read from the log ONCE (covers a sink
+    # restarting over an existing table), then maintained in the sink
+    # closure — batch N must not replay N commit files just to learn
+    # it hasn't run yet (that's quadratic metadata I/O over the
+    # stream's lifetime, the cost curve the checkpoint exists to kill)
+    applied: set[int] | None = None
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import scoped_cache
 
-        if batch_id in applied_batches(table_dir):
+        nonlocal applied
+        if applied is None:
+            applied = applied_batches(table_dir)
+        if batch_id in applied:
             return  # retried epoch: the committed swap IS the marker
         spark = batch_df.sparkSession
         # the increments relation is per-key-sized and consumed by two
@@ -112,6 +121,7 @@ def make_partitioned_cdc_sink(
             )
             if not touched:
                 tl.commit(table_dir, op=f"cdc-batch-{batch_id}")
+                applied.add(batch_id)
                 return
             touched_set = set(touched)
             live = (
@@ -128,8 +138,11 @@ def make_partitioned_cdc_sink(
                     F.col(key_col).alias("_k"),
                     *[F.col(c).alias(f"_old_{c}") for c in add_cols],
                 )
+                # eqNullSafe: a NULL merge key is ONE key (matching the
+                # batch aggregate's null group), not a row that dodges
+                # the join and duplicates every batch
                 merged = old_k.join(
-                    inc, old_k["_k"] == inc[key_col], "full_outer"
+                    inc, old_k["_k"].eqNullSafe(inc[key_col]), "full_outer"
                 ).select(
                     F.coalesce("_k", key_col).alias(key_col),
                     *[
@@ -173,6 +186,7 @@ def make_partitioned_cdc_sink(
             remove=[os.path.basename(p) for p in old_touched],
             op=f"cdc-batch-{batch_id}",
         )
+        applied.add(batch_id)
         if metrics is not None:
             # footer row counts: metadata I/O only, zero Spark jobs —
             # per-batch metrics must not distort the measured trigger

@@ -182,3 +182,29 @@ def test_streaming_integration_end_to_end(spark, table, tmp_path):
         for r in _increments(spark.read.parquet(src)).collect()
     )
     assert got == want
+
+
+def test_null_merge_keys_merge_to_one_row(spark, table):
+    """NULL is ONE merge key (the batch aggregate's null group), not a
+    row that dodges the join and duplicates every batch (post-r7
+    review: the merge join must be null-safe)."""
+    batches = [
+        [(None, 1.0), (7, 1.0), (None, 2.0)],
+        [(None, 3.0), (7, 1.0)],
+        [(None, 5.0)],
+    ]
+    sink = _sink(table)
+    for i, rows in enumerate(batches):
+        sink(_events(spark, rows), i)
+
+    def keyed(rows):
+        return sorted(
+            ((r.user_id, r.n_events, r.cents) for r in rows),
+            key=lambda t: (t[0] is not None, t[0] or 0),
+        )
+
+    got = keyed(read_warehouse(spark, table).collect())
+    all_rows = [r for b in batches for r in b]
+    want = keyed(_increments(_events(spark, all_rows)).collect())
+    assert got == want
+    assert sum(1 for t in got if t[0] is None) == 1

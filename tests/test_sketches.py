@@ -203,3 +203,17 @@ def test_weighted_partials_equal_unweighted_heavy_hitters(
         ).collect()
     )
     assert got == want and got
+
+
+def test_ngram_width_beyond_int64_packing_rejected(spark_sketch):
+    """n >= 4 would overflow the 21-bit-per-codepoint int64 packing
+    (silent collisions, garbage decodes) — must fail loudly instead."""
+    from candy_store_etl_spark.operators.sketches import (
+        char_ngram_partial_counts,
+    )
+
+    docs = spark_sketch.createDataFrame([("abcdef",)], "text string")
+    with pytest.raises(ValueError, match="packable"):
+        char_ngram_partial_counts(docs, "text", n=4)
+    with pytest.raises(ValueError, match="packable"):
+        char_ngram_partial_counts(docs, "text", n=0)

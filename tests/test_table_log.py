@@ -361,3 +361,57 @@ def test_native_writer_empty_partitions_write_no_files(spark, table):
     files = tl.snapshot_files(table)
     assert len(files) == 1  # empty tasks commit nothing
     assert _rows(spark, table) == [(1, 10)]
+
+
+def test_commit_pins_base_version(spark, table):
+    """A commit derived from a snapshot that is no longer latest must
+    LOSE, not silently build over the interloper (post-r7 review: the
+    check-and-set contract, not just mutual exclusion on one name)."""
+    tl.append(_df(spark, [1]), table)  # v0
+    base = tl.current_version(table)
+    tl.commit(table, add=[], op="interloper")  # v1 lands after our read
+    with pytest.raises(tl.ConcurrentCommitError):
+        tl.commit(table, add=[], op="stale", base_version=base)
+    # unpinned commits still take the next free slot
+    assert tl.commit(table, add=[], op="unpinned") == 2
+
+
+def test_commit_with_retry_detects_interloper_during_derive(spark, table):
+    """The real race the retry loop exists for: a concurrent commit
+    lands WHILE derive runs (not inside commit's own microsecond
+    window). The pinned base version must surface it and re-derive —
+    no monkeypatching, the genuine code path."""
+    tl.append(_df(spark, [1]), table)  # v0
+    fired = {"done": False}
+    seen = []
+
+    def derive(latest):
+        seen.append(latest)
+        if not fired["done"]:
+            fired["done"] = True
+            tl.commit(table, add=[], op="interloper")  # during derive
+        return {"add": [], "op": f"derived-at-{latest}"}
+
+    v = tl.commit_with_retry(table, derive)
+    assert seen == [0, 1]  # stale derivation detected, re-derived
+    assert v == 2
+    assert tl.log_entries(table)[-1]["op"] == "derived-at-1"
+
+
+def test_checkpoint_hint_only_advances(spark, table):
+    """Checkpointing an OLD version (a time-travel aid) must not
+    repoint _last_checkpoint below a newer checkpoint — that would
+    silently regress latest-snapshot reads to a long replay."""
+    for _ in range(2 * tl.CHECKPOINT_INTERVAL + 1):  # v0..v20
+        tl.commit(table, add=[])
+    assert (
+        tl.snapshot_replay_info(table)["checkpoint_version"]
+        == 2 * tl.CHECKPOINT_INTERVAL
+    )
+    tl.checkpoint(table, version=5)
+    info = tl.snapshot_replay_info(table)
+    assert info["checkpoint_version"] == 2 * tl.CHECKPOINT_INTERVAL
+    # ...while the old-version checkpoint still accelerates time travel
+    assert (
+        tl.snapshot_replay_info(table, version=5)["checkpoint_version"] == 5
+    )
