@@ -532,3 +532,100 @@ def table_log_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "table_log_change_feed",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'insert', 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'insert', 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT 'remove', 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'insert', 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    doc="The table log as a STREAMING CHANGE FEED — "
+    "spark.readStream.format('table_log').option('changeFeed','true') "
+    "(sources/table_log_source.py TableLogChangeFeedReader): offsets "
+    "ARE committed versions, each micro-batch reads exactly the "
+    "commits that landed since the last trigger, added files stream "
+    "as insert rows and removed files as remove rows (immutable until "
+    "vacuum — the Delta-CDF retention contract), and compact commits "
+    "are layout-only so the feed SKIPS them. The scratch table takes "
+    "append/append/overwrite/COMPACT/append; the result aggregates "
+    "the feed per (change_type, commit_version), so the oracle pins "
+    "all four semantics at once: the overwrite emits BOTH its inserts "
+    "and the prior snapshot's removes under one version, the compact "
+    "version is absent, and every count/chars sum is recomputed by "
+    "DuckDB from the source relation. At 100 TB this is the "
+    "incremental-consumption face of the lakehouse: downstream jobs "
+    "follow the log at commit granularity and read only each "
+    "commit's delta, never rescanning the table. Completes the "
+    "format surface: batch reader (checkpointed, stats-pruned), "
+    "native writer, CDC sink, and now a streaming source, all over "
+    "one log.",
+    tags=("warehouse", "table-format", "streaming", "datasource"),
+)
+def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import table_log as tl
+    from ..sources import table_log_source
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from ..streaming.events import run_stream_to_memory
+
+    table_log_source.register(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="cdf")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_cdf_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 4:
+            return False
+        # the feed reads REMOVED files too (v2's removes = v0/v1's
+        # adds), so every ever-added file must still exist
+        return all(
+            os.path.exists(os.path.join(d, n))
+            for e in tl.log_entries(d)
+            for n in e["add"]
+        )
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        tl.append(docs.filter(F.col("doc_id") % 3 == 0), stage)
+        tl.append(docs.filter(F.col("doc_id") % 3 == 1), stage)
+        tl.overwrite(docs.filter(F.col("doc_id") < 300), stage)
+        tl.compact(spark, stage)
+        tl.append(docs.filter(F.col("doc_id") % 5 == 0), stage)
+
+    ensure_scratch(table, _build, _intact)
+    feed = (
+        spark.readStream.format("table_log")
+        .option("path", table)
+        .option("changeFeed", "true")
+        .load()
+    )
+    agg = feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    run_stream_to_memory(agg, "csetl_tlog_cdf", output_mode="complete")
+    return spark.table("csetl_tlog_cdf")

@@ -415,3 +415,98 @@ def test_checkpoint_hint_only_advances(spark, table):
     assert (
         tl.snapshot_replay_info(table, version=5)["checkpoint_version"] == 5
     )
+
+
+def _cdf(spark, table):
+    return (
+        spark.readStream.format("table_log")
+        .option("path", table)
+        .option("changeFeed", "true")
+        .load()
+    )
+
+
+def test_change_feed_emits_inserts_removes_skips_compact(spark, table):
+    """The streaming change feed: adds stream as insert rows, an
+    overwrite's removed snapshot as remove rows under the SAME
+    version, and compact (layout-only) emits nothing."""
+    _register_table_log_source(spark)
+    tl.append(_df(spark, [1, 2]), table)  # v0
+    tl.append(_df(spark, [3]), table)  # v1
+    tl.overwrite(_df(spark, [9]), table)  # v2: +{9} -{1,2,3}
+    tl.compact(spark, table)  # v3: skipped
+    tl.append(_df(spark, [4, 5]), table)  # v4
+
+    q = (
+        _cdf(spark, table)
+        .writeStream.format("memory")
+        .queryName("tlog_cdf_scenario")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r._change_type, r._commit_version, r.doc_id)
+        for r in spark.table("tlog_cdf_scenario").collect()
+    )
+    assert rows == [
+        ("insert", 0, 1), ("insert", 0, 2), ("insert", 1, 3),
+        ("insert", 2, 9), ("insert", 4, 4), ("insert", 4, 5),
+        ("remove", 2, 1), ("remove", 2, 2), ("remove", 2, 3),
+    ]
+    # no version-3 (compact) rows anywhere
+    assert all(v != 3 for _, v, _ in rows)
+
+
+def test_change_feed_consumes_incrementally(spark, table, tmp_path):
+    """Offsets are committed versions: a restarted reader with the
+    same checkpoint reads ONLY the commits that landed since."""
+    _register_table_log_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    tl.append(_df(spark, [1]), table)  # v0
+    tl.append(_df(spark, [2]), table)  # v1
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        got = []
+        q = (
+            _cdf(spark, table)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: got.extend(
+                    (r._commit_version, r.doc_id) for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(got)
+
+    assert run() == [(0, 1), (1, 2)]
+    tl.append(_df(spark, [7]), table)  # v2 lands after phase 1
+    # the restarted reader sees only what landed since its checkpoint
+    assert run() == [(2, 7)]
+
+
+def test_change_feed_option_guards(spark, table):
+    """changeFeed=true is the streaming face and streaming IS the
+    change feed — both mismatches fail loudly, so the schema the user
+    sees always matches the rows they get."""
+    _register_table_log_source(spark)
+    tl.append(_df(spark, [1]), table)
+    with pytest.raises(Exception, match="STREAMING|streaming"):
+        spark.read.format("table_log").option("path", table).option(
+            "changeFeed", "true"
+        ).load().collect()
+    with pytest.raises(Exception, match="changeFeed"):
+        (
+            spark.readStream.format("table_log")
+            .option("path", table)
+            .load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
