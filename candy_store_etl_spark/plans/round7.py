@@ -629,3 +629,78 @@ def table_log_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(agg, "csetl_tlog_cdf", output_mode="complete")
     return spark.table("csetl_tlog_cdf")
+
+
+@register(
+    "table_log_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-evolution>'
+                ELSE source END AS src,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(3 AS BIGINT) AS n_schema_cols
+    FROM documents GROUP BY 1
+    """,
+    doc="ADDITIVE SCHEMA EVOLUTION through the table log: v0 appends "
+    "(doc_id, n_chars) for the even doc_ids, v1 appends the odds "
+    "WITH a new nullable source column — the commit records the "
+    "writer's schema, so the table schema is resolved from the LOG "
+    "(newest wins; per-version for time travel) and the v0 files "
+    "null-fill source on every read face (library scan plans under "
+    "the committed schema; the native DataSource reader pads Arrow "
+    "batches; the change feed pads too). Dropping or retyping a "
+    "column fails the WRITE (SchemaEvolutionError), never the "
+    "eventual read — pinned in tests/test_table_log.py. The result "
+    "groups the LATEST snapshot by source with pre-evolution rows "
+    "surfacing under a sentinel (exactly the null-fill the oracle "
+    "recomputes from the doc_id parity), and n_schema_cols pins the "
+    "log-resolved schema width. At 100 TB schema changes are "
+    "metadata-only commits — no table rewrite, old files never "
+    "touched — which is the entire point of keeping schema in the "
+    "log instead of the files.",
+    tags=("warehouse", "table-format", "schema-evolution"),
+)
+def table_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import table_log as tl
+    from ..sources import table_log_source
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    table_log_source.register(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="schemaevo")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_evo_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 1:
+            return False
+        schema = tl.snapshot_schema(d)
+        if schema is None or len(schema.fields) != 3:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(d))
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        tl.append(
+            docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"),
+            stage,
+        )
+        tl.append(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "n_chars", "source"
+            ),
+            stage,
+        )
+
+    ensure_scratch(table, _build, _intact)
+    n_cols = len(tl.snapshot_schema(table).fields)
+    snap = spark.read.format("table_log").option("path", table).load()
+    return snap.groupBy(
+        F.coalesce(F.col("source"), F.lit("<pre-evolution>")).alias("src")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.lit(n_cols).cast("long").alias("n_schema_cols"),
+    )

@@ -20,25 +20,26 @@ from __future__ import annotations
 
 # Round-7 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 7 heads the window
-# (9: four new queries incl. the streaming change feed; the PMI cap
-# now shared with its oracle; the trigram row's counting tier; the
-# two table_log queries and the checkpoint query sit over the
-# rewritten sources/table_log.py; the token heavy-hitter sits over
-# the weighted-fold sketches.py); (b) the remaining 41 slots
-# re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
-# last driver row is round 2 (the oldest anywhere in the catalog,
-# incl. the NOTES-named errors_after_purchase and
-# lineitem_measures_unpivot), then 19 of the 22 round-3 rows
-# (alphabetical; vocab_oov_rate, weekly_active_users, and
-# zorder_layout_key defer). Round 8's backlog: those three, then the
-# 41-query r4 cohort (ANN family, patch grid, sketch/window
-# singles), then r5.
+# (10: five new queries incl. the streaming change feed and schema
+# evolution; the PMI cap now shared with its oracle; the trigram
+# row's counting tier; the two table_log queries and the checkpoint
+# query sit over the rewritten sources/table_log.py; the token
+# heavy-hitter sits over the weighted-fold sketches.py); (b) the
+# remaining 40 slots re-confirm by STRICT oldest-evidence order —
+# ALL 22 queries whose last driver row is round 2 (the oldest
+# anywhere in the catalog, incl. the NOTES-named errors_after_
+# purchase and lineitem_measures_unpivot), then 18 of the 22 round-3
+# rows (alphabetical; top_terms_per_lang, vocab_oov_rate,
+# weekly_active_users, and zorder_layout_key defer). Round 8's
+# backlog: those four, then the 41-query r4 cohort (ANN family,
+# patch grid, sketch/window singles), then r5.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 7
     "pretraining_pipeline_funnel",  # NEW: capstone 10-stage funnel
     "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
     "table_log_writer_roundtrip",  # NEW: native-writer two-phase commit
     "table_log_change_feed",  # NEW: streaming CDF face of the log
+    "table_log_schema_evolution",  # NEW: additive evolution via the log
     "collocation_pmi_top",  # _PMI_MAX_POS now shared with the oracle
     "heavy_hitter_char_trigrams",  # direct numpy counting tier
     "heavy_hitter_tokens",  # sketches.py gained the weighted fold
@@ -68,8 +69,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_array_set_ops",
     "user_first_last_events",
     "user_sessions",
-    # last seated round 3 (19 of 22; vocab_oov_rate,
-    # weekly_active_users, and zorder_layout_key defer to r8)
+    # last seated round 3 (18 of 22; top_terms_per_lang,
+    # vocab_oov_rate, weekly_active_users, and zorder_layout_key
+    # defer to r8)
     "approx_price_quantiles",
     "data_quality_audit",
     "doc_bigram_logprob",
@@ -88,7 +90,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stratified_sample_docs",
     "streaming_static_enrich",
     "suppliers_covering_brand",
-    "top_terms_per_lang",
 )
 
 

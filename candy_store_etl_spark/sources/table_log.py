@@ -38,6 +38,13 @@ exactly the way Delta's protocol describes it publicly:
 - ``commit_with_retry`` wraps the optimistic loop every writer needs:
   re-derive the commit against the refreshed snapshot and retry on
   ``ConcurrentCommitError``, bounded attempts;
+- commits RECORD THE WRITER'S SCHEMA, so the table schema is resolved
+  from the log (newest wins, per-version for time travel) and appends
+  are validated as ADDITIVE evolutions at write time (every existing
+  column keeps its type, added columns nullable) — readers then plan
+  any snapshot under its committed schema and pre-evolution files
+  null-fill the added columns, which Spark's parquet scan does
+  natively given an explicit schema;
 - commits can carry per-file column [min, max] STATS (the
   Iceberg-manifest half, merged from ``file_index``'s footer probe):
   ``read_snapshot_pruned`` then plans a range scan from the log
@@ -76,6 +83,12 @@ _COMMIT_RE = re.compile(r"(\d{8})\.json$")
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer won the race for this version."""
+
+
+class SchemaEvolutionError(ValueError):
+    """The new write's schema is not an ADDITIVE evolution of the
+    table's committed schema (dropped/retyped column, or a new
+    non-nullable column that old files could not null-fill)."""
 
 
 _UNPINNED = object()  # sentinel: commit() re-reads latest itself
@@ -175,6 +188,7 @@ def commit(
     remove: list[str] = (),
     op: str = "commit",
     stats: dict | None = None,
+    schema: str | None = None,
     base_version: int | None | object = _UNPINNED,
 ) -> int:
     """Atomically commit the next version. ``add``/``remove`` are data
@@ -206,6 +220,8 @@ def commit(
     }
     if stats:
         entry["stats"] = stats
+    if schema is not None:
+        entry["schema"] = schema
     path = _version_path(table_dir, version)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -268,12 +284,14 @@ def checkpoint(table_dir: str, *, version: int | None = None) -> int:
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
     version = latest if version is None else version
-    live, stats, _, _ = _resolve_snapshot(table_dir, version)
+    live, stats, schema, _, _ = _resolve_snapshot(table_dir, version)
     entry = {
         "version": version,
         "live": sorted(live),
         "stats": {n: stats[n] for n in sorted(stats) if n in live},
     }
+    if schema is not None:
+        entry["schema"] = schema
     path = _checkpoint_path(table_dir, version)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -331,19 +349,20 @@ def _latest_checkpoint_at_or_before(
 
 def _resolve_snapshot(
     table_dir: str, version: int | None
-) -> tuple[set[str], dict[str, dict], int, int | None]:
-    """(live file names, name -> stats, commit entries replayed,
-    checkpoint version used). The scale-critical path: start from the
-    newest checkpoint at-or-before ``version`` and replay only the
-    tail commits."""
+) -> tuple[set[str], dict[str, dict], str | None, int, int | None]:
+    """(live file names, name -> stats, latest committed schema JSON,
+    commit entries replayed, checkpoint version used). The
+    scale-critical path: start from the newest checkpoint at-or-before
+    ``version`` and replay only the tail commits."""
     latest = current_version(table_dir)
     if latest is None:
-        return set(), {}, 0, None
+        return set(), {}, None, 0, None
     version = latest if version is None else version
     if version > latest:
         raise ValueError(f"version {version} > latest committed {latest}")
     live: set[str] = set()
     stats: dict[str, dict] = {}
+    schema: str | None = None
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table_dir, version)
     if ckpt is not None:
@@ -351,6 +370,7 @@ def _resolve_snapshot(
             entry = json.load(f)
         live = set(entry["live"])
         stats = dict(entry["stats"])
+        schema = entry.get("schema")
         start = ckpt + 1
     replayed = 0
     for v in range(start, version + 1):
@@ -359,8 +379,10 @@ def _resolve_snapshot(
         live.difference_update(entry["remove"])
         live.update(entry["add"])
         stats.update(entry.get("stats", {}))
+        if entry.get("schema") is not None:
+            schema = entry["schema"]
         replayed += 1
-    return live, stats, replayed, ckpt
+    return live, stats, schema, replayed, ckpt
 
 
 def snapshot_replay_info(
@@ -369,7 +391,7 @@ def snapshot_replay_info(
     """Observable resolution cost for a snapshot read — lets a test
     (or a registered query's oracle) DISTINGUISH checkpoint-replay
     from full-replay instead of trusting the docstring."""
-    live, _, replayed, ckpt = _resolve_snapshot(table_dir, version)
+    live, _, _, replayed, ckpt = _resolve_snapshot(table_dir, version)
     return {
         "live_files": len(live),
         "entries_replayed": replayed,
@@ -381,8 +403,50 @@ def snapshot_files(table_dir: str, *, version: int | None = None) -> list[str]:
     """Absolute paths of the data files live at ``version`` (None =
     latest): replay add/remove from the newest checkpoint at-or-before
     ``version``, not from version zero."""
-    live, _, _, _ = _resolve_snapshot(table_dir, version)
+    live, _, _, _, _ = _resolve_snapshot(table_dir, version)
     return sorted(os.path.join(table_dir, f) for f in live)
+
+
+def snapshot_schema(table_dir: str, *, version: int | None = None):
+    """The committed table schema AS OF ``version`` as a Spark
+    ``StructType`` (the newest ``schema`` entry at-or-before the
+    version), or None for tables whose commits never recorded one
+    (raw ``commit(add=...)`` callers) — readers then fall back to the
+    data files' own footers, exactly the pre-evolution behavior."""
+    from pyspark.sql.types import StructType
+
+    _, _, schema, _, _ = _resolve_snapshot(table_dir, version)
+    return None if schema is None else StructType.fromJson(json.loads(schema))
+
+
+def _validate_evolution(old_json: str | None, new_json: str) -> None:
+    """Additive-only schema evolution: every existing column must
+    survive with an IDENTICAL type, and added columns must be nullable
+    (old files answer for them with nulls). Anything else would make
+    old snapshots unreadable under the new schema — fail the WRITE,
+    loudly, not the eventual read."""
+    if old_json is None or old_json == new_json:
+        return
+    old = {
+        f["name"]: f for f in json.loads(old_json)["fields"]
+    }
+    new = {
+        f["name"]: f for f in json.loads(new_json)["fields"]
+    }
+    for name, f in old.items():
+        if name not in new:
+            raise SchemaEvolutionError(f"column {name!r} dropped")
+        if new[name]["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {name!r} retyped {f['type']!r} -> "
+                f"{new[name]['type']!r}"
+            )
+    for name, f in new.items():
+        if name not in old and not f.get("nullable", True):
+            raise SchemaEvolutionError(
+                f"new column {name!r} must be nullable (old files "
+                "null-fill it)"
+            )
 
 
 def read_snapshot(
@@ -390,14 +454,21 @@ def read_snapshot(
 ) -> DataFrame:
     """The table AS OF ``version`` — a plain parquet scan over that
     snapshot's file list, so pruning/pushdown behave exactly like any
-    other scan. An empty snapshot needs a schema to be useful; raise
-    instead of inferring nothing."""
+    other scan. When the snapshot has a COMMITTED schema (writes
+    through append/overwrite/compact record one), the scan is planned
+    under it: files written before a column was added null-fill it —
+    Spark's parquet reader does this natively given an explicit
+    schema, and additive-only validation at write time guarantees the
+    fill is always legal. An empty snapshot needs a schema to be
+    useful; raise instead of inferring nothing."""
     files = snapshot_files(table_dir, version=version)
     if not files:
         raise ValueError(
             f"snapshot {version!r} of {table_dir} has no data files"
         )
-    return spark.read.parquet(*files)
+    schema = snapshot_schema(table_dir, version=version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*files)
 
 
 def _stage_dataframe(
@@ -435,9 +506,16 @@ def append(
     os.makedirs(table_dir, exist_ok=True)
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
+    new_schema = df.schema.json()
+    _validate_evolution(
+        None if latest is None else _resolve_snapshot(table_dir, latest)[2],
+        new_schema,
+    )
     names = _stage_dataframe(df, table_dir, hint)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
-    return commit(table_dir, add=names, op="append", stats=stats)
+    return commit(
+        table_dir, add=names, op="append", stats=stats, schema=new_schema
+    )
 
 
 def overwrite(
@@ -457,9 +535,12 @@ def overwrite(
     ] if latest is not None else []
     names = _stage_dataframe(df, table_dir, hint)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    # an overwrite REPLACES the contents, so any schema is legal — it
+    # becomes the committed schema from this version on (older
+    # versions keep theirs for time travel)
     return commit(
         table_dir, add=names, remove=old, op="overwrite", stats=stats,
-        base_version=latest,
+        schema=df.schema.json(), base_version=latest,
     )
 
 
@@ -497,7 +578,7 @@ def compact(
     # at ``latest``, so a commit landing mid-compact must win the race
     return commit(
         table_dir, add=names, remove=old, op="compact", stats=stats,
-        base_version=latest,
+        schema=df.schema.json(), base_version=latest,
     )
 
 
@@ -508,7 +589,7 @@ def snapshot_file_stats(
     taken from the commit that ADDED each file (files are immutable,
     so add-time stats never go stale). Checkpoint-accelerated like
     ``snapshot_files``."""
-    live, stats, _, _ = _resolve_snapshot(table_dir, version)
+    live, stats, _, _, _ = _resolve_snapshot(table_dir, version)
     return {n: stats[n] for n in live if n in stats}
 
 

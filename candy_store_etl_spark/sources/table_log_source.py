@@ -102,14 +102,37 @@ def _bound(filters: list[Filter]) -> dict[str, tuple]:
     return {c: (lo, hi) for c, (lo, hi) in bounds.items()}
 
 
+def _pad_batch(batch, arrow_schema):
+    """Conform an Arrow batch to the table's resolved schema: columns
+    a pre-evolution file lacks are null-filled, order follows the
+    schema. Additive-only validation at write time guarantees every
+    present column already has the right type."""
+    import pyarrow as pa
+
+    if batch.schema.names == list(arrow_schema.names):
+        return batch
+    have = {n: i for i, n in enumerate(batch.schema.names)}
+    cols = []
+    for field in arrow_schema:
+        i = have.get(field.name)
+        if i is None:
+            cols.append(pa.nulls(batch.num_rows, field.type))
+        else:
+            cols.append(batch.column(i))
+    return pa.RecordBatch.from_arrays(cols, names=list(arrow_schema.names))
+
+
 class TableLogReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("table_log requires option 'path'")
         v = options.get("version")
         self.version = None if v is None else int(v)
         self._bounds: dict[str, tuple] = {}
+        # Spark schema of the scan (committed schema when recorded):
+        # read() pads pre-evolution files' batches up to it
+        self._schema = schema
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record range/equality bounds for file-level stats pruning,
@@ -151,10 +174,16 @@ class TableLogReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         """Arrow record batches straight from the parquet file —
-        columnar into the JVM, no Python row objects."""
+        columnar into the JVM, no Python row objects; pre-evolution
+        files are padded up to the table schema."""
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        target = (
+            None if self._schema is None else to_arrow_schema(self._schema)
+        )
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            yield batch if target is None else _pad_batch(batch, target)
 
 
 @dataclass
@@ -179,11 +208,15 @@ class TableLogWriter(DataSourceArrowWriter):
     the caller to retry (the writes need not be redone — re-deriving
     the commit against the refreshed log suffices for append)."""
 
-    def __init__(self, options: dict, overwrite: bool) -> None:
+    def __init__(self, options: dict, overwrite: bool, schema=None) -> None:
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("table_log requires option 'path'")
         self.overwrite = overwrite
+        # the written DataFrame's schema, recorded in the commit so
+        # readers resolve it from the log (and appends are validated
+        # as additive evolutions, same as the library write path)
+        self.schema_json = None if schema is None else schema.json()
 
     def write(self, iterator):
         import pyarrow.parquet as pq
@@ -229,10 +262,21 @@ class TableLogWriter(DataSourceArrowWriter):
             ] if base is not None else []
             tl.commit(
                 self.table_dir, add=names, remove=old, op="overwrite",
-                base_version=base,
+                schema=self.schema_json, base_version=base,
             )
         else:
-            tl.commit(self.table_dir, add=names, op="append")
+            if self.schema_json is not None:
+                base = tl.current_version(self.table_dir)
+                tl._validate_evolution(
+                    None
+                    if base is None
+                    else tl._resolve_snapshot(self.table_dir, base)[2],
+                    self.schema_json,
+                )
+            tl.commit(
+                self.table_dir, add=names, op="append",
+                schema=self.schema_json,
+            )
 
     def abort(self, messages):
         # staged files were never referenced by the log; delete what
@@ -285,10 +329,23 @@ class TableLogChangeFeedReader(DataSourceStreamReader):
     and read only each commit's delta, never rescanning the table.
     """
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("table_log requires option 'path'")
+        # stream schema = data schema + change columns; strip the
+        # change columns to get the padding target for data files
+        self._data_schema = None
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            self._data_schema = StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+                ]
+            )
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -322,8 +379,16 @@ class TableLogChangeFeedReader(DataSourceStreamReader):
     def read(self, partition: _ChangePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
+        target = (
+            None
+            if self._data_schema is None
+            else to_arrow_schema(self._data_schema)
+        )
         for batch in pq.ParquetFile(partition.path).iter_batches():
+            if target is not None:
+                batch = _pad_batch(batch, target)
             n = batch.num_rows
             arrays = list(batch.columns) + [
                 pa.array([partition.change] * n, pa.string()),
@@ -350,11 +415,13 @@ class TableLogDataSource(DataSource):
         ).lower() == "true"
 
     def schema(self):
-        """Schema of the snapshot = schema of any live file (the log
-        commits whole-table writes; appends share the writer schema).
-        Arrow -> Spark via the public pandas-types bridge. With
-        ``changeFeed=true`` (the streaming face) the two change
-        columns are appended."""
+        """Schema of the snapshot: the COMMITTED schema when the log
+        records one (append/overwrite/compact and the native writer
+        do — the source of truth under additive evolution, where live
+        files legitimately disagree with each other), else the footer
+        of any live file. Arrow -> Spark via the public pandas-types
+        bridge. With ``changeFeed=true`` (the streaming face) the two
+        change columns are appended."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import (
@@ -368,20 +435,23 @@ class TableLogDataSource(DataSource):
         if not table_dir:
             raise ValueError("table_log requires option 'path'")
         v = self.options.get("version")
-        files = tl.snapshot_files(
-            table_dir, version=None if v is None else int(v)
-        )
-        if not files:
-            # a change feed can also start from commits whose files
-            # were all later removed; any EVER-referenced file pins
-            # the data schema
-            for entry in tl.log_entries(table_dir):
-                if entry["add"]:
-                    files = [os.path.join(table_dir, entry["add"][0])]
-                    break
-        if not files:
-            raise ValueError(f"snapshot of {table_dir} has no data files")
-        schema = from_arrow_schema(pq.read_schema(files[0]))
+        version = None if v is None else int(v)
+        schema = tl.snapshot_schema(table_dir, version=version)
+        if schema is None:
+            files = tl.snapshot_files(table_dir, version=version)
+            if not files:
+                # a change feed can also start from commits whose files
+                # were all later removed; any EVER-referenced file pins
+                # the data schema
+                for entry in tl.log_entries(table_dir):
+                    if entry["add"]:
+                        files = [os.path.join(table_dir, entry["add"][0])]
+                        break
+            if not files:
+                raise ValueError(
+                    f"snapshot of {table_dir} has no data files"
+                )
+            schema = from_arrow_schema(pq.read_schema(files[0]))
         if self._change_feed():
             schema = StructType(
                 schema.fields
@@ -398,7 +468,7 @@ class TableLogDataSource(DataSource):
                 "changeFeed=true is the STREAMING face — use "
                 "spark.readStream.format('table_log')"
             )
-        return TableLogReader(self.options)
+        return TableLogReader(self.options, schema)
 
     def streamReader(self, schema) -> TableLogChangeFeedReader:
         if not self._change_feed():
@@ -407,7 +477,7 @@ class TableLogDataSource(DataSource):
                 "set .option('changeFeed', 'true') so the schema "
                 "carries _change_type/_commit_version explicitly"
             )
-        return TableLogChangeFeedReader(self.options)
+        return TableLogChangeFeedReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool) -> TableLogWriter:
-        return TableLogWriter(self.options, overwrite)
+        return TableLogWriter(self.options, overwrite, schema)

@@ -510,3 +510,72 @@ def test_change_feed_option_guards(spark, table):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_schema_evolution_additive_and_rejections(spark, table):
+    """Commits record the writer's schema: adding a nullable column is
+    legal (old files null-fill it on every read face, old versions
+    keep their own schema for time travel); dropping or retyping a
+    column fails the WRITE, not the eventual read."""
+    _register_table_log_source(spark)
+    tl.append(_df(spark, [1]), table)  # v0: (doc_id, n_chars)
+    tl.append(
+        spark.createDataFrame(
+            [(2, 20, "en")], "doc_id long, n_chars long, lang string"
+        ),
+        table,
+    )  # v1 adds lang
+    assert [f.name for f in tl.snapshot_schema(table).fields] == [
+        "doc_id", "n_chars", "lang",
+    ]
+    # library read: pre-evolution row null-fills lang
+    assert sorted(
+        (r.doc_id, r.lang) for r in tl.read_snapshot(spark, table).collect()
+    ) == [(1, None), (2, "en")]
+    # time travel keeps the v0 schema
+    assert tl.read_snapshot(spark, table, version=0).columns == [
+        "doc_id", "n_chars",
+    ]
+    # native reader pads Arrow batches the same way
+    native = spark.read.format("table_log").option("path", table).load()
+    assert sorted((r.doc_id, r.lang) for r in native.collect()) == [
+        (1, None), (2, "en"),
+    ]
+    with pytest.raises(tl.SchemaEvolutionError, match="dropped"):
+        tl.append(spark.createDataFrame([(3,)], "doc_id long"), table)
+    with pytest.raises(tl.SchemaEvolutionError, match="retyped"):
+        tl.append(
+            spark.createDataFrame(
+                [(3, "x", "en")], "doc_id long, n_chars string, lang string"
+            ),
+            table,
+        )
+
+
+def test_schema_evolution_through_change_feed_and_writer(spark, table):
+    """The streaming feed pads pre-evolution files too, and the
+    native writer records/validates schemas like the library path."""
+    _register_table_log_source(spark)
+    tl.append(_df(spark, [1]), table)  # v0
+    spark.createDataFrame(
+        [(4, 40, "fr")], "doc_id long, n_chars long, lang string"
+    ).write.format("table_log").option("path", table).mode("append").save()
+    q = (
+        _cdf(spark, table)
+        .writeStream.format("memory")
+        .queryName("tlog_cdf_evo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        (r.doc_id, r.lang, r._commit_version)
+        for r in spark.table("tlog_cdf_evo").collect()
+    ) == [(1, None, 0), (4, "fr", 1)]
+    # the writer's append validates evolution at commit (abort cleans
+    # the staged task files)
+    with pytest.raises(Exception, match="dropped"):
+        spark.createDataFrame([(9,)], "doc_id long").write.format(
+            "table_log"
+        ).option("path", table).mode("append").save()
