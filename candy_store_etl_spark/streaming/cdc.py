@@ -6,13 +6,14 @@ at-scale flaw: every micro-batch rewrote the WHOLE warehouse table
 This module is the fix, composed from two pieces that already exist:
 
 - the warehouse table is HASH-BUCKETED on the merge key — every data
-  file holds exactly one bucket, and the bucket id is IN the file
-  name (``b00042-c3-0.parquet``), Hive-partitioning style, so file
-  selection for a merge is a name test, no footer or stats I/O;
+  file holds one GROUP of ``buckets_per_file`` adjacent buckets, and
+  the group id is IN the file name (``b00042-c3-0.parquet``),
+  Hive-partitioning style, so file selection for a merge is a name
+  test, no footer or stats I/O;
 - each micro-batch commits through ``sources/table_log.py``: the
-  commit removes the touched buckets' old files and adds their
+  commit removes the touched groups' old files and adds their
   rewrites in ONE atomic version, so readers see the pre-batch or
-  post-batch snapshot, never a mix — and files of UNTOUCHED buckets
+  post-batch snapshot, never a mix — and files of UNTOUCHED groups
   are not merely byte-identical, they are the same inodes, never
   opened;
 - the LOG is the idempotence ledger: each batch commits with op
@@ -23,11 +24,25 @@ This module is the fix, composed from two pieces that already exist:
   the swap IS the marker.
 
 Scale shape: rewrite volume per batch is proportional to the number
-of TOUCHED buckets (≈ touched keys for small batches), not to the
-warehouse size — the property that lets a 100 TB warehouse absorb a
-trickle of CDC updates without rewriting 100 TB per trigger. The
-merge itself is the same full-outer reconciliation a Delta MERGE
-lowers to, now joined against only the touched buckets' rows.
+of TOUCHED groups (≈ touched keys for small batches at fine
+grouping), not to the warehouse size — the property that lets a
+100 TB warehouse absorb a trickle of CDC updates without rewriting
+100 TB per trigger. The merge itself is the same full-outer
+reconciliation a Delta MERGE lowers to, now joined against only the
+touched groups' rows.
+
+``buckets_per_file`` is the bytes-per-file knob: fine grouping (1
+bucket/file) minimizes rewrite amplification but leaves tiny files at
+low row counts; ``compact_warehouse`` COARSENS the layout in one
+atomic commit (op ``cdc-compact-bpf{n}``) — the log records the new
+grouping, the sink re-resolves it on restart, and prior versions
+still time-travel. The trade is explicit and tunable: a group file
+absorbs ``buckets_per_file`` buckets' updates per rewrite, so rewrite
+amplification rises exactly as file count falls (Delta's OPTIMIZE
+faces the same trade). Compaction is a single-writer MAINTENANCE op:
+do not run it concurrently with the sink — its commit pins
+``base_version``, so a race raises ``ConcurrentCommitError`` rather
+than corrupting the table.
 """
 
 from __future__ import annotations
@@ -37,12 +52,13 @@ import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import table_log as tl
 
-_BUCKET_RE = re.compile(r"b(\d{5})-")
+_GROUP_RE = re.compile(r"b(\d{5})-")
+_LAYOUT_RE = re.compile(r"cdc-compact-bpf(\d+)")
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -52,11 +68,25 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def _bucket_of_name(name: str) -> int:
-    m = _BUCKET_RE.match(os.path.basename(name))
+def _group_of_name(name: str) -> int:
+    m = _GROUP_RE.match(os.path.basename(name))
     if m is None:
-        raise ValueError(f"not a CDC bucket file: {name!r}")
+        raise ValueError(f"not a CDC group file: {name!r}")
     return int(m.group(1))
+
+
+def layout_buckets_per_file(table_dir: str) -> int:
+    """The table's current bucket->file grouping, resolved from the
+    log (the newest ``cdc-compact-bpf{n}`` commit wins; 1 — one
+    bucket per file — until a compaction coarsens it)."""
+    if tl.current_version(table_dir) is None:
+        return 1
+    bpf = 1
+    for e in tl.log_entries(table_dir):
+        m = _LAYOUT_RE.fullmatch(e["op"])
+        if m:
+            bpf = int(m.group(1))
+    return bpf
 
 
 def applied_batches(table_dir: str) -> set[int]:
@@ -72,6 +102,36 @@ def applied_batches(table_dir: str) -> set[int]:
     return out
 
 
+def _stage_groups_into_table(
+    df: DataFrame, table_dir: str, tag: str
+) -> list[str]:
+    """Write ``df`` (must carry a ``grp`` int column, one task per
+    group) into ``table_dir`` as one immutable file per group named
+    ``b{group:05d}-{tag}-{i}.parquet``; returns the new names. The
+    rename-then-commit order is vacuum-safe (staged files ride the
+    mtime grace window)."""
+    stage = os.path.join(table_dir, f"_cdc_stage.{tag}.{os.getpid()}")
+    # hash-repartition on grp puts each group entirely in one task, so
+    # partitionBy emits exactly ONE file per group (not one per task
+    # per group); the group is then folded into the FILE NAME and not
+    # stored in the data (it is a pure function of the key)
+    df.repartition(F.col("grp")).write.partitionBy("grp").mode(
+        "overwrite"
+    ).parquet(stage)
+    os.makedirs(table_dir, exist_ok=True)
+    names = []
+    for gdir in sorted(glob.glob(os.path.join(stage, "grp=*"))):
+        g = int(os.path.basename(gdir).split("=")[1])
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(gdir, "part-*.parquet")))
+        ):
+            name = f"b{g:05d}-{tag}-{i}.parquet"
+            os.replace(p, os.path.join(table_dir, name))
+            names.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return names
+
+
 def make_partitioned_cdc_sink(
     table_dir: str,
     increments_fn,
@@ -82,55 +142,62 @@ def make_partitioned_cdc_sink(
     metrics: list | None = None,
 ):
     """foreachBatch sink MERGE-upserting additive per-key aggregates
-    into a bucketed table-log warehouse, rewriting ONLY the buckets a
+    into a bucketed table-log warehouse, rewriting ONLY the groups a
     batch touches.
 
     ``increments_fn(batch_df) -> DataFrame`` must return one row per
     ``key_col`` with the additive ``add_cols``; the merge is
     old + increment per column (missing side = 0). ``metrics``, if
     given, collects one dict per applied batch with the rewrite-volume
-    evidence (buckets/files/rows touched vs total).
+    evidence (buckets/groups/files/rows touched vs total). The
+    bucket->file grouping is re-resolved from the LOG on (re)start, so
+    a sink restarted over a compacted table honors the new layout.
     """
-    # the applied-id ledger is read from the log ONCE (covers a sink
-    # restarting over an existing table), then maintained in the sink
-    # closure — batch N must not replay N commit files just to learn
-    # it hasn't run yet (that's quadratic metadata I/O over the
-    # stream's lifetime, the cost curve the checkpoint exists to kill)
+    # the applied-id ledger and the layout are read from the log ONCE
+    # (covers a sink restarting over an existing table), then
+    # maintained in the sink closure — batch N must not replay N
+    # commit files just to learn it hasn't run yet (that's quadratic
+    # metadata I/O over the stream's lifetime, the cost curve the
+    # checkpoint exists to kill)
     applied: set[int] | None = None
+    bpf: int = 1
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import scoped_cache
 
-        nonlocal applied
+        nonlocal applied, bpf
         if applied is None:
             applied = applied_batches(table_dir)
+            bpf = layout_buckets_per_file(table_dir)
         if batch_id in applied:
             return  # retried epoch: the committed swap IS the marker
         spark = batch_df.sparkSession
+        grp_of = F.expr(f"CAST(bucket div {bpf} AS INT)")
         # the increments relation is per-key-sized and consumed by two
-        # actions (touched-bucket collect, merge write); caching it
+        # actions (touched-group collect, merge write); caching it
         # keeps the SOURCE batch read to exactly one pass
         with scoped_cache(
-            increments_fn(batch_df).withColumn(
-                "bucket", bucket_expr(key_col, n_buckets)
-            )
+            increments_fn(batch_df)
+            .withColumn("bucket", bucket_expr(key_col, n_buckets))
+            .withColumn("grp", grp_of)
         ) as inc:
-            # touched-bucket list is metadata-sized (<= n_buckets ints)
-            touched = sorted(
-                r.bucket for r in inc.select("bucket").distinct().collect()
-            )
+            # touched lists are metadata-sized (<= n_buckets ints)
+            touched = [
+                (r.bucket, r.grp)
+                for r in inc.select("bucket", "grp").distinct().collect()
+            ]
             if not touched:
                 tl.commit(table_dir, op=f"cdc-batch-{batch_id}")
                 applied.add(batch_id)
                 return
-            touched_set = set(touched)
+            touched_groups = {g for _, g in touched}
             live = (
                 tl.snapshot_files(table_dir)
                 if tl.current_version(table_dir) is not None
                 else []
             )
             old_touched = [
-                p for p in live if _bucket_of_name(p) in touched_set
+                p for p in live if _group_of_name(p) in touched_groups
             ]
             if old_touched:
                 cur = spark.read.parquet(*old_touched)
@@ -157,29 +224,10 @@ def make_partitioned_cdc_sink(
                 merged = inc.select(key_col, *add_cols)
             merged = merged.withColumn(
                 "bucket", bucket_expr(key_col, n_buckets)
-            ).repartition(F.col("bucket"))
-            # hash-repartition on bucket puts each bucket entirely in
-            # one task, so partitionBy emits exactly ONE file per
-            # bucket (not one per task per bucket); the bucket is then
-            # folded into the FILE NAME and not stored in the data (it
-            # is a pure function of the key)
-            stage = os.path.join(
-                table_dir, f"_cdc_stage.{batch_id}.{os.getpid()}"
+            ).withColumn("grp", grp_of).drop("bucket")
+            names = _stage_groups_into_table(
+                merged, table_dir, f"c{batch_id}"
             )
-            merged.write.partitionBy("bucket").mode("overwrite").parquet(
-                stage
-            )
-        os.makedirs(table_dir, exist_ok=True)
-        names = []
-        for bdir in sorted(glob.glob(os.path.join(stage, "bucket=*"))):
-            b = int(os.path.basename(bdir).split("=")[1])
-            for i, p in enumerate(
-                sorted(glob.glob(os.path.join(bdir, "part-*.parquet")))
-            ):
-                name = f"b{b:05d}-c{batch_id}-{i}.parquet"
-                os.replace(p, os.path.join(table_dir, name))
-                names.append(name)
-        shutil.rmtree(stage, ignore_errors=True)
         tl.commit(
             table_dir,
             add=names,
@@ -196,7 +244,9 @@ def make_partitioned_cdc_sink(
             metrics.append(
                 {
                     "batch_id": batch_id,
-                    "touched_buckets": len(touched),
+                    "touched_buckets": len({b for b, _ in touched}),
+                    "touched_groups": len(touched_groups),
+                    "buckets_per_file": bpf,
                     "files_rewritten": len(names),
                     "files_total": len(post),
                     "rows_rewritten": sum(
@@ -212,6 +262,51 @@ def make_partitioned_cdc_sink(
             )
 
     return merge_batch
+
+
+def compact_warehouse(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    key_col: str,
+    n_buckets: int,
+    buckets_per_file: int,
+) -> int:
+    """Coarsen the warehouse layout in ONE atomic commit: rewrite the
+    current snapshot into one file per group of ``buckets_per_file``
+    adjacent buckets (``ceil(n_buckets / buckets_per_file)`` files
+    when every group is populated), committed with op
+    ``cdc-compact-bpf{n}`` so the sink re-resolves the grouping on
+    restart. Prior versions still time-travel over the old fine
+    layout (their files are only removed by vacuum).
+
+    MAINTENANCE OP — single writer: do not run concurrently with the
+    sink. The commit pins ``base_version``, so a racing commit raises
+    ``ConcurrentCommitError`` instead of corrupting the table; re-run
+    after the stream quiesces.
+    """
+    if buckets_per_file < 1:
+        raise ValueError("buckets_per_file must be >= 1")
+    latest = tl.current_version(table_dir)
+    if latest is None:
+        raise ValueError(f"{table_dir} has no committed versions")
+    old = [os.path.basename(p) for p in tl.snapshot_files(table_dir)]
+    df = tl.read_snapshot(spark, table_dir, version=latest)
+    regrouped = df.withColumn(
+        "bucket", bucket_expr(key_col, n_buckets)
+    ).withColumn(
+        "grp", F.expr(f"CAST(bucket div {buckets_per_file} AS INT)")
+    ).drop("bucket")
+    names = _stage_groups_into_table(
+        regrouped, table_dir, f"compact{latest + 1}"
+    )
+    return tl.commit(
+        table_dir,
+        add=names,
+        remove=old,
+        op=f"cdc-compact-bpf{buckets_per_file}",
+        base_version=latest,
+    )
 
 
 def read_warehouse(spark, table_dir: str) -> DataFrame:

@@ -100,12 +100,12 @@ def test_untouched_buckets_are_not_rewritten(spark, table):
     survivors = set(before) & live
     # exactly the touched bucket's files dropped out of the snapshot;
     # every other bucket's files carried over — same name, bytes, inode
-    from candy_store_etl_spark.streaming.cdc import _bucket_of_name
+    from candy_store_etl_spark.streaming.cdc import _group_of_name
 
-    touched_b = {_bucket_of_name(n) for n in set(before) - survivors}
+    touched_b = {_group_of_name(n) for n in set(before) - survivors}
     assert len(touched_b) == 1
     assert survivors == {
-        n for n in before if _bucket_of_name(n) not in touched_b
+        n for n in before if _group_of_name(n) not in touched_b
     }
     for n in survivors:
         assert after[n] == before[n]
@@ -180,6 +180,108 @@ def test_streaming_integration_end_to_end(spark, table, tmp_path):
     want = sorted(
         (r.user_id, r.n_events, r.cents)
         for r in _increments(spark.read.parquet(src)).collect()
+    )
+    assert got == want
+
+
+def test_compaction_coarsens_layout_preserving_contents(spark, table):
+    """compact_warehouse rewrites the snapshot into one file per
+    group of buckets_per_file buckets in ONE atomic commit; contents
+    and time travel are unchanged, file count collapses."""
+    from candy_store_etl_spark.streaming.cdc import (
+        compact_warehouse,
+        layout_buckets_per_file,
+    )
+
+    sink = _sink(table)
+    sink(_events(spark, [(u, 1.0 + u % 5) for u in range(300)]), 0)
+    sink(_events(spark, [(u, 2.0) for u in range(0, 300, 7)]), 1)
+    pre = sorted(tuple(r) for r in read_warehouse(spark, table).collect())
+    files_before = len(tl.snapshot_files(table))
+    v_pre = tl.current_version(table)
+    compact_warehouse(
+        spark, table, key_col="user_id", n_buckets=N_BUCKETS,
+        buckets_per_file=8,
+    )
+    assert layout_buckets_per_file(table) == 8
+    files_after = len(tl.snapshot_files(table))
+    assert files_after <= -(-N_BUCKETS // 8)  # ceil(32/8) = 4 groups
+    assert files_after < files_before
+    post = sorted(tuple(r) for r in read_warehouse(spark, table).collect())
+    assert post == pre
+    # the pre-compaction version still time-travels (old fine layout)
+    old = sorted(
+        tuple(r)
+        for r in tl.read_snapshot(spark, table, version=v_pre).collect()
+    )
+    assert old == pre
+
+
+def test_sink_restart_honors_compacted_layout(spark, table):
+    """A sink restarted over a compacted table resolves the grouping
+    from the log: a one-key batch rewrites exactly ONE group file,
+    the other group keeps its inode, and the merge stays correct."""
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    sink = _sink(table)
+    sink(_events(spark, [(u, 1.0) for u in range(400)]), 0)
+    compact_warehouse(
+        spark, table, key_col="user_id", n_buckets=N_BUCKETS,
+        buckets_per_file=16,  # 32 buckets -> 2 group files
+    )
+    inodes = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in tl.snapshot_files(table)
+    }
+    assert len(inodes) == 2
+    metrics = []
+    sink2 = _sink(table, metrics)  # fresh instance = restart
+    sink2(_events(spark, [(7, 2.5)]), 1)
+    m = metrics[0]
+    assert m["buckets_per_file"] == 16
+    assert m["touched_groups"] == 1
+    assert m["files_rewritten"] == 1
+    # rewrite amplification is the group, never the table
+    assert m["rows_rewritten"] < m["rows_total"]
+    live = {os.path.basename(p): p for p in tl.snapshot_files(table)}
+    survivors = set(inodes) & set(live)
+    assert len(survivors) == len(inodes) - 1
+    for n in survivors:
+        assert os.stat(live[n]).st_ino == inodes[n]
+    row = (
+        read_warehouse(spark, table)
+        .filter(F.col("user_id") == 7)
+        .collect()[0]
+    )
+    assert (row.n_events, row.cents) == (2, 100 + 250)
+
+
+def test_merge_parity_across_compaction(spark, table):
+    """Merges before and after a mid-stream compaction converge to
+    the same warehouse as one aggregate over the concatenated input."""
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    batches = [
+        [(u, float(u % 9)) for u in range(b, 150, 2)] for b in range(4)
+    ]
+    sink = _sink(table)
+    sink(_events(spark, batches[0]), 0)
+    sink(_events(spark, batches[1]), 1)
+    compact_warehouse(
+        spark, table, key_col="user_id", n_buckets=N_BUCKETS,
+        buckets_per_file=4,
+    )
+    sink2 = _sink(table)  # restart after maintenance
+    sink2(_events(spark, batches[2]), 2)
+    sink2(_events(spark, batches[3]), 3)
+    got = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in read_warehouse(spark, table).collect()
+    )
+    all_rows = [r for b in batches for r in b]
+    want = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in _increments(_events(spark, all_rows)).collect()
     )
     assert got == want
 
