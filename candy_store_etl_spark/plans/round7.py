@@ -21,8 +21,15 @@ from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKENS
 from ..sources.tpch import load_table
+from .funnel_stages import (
+    bow_fp,
+    content_fp,
+    quality_ok,
+    sql_bow_fp,
+    sql_content_fp,
+    sql_quality_select,
+)
 from .registry import register
-from .text import _SQL_FILLER
 
 # 13 appends cross one auto-checkpoint (CHECKPOINT_INTERVAL = 10):
 # versions 0..12, checkpoint rides v10, latest replays v11+v12 = 2
@@ -130,16 +137,7 @@ _F_MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
       SELECT doc_id, source, text, {SQL_TOKENS} AS toks FROM documents
     ),
     q AS (
-      SELECT doc_id, source, text, toks FROM (
-        SELECT *, len(toks) AS n_tokens,
-               len(list_distinct(toks)) * 1.0 / len(toks) AS dr,
-               len(list_filter(toks, x -> x IN {_SQL_FILLER})) * 1.0
-                 / len(toks) AS fr,
-               LEAST(len(toks) / 40.0, 1.0) AS ls
-        FROM base WHERE len(toks) > 0
-      )
-      WHERE n_tokens >= 5
-        AND 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr) >= {_F_QMIN}
+      {sql_quality_select("base", _F_QMIN)}
     ),
     cap AS (
       SELECT * FROM q
@@ -149,13 +147,12 @@ _F_MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
     ded AS (
       SELECT * FROM cap
       QUALIFY row_number() OVER (
-        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+        PARTITION BY {sql_content_fp()} ORDER BY doc_id) = 1
     ),
     bow AS (
       SELECT * FROM ded
       QUALIFY row_number() OVER (
-        PARTITION BY md5(array_to_string(
-          list_sort(list_distinct(toks)), ' '))
+        PARTITION BY {sql_bow_fp()}
         ORDER BY doc_id) = 1
     ),
     probes AS (
@@ -249,22 +246,13 @@ _F_MAX_CHUNKS = 4096  # per-doc chunk cap, shared with the oracle
 def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.text import distinct_ratio, stopword_ratio, tokens
-    from .text import _FILLER
+    from ..functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
     )
     t = F.col("toks")
     n_tok = F.size(t)
-    # the SHARED quality-formula pieces (functions/text.py) — the
-    # docstring's "corpus_curation's exact formula" claim holds only
-    # if the two queries can't drift apart
-    dr = distinct_ratio(t)
-    fr = stopword_ratio(t, _FILLER)
-    ls = F.least(n_tok / F.lit(40.0), F.lit(1.0))
-    quality = 0.5 * dr + 0.3 * ls + 0.2 * (1.0 - fr)
-    q_ok = (n_tok >= 5) & (quality >= _F_QMIN) & (n_tok > 0)
 
     probes = (
         load_table(spark, sf_dir, "documents")
@@ -273,13 +261,13 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("p").alias("ps"))
     )
 
+    # the SHARED stage primitives (funnel_stages.py): the docstring's
+    # "corpus_curation's exact formula" claim holds only because both
+    # composites and the oracle use literally the same definitions
     flagged = (
-        docs.withColumn("q_ok", q_ok)
-        .withColumn("__fp", F.md5(F.lower(F.trim(F.col("text")))))
-        .withColumn(
-            "__bowfp",
-            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))),
-        )
+        docs.withColumn("q_ok", quality_ok(t, _F_QMIN))
+        .withColumn("__fp", content_fp(F.col("text")))
+        .withColumn("__bowfp", bow_fp(t))
         .withColumn("n_toks", n_tok.cast("long"))
     )
     w_src = (
@@ -704,3 +692,206 @@ def table_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.lit(n_cols).cast("long").alias("n_schema_cols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second composite: incremental corpus refresh through the table log
+# ---------------------------------------------------------------------------
+
+_R_MOD = 4  # doc_id % 4 == 3 is the newly-arrived increment (25%)
+_R_QMIN = 0.6  # same binding threshold as the capstone
+
+
+@register(
+    "incremental_corpus_refresh",
+    oracle=f"""
+    WITH inc0 AS (
+      SELECT doc_id, source, text, {SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id % {_R_MOD} = {_R_MOD - 1}
+    ),
+    basefp AS (
+      SELECT DISTINCT {sql_content_fp()} AS fp
+      FROM documents WHERE doc_id % {_R_MOD} <> {_R_MOD - 1}
+    ),
+    basebow AS (
+      SELECT DISTINCT {sql_bow_fp(f"{SQL_TOKENS}")} AS bowfp
+      FROM documents WHERE doc_id % {_R_MOD} <> {_R_MOD - 1}
+    ),
+    q AS (
+      {sql_quality_select("inc0", _R_QMIN)}
+    ),
+    ded AS (
+      SELECT * FROM q
+      QUALIFY row_number() OVER (
+        PARTITION BY {sql_content_fp()} ORDER BY doc_id) = 1
+    ),
+    exb AS (
+      SELECT d.* FROM ded d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM basefp b WHERE b.fp = {sql_content_fp("d.text")})
+    ),
+    bowb AS (
+      SELECT e.* FROM exb e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM basebow b
+        WHERE b.bowfp = {sql_bow_fp("e.toks")})
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM inc0) AS n0,
+             (SELECT COUNT(*) FROM q) AS n1,
+             (SELECT COUNT(*) FROM ded) AS n2,
+             (SELECT COUNT(*) FROM exb) AS n3,
+             (SELECT COUNT(*) FROM bowb) AS n4,
+             (SELECT COUNT(*) FROM documents
+              WHERE doc_id % {_R_MOD} <> {_R_MOD - 1}) AS nb
+    )
+    SELECT stage_idx, stage,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out
+    FROM c, (VALUES (1), (2), (3), (4), (5), (6)) AS v(stage_idx),
+    LATERAL (SELECT CASE stage_idx
+               WHEN 1 THEN 'ingest_increment' WHEN 2 THEN 'quality_filter'
+               WHEN 3 THEN 'exact_dedup_self' WHEN 4 THEN 'exact_vs_base'
+               WHEN 5 THEN 'neardup_vs_base' ELSE 'append_commit'
+             END AS stage,
+             CASE stage_idx
+               WHEN 1 THEN n0 WHEN 2 THEN n0 WHEN 3 THEN n1
+               WHEN 4 THEN n2 WHEN 5 THEN n3 ELSE n4 END AS rows_in,
+             CASE stage_idx
+               WHEN 1 THEN n0 WHEN 2 THEN n1 WHEN 3 THEN n2
+               WHEN 4 THEN n3 WHEN 5 THEN n4 ELSE nb + n4 END AS rows_out
+          ) s
+    ORDER BY stage_idx
+    """,
+    doc="The SECOND funnel composite, proving the stage primitives are "
+    "reusable (funnel_stages.py, shared with the capstone): a 25% "
+    "increment of newly-arrived documents is refreshed INTO an "
+    "existing corpus — quality filter -> exact dedup within the "
+    "increment -> exact-fingerprint anti-join against the base corpus "
+    "-> bag-of-words near-dup anti-join against the base -> survivors "
+    "APPENDED through the table log as one atomic commit (v0 = base, "
+    "v1 = base + survivors). The final stage's rows_out is the "
+    "POST-COMMIT snapshot row count read back from the log, so the "
+    "oracle verifies the append actually landed, not just the plan "
+    "arithmetic. Scale shape: the increment is scanned once with "
+    "survival flags; the base side joins project FINGERPRINTS ONLY "
+    "(16-byte md5s, never documents), so the anti-joins shuffle "
+    "hashes — at 100 TB this is the standing dedup-index pattern "
+    "(probe new data against a fingerprint index, append survivors), "
+    "with the log giving readers an atomic before/after. "
+    "Cf. plans/curation.py incremental_neardup_probe (LSH-banded "
+    "probe tier of the same shape).",
+    tags=("pipeline", "capstone", "dedup", "curation", "table-format"),
+)
+def incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..caching import tracked_cache
+    from ..functions.text import tokens
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % _R_MOD == _R_MOD - 1
+    base = docs.filter(~is_inc)
+    inc = docs.filter(is_inc).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        tokens(F.col("text")).alias("toks"),
+    )
+    t = F.col("toks")
+
+    # base side: fingerprints ONLY ever leave the base scan
+    base_fps = (
+        base.select(content_fp(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("__in_base", F.lit(1))
+    )
+    base_bows = (
+        base.select(bow_fp(tokens(F.col("text"))).alias("bowfp"))
+        .distinct()
+        .withColumn("__in_base_bow", F.lit(1))
+    )
+
+    w_fp = (
+        Window.partitionBy("fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def flag(c):
+        return F.when(c, F.lit(1)).otherwise(F.lit(0))
+
+    flagged = (
+        inc.withColumn("q_ok", quality_ok(t, _R_QMIN))
+        .withColumn("fp", content_fp(F.col("text")))
+        .withColumn("bowfp", bow_fp(t))
+        .withColumn(
+            "self_ok",
+            F.col("q_ok") & (F.sum(flag(F.col("q_ok"))).over(w_fp) == 1),
+        )
+        .join(base_fps, "fp", "left")
+        .withColumn(
+            "exb_ok", F.col("self_ok") & F.col("__in_base").isNull()
+        )
+        .join(base_bows, "bowfp", "left")
+        .withColumn(
+            "bow_ok", F.col("exb_ok") & F.col("__in_base_bow").isNull()
+        )
+    )
+    flagged = tracked_cache(
+        flagged.select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            "q_ok", "self_ok", "exb_ok", "bow_ok",
+        )
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="refresh")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_refresh_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 1:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(d))
+
+    def _build(stage: str) -> None:
+        tl.append(
+            base.select("doc_id", "text", "lang", "source", "n_chars"),
+            stage,
+        )
+        tl.append(
+            flagged.filter("bow_ok").select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ),
+            stage,
+        )
+
+    ensure_scratch(table, _build, _intact)
+    # the post-commit truth, read back from the log — verifies the
+    # append landed, not just the funnel arithmetic
+    total_after = tl.read_snapshot(spark, table).count()
+
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(flag(F.col("q_ok"))).alias("n1"),
+        F.sum(flag(F.col("self_ok"))).alias("n2"),
+        F.sum(flag(F.col("exb_ok"))).alias("n3"),
+        F.sum(flag(F.col("bow_ok"))).alias("n4"),
+    )
+    names = [
+        "ingest_increment", "quality_filter", "exact_dedup_self",
+        "exact_vs_base", "neardup_vs_base", "append_commit",
+    ]
+    ins = ["n0", "n0", "n1", "n2", "n3", "n4"]
+    outs = ["n0", "n1", "n2", "n3", "n4", str(total_after)]
+    stack_args = ", ".join(
+        f"{i + 1}, '{nm}', CAST({a} AS BIGINT), CAST({b} AS BIGINT)"
+        for i, (nm, a, b) in enumerate(zip(names, ins, outs))
+    )
+    return counts.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS "
+        "(stage_idx, stage, rows_in, rows_out)"
+    ).orderBy("stage_idx")

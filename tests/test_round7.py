@@ -65,6 +65,85 @@ def test_funnel_deterministic_across_runs(spark, sf_correctness, funnel_rows):
     assert again == funnel_rows
 
 
+@pytest.fixture(scope="module")
+def refresh_rows(spark, sf_correctness):
+    df = QUERIES["incremental_corpus_refresh"].fn(spark, sf_correctness)
+    return [tuple(r) for r in df.collect()]
+
+
+def test_refresh_shape_and_chain(refresh_rows):
+    assert [r[0] for r in refresh_rows] == list(range(1, 7))
+    assert [r[1] for r in refresh_rows] == [
+        "ingest_increment", "quality_filter", "exact_dedup_self",
+        "exact_vs_base", "neardup_vs_base", "append_commit",
+    ]
+    for prev, cur in zip(refresh_rows, refresh_rows[1:]):
+        assert cur[2] == prev[3], f"{cur[1]} rows_in != {prev[1]} rows_out"
+
+
+def test_refresh_stage_semantics(spark, sf_correctness, refresh_rows):
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    by = {r[1]: (r[2], r[3]) for r in refresh_rows}
+    for s in (
+        "quality_filter", "exact_dedup_self", "exact_vs_base",
+        "neardup_vs_base",
+    ):
+        assert by[s][1] <= by[s][0], f"{s} grew the increment"
+    # the stages that CAN bind on this corpus actually bind (the
+    # exact stages are exempt like the capstone's: zero byte-identical
+    # texts at the test SFs, pass-through counts still oracle-hashed)
+    assert by["quality_filter"][1] < by["quality_filter"][0]
+    assert by["neardup_vs_base"][1] < by["neardup_vs_base"][0]
+    assert by["neardup_vs_base"][1] > 0, "refresh filtered everything"
+    # the append landed: post-commit snapshot == base corpus + survivors
+    docs = load_table(spark, sf_correctness, "documents")
+    base_n = docs.filter(F.col("doc_id") % 4 != 3).count()
+    assert by["append_commit"][1] == base_n + by["append_commit"][0]
+
+
+def test_refresh_deterministic_across_runs(spark, sf_correctness, refresh_rows):
+    again = [
+        tuple(r)
+        for r in QUERIES["incremental_corpus_refresh"]
+        .fn(spark, sf_correctness)
+        .collect()
+    ]
+    assert again == refresh_rows
+
+
+def test_funnel_stage_primitives_shared_semantics(spark):
+    """The extracted primitives behave as the composites assume:
+    bow_fp is word-order- and multiplicity-invariant, content_fp is
+    case-insensitive but word-order-sensitive."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.functions.text import tokens
+    from candy_store_etl_spark.plans.funnel_stages import (
+        bow_fp,
+        content_fp,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("quick brown fox",),
+            ("fox brown quick quick",),  # same token SET, reordered
+            ("Quick Brown fox",),  # same text modulo case
+        ],
+        "text string",
+    )
+    out = df.select(
+        bow_fp(tokens(F.col("text"))).alias("b"),
+        content_fp(F.col("text")).alias("c"),
+    ).collect()
+    assert out[0].b == out[1].b  # bag-of-words ignores order/counts
+    assert out[0].c != out[1].c  # exact fp does not
+    assert out[0].c == out[2].c  # exact fp lowercases
+    assert out[0].b != out[2].b  # bow tokens stay case-sensitive
+
+
 def test_checkpoint_native_read_reports_tail_replay(spark, sf_correctness):
     from candy_store_etl_spark.plans.round7 import _TL_COMMITS
 
