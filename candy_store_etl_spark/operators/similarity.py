@@ -787,6 +787,79 @@ def _ivf_assign_portable(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_train_portable(
+    corpus: DataFrame, n_centroids: int, iterations: int
+) -> DataFrame:
+    """The cross-engine-exact Lloyd loop over a quantized (vid, q)
+    corpus: stride-seeded centroids, per-(list, dim) integer means
+    with the portable floor-division, argmax assignment with a
+    list_id tie-break. Returns (list_id, c). The caller should cache
+    ``corpus`` — the loop consumes it ``iterations + 1`` times."""
+    from pyspark.sql import Window
+
+    n_rows = corpus.count()
+    stride = max(1, n_rows // n_centroids)
+    seeds = (
+        corpus.filter(F.col("vid") % stride == 0)
+        .orderBy("vid")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vid")) - 1)
+        .cast("long")
+        .alias("list_id"),
+        F.col("q").alias("c"),
+    )
+    for _ in range(iterations):
+        assigned = _ivf_assign_portable(corpus, cents)
+        per_dim = assigned.select(
+            "list_id", F.posexplode("q").alias("d", "val")
+        )
+        means = per_dim.groupBy("list_id", "d").agg(
+            # portable floor-division: exact integer sum/count widened to
+            # double (both < 2^53), one correctly-rounded divide, floor —
+            # identical in Spark and DuckDB regardless of sign (Spark's
+            # `div` truncates toward zero, DuckDB's `//` floors, so
+            # neither native operator is usable here)
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+        cents = means.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    return cents
+
+
+def _rerank_portable(cand: DataFrame, qlit: F.Column, k: int) -> DataFrame:
+    """Exact cosine rerank of a (vid, q) candidate relation against
+    the quantized query literal, with the (cos DESC, vid) total order
+    and the cross-engine floor rounding — the shared tail of every
+    portable ANN tier."""
+    from pyspark.sql import Window
+
+    cos = _ldot(F.col("q"), qlit).cast("double") / (
+        F.sqrt(_ldot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_ldot(qlit, qlit).cast("double"))
+    )
+    ranked = cand.select("vid", cos.alias("cos")).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), F.col("vid").asc())
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        F.col("vid").alias("vec_id"),
+        F.col("rnk").cast("int").alias("rnk"),
+        (F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "cosine_sim"
+        ),
+    )
+
+
 def cosine_topk_ivf_portable(
     emb: DataFrame,
     *,
@@ -827,41 +900,7 @@ def cosine_topk_ivf_portable(
         raise ValueError(f"query id {query_id} not found")
     qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow["q"]])
 
-    n_rows = corpus.count()
-    stride = max(1, n_rows // n_centroids)
-    seeds = (
-        corpus.filter(F.col("vid") % stride == 0)
-        .orderBy("vid")
-        .limit(n_centroids)
-    )
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("vid")) - 1)
-        .cast("long")
-        .alias("list_id"),
-        F.col("q").alias("c"),
-    )
-
-    for _ in range(iterations):
-        assigned = _ivf_assign_portable(corpus, cents)
-        per_dim = assigned.select(
-            "list_id", F.posexplode("q").alias("d", "val")
-        )
-        means = per_dim.groupBy("list_id", "d").agg(
-            # portable floor-division: exact integer sum/count widened to
-            # double (both < 2^53), one correctly-rounded divide, floor —
-            # identical in Spark and DuckDB regardless of sign (Spark's
-            # `div` truncates toward zero, DuckDB's `//` floors, so
-            # neither native operator is usable here)
-            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cv")
-        )
-        cents = means.groupBy("list_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cv"))),
-                lambda s: s["cv"],
-            ).alias("c")
-        )
+    cents = _ivf_train_portable(corpus, n_centroids, iterations)
 
     # the trained 16-row centroid relation feeds probe scoring AND the
     # final assignment — cache it so the unrolled Lloyd training plan
@@ -882,24 +921,145 @@ def cosine_topk_ivf_portable(
     )
     final_assign = _ivf_assign_portable(corpus, cents)
     cand = final_assign.join(F.broadcast(probed), "list_id")
+    return _rerank_portable(cand, qlit, k)
 
-    cos = _ldot(F.col("q"), qlit).cast("double") / (
-        F.sqrt(_ldot(F.col("q"), F.col("q")).cast("double"))
-        * F.sqrt(_ldot(qlit, qlit).cast("double"))
+
+def ivf_build_index_log(
+    emb: DataFrame,
+    table_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 2,
+    n_files: int = 16,
+) -> int:
+    """Publish a PORTABLE IVF index as ONE atomic table-log version.
+
+    ``ivf_build_index`` (the numpy/float tier) writes its vectors and
+    centroids with two independent ``mode("overwrite")`` calls — a
+    reader arriving mid-rebuild can see new centroids over old lists.
+    This form makes the index a TABLE: quantized vectors (trained with
+    the cross-engine-exact integer Lloyd loop, so a DuckDB oracle can
+    replay the build) land range-partitioned and sorted by ``list_id``
+    — disjoint per-file list ranges, the layout that makes the
+    committed [min, max] stats decisive — in the SAME commit as the
+    16-row codebook (``is_cent = 1`` rows in their own file), via
+    ``table_log.overwrite``. Readers therefore see the old index or
+    the new one, never a mix; a rebuild is a VERSION, so index
+    refreshes time-travel, and a query pinned to version N is immune
+    to concurrent rebuilds. At 100 TB this is how an embedding index
+    follows a growing corpus: rebuild (or incrementally re-assign)
+    into the next version, swap atomically, vacuum old versions on
+    retention. Cf. ``ivf_query_index_log`` for the probe-pruned read.
+    """
+    from ..caching import tracked_cache as _tc
+    from ..sources import table_log as tl
+
+    corpus = (
+        emb.select(
+            F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
+        )
+        .transform(_tc)
     )
-    ranked = cand.select("vid", cos.alias("cos")).withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.orderBy(F.col("cos").desc(), F.col("vid").asc())
-        ),
+    cents = _ivf_train_portable(corpus, n_centroids, iterations).transform(
+        _tc
     )
-    return ranked.filter(F.col("rnk") <= k).select(
-        F.col("vid").alias("vec_id"),
-        F.col("rnk").cast("int").alias("rnk"),
-        (F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
-            "cosine_sim"
-        ),
+    assigned = _ivf_assign_portable(corpus, cents)
+    vectors = (
+        assigned.select(
+            F.lit(0).alias("is_cent"),
+            "list_id",
+            "vid",
+            "q",
+            F.lit(None).cast("array<long>").alias("c"),
+        )
+        .repartitionByRange(n_files, "list_id")
+        .sortWithinPartitions("list_id")
     )
+    cent_rows = cents.select(
+        F.lit(1).alias("is_cent"),
+        "list_id",
+        F.lit(None).cast("long").alias("vid"),
+        F.lit(None).cast("array<long>").alias("q"),
+        "c",
+    ).coalesce(1)
+    return tl.overwrite(
+        vectors.unionByName(cent_rows),
+        table_dir,
+        stats_cols=["list_id", "is_cent"],
+    )
+
+
+def _log_stat_range(stats: dict, path: str, col: str):
+    import os
+
+    entry = stats.get(os.path.basename(path), {})
+    st = entry.get("cols", {}).get(col)
+    return None if st is None else (st["min"], st["max"])
+
+
+def ivf_query_index_log(
+    spark,
+    table_dir: str,
+    query_ints: Sequence[int],
+    *,
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = 4,
+) -> tuple[DataFrame, int, int]:
+    """Top-k over a table-log IVF index at a PINNED version — the scan
+    opens only files whose committed ``list_id`` [min, max] can hold a
+    probed list (zero read-time footer I/O; lossless — files without
+    stats are kept). Probe selection replays the portable affinity
+    exactly (integer dots widened to double, one IEEE sqrt, list_id
+    tie-break) over the codebook rows, a codebook-sized collect.
+    Returns ``(topk_df, files_kept, files_total)``.
+    """
+    import math
+
+    from ..sources import table_log as tl
+
+    v = version if version is not None else tl.current_version(table_dir)
+    files = tl.snapshot_files(table_dir, version=v)
+    stats = tl.snapshot_file_stats(table_dir, version=v)
+
+    def may_contain(path: str, col: str, val: int) -> bool:
+        rng = _log_stat_range(stats, path, col)
+        return rng is None or (rng[0] <= val <= rng[1])
+
+    cent_files = [p for p in files if may_contain(p, "is_cent", 1)]
+    cents = (
+        spark.read.parquet(*cent_files)
+        .filter(F.col("is_cent") == 1)
+        .select("list_id", "c")
+        .collect()
+    )
+    q = [int(x) for x in query_ints]
+    scored = []
+    for r in cents:
+        c = [int(x) for x in r.c]
+        dot_qc = sum(a * b for a, b in zip(q, c))
+        dot_cc = sum(a * a for a in c)
+        # exactly the SQL/Spark probe affinity: exact integer dots
+        # widened to double (< 2^53), one correctly-rounded sqrt and
+        # divide; (score DESC, list_id ASC) total order
+        scored.append((-(float(dot_qc) / math.sqrt(float(dot_cc))), r.list_id))
+    scored.sort()
+    probes = sorted(int(lid) for _, lid in scored[:n_probe])
+    kept = [
+        p
+        for p in files
+        if may_contain(p, "is_cent", 0)
+        and any(may_contain(p, "list_id", lid) for lid in probes)
+    ]
+    qlit = F.array(*[F.lit(x).cast("long") for x in q])
+    cand = (
+        spark.read.parquet(*kept)
+        .filter((F.col("is_cent") == 0) & F.col("list_id").isin(probes))
+        .select("vid", "q")
+    )
+    return _rerank_portable(cand, qlit, k), len(kept), len(files)
 
 
 def _pq_books_from_rows(rows: DataFrame, m_sub: int, d_sub: int) -> DataFrame:

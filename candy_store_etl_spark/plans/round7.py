@@ -895,3 +895,151 @@ def incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(names)}, {stack_args}) AS "
         "(stage_idx, stage, rows_in, rows_out)"
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Versioned IVF index served through the table log
+# ---------------------------------------------------------------------------
+
+_IVF_V_MOD = 5  # version-0 index excludes vec_id % 5 == 4 (the
+# "not yet arrived" fifth); version 1 rebuilds over the full corpus
+
+
+def _ivf_versioned_sql_block(idx_version: int, corpus_where: str) -> str:
+    """One index version's full DuckDB replay — quantize, stride-seed,
+    two integer Lloyd iterations, probe, exact rerank — as a derived
+    subquery (its own WITH scope, so the two versions' CTE names do
+    not collide). Reuses the portable-IVF SQL builders from
+    plans/vectors.py verbatim."""
+    from .vectors import _ivf_sql_assign, _ivf_sql_dot, _ivf_sql_score, _ivf_sql_update
+
+    return f"""(
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id AS vid, q FROM base WHERE {corpus_where}),
+    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
+    seeds AS (
+      SELECT vid, q FROM corpus
+      WHERE vid % (SELECT GREATEST(1, COUNT(*) // 16) FROM corpus) = 0
+      ORDER BY vid LIMIT 16
+    ),
+    c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS list_id, q AS c
+           FROM seeds),
+    {_ivf_sql_assign("a1", "c0")},
+    {_ivf_sql_update("a1", "m1", "c1")},
+    {_ivf_sql_assign("a2", "c1")},
+    {_ivf_sql_update("a2", "m2", "c2")},
+    probe AS (
+      SELECT list_id FROM (
+        SELECT s.list_id,
+               row_number() OVER (ORDER BY {_ivf_sql_score("qq", "s.c")} DESC,
+                                  s.list_id) AS rn
+        FROM c2 s CROSS JOIN qv) WHERE rn <= 4
+    ),
+    {_ivf_sql_assign("a3", "c2")},
+    rer AS (
+      SELECT vid,
+             {_ivf_sql_dot("q", "qq")}
+               / (sqrt({_ivf_sql_dot("q", "q")}) * sqrt({_ivf_sql_dot("qq", "qq")}))
+               AS cos
+      FROM a3 JOIN probe USING (list_id) CROSS JOIN qv
+    )
+    SELECT CAST({idx_version} AS INTEGER) AS idx_version,
+           vid AS vec_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vid) AS INTEGER) AS rnk,
+           FLOOR(cos*1000000.0 + 0.5)/1000000.0 AS cosine_sim,
+           TRUE AS pruned
+    FROM rer QUALIFY rnk <= 10
+    )"""
+
+
+@register(
+    "ann_ivf_index_versioned",
+    oracle=f"""
+    SELECT * FROM {_ivf_versioned_sql_block(0, f"vec_id <> 0 AND vec_id % {_IVF_V_MOD} <> {_IVF_V_MOD - 1}")}
+    UNION ALL
+    SELECT * FROM {_ivf_versioned_sql_block(1, "vec_id <> 0")}
+    ORDER BY idx_version, rnk
+    """,
+    doc="The ANN index as a VERSIONED TABLE: two portable-IVF builds "
+    "are published through the table log (ivf_build_index_log) — "
+    "version 0 trained before the newest fifth of vectors arrived, "
+    "version 1 rebuilt over the full corpus — each an ATOMIC commit "
+    "carrying the range-sorted inverted lists AND the codebook, so "
+    "readers never see new centroids over old lists (the race the "
+    "plain two-directory ivf_build_index cannot exclude). The query "
+    "then serves top-10 at BOTH pinned versions: probe selection "
+    "replays the integer affinity over the committed codebook, and "
+    "the scan opens only files whose committed list_id [min,max] can "
+    "hold a probed list (ivf_query_index_log; the pruned column "
+    "asserts files_kept < files_total, planned from the log with "
+    "zero read-time footer I/O). The DuckDB oracle replays BOTH "
+    "builds bit-identically — quantization, stride seeding, two "
+    "integer Lloyd iterations, probing, exact rerank — so the "
+    "version-0 result proves the old index still answers from its "
+    "snapshot after the rebuild. At 100 TB this is the index-refresh "
+    "story: rebuild into version N+1 while queries pin N, swap "
+    "atomically, vacuum on retention.",
+    tags=("vectors", "ann", "ivf", "table-format", "portable"),
+)
+def ann_ivf_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        _quantized,
+        ivf_build_index_log,
+        ivf_query_index_log,
+    )
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = content_fingerprint(src, extra="ivflog")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_ivf_log_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 1:
+            return False
+        return all(
+            os.path.exists(p)
+            for v in (0, 1)
+            for p in tl.snapshot_files(d, version=v)
+        )
+
+    def _build(stage: str) -> None:
+        ivf_build_index_log(
+            emb.filter(
+                (F.col("vec_id") != 0)
+                & (F.col("vec_id") % _IVF_V_MOD != _IVF_V_MOD - 1)
+            ),
+            stage,
+        )
+        ivf_build_index_log(emb.filter(F.col("vec_id") != 0), stage)
+
+    ensure_scratch(table, _build, _intact)
+    # the query vector, quantized EXACTLY like the index build
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_quantized(F.col("embedding")).alias("q"))
+        .first()
+    )
+    q_ints = [int(x) for x in qrow.q]
+    parts = []
+    for v in (0, 1):
+        topk, kept, total = ivf_query_index_log(spark, table, q_ints, version=v)
+        parts.append(
+            topk.select(
+                F.lit(v).cast("int").alias("idx_version"),
+                "vec_id",
+                "rnk",
+                "cosine_sim",
+                F.lit(kept < total).alias("pruned"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("idx_version", "rnk")

@@ -144,6 +144,78 @@ def test_funnel_stage_primitives_shared_semantics(spark):
     assert out[0].b != out[2].b  # bow tokens stay case-sensitive
 
 
+def test_ivf_index_log_matches_in_memory_portable(spark, sf_smoke, tmp_path):
+    """A table-log-published IVF index answers EXACTLY like the
+    in-memory portable twin over the same corpus (same training, same
+    probes, same rerank), and the scan prunes files from committed
+    stats."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.operators.similarity import (
+        _quantized,
+        cosine_topk_ivf_portable,
+        ivf_build_index_log,
+        ivf_query_index_log,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    table = str(tmp_path / "ivf")
+    ivf_build_index_log(emb.filter(F.col("vec_id") != 0), table)
+    q_ints = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(_quantized(F.col("embedding")).alias("q"))
+        .first()
+        .q
+    ]
+    got_df, kept, total = ivf_query_index_log(spark, table, q_ints)
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in cosine_topk_ivf_portable(emb).collect()]
+    assert got == want
+    assert 0 < kept < total, "committed-stats pruning did not engage"
+
+
+def test_ivf_index_versions_pin_results(spark, sf_smoke, tmp_path):
+    """A rebuild is a new VERSION: queries pinned to version 0 return
+    the pre-rebuild answer unchanged, and the rebuilt index can serve
+    vectors the old one had never seen."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.operators.similarity import (
+        _quantized,
+        ivf_build_index_log,
+        ivf_query_index_log,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    table = str(tmp_path / "ivf")
+    old_corpus = emb.filter(
+        (F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4)
+    )
+    v0 = ivf_build_index_log(old_corpus, table)
+    q_ints = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(_quantized(F.col("embedding")).alias("q"))
+        .first()
+        .q
+    ]
+    before_df, _, _ = ivf_query_index_log(spark, table, q_ints)
+    before = [tuple(r) for r in before_df.collect()]
+    v1 = ivf_build_index_log(emb.filter(F.col("vec_id") != 0), table)
+    assert (v0, v1) == (0, 1)
+    # the pinned version is immune to the rebuild
+    pinned_df, _, _ = ivf_query_index_log(spark, table, q_ints, version=0)
+    assert [tuple(r) for r in pinned_df.collect()] == before
+    # version 0 can never return a vec_id its corpus excluded
+    assert all(r[0] % 5 != 4 for r in before)
+    latest_df, _, _ = ivf_query_index_log(spark, table, q_ints)
+    latest = [tuple(r) for r in latest_df.collect()]
+    assert latest != before  # the new fifth changes the answer set
+
+
 def test_checkpoint_native_read_reports_tail_replay(spark, sf_correctness):
     from candy_store_etl_spark.plans.round7 import _TL_COMMITS
 
