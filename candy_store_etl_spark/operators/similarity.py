@@ -991,6 +991,64 @@ def ivf_build_index_log(
     )
 
 
+def ivf_append_to_index_log(
+    emb_new: DataFrame,
+    table_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int = 4,
+) -> int:
+    """Incrementally refresh a table-log IVF index: assign ONLY the
+    newly-arrived vectors against the COMMITTED codebook and APPEND
+    them as one new commit — no retraining, no rewrite, the existing
+    inverted-list files (and the codebook file) keep their inodes.
+
+    This is the other half of the refresh story next to the atomic
+    full rebuild (``ivf_build_index_log``): at 100 TB a trickle of new
+    embeddings should cost O(increment), and the price is explicit —
+    the codebook goes stale as the distribution drifts (recall decays
+    until the next rebuild), which is exactly the production trade
+    (FAISS's add-vs-train split). Appended files carry the same
+    committed ``list_id`` stats, so query-time pruning is unchanged;
+    queries pinned to the pre-append version are untouched.
+    """
+    from ..sources import table_log as tl
+
+    v = tl.current_version(table_dir)
+    if v is None:
+        raise ValueError(f"{table_dir} has no committed index to append to")
+    spark = emb_new.sparkSession
+    files = tl.snapshot_files(table_dir, version=v)
+    stats = tl.snapshot_file_stats(table_dir, version=v)
+    cent_files = [
+        p
+        for p in files
+        if (r := _log_stat_range(stats, p, "is_cent")) is None or r[1] >= 1
+    ]
+    cents = (
+        spark.read.parquet(*cent_files)
+        .filter(F.col("is_cent") == 1)
+        .select("list_id", "c")
+    )
+    corpus_new = emb_new.select(
+        F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
+    )
+    assigned = _ivf_assign_portable(corpus_new, cents)
+    vectors = (
+        assigned.select(
+            F.lit(0).alias("is_cent"),
+            "list_id",
+            "vid",
+            "q",
+            F.lit(None).cast("array<long>").alias("c"),
+        )
+        .repartitionByRange(n_files, "list_id")
+        .sortWithinPartitions("list_id")
+    )
+    return tl.append(vectors, table_dir, stats_cols=["list_id", "is_cent"])
+
+
 def _log_stat_range(stats: dict, path: str, col: str):
     import os
 

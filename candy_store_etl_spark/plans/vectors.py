@@ -737,15 +737,17 @@ def _ivf_sql_score(q: str, c: str) -> str:
     return f"({_ivf_sql_dot(q, c)} / sqrt({_ivf_sql_dot(c, c)}))"
 
 
-def _ivf_sql_assign(out: str, cents: str) -> str:
+def _ivf_sql_assign(out: str, cents: str, corpus: str = "corpus") -> str:
     """One Lloyd assignment: argmax centroid per vector with the
-    (score DESC, list_id) total order."""
+    (score DESC, list_id) total order. ``corpus`` names the (vid, q)
+    relation being assigned — the incremental-index oracle assigns a
+    DIFFERENT relation (the increment) against the same codebook."""
     return f"""{out} AS (
       SELECT vid, list_id, q FROM (
         SELECT co.vid, s.list_id, co.q,
                row_number() OVER (PARTITION BY co.vid ORDER BY
                  {_ivf_sql_score("co.q", "s.c")} DESC, s.list_id) AS rn
-        FROM corpus co CROSS JOIN {cents} s) WHERE rn = 1
+        FROM {corpus} co CROSS JOIN {cents} s) WHERE rn = 1
     )"""
 
 

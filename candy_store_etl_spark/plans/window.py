@@ -20,22 +20,32 @@ from __future__ import annotations
 
 # Round-7 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 7 heads the window
-# (10: five new queries incl. the streaming change feed and schema
-# evolution; the PMI cap now shared with its oracle; the trigram
-# row's counting tier; the two table_log queries and the checkpoint
-# query sit over the rewritten sources/table_log.py; the token
-# heavy-hitter sits over the weighted-fold sketches.py); (b) the
-# remaining 40 slots re-confirm by STRICT oldest-evidence order —
-# ALL 22 queries whose last driver row is round 2 (the oldest
-# anywhere in the catalog, incl. the NOTES-named errors_after_
-# purchase and lineitem_measures_unpivot), then 18 of the 22 round-3
-# rows (alphabetical; top_terms_per_lang, vocab_oov_rate,
-# weekly_active_users, and zorder_layout_key defer). Round 8's
-# backlog: those four, then the 41-query r4 cohort (ANN family,
-# patch grid, sketch/window singles), then r5.
+# (14: eight new queries incl. the three late-round composites —
+# incremental corpus refresh, the table-log-versioned IVF index and
+# its append-only incremental-refresh twin — plus the streaming
+# change feed and schema evolution; the PMI cap now shared with its
+# oracle; the trigram row's counting tier; the table_log queries sit
+# over the rewritten sources/table_log.py; the token heavy-hitter
+# sits over the weighted-fold sketches.py; the capstone funnel and
+# ann_topk_ivf_portable sit over the extracted funnel_stages.py /
+# _ivf_train_portable refactors); (b) the remaining 36 slots
+# re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
+# last driver row is round 2 (the oldest anywhere in the catalog,
+# incl. the NOTES-named errors_after_purchase and
+# lineitem_measures_unpivot), then 14 of the 22 round-3 rows
+# (alphabetical; shard_token_budget, stratified_sample_docs,
+# streaming_static_enrich, suppliers_covering_brand,
+# top_terms_per_lang, vocab_oov_rate, weekly_active_users, and
+# zorder_layout_key defer). Round 8's backlog: those eight, then the
+# 41-query r4 cohort (ANN family, patch grid, sketch/window
+# singles), then r5.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 7
-    "pretraining_pipeline_funnel",  # NEW: capstone 10-stage funnel
+    "pretraining_pipeline_funnel",  # capstone; funnel_stages refactor
+    "incremental_corpus_refresh",  # NEW: second composite, reuses stages
+    "ann_ivf_index_versioned",  # NEW: IVF index through the table log
+    "ann_ivf_index_incremental",  # NEW: append-only index refresh
+    "ann_topk_ivf_portable",  # _ivf_train_portable extraction beneath
     "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
     "table_log_writer_roundtrip",  # NEW: native-writer two-phase commit
     "table_log_change_feed",  # NEW: streaming CDF face of the log
@@ -69,9 +79,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_array_set_ops",
     "user_first_last_events",
     "user_sessions",
-    # last seated round 3 (18 of 22; top_terms_per_lang,
-    # vocab_oov_rate, weekly_active_users, and zorder_layout_key
-    # defer to r8)
+    # last seated round 3 (14 of 22; shard_token_budget,
+    # stratified_sample_docs, streaming_static_enrich,
+    # suppliers_covering_brand, top_terms_per_lang, vocab_oov_rate,
+    # weekly_active_users, and zorder_layout_key defer to r8)
     "approx_price_quantiles",
     "data_quality_audit",
     "doc_bigram_logprob",
@@ -86,10 +97,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "nation_revenue_share",
     "null_safe_user_join",
     "priority_transition_matrix",
-    "shard_token_budget",
-    "stratified_sample_docs",
-    "streaming_static_enrich",
-    "suppliers_covering_brand",
 )
 
 

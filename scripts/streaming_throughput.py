@@ -488,6 +488,15 @@ def main() -> None:
     }
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    # idempotent append: a re-run REPLACES the streaming section
+    # instead of stacking a second copy under the curve tables
+    header = "\n## Streaming throughput (sustained) + state growth\n"
+    with open(md_path) as f:
+        existing = f.read()
+    cut = existing.find(header)
+    if cut != -1:
+        with open(md_path, "w") as f:
+            f.write(existing[:cut])
     with open(md_path, "a") as f:
         f.write(
             "\n## Streaming throughput (sustained) + state growth\n\n"

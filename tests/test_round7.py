@@ -216,6 +216,61 @@ def test_ivf_index_versions_pin_results(spark, sf_smoke, tmp_path):
     assert latest != before  # the new fifth changes the answer set
 
 
+def test_ivf_append_refresh_is_o_increment(spark, sf_smoke, tmp_path):
+    """ivf_append_to_index_log assigns ONLY the increment against the
+    committed codebook: every version-0 file (inverted lists AND
+    codebook) survives into version 1 with its inode, queries pinned
+    to version 0 are untouched, and the increment becomes servable."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.operators.similarity import (
+        _quantized,
+        ivf_append_to_index_log,
+        ivf_build_index_log,
+        ivf_query_index_log,
+    )
+    from candy_store_etl_spark.sources import table_log as tl
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    table = str(tmp_path / "ivf")
+    ivf_build_index_log(
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4)),
+        table,
+    )
+    q_ints = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(_quantized(F.col("embedding")).alias("q"))
+        .first()
+        .q
+    ]
+    before_df, _, _ = ivf_query_index_log(spark, table, q_ints)
+    before = [tuple(r) for r in before_df.collect()]
+    inodes0 = {p: os.stat(p).st_ino for p in tl.snapshot_files(table)}
+
+    v1 = ivf_append_to_index_log(
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4)),
+        table,
+    )
+    assert v1 == 1
+    v0_files = set(tl.snapshot_files(table, version=0))
+    v1_files = set(tl.snapshot_files(table, version=1))
+    assert v0_files < v1_files  # append only ever ADDS files
+    for p in v0_files:
+        assert os.stat(p).st_ino == inodes0[p]  # never rewritten
+    pinned_df, _, _ = ivf_query_index_log(spark, table, q_ints, version=0)
+    assert [tuple(r) for r in pinned_df.collect()] == before
+    # the appended vectors are candidates at the latest version: the
+    # grown index must rank at least as many rows as the old one did
+    latest_df, kept, total = ivf_query_index_log(spark, table, q_ints)
+    latest = [tuple(r) for r in latest_df.collect()]
+    assert len(latest) >= len(before)
+    assert 0 < kept < total
+
+
 def test_checkpoint_native_read_reports_tail_replay(spark, sf_correctness):
     from candy_store_etl_spark.plans.round7 import _TL_COMMITS
 
