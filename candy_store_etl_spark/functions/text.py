@@ -25,6 +25,12 @@ def tokens(col: Column | str) -> Column:
 # form so they can only drift together).
 SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
 
+# The corpus's filler/stopword vocabulary (the synthetic generator's
+# six function words) — canonical home; plans/text.py and the funnel
+# primitives import these so the Spark and SQL forms cannot drift.
+FILLER_TOKENS = ("a", "the", "big", "small", "slow", "fast")
+SQL_FILLER_IN = "('a','the','big','small','slow','fast')"
+
 
 def token_chars(toks: Column) -> Column:
     """Total characters across tokens (exact integer arithmetic)."""

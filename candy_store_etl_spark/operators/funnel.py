@@ -1,16 +1,19 @@
 """Shared pretraining-funnel stage primitives.
 
-The round-7 capstone (``pretraining_pipeline_funnel``) and the
-incremental composite (``incremental_corpus_refresh``) both gate
-documents through the same stages — composite quality score, exact
-content fingerprint, bag-of-words near-dup fingerprint. Each
-primitive lives here exactly ONCE, in TWO adjacent forms: the Spark
-Column expression the plan uses and the DuckDB SQL fragment its
-oracle uses — adjacency is the drift guard (same discipline as
-``functions/text.py``'s ``tokens``/``SQL_TOKENS`` pair).
+The round-7 capstone (``pretraining_pipeline_funnel``), the
+incremental composite (``incremental_corpus_refresh``), and the
+streaming refresh sink (``streaming/refresh.py``) all gate documents
+through the same stages — composite quality score, exact content
+fingerprint, bag-of-words near-dup fingerprint. Each primitive lives
+here exactly ONCE, in TWO adjacent forms: the Spark Column expression
+the plan uses and the DuckDB SQL fragment its oracle uses — adjacency
+is the drift guard (same discipline as ``functions/text.py``'s
+``tokens``/``SQL_TOKENS`` pair).
 
 Extracted from the capstone's inline expressions the moment a second
-composite needed them (the round-7 "reusable funnel stages" item).
+composite needed them (the round-7 "reusable funnel stages" item);
+moved from ``plans/`` to ``operators/`` when the STREAMING consumer
+arrived (plans imports streaming, so streaming cannot import plans).
 """
 
 from __future__ import annotations
@@ -18,8 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.text import distinct_ratio, stopword_ratio
-from .text import _FILLER, _SQL_FILLER
+from ..functions.text import (
+    FILLER_TOKENS as _FILLER,
+    SQL_FILLER_IN as _SQL_FILLER,
+    distinct_ratio,
+    stopword_ratio,
+)
 
 
 def quality_ok(toks: Column, qmin: float) -> Column:

@@ -20,8 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_TOKENS
-from ..sources.tpch import load_table
-from .funnel_stages import (
+from ..operators.funnel import (
     bow_fp,
     content_fp,
     quality_ok,
@@ -29,6 +28,7 @@ from .funnel_stages import (
     sql_content_fp,
     sql_quality_select,
 )
+from ..sources.tpch import load_table
 from .registry import register
 
 # 13 appends cross one auto-checkpoint (CHECKPOINT_INTERVAL = 10):
@@ -261,7 +261,7 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("p").alias("ps"))
     )
 
-    # the SHARED stage primitives (funnel_stages.py): the docstring's
+    # the SHARED stage primitives (operators/funnel.py): the docstring's
     # "corpus_curation's exact formula" claim holds only because both
     # composites and the oracle use literally the same definitions
     flagged = (
@@ -764,7 +764,7 @@ _R_QMIN = 0.6  # same binding threshold as the capstone
     ORDER BY stage_idx
     """,
     doc="The SECOND funnel composite, proving the stage primitives are "
-    "reusable (funnel_stages.py, shared with the capstone): a 25% "
+    "reusable (operators/funnel.py, shared with the capstone): a 25% "
     "increment of newly-arrived documents is refreshed INTO an "
     "existing corpus — quality filter -> exact dedup within the "
     "increment -> exact-fingerprint anti-join against the base corpus "

@@ -23,8 +23,8 @@ from .rounding import SQL_FROUND, fround
 # DuckDB twin of functions.text.tokens (whitespace split, no empties).
 _SQL_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
 
-_FILLER = ("a", "the", "big", "small", "slow", "fast")
-_SQL_FILLER = "('a','the','big','small','slow','fast')"
+from ..functions.text import FILLER_TOKENS as _FILLER
+from ..functions.text import SQL_FILLER_IN as _SQL_FILLER
 
 
 def _with_tokens(docs: DataFrame, *keep: str) -> DataFrame:

@@ -27,7 +27,7 @@ from __future__ import annotations
 # oracle; the trigram row's counting tier; the table_log queries sit
 # over the rewritten sources/table_log.py; the token heavy-hitter
 # sits over the weighted-fold sketches.py; the capstone funnel and
-# ann_topk_ivf_portable sit over the extracted funnel_stages.py /
+# ann_topk_ivf_portable sit over the extracted operators/funnel.py /
 # _ivf_train_portable refactors); (b) the remaining 36 slots
 # re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
 # last driver row is round 2 (the oldest anywhere in the catalog,
@@ -41,7 +41,7 @@ from __future__ import annotations
 # singles), then r5.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 7
-    "pretraining_pipeline_funnel",  # capstone; funnel_stages refactor
+    "pretraining_pipeline_funnel",  # capstone; funnel primitives refactor
     "incremental_corpus_refresh",  # NEW: second composite, reuses stages
     "ann_ivf_index_versioned",  # NEW: IVF index through the table log
     "ann_ivf_index_incremental",  # NEW: append-only index refresh

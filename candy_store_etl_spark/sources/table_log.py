@@ -497,12 +497,16 @@ def _stage_dataframe(
 
 
 def append(
-    df: DataFrame, table_dir: str, *, stats_cols: list[str] = ()
+    df: DataFrame, table_dir: str, *, stats_cols: list[str] = (),
+    op: str = "append",
 ) -> int:
     """Append df as a new version (data files immutable, commit
     atomic). ``stats_cols`` embeds per-file [min, max] column stats in
     the commit entry (one footer sweep at write time) so
-    ``read_snapshot_pruned`` can plan from the log alone."""
+    ``read_snapshot_pruned`` can plan from the log alone. ``op``
+    customizes the commit's operation tag — sinks use it as an
+    idempotence ledger (e.g. ``refresh-batch-N``), the same pattern as
+    the CDC sink's ``cdc-batch-N``."""
     os.makedirs(table_dir, exist_ok=True)
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
@@ -514,7 +518,7 @@ def append(
     names = _stage_dataframe(df, table_dir, hint)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
     return commit(
-        table_dir, add=names, op="append", stats=stats, schema=new_schema
+        table_dir, add=names, op=op, stats=stats, schema=new_schema
     )
 
 

@@ -121,7 +121,7 @@ def test_funnel_stage_primitives_shared_semantics(spark):
     import pyspark.sql.functions as F
 
     from candy_store_etl_spark.functions.text import tokens
-    from candy_store_etl_spark.plans.funnel_stages import (
+    from candy_store_etl_spark.operators.funnel import (
         bow_fp,
         content_fp,
     )
