@@ -42,6 +42,11 @@ HEADLINE = [
     # round-7: the capstone funnel (one-scan survival flags +
     # distributed prefix sum)
     "pretraining_pipeline_funnel",
+    # round-7 late additions: the second composite (fingerprint-only
+    # anti-joins vs the base corpus) and the table-log-versioned IVF
+    # index (pinned-version probe-pruned scans)
+    "incremental_corpus_refresh",
+    "ann_ivf_index_versioned",
 ]
 
 
