@@ -1163,3 +1163,109 @@ def ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(kept < total).alias("pruned"),
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Z-order compaction committed through the table log
+# ---------------------------------------------------------------------------
+
+
+# Fibonacci-hash projection of l_partkey to a uniform 10-bit key —
+# raw l_partkey % 1024 is NOT uniform at small SFs (sf0.001 partkeys
+# only span [1,200], so a [0,255] filter matches everything and
+# pruning trivially cannot engage). Pure integer arithmetic, parsed
+# identically by Spark SQL and DuckDB.
+_Z_PK10 = "((l_partkey * 2654435761) % 4294967296) % 1024"
+
+
+@register(
+    "table_log_zorder_compact",
+    oracle=f"""
+    SELECT 'ok10' AS dim,
+           CAST(COUNT(*) AS BIGINT) AS rows_matched,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           TRUE AS pruned
+    FROM lineitem WHERE l_orderkey % 1024 BETWEEN 512 AND 767
+    UNION ALL
+    SELECT 'pk10', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), TRUE
+    FROM lineitem WHERE {_Z_PK10} BETWEEN 0 AND 255
+    ORDER BY dim
+    """,
+    doc="OPTIMIZE ZORDER as one atomic table-log commit: the scratch "
+    "table lands as 8 randomly-partitioned files (stats committed but "
+    "USELESS — every file spans the full range of both keys), then "
+    "tl.compact rewrites it range-partitioned + sorted on the 10+10-"
+    "bit Z-interleave of (fibonacci-hashed l_partkey, l_orderkey%1024) "
+    "with committed stats on BOTH underlying dimensions. Because a "
+    "contiguous Z range fixes the high bits of EVERY interleaved "
+    "dimension, each compacted file's [min,max] narrows on both keys "
+    "at once, so read_snapshot_pruned serves a range filter on EITHER "
+    "dimension from a fraction of the files, planned from the log "
+    "with zero read-time footer I/O (the pruned columns assert "
+    "files_kept < files_total for both). Prior versions still "
+    "time-travel over the unsorted layout; the unsorted-vs-zordered "
+    "pruning contrast is pinned in tests/test_round7.py. At 100 TB "
+    "this is the layout-maintenance pass a lakehouse schedules: one "
+    "commit, no reader disruption, multi-dimensional pruning after. "
+    "Composes zorder_layout_key (plans/warehouse.py) with the log's "
+    "compact + stats machinery.",
+    tags=("warehouse", "table-format", "layout", "zorder"),
+)
+def table_log_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from .warehouse import _interleave_expr
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    key = content_fingerprint(src, extra="zorder-fibhash-pk10")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_zorder_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 1:
+            return False
+        stats = tl.snapshot_file_stats(d)
+        if not stats or any(
+            "pk10" not in e.get("cols", {}) for e in stats.values()
+        ):
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(d))
+
+    def _build(stage: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.expr(_Z_PK10).cast("long").alias("pk10"),
+            (F.col("l_orderkey") % 1024).cast("long").alias("ok10"),
+        )
+        # unsorted landing: 8 hash-random files whose per-file stats
+        # span the whole key space (committed, but prune nothing)
+        tl.append(li.repartition(8), stage, stats_cols=["pk10", "ok10"])
+        tl.compact(
+            spark,
+            stage,
+            target_files=16,
+            sort_by=F.expr(_interleave_expr("pk10", "ok10", bits=10)),
+            stats_cols=["pk10", "ok10"],
+        )
+
+    ensure_scratch(table, _build, _intact)
+    parts = []
+    for dim, lo, hi in (("ok10", 512, 767), ("pk10", 0, 255)):
+        df, kept, total = tl.read_snapshot_pruned(spark, table, dim, lo, hi)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("rows_matched"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            ).select(
+                F.lit(dim).alias("dim"),
+                F.col("rows_matched").cast("long"),
+                F.col("qty_sum").cast("long"),
+                F.lit(kept < total).alias("pruned"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("dim")

@@ -553,15 +553,19 @@ def compact(
     table_dir: str,
     *,
     target_files: int = 1,
-    sort_by: str | None = None,
+    sort_by=None,
     stats_cols: list[str] = (),
 ) -> int:
     """Rewrite the CURRENT snapshot into ``target_files`` files and
     commit the swap atomically; prior versions still time-travel.
-    ``sort_by`` range-partitions + sorts the rewrite on a key so the
-    new files carry DISJOINT key ranges — the layout that makes
-    stats-pruning decisive (file_index's compaction rule, applied at
-    the commit level)."""
+    ``sort_by`` (a column name or any Column expression — e.g. a
+    Z-order bit-interleave over two stored keys, the OPTIMIZE ZORDER
+    pass) range-partitions + sorts the rewrite so the new files carry
+    DISJOINT key ranges — the layout that makes stats-pruning
+    decisive (file_index's compaction rule, applied at the commit
+    level). With a multi-dimensional Z key, commit ``stats_cols`` for
+    the UNDERLYING dimensions: each file's [min, max] narrows on
+    every interleaved dimension at once."""
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")

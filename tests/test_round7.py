@@ -271,6 +271,49 @@ def test_ivf_append_refresh_is_o_increment(spark, sf_smoke, tmp_path):
     assert 0 < kept < total
 
 
+def test_zorder_compact_prunes_both_dims_sorted_only(spark, sf_smoke, tmp_path):
+    """The unsorted landing's committed stats prune NOTHING on either
+    dimension; after one atomic z-order compact the SAME range reads
+    keep a strict subset of files on BOTH dimensions, with results
+    equal to the unpruned truth, and version 0 still time-travels."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.plans.warehouse import _interleave_expr
+    from candy_store_etl_spark.sources import table_log as tl
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.expr("((l_partkey * 2654435761) % 4294967296) % 1024")
+        .cast("long")
+        .alias("pk10"),
+        (F.col("l_orderkey") % 1024).cast("long").alias("ok10"),
+    )
+    table = str(tmp_path / "z")
+    tl.append(li.repartition(8), table, stats_cols=["pk10", "ok10"])
+    ranges = (("pk10", 0, 255), ("ok10", 512, 767))
+    for dim, lo, hi in ranges:
+        _, kept, total = tl.read_snapshot_pruned(
+            spark, table, dim, lo, hi, version=0
+        )
+        assert kept == total, f"random layout should not prune {dim}"
+    tl.compact(
+        spark,
+        table,
+        target_files=16,
+        sort_by=F.expr(_interleave_expr("pk10", "ok10", bits=10)),
+        stats_cols=["pk10", "ok10"],
+    )
+    for dim, lo, hi in ranges:
+        df, kept, total = tl.read_snapshot_pruned(spark, table, dim, lo, hi)
+        assert kept < total, f"z-order layout failed to prune {dim}"
+        want = li.filter(F.col(dim).between(lo, hi)).count()
+        assert df.count() == want  # pruning is lossless
+    # the pre-compact version still serves the unsorted layout
+    assert tl.read_snapshot(spark, table, version=0).count() == li.count()
+
+
 def test_checkpoint_native_read_reports_tail_replay(spark, sf_correctness):
     from candy_store_etl_spark.plans.round7 import _TL_COMMITS
 
