@@ -953,17 +953,16 @@ def ivf_build_index_log(
     into the next version, swap atomically, vacuum old versions on
     retention. Cf. ``ivf_query_index_log`` for the probe-pruned read.
     """
-    from ..caching import tracked_cache as _tc
     from ..sources import table_log as tl
 
     corpus = (
         emb.select(
             F.col(id_col).alias("vid"), _quantized(F.col(vec_col)).alias("q")
         )
-        .transform(_tc)
+        .transform(tracked_cache)
     )
     cents = _ivf_train_portable(corpus, n_centroids, iterations).transform(
-        _tc
+        tracked_cache
     )
     assigned = _ivf_assign_portable(corpus, cents)
     vectors = (
@@ -1112,11 +1111,22 @@ def ivf_query_index_log(
         and any(may_contain(p, "list_id", lid) for lid in probes)
     ]
     qlit = F.array(*[F.lit(x).cast("long") for x in q])
-    cand = (
-        spark.read.parquet(*kept)
-        .filter((F.col("is_cent") == 0) & F.col("list_id").isin(probes))
-        .select("vid", "q")
-    )
+    if not kept:
+        # every vector file pruned (all probed lists empty in the
+        # final assignment): ONE file supplies the schema, the
+        # always-false filter yields an empty top-k instead of a
+        # zero-path read error (read_snapshot_pruned's rule)
+        cand = (
+            spark.read.parquet(files[0])
+            .filter(F.lit(False))
+            .select("vid", "q")
+        )
+    else:
+        cand = (
+            spark.read.parquet(*kept)
+            .filter((F.col("is_cent") == 0) & F.col("list_id").isin(probes))
+            .select("vid", "q")
+        )
     return _rerank_portable(cand, qlit, k), len(kept), len(files)
 
 

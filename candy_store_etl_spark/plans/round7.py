@@ -849,7 +849,10 @@ def incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="refresh")
+    # the extra string carries the LOGIC VERSION: anything that
+    # changes what the scratch table should contain must change it
+    # (the z-order query's "zorder-fibhash-pk10" discipline)
+    key = content_fingerprint(src, extra=f"refresh-m{_R_MOD}-q{_R_QMIN}")
     table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_refresh_{key}")
 
     def _intact(d: str) -> bool:
@@ -1015,7 +1018,9 @@ def ann_ivf_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = content_fingerprint(src, extra="ivflog")
+    key = content_fingerprint(
+        src, extra=f"ivflog-k16p4-m{_IVF_V_MOD}"  # logic version
+    )
     table = os.path.join(tempfile.gettempdir(), f"csetl_ivf_log_{key}")
 
     def _intact(d: str) -> bool:
@@ -1118,7 +1123,9 @@ def ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = content_fingerprint(src, extra="ivfinc")
+    key = content_fingerprint(
+        src, extra=f"ivfinc-k16p4-m{_IVF_V_MOD}"  # logic version
+    )
     table = os.path.join(tempfile.gettempdir(), f"csetl_ivf_inc_{key}")
 
     def _intact(d: str) -> bool:

@@ -58,9 +58,12 @@ def null_handling_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Array set operations over document token sets.
 # ---------------------------------------------------------------------------
-_FILLER = ("a", "the", "big", "small", "slow", "fast")
+from ..functions.text import FILLER_TOKENS as _FILLER  # noqa: E402
+
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
-_SQL_FILLER_LIST = "['a','the','big','small','slow','fast']"
+# DuckDB list-literal form of the canonical filler vocabulary —
+# derived, not duplicated, so a vocabulary change cannot strand it
+_SQL_FILLER_LIST = "[" + ",".join(f"'{w}'" for w in _FILLER) + "]"
 
 
 @register(

@@ -39,10 +39,14 @@ grouping, the sink re-resolves it on restart, and prior versions
 still time-travel. The trade is explicit and tunable: a group file
 absorbs ``buckets_per_file`` buckets' updates per rewrite, so rewrite
 amplification rises exactly as file count falls (Delta's OPTIMIZE
-faces the same trade). Compaction is a single-writer MAINTENANCE op:
-do not run it concurrently with the sink — its commit pins
-``base_version``, so a race raises ``ConcurrentCommitError`` rather
-than corrupting the table.
+faces the same trade). Concurrency: a live sink detects foreign
+commits by table version and re-resolves the grouping before its next
+merge, so compacting BETWEEN batches is safe even without a sink
+restart; both the sink's merge commit and the compaction pin
+``base_version``, so the one interleaving that cannot be absorbed — a
+commit landing inside the other writer's read-to-commit window —
+raises ``ConcurrentCommitError`` loudly instead of corrupting the
+table (the failed side re-derives and retries).
 """
 
 from __future__ import annotations
@@ -158,17 +162,27 @@ def make_partitioned_cdc_sink(
     # maintained in the sink closure — batch N must not replay N
     # commit files just to learn it hasn't run yet (that's quadratic
     # metadata I/O over the stream's lifetime, the cost curve the
-    # checkpoint exists to kill)
+    # checkpoint exists to kill). The layout is RE-resolved whenever a
+    # FOREIGN commit is detected (table version moved without us —
+    # e.g. a between-batches compact_warehouse), so a live sink adopts
+    # a new grouping instead of merging against the old one; the
+    # version check is O(1), the re-resolve only pays on actual
+    # foreign commits.
     applied: set[int] | None = None
     bpf: int = 1
+    last_v: int | None | object = object()  # sentinel: never seen
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import scoped_cache
 
-        nonlocal applied, bpf
+        nonlocal applied, bpf, last_v
+        base_v = tl.current_version(table_dir)
         if applied is None:
             applied = applied_batches(table_dir)
             bpf = layout_buckets_per_file(table_dir)
+        elif base_v != last_v:
+            bpf = layout_buckets_per_file(table_dir)
+        last_v = base_v
         if batch_id in applied:
             return  # retried epoch: the committed swap IS the marker
         spark = batch_df.sparkSession
@@ -187,13 +201,13 @@ def make_partitioned_cdc_sink(
                 for r in inc.select("bucket", "grp").distinct().collect()
             ]
             if not touched:
-                tl.commit(table_dir, op=f"cdc-batch-{batch_id}")
+                last_v = tl.commit(table_dir, op=f"cdc-batch-{batch_id}")
                 applied.add(batch_id)
                 return
             touched_groups = {g for _, g in touched}
             live = (
-                tl.snapshot_files(table_dir)
-                if tl.current_version(table_dir) is not None
+                tl.snapshot_files(table_dir, version=base_v)
+                if base_v is not None
                 else []
             )
             old_touched = [
@@ -228,11 +242,17 @@ def make_partitioned_cdc_sink(
             names = _stage_groups_into_table(
                 merged, table_dir, f"c{batch_id}"
             )
-        tl.commit(
+        # pinned to the snapshot this merge was derived from: a commit
+        # landing in the read-to-commit window (e.g. a racing
+        # compaction) raises ConcurrentCommitError — the stream fails
+        # loudly, and the restarted sink re-resolves the layout and
+        # re-derives the batch — instead of being silently built over
+        last_v = tl.commit(
             table_dir,
             add=names,
             remove=[os.path.basename(p) for p in old_touched],
             op=f"cdc-batch-{batch_id}",
+            base_version=base_v,
         )
         applied.add(batch_id)
         if metrics is not None:
@@ -277,13 +297,15 @@ def compact_warehouse(
     adjacent buckets (``ceil(n_buckets / buckets_per_file)`` files
     when every group is populated), committed with op
     ``cdc-compact-bpf{n}`` so the sink re-resolves the grouping on
-    restart. Prior versions still time-travel over the old fine
-    layout (their files are only removed by vacuum).
+    restart — and a LIVE sink adopts it at its next batch (it
+    re-resolves whenever the table version moved without it). Prior
+    versions still time-travel over the old fine layout (their files
+    are only removed by vacuum).
 
-    MAINTENANCE OP — single writer: do not run concurrently with the
-    sink. The commit pins ``base_version``, so a racing commit raises
-    ``ConcurrentCommitError`` instead of corrupting the table; re-run
-    after the stream quiesces.
+    The commit pins ``base_version``, so racing a sink batch's
+    read-to-commit window raises ``ConcurrentCommitError`` on one
+    side instead of corrupting the table; re-run after the stream's
+    trigger completes.
     """
     if buckets_per_file < 1:
         raise ValueError("buckets_per_file must be >= 1")

@@ -64,28 +64,39 @@ def curate_increment(
     from ..functions.text import tokens
 
     t = tokens(F.col("text"))
-    w_fp = (
-        Window.partitionBy("fp")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+
+    def running(flag_col, w):
+        return F.sum(
+            F.when(flag_col, F.lit(1)).otherwise(F.lit(0))
+        ).over(w)
+
+    def first_wins(col_name):
+        return (
+            Window.partitionBy(col_name)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    # within-batch, first-doc_id wins per EXACT fingerprint and per
+    # BAG-OF-WORDS fingerprint alike — two near-duplicates arriving in
+    # the same micro-batch must not both enter the curated table (the
+    # anti-joins below only see the PRE-batch snapshot)
     flagged = (
         inserts.select(*_DOC_COLS)
         .withColumn("q_ok", quality_ok(t, qmin))
         .withColumn("fp", content_fp(F.col("text")))
         .withColumn("bowfp", bow_fp(t))
         .withColumn(
+            "fp_ok",
+            F.col("q_ok") & (running(F.col("q_ok"), first_wins("fp")) == 1),
+        )
+        .withColumn(
             "keep",
-            F.col("q_ok")
-            & (
-                F.sum(
-                    F.when(F.col("q_ok"), F.lit(1)).otherwise(F.lit(0))
-                ).over(w_fp)
-                == 1
-            ),
+            F.col("fp_ok")
+            & (running(F.col("fp_ok"), first_wins("bowfp")) == 1),
         )
         .filter("keep")
-        .drop("q_ok", "keep")
+        .drop("q_ok", "fp_ok", "keep")
     )
     if curated_fps is None:
         return flagged

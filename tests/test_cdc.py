@@ -256,6 +256,37 @@ def test_sink_restart_honors_compacted_layout(spark, table):
     assert (row.n_events, row.cents) == (2, 100 + 250)
 
 
+def test_live_sink_adopts_compacted_layout_without_restart(spark, table):
+    """A LIVE sink (same instance, no restart) detects the foreign
+    compaction commit by table version and re-resolves the grouping
+    before its next merge — the silent-corruption path a stale cached
+    layout would take (post-review fix)."""
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    metrics = []
+    sink = _sink(table, metrics)
+    sink(_events(spark, [(u, 1.0) for u in range(400)]), 0)
+    assert metrics[-1]["buckets_per_file"] == 1
+    compact_warehouse(
+        spark, table, key_col="user_id", n_buckets=N_BUCKETS,
+        buckets_per_file=16,  # -> 2 group files
+    )
+    sink(_events(spark, [(7, 2.5)]), 1)  # SAME instance
+    m = metrics[-1]
+    assert m["buckets_per_file"] == 16
+    assert m["files_rewritten"] == 1
+    assert m["files_total"] == 2
+    row = (
+        read_warehouse(spark, table)
+        .filter(F.col("user_id") == 7)
+        .collect()[0]
+    )
+    assert (row.n_events, row.cents) == (2, 100 + 250)
+    # no duplicate keys anywhere (the failure mode of a stale layout)
+    wh = read_warehouse(spark, table)
+    assert wh.count() == wh.select("user_id").distinct().count()
+
+
 def test_merge_parity_across_compaction(spark, table):
     """Merges before and after a mid-stream compaction converge to
     the same warehouse as one aggregate over the concatenated input."""

@@ -61,6 +61,22 @@ def test_refresh_follows_feed_with_cross_batch_dedup(spark, tmp_path):
     assert {"fp", "bowfp"} <= cols
 
 
+def test_within_batch_bow_neardup_first_wins(spark, tmp_path):
+    """Two bag-of-words near-duplicates arriving in the SAME
+    micro-batch: only the first doc_id enters the curated table (the
+    anti-joins see only the pre-batch snapshot, so the in-batch
+    window must catch this — post-review fix)."""
+    landing = str(tmp_path / "landing")
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    tl.append(
+        _docs(spark, [(1, GOOD2), (2, GOOD2_REORDERED), (3, GOOD1)]),
+        landing,
+    )
+    run_landing_to_curated(spark, landing, curated, ckpt)
+    assert _curated_ids(spark, curated) == [1, 3]
+
+
 def test_rerun_without_new_commits_is_a_noop(spark, tmp_path):
     landing = str(tmp_path / "landing")
     curated = str(tmp_path / "curated")
