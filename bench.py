@@ -56,6 +56,12 @@ HEADLINE = [
     # and the 10-stage capstone pipeline
     "heavy_hitter_char_trigrams",
     "pretraining_pipeline_funnel",
+    # round-7 late additions: the second composite (fingerprint
+    # anti-joins + table-log append; its scratch table is built once,
+    # content-keyed, so steady-state timings measure the QUERY) and
+    # the versioned IVF index (pinned-version stats-pruned reads)
+    "incremental_corpus_refresh",
+    "ann_ivf_index_versioned",
 ]
 
 
