@@ -29,18 +29,38 @@ _EDGE = 65536  # bytes hashed from each end of the source file
 
 
 def content_fingerprint(src_path: str, extra: str = "") -> str:
-    """12-hex-char fingerprint of a source file's identity + content
-    edges (+ ``extra`` to separate artifacts derived differently from
-    the same source)."""
+    """12-hex-char fingerprint of a source's identity + content edges
+    (+ ``extra`` to separate artifacts derived differently from the
+    same source). The source may be a single parquet FILE (testdata's
+    shape) or a parquet DIRECTORY of part files (the derived .scale
+    tables' shape): a directory fingerprints every part file's name,
+    size, and ns-mtime plus the content edges of the first and last
+    parts — a regenerated table (new mtimes) always re-fingerprints."""
     st = os.stat(src_path)
-    h = hashlib.md5(
-        f"{src_path}:{st.st_size}:{st.st_mtime_ns}:{extra}".encode()
-    )
-    with open(src_path, "rb") as f:
-        h.update(f.read(_EDGE))
-        if st.st_size > _EDGE:
-            f.seek(-_EDGE, os.SEEK_END)
+    h = hashlib.md5(f"{src_path}:{extra}".encode())
+
+    def _edges(path: str, size: int) -> None:
+        with open(path, "rb") as f:
             h.update(f.read(_EDGE))
+            if size > _EDGE:
+                f.seek(-_EDGE, os.SEEK_END)
+                h.update(f.read(_EDGE))
+
+    if os.path.isdir(src_path):
+        parts = sorted(
+            n for n in os.listdir(src_path) if not n.startswith((".", "_"))
+        )
+        for n in parts:
+            pst = os.stat(os.path.join(src_path, n))
+            h.update(f"{n}:{pst.st_size}:{pst.st_mtime_ns}".encode())
+        for n in (parts[0], parts[-1]) if parts else ():
+            _edges(
+                os.path.join(src_path, n),
+                os.stat(os.path.join(src_path, n)).st_size,
+            )
+    else:
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        _edges(src_path, st.st_size)
     return h.hexdigest()[:12]
 
 

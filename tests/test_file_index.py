@@ -185,3 +185,28 @@ def test_manifest_staleness_repair_and_nested_rejection(spark, sf_correctness, t
     from candy_store_etl_spark.sources.file_index import _leaf_index
 
     assert _leaf_index(md, "label") == 2  # vec_id, embedding.element, label
+
+
+def test_content_fingerprint_handles_files_and_directories(tmp_path):
+    """The scratch fingerprint accepts both source shapes: testdata's
+    single parquet file and .scale's parquet DIRECTORY of part files
+    (post-curve fix: a directory source crashed with IsADirectoryError).
+    Any part-file change re-fingerprints; extra separates consumers."""
+    from candy_store_etl_spark.sources.scratch import content_fingerprint
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"x" * 100)
+    assert content_fingerprint(str(f)) != content_fingerprint(
+        str(f), extra="other"
+    )
+
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a" * 10)
+    (d / "part-1.parquet").write_bytes(b"b" * 10)
+    (d / "_SUCCESS").write_bytes(b"")  # marker files are ignored
+    fp1 = content_fingerprint(str(d))
+    (d / "_SUCCESS").write_bytes(b"ignored")
+    assert content_fingerprint(str(d)) == fp1
+    (d / "part-1.parquet").write_bytes(b"c" * 11)
+    assert content_fingerprint(str(d)) != fp1
