@@ -116,6 +116,15 @@ def main() -> None:
     ap.add_argument("--sf1", default="/root/repo/.scale/sf1")
     ap.add_argument("--sf10", default="/root/repo/.scale/sf10")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        default=None,
+        help="re-measure ONLY these queries (fresh session = the "
+        "isolation the methodology note demands for confirming or "
+        "refuting a SUPER-LINEAR reading) and rewrite just their rows "
+        "in SCALING.md, keeping every other row",
+    )
     args = ap.parse_args()
     if not os.path.isdir(args.sf1):
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
@@ -137,8 +146,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_map()
 
+    run_queries = [
+        n for n in QUERIES if args.only is None or n in args.only
+    ]
+
     # warm-up (JVM codegen + Python worker fork) at the smallest SF
-    for name in QUERIES:
+    for name in run_queries:
         fns[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
@@ -152,7 +165,7 @@ def main() -> None:
         return t01, t1, t10
 
     rows = []
-    for name in QUERIES:
+    for name in run_queries:
         t01, t1, t10 = measure(name)
         # a SUPER-LINEAR verdict is an accusation of a quadratic path —
         # confirm it before reporting: long-session JVM state (heap
@@ -177,7 +190,8 @@ def main() -> None:
               f"{_verdict(r1)}{ten}")
 
     # the reference's own workload, scaled: 10 → 100 → 1000 days
-    if os.path.isdir(CANDY_BASE) and os.path.isdir(CANDY_SF1):
+    run_candy = args.only is None or "candy_pipeline_5_outputs" in args.only
+    if run_candy and os.path.isdir(CANDY_BASE) and os.path.isdir(CANDY_SF1):
         from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
         from candy_store_etl_spark.sources.candy import read_products
 
@@ -219,12 +233,45 @@ def main() -> None:
     # invalidated by re-measuring the batch curve)
     stream_header = "\n## Streaming throughput (sustained) + state growth\n"
     preserved = ""
+    existing = ""
     if os.path.exists(md_path):
         with open(md_path) as f:
             existing = f.read()
         cut = existing.find(stream_header)
         if cut != -1:
             preserved = existing[cut:]
+    if args.only is not None:
+        # --only: fold the fresh-session rows into the existing table,
+        # keeping every row not re-measured (and the file's row order)
+        import re as _re
+
+        def _num(s):
+            s = s.strip().rstrip("x")
+            return None if s in ("—", "") else float(s)
+
+        merged, fresh = [], {r[0]: r for r in rows}
+        for m in _re.finditer(
+            r"^\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+)x "
+            r"\| ([\d.—]+) \| ([\d.x—]+) \| ",
+            existing,
+            _re.M,
+        ):
+            name = m.group(1)
+            if name in fresh:
+                merged.append(fresh.pop(name))
+            else:
+                merged.append(
+                    (
+                        name,
+                        _num(m.group(2)),
+                        _num(m.group(3)),
+                        _num(m.group(4)),
+                        _num(m.group(5)),
+                        _num(m.group(6)),
+                    )
+                )
+        merged.extend(fresh.values())  # --only names new to the table
+        rows = merged
     with open(md_path, "w") as f:
         f.write(
             "# Measured scaling curve (10x per step)\n\n"
@@ -242,7 +289,9 @@ def main() -> None:
             "reported: long-session JVM state has produced one-off 3x "
             "outliers on plans that measure sub-linear in isolation, "
             "so only a REPEATED super-linear ratio survives into this "
-            "table.\n\n"
+            "table — and a surviving one is then re-measured in a "
+            "FRESH session (`scripts/scaling_curve.py --only <query>`), "
+            "the decisive isolation test, before being believed.\n\n"
             "A 10x data -> <=~13x time decade is linear scaling (the "
             "extra constant is shuffle/scheduling overhead at still-"
             "small absolute sizes); sub-linear decades are dominated "
