@@ -1276,3 +1276,79 @@ def table_log_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1]).orderBy("dim")
+
+
+@register(
+    "table_log_string_pruned_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS pruned
+    FROM documents
+    WHERE source BETWEEN 'src12' AND 'src14'
+    GROUP BY source ORDER BY source
+    """,
+    doc="STRING-column stats pruning through the table log: the commit "
+    "entries' per-file [min, max] are not numeric-only — the scratch "
+    "table compacts sorted by the source STRING (10 files, disjoint "
+    "lexicographic ranges committed in the log), and a BETWEEN "
+    "'src12' AND 'src14' read keeps only the files whose committed "
+    "string range intersects, planned with zero read-time footer I/O "
+    "(pruned asserts files_kept < files_total). String bounds compare "
+    "byte-wise identically in Spark, DuckDB, and Python over this "
+    "ASCII domain, so the pruning decision is engine-portable. At "
+    "100 TB this is partition-pruning-without-partitions for "
+    "high-cardinality string keys (tenant, domain, URL prefix) where "
+    "directory partitioning would explode the namespace.",
+    tags=("warehouse", "table-format", "pruning"),
+)
+def table_log_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="strprune-source-10f")
+    table = os.path.join(tempfile.gettempdir(), f"csetl_tlog_str_{key}")
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(d) != 1:
+            return False
+        stats = tl.snapshot_file_stats(d)
+        if not stats or any(
+            "source" not in e.get("cols", {}) for e in stats.values()
+        ):
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(d))
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        tl.append(docs.repartition(4), stage, stats_cols=["source"])
+        tl.compact(
+            spark, stage, target_files=10, sort_by="source",
+            stats_cols=["source"],
+        )
+
+    ensure_scratch(table, _build, _intact)
+    df, kept, total = tl.read_snapshot_pruned(
+        spark, table, "source", "src12", "src14"
+    )
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("total_chars").cast("long"),
+            F.lit(kept < total).alias("pruned"),
+        )
+        .orderBy("source")
+    )
