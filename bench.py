@@ -22,6 +22,13 @@ from candy_store_etl_spark.caching import release_caches  # noqa: E402
 from candy_store_etl_spark.plans import query_map  # noqa: E402
 from candy_store_etl_spark.session import build_session  # noqa: E402
 
+# the SCALING.md section owned by scripts/streaming_throughput.py —
+# ONE definition, imported by both it (to replace its own section
+# idempotently) and scripts/scaling_curve.py (to preserve it across
+# curve rewrites); a drifting duplicate literal would silently revert
+# to dropping the streaming table
+SCALING_STREAM_HEADER = "\n## Streaming throughput (sustained) + state growth\n"
+
 HEADLINE = [
     # relational core
     "daily_summary",

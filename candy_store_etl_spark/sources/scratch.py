@@ -36,7 +36,6 @@ def content_fingerprint(src_path: str, extra: str = "") -> str:
     tables' shape): a directory fingerprints every part file's name,
     size, and ns-mtime plus the content edges of the first and last
     parts — a regenerated table (new mtimes) always re-fingerprints."""
-    st = os.stat(src_path)
     h = hashlib.md5(f"{src_path}:{extra}".encode())
 
     def _edges(path: str, size: int) -> None:
@@ -47,18 +46,30 @@ def content_fingerprint(src_path: str, extra: str = "") -> str:
                 h.update(f.read(_EDGE))
 
     if os.path.isdir(src_path):
-        parts = sorted(
-            n for n in os.listdir(src_path) if not n.startswith((".", "_"))
-        )
-        for n in parts:
-            pst = os.stat(os.path.join(src_path, n))
-            h.update(f"{n}:{pst.st_size}:{pst.st_mtime_ns}".encode())
-        for n in (parts[0], parts[-1]) if parts else ():
-            _edges(
-                os.path.join(src_path, n),
-                os.stat(os.path.join(src_path, n)).st_size,
+        # recurse so hive-partitioned layouts (lang=en/part-*.parquet)
+        # fingerprint their leaf FILES — a subdirectory entry must
+        # never be opened (IsADirectoryError) nor statted in place of
+        # its contents (stale-artifact hazard)
+        entries: list[tuple[str, str, int, int]] = []
+        for root, dirs, files in os.walk(src_path):
+            dirs[:] = sorted(
+                d for d in dirs if not d.startswith((".", "_"))
             )
+            for n in sorted(files):
+                if n.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, n)
+                pst = os.stat(p)
+                rel = os.path.relpath(p, src_path)
+                entries.append((rel, p, pst.st_size, pst.st_mtime_ns))
+        for rel, _, size, mt in entries:
+            h.update(f"{rel}:{size}:{mt}".encode())
+        for _, p, size, _ in (
+            (entries[0], entries[-1]) if entries else ()
+        ):
+            _edges(p, size)
     else:
+        st = os.stat(src_path)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
         _edges(src_path, st.st_size)
     return h.hexdigest()[:12]

@@ -129,6 +129,21 @@ def main() -> None:
     if not os.path.isdir(args.sf1):
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
     have_sf10 = os.path.isdir(args.sf10)
+    if args.only is not None:
+        known = set(QUERIES) | {"candy_pipeline_5_outputs"}
+        unknown = sorted(set(args.only) - known)
+        if unknown:
+            raise SystemExit(
+                f"--only: not curve queries: {unknown} "
+                f"(choose from {sorted(known)})"
+            )
+        if not have_sf10:
+            raise SystemExit(
+                "--only needs the sf10 directory: a fresh-session "
+                "re-measure exists to confirm or refute the SECOND "
+                "decade, and replacing a row without its sf10 column "
+                "would silently erase that evidence"
+            )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # sf10 holds ~17x the bench data volume; the bench default of 8g
@@ -231,7 +246,8 @@ def main() -> None:
     # preserve the streaming-throughput section across curve re-runs
     # (scripts/streaming_throughput.py owns it; its numbers are not
     # invalidated by re-measuring the batch curve)
-    stream_header = "\n## Streaming throughput (sustained) + state growth\n"
+    from bench import SCALING_STREAM_HEADER as stream_header
+
     preserved = ""
     existing = ""
     if os.path.exists(md_path):
@@ -240,38 +256,72 @@ def main() -> None:
         cut = existing.find(stream_header)
         if cut != -1:
             preserved = existing[cut:]
+
+    def _row_line(name, t01, t1, r1, t10, r10):
+        v = _verdict(max(r1, r10) if r10 is not None else r1)
+        s10 = f"{t10:.2f}" if t10 is not None else "—"
+        sr10 = f"{r10:.1f}x" if r10 is not None else "—"
+        return (
+            f"| {name} | {t01:.2f} | {t1:.2f} | {r1:.1f}x "
+            f"| {s10} | {sr10} | {v} |"
+        )
+
     if args.only is not None:
-        # --only: fold the fresh-session rows into the existing table,
-        # keeping every row not re-measured (and the file's row order)
+        # --only: TEXTUAL row replacement — untouched rows keep their
+        # exact text (numbers AND verdicts; a re-parse round-trip
+        # through 1-decimal ratios flipped boundary verdicts), the
+        # header keeps describing the full run's conditions, and a
+        # provenance line records what this fresh session re-measured
         import re as _re
 
-        def _num(s):
-            s = s.strip().rstrip("x")
-            return None if s in ("—", "") else float(s)
-
-        merged, fresh = [], {r[0]: r for r in rows}
-        for m in _re.finditer(
-            r"^\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+)x "
-            r"\| ([\d.—]+) \| ([\d.x—]+) \| ",
-            existing,
-            _re.M,
-        ):
-            name = m.group(1)
-            if name in fresh:
-                merged.append(fresh.pop(name))
-            else:
-                merged.append(
-                    (
-                        name,
-                        _num(m.group(2)),
-                        _num(m.group(3)),
-                        _num(m.group(4)),
-                        _num(m.group(5)),
-                        _num(m.group(6)),
-                    )
+        text = existing
+        for name, t01, t1, r1, t10, r10 in rows:
+            line = _row_line(name, t01, t1, r1, t10, r10)
+            pat = rf"^\| {_re.escape(name)} \| .*\|$"
+            text, n_sub = _re.subn(pat, line, text, count=1, flags=_re.M)
+            if n_sub == 0:
+                raise SystemExit(
+                    f"--only: {name} has no row in SCALING.md — run a "
+                    "full curve first"
                 )
-        merged.extend(fresh.values())  # --only names new to the table
-        rows = merged
+        note_re = _re.compile(
+            r"^Fresh-session re-measured rows \(--only\):.*$\n?", _re.M
+        )
+        text = note_re.sub("", text)
+        note = (
+            "Fresh-session re-measured rows (--only): "
+            + ", ".join(r[0] for r in rows)
+            + f" — isolated session, ambient load {ambient:.1f}, "
+            f"best-of-{args.trials}.\n"
+        )
+        cut = text.find(stream_header)
+        if cut == -1:
+            text = text.rstrip("\n") + "\n\n" + note
+        else:
+            text = text[:cut].rstrip("\n") + "\n\n" + note + text[cut:]
+        with open(md_path, "w") as f:
+            f.write(text)
+        worst = max(
+            (r for *_, r1, _, r10 in rows for r in (r1, r10) if r is not None),
+            default=0.0,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_ratio_max",
+                    "only": [r[0] for r in rows],
+                    "value": round(worst, 2),
+                    "queries": {
+                        n: {"x01_1": round(r1, 2),
+                            "x1_10": round(r10, 2) if r10 is not None else None}
+                        for n, _, _, r1, _, r10 in rows
+                    },
+                    "ambient_load_1m": round(ambient, 2),
+                }
+            )
+        )
+        spark.stop()
+        return
     with open(md_path, "w") as f:
         f.write(
             "# Measured scaling curve (10x per step)\n\n"
@@ -305,13 +355,7 @@ def main() -> None:
             "|---|---|---|---|---|---|---|\n"
         )
         for name, t01, t1, r1, t10, r10 in rows:
-            v = _verdict(max(r1, r10) if r10 is not None else r1)
-            s10 = f"{t10:.2f}" if t10 is not None else "—"
-            sr10 = f"{r10:.1f}x" if r10 is not None else "—"
-            f.write(
-                f"| {name} | {t01:.2f} | {t1:.2f} | {r1:.1f}x "
-                f"| {s10} | {sr10} | {v} |\n"
-            )
+            f.write(_row_line(name, t01, t1, r1, t10, r10) + "\n")
         f.write(
             "\n`candy_pipeline_5_outputs` scales over the reference's "
             "own workload replicated in TIME (10 → 100 → 1000 distinct "

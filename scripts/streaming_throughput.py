@@ -489,8 +489,9 @@ def main() -> None:
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     # idempotent append: a re-run REPLACES the streaming section
-    # instead of stacking a second copy under the curve tables
-    header = "\n## Streaming throughput (sustained) + state growth\n"
+    # instead of stacking a second copy under the curve tables; ONE
+    # header definition shared with scaling_curve.py's preservation
+    from bench import SCALING_STREAM_HEADER as header
     with open(md_path) as f:
         existing = f.read()
     cut = existing.find(header)
@@ -499,7 +500,7 @@ def main() -> None:
             f.write(existing[:cut])
     with open(md_path, "a") as f:
         f.write(
-            "\n## Streaming throughput (sustained) + state growth\n\n"
+            header + "\n"
             f"Feeds from `{args.sf_dir}` staged as {N_FILES} files → "
             f"{N_FILES} micro-batches (maxFilesPerTrigger=1), "
             "foreachBatch count sink, availableNow trigger; sustained "

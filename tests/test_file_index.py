@@ -210,3 +210,12 @@ def test_content_fingerprint_handles_files_and_directories(tmp_path):
     assert content_fingerprint(str(d)) == fp1
     (d / "part-1.parquet").write_bytes(b"c" * 11)
     assert content_fingerprint(str(d)) != fp1
+
+    # hive-partitioned (nested) layout: leaf files fingerprint, the
+    # subdirectory entry itself is never opened
+    hv = tmp_path / "hive.parquet"
+    (hv / "lang=en").mkdir(parents=True)
+    (hv / "lang=en" / "part-0.parquet").write_bytes(b"e" * 20)
+    fp_hv = content_fingerprint(str(hv))
+    (hv / "lang=en" / "part-0.parquet").write_bytes(b"f" * 21)
+    assert content_fingerprint(str(hv)) != fp_hv
