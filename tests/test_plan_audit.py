@@ -262,3 +262,23 @@ def test_grouped_topk_pushes_window_group_limit(spark, sf_correctness, name):
         f"{name}: expected partial+final WindowGroupLimit below the "
         f"sort, found {n_wgl}:\n{tree}"
     )
+
+
+def test_versioned_ivf_read_is_zero_shuffle(spark, sf_correctness):
+    """Serving top-k from the table-log IVF index moves NO data
+    between executors: probe selection is a codebook-sized driver
+    computation against committed stats, the scan opens only the
+    probed lists' files, and the rerank is a windowed top-k over the
+    pruned candidates — zero shuffle exchanges AND zero broadcasts at
+    query time (all heavy work happened at BUILD time and was
+    committed into the index; PLANS.md pins the same shape)."""
+    from candy_store_etl_spark.metrics import count_unique_broadcasts
+
+    spark.catalog.clearCache()
+    df = QUERIES["ann_ivf_index_versioned"].fn(spark, sf_correctness)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    assert count_unique_shuffles(tree) == 0, tree
+    assert count_unique_broadcasts(tree) == 0, tree
