@@ -1130,6 +1130,116 @@ def ivf_query_index_log(
     return _rerank_portable(cand, qlit, k), len(kept), len(files)
 
 
+def ivf_query_index_log_batch(
+    spark,
+    table_dir: str,
+    queries: dict[int, Sequence[int]],
+    *,
+    version: int | None = None,
+    k: int = 10,
+    n_probe: int = 4,
+) -> tuple[DataFrame, int, int]:
+    """Batched top-k over a table-log IVF index at a PINNED version:
+    N queries amortize ONE pruned scan. Per-query probes replay the
+    portable affinity over the codebook (driver-side, codebook x N —
+    still codebook-sized); the scan opens only files whose committed
+    ``list_id`` stats can hold the UNION of probed lists; the rerank
+    equi-joins candidates to the exploded (qid, list_id) probe
+    relation and windows per query — no per-query corpus pass, no
+    non-equi join. Returns ``(df(qid, vec_id, rnk, cosine_sim),
+    files_kept, files_total)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ..sources import table_log as tl
+
+    v = version if version is not None else tl.current_version(table_dir)
+    files = tl.snapshot_files(table_dir, version=v)
+    stats = tl.snapshot_file_stats(table_dir, version=v)
+
+    def may_contain(path: str, col: str, val: int) -> bool:
+        rng = _log_stat_range(stats, path, col)
+        return rng is None or (rng[0] <= val <= rng[1])
+
+    cent_files = [p for p in files if may_contain(p, "is_cent", 1)]
+    cents = (
+        spark.read.parquet(*cent_files)
+        .filter(F.col("is_cent") == 1)
+        .select("list_id", "c")
+        .collect()
+    )
+    probe_rows: list[tuple[int, int]] = []  # (qid, list_id)
+    for qid, qints in queries.items():
+        q = [int(x) for x in qints]
+        scored = []
+        for r in cents:
+            c = [int(x) for x in r.c]
+            dot_qc = sum(a * b for a, b in zip(q, c))
+            dot_cc = sum(a * a for a in c)
+            scored.append(
+                (-(float(dot_qc) / math.sqrt(float(dot_cc))), r.list_id)
+            )
+        scored.sort()
+        probe_rows.extend(
+            (int(qid), int(lid)) for _, lid in scored[:n_probe]
+        )
+    union_probes = sorted({lid for _, lid in probe_rows})
+    kept = [
+        p
+        for p in files
+        if may_contain(p, "is_cent", 0)
+        and any(may_contain(p, "list_id", lid) for lid in union_probes)
+    ]
+    probes_df = spark.createDataFrame(
+        probe_rows, "qid int, list_id long"
+    )
+    qs_df = spark.createDataFrame(
+        [(int(qid), [int(x) for x in qq]) for qid, qq in queries.items()],
+        "qid int, qq array<long>",
+    )
+    if not kept:
+        cand = (
+            spark.read.parquet(files[0])
+            .filter(F.lit(False))
+            .select("vid", "q", "list_id")
+        )
+    else:
+        cand = (
+            spark.read.parquet(*kept)
+            .filter(
+                (F.col("is_cent") == 0)
+                & F.col("list_id").isin(union_probes)
+            )
+            .select("vid", "q", "list_id")
+        )
+    paired = cand.join(F.broadcast(probes_df), "list_id").join(
+        F.broadcast(qs_df), "qid"
+    )
+    cos = _ldot(F.col("q"), F.col("qq")).cast("double") / (
+        F.sqrt(_ldot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_ldot(F.col("qq"), F.col("qq")).cast("double"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vid").asc()
+    )
+    out = (
+        paired.select("qid", "vid", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("vid").alias("vec_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            (
+                F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+            ).alias("cosine_sim"),
+        )
+    )
+    return out, len(kept), len(files)
+
+
 def _pq_books_from_rows(rows: DataFrame, m_sub: int, d_sub: int) -> DataFrame:
     """(m, code, c8) codeword relation from whole-vector rows: subspace
     m of seed r is the r-th codeword of book m."""

@@ -908,13 +908,12 @@ _IVF_V_MOD = 5  # version-0 index excludes vec_id % 5 == 4 (the
 # "not yet arrived" fifth); version 1 rebuilds over the full corpus
 
 
-def _ivf_common_ctes(corpus_where: str) -> str:
-    """The shared DuckDB replay prefix — quantize, stride-seed, two
-    integer Lloyd iterations, query-probe selection — reusing the
-    portable-IVF SQL builders from plans/vectors.py verbatim. Ends at
-    the trained codebook ``c2`` and ``probe``; callers add their own
-    assignment/rerank tail."""
-    from .vectors import _ivf_sql_assign, _ivf_sql_score, _ivf_sql_update
+def _ivf_training_ctes(corpus_where: str) -> str:
+    """Quantize, stride-seed, two integer Lloyd iterations — reusing
+    the portable-IVF SQL builders from plans/vectors.py verbatim.
+    Ends at the trained codebook ``c2``; callers add their own
+    query/probe/rerank tail."""
+    from .vectors import _ivf_sql_assign, _ivf_sql_update
 
     return f"""base AS (
       SELECT vec_id,
@@ -923,7 +922,6 @@ def _ivf_common_ctes(corpus_where: str) -> str:
       FROM embeddings
     ),
     corpus AS (SELECT vec_id AS vid, q FROM base WHERE {corpus_where}),
-    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
     seeds AS (
       SELECT vid, q FROM corpus
       WHERE vid % (SELECT GREATEST(1, COUNT(*) // 16) FROM corpus) = 0
@@ -934,7 +932,16 @@ def _ivf_common_ctes(corpus_where: str) -> str:
     {_ivf_sql_assign("a1", "c0")},
     {_ivf_sql_update("a1", "m1", "c1")},
     {_ivf_sql_assign("a2", "c1")},
-    {_ivf_sql_update("a2", "m2", "c2")},
+    {_ivf_sql_update("a2", "m2", "c2")}"""
+
+
+def _ivf_common_ctes(corpus_where: str) -> str:
+    """The single-query replay prefix: training CTEs plus the vec_id=0
+    query vector and its top-4 probe lists."""
+    from .vectors import _ivf_sql_score
+
+    return f"""{_ivf_training_ctes(corpus_where)},
+    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
     probe AS (
       SELECT list_id FROM (
         SELECT s.list_id,
@@ -975,44 +982,15 @@ def _ivf_versioned_sql_block(idx_version: int, corpus_where: str) -> str:
     )"""
 
 
-@register(
-    "ann_ivf_index_versioned",
-    oracle=f"""
-    SELECT * FROM {_ivf_versioned_sql_block(0, f"vec_id <> 0 AND vec_id % {_IVF_V_MOD} <> {_IVF_V_MOD - 1}")}
-    UNION ALL
-    SELECT * FROM {_ivf_versioned_sql_block(1, "vec_id <> 0")}
-    ORDER BY idx_version, rnk
-    """,
-    doc="The ANN index as a VERSIONED TABLE: two portable-IVF builds "
-    "are published through the table log (ivf_build_index_log) — "
-    "version 0 trained before the newest fifth of vectors arrived, "
-    "version 1 rebuilt over the full corpus — each an ATOMIC commit "
-    "carrying the range-sorted inverted lists AND the codebook, so "
-    "readers never see new centroids over old lists (the race the "
-    "plain two-directory ivf_build_index cannot exclude). The query "
-    "then serves top-10 at BOTH pinned versions: probe selection "
-    "replays the integer affinity over the committed codebook, and "
-    "the scan opens only files whose committed list_id [min,max] can "
-    "hold a probed list (ivf_query_index_log; the pruned column "
-    "asserts files_kept < files_total, planned from the log with "
-    "zero read-time footer I/O). The DuckDB oracle replays BOTH "
-    "builds bit-identically — quantization, stride seeding, two "
-    "integer Lloyd iterations, probing, exact rerank — so the "
-    "version-0 result proves the old index still answers from its "
-    "snapshot after the rebuild. At 100 TB this is the index-refresh "
-    "story: rebuild into version N+1 while queries pin N, swap "
-    "atomically, vacuum on retention.",
-    tags=("vectors", "ann", "ivf", "table-format", "portable"),
-)
-def ann_ivf_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_ivf_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, content-keyed) the two-version IVF index scratch
+    table shared by the versioned and batch serving queries: v0
+    trained without the newest fifth of vectors, v1 rebuilt over the
+    full corpus (query vector 0 always excluded)."""
     import os
     import tempfile
 
-    from ..operators.similarity import (
-        _quantized,
-        ivf_build_index_log,
-        ivf_query_index_log,
-    )
+    from ..operators.similarity import ivf_build_index_log
     from ..sources import table_log as tl
     from ..sources.scratch import content_fingerprint, ensure_scratch
 
@@ -1043,6 +1021,43 @@ def ann_ivf_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build_index_log(emb.filter(F.col("vec_id") != 0), stage)
 
     ensure_scratch(table, _build, _intact)
+    return table
+
+
+@register(
+    "ann_ivf_index_versioned",
+    oracle=f"""
+    SELECT * FROM {_ivf_versioned_sql_block(0, f"vec_id <> 0 AND vec_id % {_IVF_V_MOD} <> {_IVF_V_MOD - 1}")}
+    UNION ALL
+    SELECT * FROM {_ivf_versioned_sql_block(1, "vec_id <> 0")}
+    ORDER BY idx_version, rnk
+    """,
+    doc="The ANN index as a VERSIONED TABLE: two portable-IVF builds "
+    "are published through the table log (ivf_build_index_log) — "
+    "version 0 trained before the newest fifth of vectors arrived, "
+    "version 1 rebuilt over the full corpus — each an ATOMIC commit "
+    "carrying the range-sorted inverted lists AND the codebook, so "
+    "readers never see new centroids over old lists (the race the "
+    "plain two-directory ivf_build_index cannot exclude). The query "
+    "then serves top-10 at BOTH pinned versions: probe selection "
+    "replays the integer affinity over the committed codebook, and "
+    "the scan opens only files whose committed list_id [min,max] can "
+    "hold a probed list (ivf_query_index_log; the pruned column "
+    "asserts files_kept < files_total, planned from the log with "
+    "zero read-time footer I/O). The DuckDB oracle replays BOTH "
+    "builds bit-identically — quantization, stride seeding, two "
+    "integer Lloyd iterations, probing, exact rerank — so the "
+    "version-0 result proves the old index still answers from its "
+    "snapshot after the rebuild. At 100 TB this is the index-refresh "
+    "story: rebuild into version N+1 while queries pin N, swap "
+    "atomically, vacuum on retention.",
+    tags=("vectors", "ann", "ivf", "table-format", "portable"),
+)
+def ann_ivf_index_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _quantized, ivf_query_index_log
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = _ensure_ivf_versioned_table(spark, sf_dir)
     # the query vector, quantized EXACTLY like the index build
     qrow = (
         emb.filter(F.col("vec_id") == 0)
@@ -1351,4 +1366,78 @@ def table_log_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(kept < total).alias("pruned"),
         )
         .orderBy("source")
+    )
+
+
+def _ivf_batch_oracle() -> str:
+    from .vectors import _ivf_sql_assign, _ivf_sql_dot, _ivf_sql_score
+
+    return f"""
+    WITH {_ivf_training_ctes("vec_id <> 0")},
+    qs AS (SELECT vec_id AS qid, q AS qq FROM base WHERE vec_id IN (0, 5)),
+    probes AS (
+      SELECT qid, list_id FROM (
+        SELECT qs.qid, s.list_id,
+               row_number() OVER (PARTITION BY qs.qid ORDER BY
+                 {_ivf_sql_score("qq", "s.c")} DESC, s.list_id) AS rn
+        FROM c2 s CROSS JOIN qs) WHERE rn <= 4
+    ),
+    {_ivf_sql_assign("a3", "c2")},
+    rer AS (
+      SELECT p.qid, a.vid,
+             {_ivf_sql_dot("a.q", "qs.qq")}
+               / (sqrt({_ivf_sql_dot("a.q", "a.q")})
+                  * sqrt({_ivf_sql_dot("qs.qq", "qs.qq")})) AS cos
+      FROM a3 a
+      JOIN probes p ON a.list_id = p.list_id
+      JOIN qs ON qs.qid = p.qid
+    )
+    SELECT CAST(qid AS INTEGER) AS qid,
+           vid AS vec_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)
+                AS INTEGER) AS rnk,
+           FLOOR(cos*1000000.0 + 0.5)/1000000.0 AS cosine_sim,
+           TRUE AS pruned
+    FROM rer QUALIFY rnk <= 10
+    ORDER BY qid, rnk
+    """
+
+
+@register(
+    "ann_ivf_index_batch",
+    oracle=_ivf_batch_oracle(),
+    doc="BATCHED serving over the table-log IVF index — the real "
+    "serving shape, where N queries amortize ONE pruned scan: "
+    "per-query probes replay the portable affinity over the committed "
+    "codebook (codebook-sized driver work), the scan opens only files "
+    "whose committed list_id stats can hold the UNION of probed "
+    "lists, and the rerank equi-joins candidates to the exploded "
+    "(qid, list_id) probe relation (never a non-equi/nested-loop "
+    "join) with a per-query top-k window. Reuses the SAME "
+    "content-keyed index table as ann_ivf_index_versioned at its "
+    "latest version — query 0 is a held-out vector, query 5 sits IN "
+    "the index (its self-match leads its list). The DuckDB oracle "
+    "replays training once and both queries' probes/reranks "
+    "bit-identically. At 100 TB this is the amortization that makes "
+    "an index worth serving: per-batch cost is one pruned scan plus "
+    "codebook x N driver arithmetic, not N corpus passes.",
+    tags=("vectors", "ann", "ivf", "table-format", "portable", "batch"),
+)
+def ann_ivf_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        _quantized,
+        ivf_query_index_log_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = _ensure_ivf_versioned_table(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id").isin([0, 5]))
+        .select("vec_id", _quantized(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    queries = {int(r.vec_id): [int(x) for x in r.q] for r in qrows}
+    df, kept, total = ivf_query_index_log_batch(spark, table, queries)
+    return df.withColumn("pruned", F.lit(kept < total)).orderBy(
+        "qid", "rnk"
     )

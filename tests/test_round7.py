@@ -271,6 +271,46 @@ def test_ivf_append_refresh_is_o_increment(spark, sf_smoke, tmp_path):
     assert 0 < kept < total
 
 
+def test_batched_index_query_matches_single(spark, sf_smoke, tmp_path):
+    """Batched serving equals N single-query passes: for each query
+    id, the batch result's rows are exactly the single-query top-k
+    over the same pinned index."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.operators.similarity import (
+        _quantized,
+        ivf_build_index_log,
+        ivf_query_index_log,
+        ivf_query_index_log_batch,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    table = str(tmp_path / "ivf")
+    ivf_build_index_log(emb.filter(F.col("vec_id") != 0), table)
+    qrows = (
+        emb.filter(F.col("vec_id").isin([0, 5]))
+        .select("vec_id", _quantized(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    queries = {int(r.vec_id): [int(x) for x in r.q] for r in qrows}
+    batch_df, kept, total = ivf_query_index_log_batch(spark, table, queries)
+    batch = {
+        qid: sorted(
+            (r.vec_id, r.rnk, r.cosine_sim)
+            for r in batch_df.filter(F.col("qid") == qid).collect()
+        )
+        for qid in queries
+    }
+    for qid, qints in queries.items():
+        single_df, _, _ = ivf_query_index_log(spark, table, qints)
+        single = sorted(tuple(r) for r in single_df.collect())
+        assert batch[qid] == single, f"qid {qid} diverged"
+    assert 0 < kept < total
+    # query 5 is IN the index: its self-match must lead its ranking
+    assert (5, 1, 1.0) in batch[5]
+
+
 def test_zorder_compact_prunes_both_dims_sorted_only(spark, sf_smoke, tmp_path):
     """The unsorted landing's committed stats prune NOTHING on either
     dimension; after one atomic z-order compact the SAME range reads
