@@ -1441,3 +1441,77 @@ def ann_ivf_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("pruned", F.lit(kept < total)).orderBy(
         "qid", "rnk"
     )
+
+
+def _ann_recall_oracle() -> str:
+    from .vectors import _ivf_sql_assign, _ivf_sql_dot
+
+    cosq = (
+        f"{_ivf_sql_dot('co.q', 'qq')} / (sqrt({_ivf_sql_dot('co.q', 'co.q')})"
+        f" * sqrt({_ivf_sql_dot('qq', 'qq')}))"
+    )
+    return f"""
+    WITH {_ivf_common_ctes("vec_id <> 0")},
+    {_ivf_sql_assign("a3", "c2")},
+    {_ivf_sql_rerank("a3")},
+    ivf10 AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY cos DESC, vid) AS rn
+        FROM rer) WHERE rn <= 10
+    ),
+    rex AS (SELECT co.vid, {cosq} AS cos FROM corpus co CROSS JOIN qv),
+    exact10 AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY cos DESC, vid) AS rn
+        FROM rex) WHERE rn <= 10
+    )
+    SELECT 'exact' AS tier, CAST(10 AS BIGINT) AS hits,
+           CAST(100 AS BIGINT) AS recall_pct
+    UNION ALL
+    SELECT 'ivf_portable', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) * 10 AS BIGINT)
+    FROM ivf10 JOIN exact10 USING (vid)
+    ORDER BY tier
+    """
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=_ann_recall_oracle(),
+    doc="SERVING QUALITY as a measured, oracled number: recall@10 of "
+    "the portable IVF tier against the exact brute-force top-10 over "
+    "the same quantized space (hits = |approx ∩ exact|, recall_pct = "
+    "hits*10 — exact integers, no float thresholds). The brief's "
+    "standard is that a correct-but-useless approximation is not "
+    "done: an ANN tier must know its recall, and here the DuckDB "
+    "oracle replays BOTH sides (training + probe + rerank for the "
+    "approximate tier, full-corpus exact rerank for the truth) so "
+    "the recall number itself is hash-checked, not self-reported. "
+    "At 100 TB this is the offline evaluation loop every serving "
+    "index runs before a parameter change ships (n_probe/n_lists "
+    "trade recall for scan fraction; this row is where that trade "
+    "becomes visible).",
+    tags=("vectors", "ann", "ivf", "portable", "evaluation"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+    from ..operators.similarity import (
+        _quantized,
+        _rerank_portable,
+        cosine_topk_ivf_portable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"), _quantized(F.col("embedding")).alias("q")
+    )
+    qrow = base.filter(F.col("vid") == 0).select("q").first()
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qrow.q])
+    corpus = base.filter(F.col("vid") != 0).transform(tracked_cache)
+    exact10 = _rerank_portable(corpus, qlit, 10).select("vec_id")
+    approx10 = cosine_topk_ivf_portable(emb).select("vec_id")
+    hits = approx10.join(exact10, "vec_id").count()
+    return spark.createDataFrame(
+        [("exact", 10, 100), ("ivf_portable", int(hits), int(hits) * 10)],
+        "tier string, hits long, recall_pct long",
+    ).orderBy("tier")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 # Round-7 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 7 heads the window
-# (17: eleven new queries incl. the late-round composites —
+# (18: twelve new queries incl. the late-round composites —
 # incremental corpus refresh, the table-log-versioned IVF index and
 # its append-only incremental-refresh twin — plus the streaming
 # change feed and schema evolution; the PMI cap now shared with its
@@ -28,18 +28,19 @@ from __future__ import annotations
 # over the rewritten sources/table_log.py; the token heavy-hitter
 # sits over the weighted-fold sketches.py; the capstone funnel and
 # ann_topk_ivf_portable sit over the extracted operators/funnel.py /
-# _ivf_train_portable refactors); (b) the remaining 33 slots
+# _ivf_train_portable refactors); (b) the remaining 32 slots
 # re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
 # last driver row is round 2 (the oldest anywhere in the catalog,
 # incl. the NOTES-named errors_after_purchase and
-# lineitem_measures_unpivot), then 11 of the 22 round-3 rows
-# (alphabetical; nation_revenue_share, null_safe_user_join,
-# priority_transition_matrix, shard_token_budget,
-# stratified_sample_docs, streaming_static_enrich,
-# suppliers_covering_brand, top_terms_per_lang, vocab_oov_rate,
-# weekly_active_users, and zorder_layout_key defer). Round 8's
-# backlog: those eleven, then the 41-query r4 cohort (ANN family,
-# patch grid, sketch/window singles), then r5.
+# lineitem_measures_unpivot), then 10 of the 22 round-3 rows
+# (alphabetical; incremental_neardup_probe, nation_revenue_share,
+# null_safe_user_join, priority_transition_matrix,
+# shard_token_budget, stratified_sample_docs,
+# streaming_static_enrich, suppliers_covering_brand,
+# top_terms_per_lang, vocab_oov_rate, weekly_active_users, and
+# zorder_layout_key defer). Round 8's backlog: those twelve, then
+# the 41-query r4 cohort (ANN family, patch grid, sketch/window
+# singles), then r5.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 7
     "pretraining_pipeline_funnel",  # capstone; funnel primitives refactor
@@ -47,6 +48,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivf_index_versioned",  # NEW: IVF index through the table log
     "ann_ivf_index_incremental",  # NEW: append-only index refresh
     "ann_ivf_index_batch",  # NEW: batched serving over the log index
+    "ann_recall_at_k",  # NEW: oracled recall@10 of the IVF tier
     "ann_topk_ivf_portable",  # _ivf_train_portable extraction beneath
     "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
     "table_log_writer_roundtrip",  # NEW: native-writer two-phase commit
@@ -83,12 +85,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_array_set_ops",
     "user_first_last_events",
     "user_sessions",
-    # last seated round 3 (11 of 22; nation_revenue_share,
-    # null_safe_user_join, priority_transition_matrix,
-    # shard_token_budget, stratified_sample_docs,
-    # streaming_static_enrich, suppliers_covering_brand,
-    # top_terms_per_lang, vocab_oov_rate, weekly_active_users, and
-    # zorder_layout_key defer to r8)
+    # last seated round 3 (10 of 22; incremental_neardup_probe,
+    # nation_revenue_share, null_safe_user_join,
+    # priority_transition_matrix, shard_token_budget,
+    # stratified_sample_docs, streaming_static_enrich,
+    # suppliers_covering_brand, top_terms_per_lang, vocab_oov_rate,
+    # weekly_active_users, and zorder_layout_key defer to r8)
     "approx_price_quantiles",
     "data_quality_audit",
     "doc_bigram_logprob",
@@ -99,7 +101,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_shard_assignment",
     "domain_capped_sample",
     "fuzzy_part_name_match",
-    "incremental_neardup_probe",
 )
 
 
