@@ -91,6 +91,14 @@ class SchemaEvolutionError(ValueError):
     non-nullable column that old files could not null-fill)."""
 
 
+class TableLogRetentionError(RuntimeError):
+    """A change-feed consumer needs a file that vacuum already
+    reclaimed — the consumer fell behind the table's retention
+    (vacuum ran without a ``cdf_horizon`` covering its offset). Reset
+    the consumer from a fresh snapshot, and vacuum with
+    ``cdf_horizon=<slowest consumer's offset>`` to prevent this."""
+
+
 _UNPINNED = object()  # sentinel: commit() re-reads latest itself
 
 
@@ -651,6 +659,7 @@ def vacuum(
     *,
     retain_from_version: int = 0,
     grace_seconds: float = VACUUM_GRACE_SECONDS,
+    cdf_horizon: int | None = None,
 ) -> list[str]:
     """Delete data files not live in ANY snapshot at or after
     ``retain_from_version`` — the only history-destroying operation.
@@ -664,7 +673,19 @@ def vacuum(
     data files into the table dir BEFORE committing, and vacuum
     running inside that window must not eat them. Ever-referenced
     files need no grace — commits are ordered through the log, so a
-    referenced-but-not-retained file is provably historical."""
+    referenced-but-not-retained file is provably historical.
+
+    ``cdf_horizon`` is the CHANGE-FEED retention contract (the same
+    one Delta CDF documents): a streaming consumer that has processed
+    through version H still needs every file a commit AFTER H adds or
+    removes — remove rows are read FROM the removed file, which may
+    only be live in snapshots older than ``retain_from_version``.
+    Pass the slowest consumer's committed offset: files referenced by
+    any entry with version > ``cdf_horizon`` survive regardless of
+    snapshot retention, so the feed can always serve ``(H, latest]``.
+    A consumer that falls behind a vacuum run without this protection
+    gets ``TableLogRetentionError`` from the feed (loud), not missing
+    data (silent)."""
     latest = current_version(table_dir)
     if latest is None:
         return []
@@ -676,6 +697,9 @@ def vacuum(
     ever_referenced: set[str] = set()
     for entry in log_entries(table_dir):
         ever_referenced.update(entry["add"])
+        if cdf_horizon is not None and entry["version"] > cdf_horizon:
+            keep.update(entry["add"])
+            keep.update(entry["remove"])
     now = time.time()
     deleted = []
     for p in glob.glob(os.path.join(table_dir, "*.parquet")):

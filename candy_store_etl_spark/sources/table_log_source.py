@@ -362,18 +362,28 @@ class TableLogChangeFeedReader(DataSourceStreamReader):
                 continue
             if entry["op"] == "compact":
                 continue  # layout-only rewrite: no logical change
-            for name in entry["add"]:
-                parts.append(
-                    _ChangePartition(
-                        os.path.join(self.table_dir, name), "insert", v
-                    )
-                )
-            for name in entry["remove"]:
-                parts.append(
-                    _ChangePartition(
-                        os.path.join(self.table_dir, name), "remove", v
-                    )
-                )
+            for kind, names in (
+                ("insert", entry["add"]),
+                ("remove", entry["remove"]),
+            ):
+                for name in names:
+                    path = os.path.join(self.table_dir, name)
+                    if not os.path.exists(path):
+                        # the retention contract broke: vacuum ran past
+                        # this consumer's offset — fail LOUDLY at
+                        # planning time, not with a mid-batch parquet
+                        # read error on an executor
+                        raise tl.TableLogRetentionError(
+                            f"change feed needs {name} ({kind} at "
+                            f"version {v}) but vacuum reclaimed it; "
+                            f"this consumer's offset "
+                            f"({start['version']}) is behind the "
+                            "table's retention — reset it from a "
+                            "fresh snapshot, and vacuum with "
+                            "cdf_horizon >= the slowest consumer's "
+                            "offset"
+                        )
+                    parts.append(_ChangePartition(path, kind, v))
         return parts
 
     def read(self, partition: _ChangePartition):

@@ -579,3 +579,54 @@ def test_schema_evolution_through_change_feed_and_writer(spark, table):
         spark.createDataFrame([(9,)], "doc_id long").write.format(
             "table_log"
         ).option("path", table).mode("append").save()
+
+
+def test_vacuum_cdf_horizon_keeps_feed_servable(spark, table):
+    """The change-feed retention contract: vacuum with cdf_horizon=H
+    keeps every file commits AFTER H add OR remove (remove rows read
+    the REMOVED file), so a consumer at offset H replays (H, latest]
+    after the vacuum — while snapshot-only retention still reclaims
+    what no consumer needs."""
+    from candy_store_etl_spark.sources.table_log_source import (
+        TableLogChangeFeedReader,
+    )
+
+    tl.append(_df(spark, [1, 2]), table)  # v0
+    tl.overwrite(_df(spark, [9]), table)  # v1: +{9} -{v0 files}
+    tl.append(_df(spark, [4]), table)  # v2
+    v0_files = [
+        os.path.basename(p) for p in tl.snapshot_files(table, version=0)
+    ]
+    deleted = tl.vacuum(
+        table, retain_from_version=2, grace_seconds=0.0, cdf_horizon=0
+    )
+    # v0's files are v1's REMOVE set — a consumer at offset 0 still
+    # needs them, so the horizon protects them
+    assert not set(v0_files) & set(deleted)
+    reader = TableLogChangeFeedReader({"path": table})
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert parts and all(os.path.exists(p.path) for p in parts)
+
+
+def test_feed_raises_retention_error_when_vacuumed_past(spark, table):
+    """A consumer behind an unprotected vacuum gets a LOUD planning-
+    time TableLogRetentionError naming the missing file, not a
+    mid-batch executor read failure."""
+    import pytest as _pytest
+
+    from candy_store_etl_spark.sources.table_log import (
+        TableLogRetentionError,
+    )
+    from candy_store_etl_spark.sources.table_log_source import (
+        TableLogChangeFeedReader,
+    )
+
+    tl.append(_df(spark, [1, 2]), table)  # v0
+    tl.overwrite(_df(spark, [9]), table)  # v1 removes v0's files
+    deleted = tl.vacuum(table, retain_from_version=1, grace_seconds=0.0)
+    assert deleted  # v0's files are gone
+    reader = TableLogChangeFeedReader({"path": table})
+    with _pytest.raises(TableLogRetentionError, match="cdf_horizon"):
+        reader.partitions({"version": -1}, {"version": 1})
+    # a consumer AHEAD of the vacuumed history is unaffected
+    assert reader.partitions({"version": 1}, {"version": 1}) == []
