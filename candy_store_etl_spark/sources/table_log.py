@@ -598,6 +598,36 @@ def compact(
     )
 
 
+def maybe_compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    max_files: int = 16,
+    target_files: int = 1,
+    sort_by=None,
+    stats_cols: list[str] = (),
+) -> int | None:
+    """Compaction SCHEDULING from the log alone: compact only when the
+    current snapshot holds more than ``max_files`` data files —
+    decided from committed metadata (zero data or footer I/O), so a
+    maintenance loop can call this after every batch for free and pay
+    the rewrite only when fragmentation crossed the threshold (the
+    policy half of OPTIMIZE that Delta leaves to a scheduler).
+    Returns the new version, or None when no compaction was needed."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return None
+    if len(snapshot_files(table_dir, version=latest)) <= max_files:
+        return None
+    return compact(
+        spark,
+        table_dir,
+        target_files=target_files,
+        sort_by=sort_by,
+        stats_cols=stats_cols,
+    )
+
+
 def snapshot_file_stats(
     table_dir: str, *, version: int | None = None
 ) -> dict[str, dict]:

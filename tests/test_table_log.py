@@ -630,3 +630,21 @@ def test_feed_raises_retention_error_when_vacuumed_past(spark, table):
         reader.partitions({"version": -1}, {"version": 1})
     # a consumer AHEAD of the vacuumed history is unaffected
     assert reader.partitions({"version": 1}, {"version": 1}) == []
+
+
+def test_maybe_compact_triggers_only_past_threshold(spark, table):
+    """Compaction scheduling is a metadata decision: below the file
+    threshold maybe_compact is a no-op (no new version), above it one
+    compact commit collapses the snapshot; contents never change."""
+    for i in range(6):  # 6 appends x 1 file each
+        tl.append(_df(spark, [i]).coalesce(1), table)
+    v = tl.current_version(table)
+    assert tl.maybe_compact(spark, table, max_files=8) is None
+    assert tl.current_version(table) == v  # no-op left no commit
+    got = tl.maybe_compact(spark, table, max_files=4)
+    assert got == v + 1
+    assert len(tl.snapshot_files(table)) == 1
+    rows = sorted(r.doc_id for r in tl.read_snapshot(spark, table).collect())
+    assert rows == [0, 1, 2, 3, 4, 5]
+    # idempotent at the new layout
+    assert tl.maybe_compact(spark, table, max_files=4) is None
