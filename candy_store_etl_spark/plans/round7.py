@@ -1515,3 +1515,102 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("exact", 10, 100), ("ivf_portable", int(hits), int(hits) * 10)],
         "tier string, hits long, recall_pct long",
     ).orderBy("tier")
+
+
+_SWEEP_PROBES = (1, 2, 4, 8, 16)
+
+
+def _ann_sweep_oracle() -> str:
+    from .vectors import _ivf_sql_assign, _ivf_sql_dot, _ivf_sql_score
+
+    cosq = (
+        f"{_ivf_sql_dot('a.q', 'qq')} / (sqrt({_ivf_sql_dot('a.q', 'a.q')})"
+        f" * sqrt({_ivf_sql_dot('qq', 'qq')}))"
+    )
+    blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({p} AS BIGINT) AS n_probe,
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT vid FROM (
+                     SELECT vid, row_number() OVER (ORDER BY cos DESC, vid)
+                            AS rn2
+                     FROM cand WHERE prank <= {p}) t
+                   WHERE rn2 <= 10) tt
+                 JOIN exact10 USING (vid)) AS BIGINT) AS hits,
+           CAST({p * 100 // 16} AS BIGINT) AS lists_scanned_pct"""
+        for p in _SWEEP_PROBES
+    )
+    return f"""
+    WITH {_ivf_training_ctes("vec_id <> 0")},
+    qv AS (SELECT q AS qq FROM base WHERE vec_id = 0),
+    scored AS (
+      SELECT s.list_id,
+             row_number() OVER (ORDER BY {_ivf_sql_score("qq", "s.c")} DESC,
+                                s.list_id) AS rn
+      FROM c2 s CROSS JOIN qv
+    ),
+    {_ivf_sql_assign("a3", "c2")},
+    cand AS (
+      SELECT a.vid, sc.rn AS prank, {cosq} AS cos
+      FROM a3 a JOIN scored sc ON a.list_id = sc.list_id CROSS JOIN qv
+    ),
+    exact10 AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY cos DESC, vid) AS rn2
+        FROM cand) WHERE rn2 <= 10
+    )
+    SELECT n_probe, hits, hits * 10 AS recall_pct, lists_scanned_pct
+    FROM (
+{blocks}
+    )
+    ORDER BY n_probe
+    """
+
+
+@register(
+    "ann_recall_probe_sweep",
+    oracle=_ann_sweep_oracle(),
+    doc="The recall/scan-fraction FRONTIER, not just one point: top-10 "
+    "recall of the committed IVF index at n_probe = 1, 2, 4, 8, 16 "
+    "(16 = exhaustive, recall 100% by construction), next to the "
+    "fraction of inverted lists each setting scans. Training is NOT "
+    "re-run per point — the sweep serves every setting from the ONE "
+    "committed index (ivf_query_index_log at the shared versioned "
+    "scratch table), which is how a real parameter sweep runs: probe "
+    "counts are a query-time knob, the codebook is fixed. Every "
+    "number is an exact integer and the DuckDB oracle replays the "
+    "whole frontier bit-identically (candidates carry their list's "
+    "probe rank, so each sweep point is a filter over ONE scored "
+    "relation). At 100 TB this table is the capacity-planning input: "
+    "pick the n_probe where marginal recall stops paying for scan "
+    "fraction.",
+    tags=("vectors", "ann", "ivf", "portable", "evaluation"),
+)
+def ann_recall_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+    from ..operators.similarity import (
+        _quantized,
+        _rerank_portable,
+        ivf_query_index_log,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = _ensure_ivf_versioned_table(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("vid"), _quantized(F.col("embedding")).alias("q")
+    )
+    qrow = base.filter(F.col("vid") == 0).select("q").first()
+    q_ints = [int(x) for x in qrow.q]
+    qlit = F.array(*[F.lit(v).cast("long") for v in q_ints])
+    corpus = base.filter(F.col("vid") != 0).transform(tracked_cache)
+    exact_ids = {
+        r.vec_id for r in _rerank_portable(corpus, qlit, 10).collect()
+    }
+    rows = []
+    for p in _SWEEP_PROBES:
+        topk, _, _ = ivf_query_index_log(spark, table, q_ints, n_probe=p)
+        hits = sum(1 for r in topk.collect() if r.vec_id in exact_ids)
+        rows.append((p, hits, hits * 10, p * 100 // 16))
+    return spark.createDataFrame(
+        rows, "n_probe long, hits long, recall_pct long, "
+        "lists_scanned_pct long"
+    ).orderBy("n_probe")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 # Round-7 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 7 heads the window
-# (18: twelve new queries incl. the late-round composites —
+# (19: thirteen new queries incl. the late-round composites —
 # incremental corpus refresh, the table-log-versioned IVF index and
 # its append-only incremental-refresh twin — plus the streaming
 # change feed and schema evolution; the PMI cap now shared with its
@@ -28,12 +28,13 @@ from __future__ import annotations
 # over the rewritten sources/table_log.py; the token heavy-hitter
 # sits over the weighted-fold sketches.py; the capstone funnel and
 # ann_topk_ivf_portable sit over the extracted operators/funnel.py /
-# _ivf_train_portable refactors); (b) the remaining 32 slots
+# _ivf_train_portable refactors); (b) the remaining 31 slots
 # re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
 # last driver row is round 2 (the oldest anywhere in the catalog,
 # incl. the NOTES-named errors_after_purchase and
-# lineitem_measures_unpivot), then 10 of the 22 round-3 rows
-# (alphabetical; incremental_neardup_probe, nation_revenue_share,
+# lineitem_measures_unpivot), then 9 of the 22 round-3 rows
+# (alphabetical; fuzzy_part_name_match,
+# incremental_neardup_probe, nation_revenue_share,
 # null_safe_user_join, priority_transition_matrix,
 # shard_token_budget, stratified_sample_docs,
 # streaming_static_enrich, suppliers_covering_brand,
@@ -49,6 +50,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivf_index_incremental",  # NEW: append-only index refresh
     "ann_ivf_index_batch",  # NEW: batched serving over the log index
     "ann_recall_at_k",  # NEW: oracled recall@10 of the IVF tier
+    "ann_recall_probe_sweep",  # NEW: recall/scan frontier, one index
     "ann_topk_ivf_portable",  # _ivf_train_portable extraction beneath
     "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
     "table_log_writer_roundtrip",  # NEW: native-writer two-phase commit
@@ -85,7 +87,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_array_set_ops",
     "user_first_last_events",
     "user_sessions",
-    # last seated round 3 (10 of 22; incremental_neardup_probe,
+    # last seated round 3 (9 of 22; fuzzy_part_name_match,
+    # incremental_neardup_probe,
     # nation_revenue_share, null_safe_user_join,
     # priority_transition_matrix, shard_token_budget,
     # stratified_sample_docs, streaming_static_enrich,
@@ -100,8 +103,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_repetition_stats",
     "doc_shard_assignment",
     "domain_capped_sample",
-    "fuzzy_part_name_match",
-)
+    )
 
 
 def ensure_loaded() -> None:
