@@ -598,6 +598,44 @@ def compact(
     )
 
 
+def set_cdf_consumer_offset(
+    table_dir: str, consumer: str, version: int
+) -> None:
+    """Record a change-feed consumer's committed offset WITH the
+    table (an atomic ``_txn_log/_consumer.<name>`` marker), so
+    ``vacuum(cdf_horizon="auto")`` can derive the retention horizon
+    from the slowest registered consumer instead of trusting every
+    operator to pass it. Offsets only advance — a replayed/stale
+    writer cannot drag the horizon backwards."""
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", consumer):
+        raise ValueError(f"bad consumer name: {consumer!r}")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    path = os.path.join(_log_dir(table_dir), f"_consumer.{consumer}")
+    cur = cdf_consumer_offsets(table_dir).get(consumer)
+    if cur is not None and cur >= version:
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(_log_dir(table_dir))
+
+
+def cdf_consumer_offsets(table_dir: str) -> dict[str, int]:
+    """Registered change-feed consumers' committed offsets."""
+    out: dict[str, int] = {}
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return out
+    for n in os.listdir(d):
+        if n.startswith("_consumer."):
+            with open(os.path.join(d, n)) as f:
+                out[n[len("_consumer."):]] = int(json.load(f)["version"])
+    return out
+
+
 def maybe_compact(
     spark: SparkSession,
     table_dir: str,
@@ -689,7 +727,7 @@ def vacuum(
     *,
     retain_from_version: int = 0,
     grace_seconds: float = VACUUM_GRACE_SECONDS,
-    cdf_horizon: int | None = None,
+    cdf_horizon: int | str | None = None,
 ) -> list[str]:
     """Delete data files not live in ANY snapshot at or after
     ``retain_from_version`` — the only history-destroying operation.
@@ -710,8 +748,11 @@ def vacuum(
     through version H still needs every file a commit AFTER H adds or
     removes — remove rows are read FROM the removed file, which may
     only be live in snapshots older than ``retain_from_version``.
-    Pass the slowest consumer's committed offset: files referenced by
-    any entry with version > ``cdf_horizon`` survive regardless of
+    Pass the slowest consumer's committed offset — or ``"auto"`` to
+    derive it from the offsets consumers registered via
+    ``set_cdf_consumer_offset`` (no registered consumers = no CDF
+    protection; registration is the opt-in). Files referenced by any
+    entry with version > ``cdf_horizon`` survive regardless of
     snapshot retention, so the feed can always serve ``(H, latest]``.
     A consumer that falls behind a vacuum run without this protection
     gets ``TableLogRetentionError`` from the feed (loud), not missing
@@ -719,6 +760,9 @@ def vacuum(
     latest = current_version(table_dir)
     if latest is None:
         return []
+    if cdf_horizon == "auto":
+        offsets = cdf_consumer_offsets(table_dir)
+        cdf_horizon = min(offsets.values()) if offsets else None
     keep: set[str] = set()
     for v in range(retain_from_version, latest + 1):
         keep.update(

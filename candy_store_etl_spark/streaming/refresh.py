@@ -165,15 +165,22 @@ def run_landing_to_curated(
     *,
     qmin: float = 0.6,
     metrics: list | None = None,
+    consumer: str = "curated-refresh",
 ) -> None:
     """Drive the curated table up to the landing table's current
     version: one availableNow pass over the change feed, foreachBatch
     curation, atomic refresh commits. Re-running after more landing
     commits processes ONLY the new versions (stream offsets are
-    committed versions, resumed from the checkpoint)."""
+    committed versions, resumed from the checkpoint). After the pass,
+    the pipeline registers its offset with the LANDING table
+    (``set_cdf_consumer_offset``) so ``vacuum(cdf_horizon="auto")``
+    on the landing side never reclaims files this consumer still
+    needs — the version captured BEFORE the run is the safe lower
+    bound for what the pass is guaranteed to have covered."""
     from ..sources import table_log_source
 
     table_log_source.register(spark)
+    horizon = tl.current_version(landing_dir)
     feed = (
         spark.readStream.format("table_log")
         .option("path", landing_dir)
@@ -189,3 +196,5 @@ def run_landing_to_curated(
         .start()
     )
     q.awaitTermination()
+    if horizon is not None:
+        tl.set_cdf_consumer_offset(landing_dir, consumer, horizon)

@@ -648,3 +648,51 @@ def test_maybe_compact_triggers_only_past_threshold(spark, table):
     assert rows == [0, 1, 2, 3, 4, 5]
     # idempotent at the new layout
     assert tl.maybe_compact(spark, table, max_files=4) is None
+
+
+def test_vacuum_auto_horizon_from_registered_consumers(spark, table):
+    """cdf_horizon='auto' derives the retention horizon from the
+    SLOWEST registered consumer; offsets only advance; with no
+    registered consumers auto degrades to plain snapshot retention."""
+    tl.append(_df(spark, [1, 2]), table)  # v0
+    tl.overwrite(_df(spark, [9]), table)  # v1 removes v0's files
+    v0_files = {
+        os.path.basename(p) for p in tl.snapshot_files(table, version=0)
+    }
+    tl.set_cdf_consumer_offset(table, "slow", 0)
+    tl.set_cdf_consumer_offset(table, "fast", 1)
+    assert tl.cdf_consumer_offsets(table) == {"slow": 0, "fast": 1}
+    # a stale writer cannot drag an offset backwards
+    tl.set_cdf_consumer_offset(table, "fast", 0)
+    assert tl.cdf_consumer_offsets(table)["fast"] == 1
+    deleted = tl.vacuum(
+        table, retain_from_version=1, grace_seconds=0.0,
+        cdf_horizon="auto",
+    )
+    assert not v0_files & set(deleted)  # 'slow' at v0 still needs them
+    # the slow consumer catches up -> auto horizon advances -> reclaim
+    tl.set_cdf_consumer_offset(table, "slow", 1)
+    deleted = tl.vacuum(
+        table, retain_from_version=1, grace_seconds=0.0,
+        cdf_horizon="auto",
+    )
+    assert v0_files <= set(deleted)
+
+
+def test_refresh_pipeline_registers_landing_offset(spark, tmp_path):
+    """run_landing_to_curated registers its consumer offset with the
+    LANDING table, so an auto-horizon vacuum there is refresh-safe."""
+    from candy_store_etl_spark.streaming.refresh import (
+        run_landing_to_curated,
+    )
+
+    landing = str(tmp_path / "landing")
+    curated = str(tmp_path / "curated")
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo", "en", "s", 30)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    tl.append(docs, landing)
+    run_landing_to_curated(spark, landing, curated, str(tmp_path / "ck"))
+    assert tl.cdf_consumer_offsets(landing) == {"curated-refresh": 0}
