@@ -310,8 +310,24 @@ def main() -> None:
     }
     delta = _delta_report(timings)
     if delta is not None:
-        out["deltas_vs_prev"] = delta
-    print(json.dumps(out))
+        # The driver keeps only the last ~2000 chars of stdout and
+        # parses the final line as JSON; the full delta blob pushed the
+        # line past that buffer in rounds 6-7 (BENCH_r06/r07 recorded
+        # "parsed": null). Full report goes to a sidecar next to this
+        # script; the PRINTED line carries only the short flag summary.
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DELTAS.json"), "w") as f:
+            json.dump({**out, "deltas_vs_prev": delta}, f, indent=1)
+        out["deltas_vs_prev"] = {
+            "prev": delta["prev"],
+            "flagged": delta["flagged"],
+            "full": "BENCH_DELTAS.json",
+        }
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail buffer
+        out.pop("deltas_vs_prev", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

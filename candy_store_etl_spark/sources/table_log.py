@@ -152,6 +152,30 @@ def log_entries(table_dir: str, *, upto: int | None = None) -> list[dict]:
     return out
 
 
+def entries_between(table_dir: str, after: int, upto: int) -> list[dict]:
+    """Commit entries with ``after < version <= upto``, in version
+    order, read DIRECTLY by version path — a change-feed trigger that
+    covers 3 new commits opens 3 jsons, not the whole log from zero
+    (the O(total versions)-per-trigger metadata cost on a long-lived
+    table is exactly the curve checkpoints exist to kill)."""
+    out = []
+    for v in range(max(after, -1) + 1, upto + 1):
+        with open(_version_path(table_dir, v)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def layout_only(entry: dict) -> bool:
+    """True for commits that rewrote bytes but not table contents
+    (dataChange=false in Delta terms). New commits carry an explicit
+    ``dataChange: false`` flag; the op-name fallback keeps tables
+    committed before the flag existed readable (library ``compact`` and
+    the CDC warehouse's ``cdc-compact-bpf{n}`` layout coarsening)."""
+    if "dataChange" in entry:
+        return not entry["dataChange"]
+    return entry["op"] == "compact" or entry["op"].startswith("cdc-compact-")
+
+
 def _file_stats(table_dir: str, names: list[str], cols: list[str]) -> dict:
     """Per-file {rows, cols: {col: {min, max}}} for the given data
     files, from parquet footers — the ONE footer sweep a table format
@@ -198,6 +222,7 @@ def commit(
     stats: dict | None = None,
     schema: str | None = None,
     base_version: int | None | object = _UNPINNED,
+    data_change: bool = True,
 ) -> int:
     """Atomically commit the next version. ``add``/``remove`` are data
     file names relative to ``table_dir``. Returns the committed
@@ -226,6 +251,11 @@ def commit(
         "add": sorted(add),
         "remove": sorted(remove),
     }
+    if not data_change:
+        # layout-only rewrite (compaction, re-clustering): the commit
+        # moves bytes, not table contents — change-feed readers key
+        # their skip off this flag, not off op-name conventions
+        entry["dataChange"] = False
     if stats:
         entry["stats"] = stats
     if schema is not None:
@@ -519,15 +549,29 @@ def append(
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
     new_schema = df.schema.json()
+    # fail-fast check BEFORE the expensive data write; the commit
+    # below re-validates against the version it actually lands on
     _validate_evolution(
         None if latest is None else _resolve_snapshot(table_dir, latest)[2],
         new_schema,
     )
     names = _stage_dataframe(df, table_dir, hint)
     stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
-    return commit(
-        table_dir, add=names, op=op, stats=stats, schema=new_schema
-    )
+
+    def derive(base: int | None) -> dict:
+        # the commit carries a schema, so it must be validated against
+        # the snapshot it lands ON — a concurrent commit between the
+        # fail-fast check and here may have evolved the table, and an
+        # unpinned commit would make THIS stale schema the newest one
+        # without re-validation (data files need no rework: appends
+        # don't depend on the snapshot's contents, only its schema)
+        _validate_evolution(
+            None if base is None else _resolve_snapshot(table_dir, base)[2],
+            new_schema,
+        )
+        return {"add": names, "op": op, "stats": stats, "schema": new_schema}
+
+    return commit_with_retry(table_dir, derive)
 
 
 def overwrite(
@@ -594,7 +638,7 @@ def compact(
     # at ``latest``, so a commit landing mid-compact must win the race
     return commit(
         table_dir, add=names, remove=old, op="compact", stats=stats,
-        schema=df.schema.json(), base_version=latest,
+        schema=df.schema.json(), base_version=latest, data_change=False,
     )
 
 
@@ -703,6 +747,13 @@ def read_snapshot_pruned(
             f"snapshot {version!r} of {table_dir} has no data files"
         )
     stats = snapshot_file_stats(table_dir, version=version)
+    # plan under the COMMITTED snapshot schema exactly like
+    # read_snapshot: after an additive evolution the kept files may
+    # predate a column, and letting Spark sample a footer would make
+    # evolved columns silently vanish from the pruned result — the
+    # "equals the plain filtered snapshot scan" contract would break
+    schema = snapshot_schema(table_dir, version=version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
     kept = []
     for p in files:
         entry = stats.get(os.path.basename(p), {})
@@ -712,11 +763,11 @@ def read_snapshot_pruned(
         if st is None or (st["min"] <= hi and st["max"] >= lo):
             kept.append(p)
     if not kept:
-        # all files pruned: ONE file supplies the schema, the
+        # all files pruned: ONE file supplies the rows=0 scan, the
         # always-false filter keeps the result equal to the full scan
-        base = spark.read.parquet(files[0]).filter(F.lit(False))
+        base = reader.parquet(files[0]).filter(F.lit(False))
         return base, 0, len(files)
-    df = spark.read.parquet(*kept).filter(
+    df = reader.parquet(*kept).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )
     return df, len(kept), len(files)

@@ -247,10 +247,24 @@ class TableLogWriter(DataSourceArrowWriter):
                 writer.close()
         if rows == 0:
             return _WroteFile(name="", rows=0)
+        # the commit the driver writes is fsync'd; the data files it
+        # references must be durable FIRST, or a crash right after
+        # commit() returns leaves a durable commit pointing at lost
+        # bytes — the torn-table state the library path's staging
+        # fsync explicitly prevents
+        fd = os.open(os.path.join(self.table_dir, name), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         return _WroteFile(name=name, rows=rows)
 
     def commit(self, messages):
         names = sorted(m.name for m in messages if m and m.rows > 0)
+        # task-file fsyncs (write()) made the data durable; the table
+        # DIRECTORY entries for those names must be too, before the
+        # log references them
+        tl._fsync_dir(self.table_dir)
         if self.overwrite:
             # pin the snapshot the remove list came from, so a commit
             # racing in between surfaces as ConcurrentCommitError
@@ -265,18 +279,27 @@ class TableLogWriter(DataSourceArrowWriter):
                 schema=self.schema_json, base_version=base,
             )
         else:
-            if self.schema_json is not None:
-                base = tl.current_version(self.table_dir)
-                tl._validate_evolution(
-                    None
-                    if base is None
-                    else tl._resolve_snapshot(self.table_dir, base)[2],
-                    self.schema_json,
-                )
-            tl.commit(
-                self.table_dir, add=names, op="append",
-                schema=self.schema_json,
-            )
+
+            def derive(base):
+                # validate against the snapshot this attempt lands ON
+                # and pin it: validate-at-latest + unpinned commit
+                # leaves a window where a concurrent schema change
+                # makes this append's stale schema the newest committed
+                # one without re-validation (same contract as
+                # table_log.append)
+                if self.schema_json is not None:
+                    tl._validate_evolution(
+                        None
+                        if base is None
+                        else tl._resolve_snapshot(self.table_dir, base)[2],
+                        self.schema_json,
+                    )
+                return {
+                    "add": names, "op": "append",
+                    "schema": self.schema_json,
+                }
+
+            tl.commit_with_retry(self.table_dir, derive)
 
     def abort(self, messages):
         # staged files were never referenced by the log; delete what
@@ -356,12 +379,19 @@ class TableLogChangeFeedReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts: list[_ChangePartition] = []
-        for entry in tl.log_entries(self.table_dir, upto=end["version"]):
+        # only the commits THIS batch covers are opened — replaying the
+        # log from zero per trigger would be O(total versions) metadata
+        # reads on a long-lived table (the quadratic curve checkpoints
+        # elsewhere exist to kill)
+        for entry in tl.entries_between(
+            self.table_dir, start["version"], end["version"]
+        ):
             v = entry["version"]
-            if v <= start["version"]:
+            if tl.layout_only(entry):
+                # dataChange=false (compact / cdc-compact-bpf{n}):
+                # bytes moved, contents didn't — a consumer folding
+                # insert/remove rows must never see compaction noise
                 continue
-            if entry["op"] == "compact":
-                continue  # layout-only rewrite: no logical change
             for kind, names in (
                 ("insert", entry["add"]),
                 ("remove", entry["remove"]),

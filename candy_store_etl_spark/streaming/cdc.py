@@ -328,6 +328,7 @@ def compact_warehouse(
         remove=old,
         op=f"cdc-compact-bpf{buckets_per_file}",
         base_version=latest,
+        data_change=False,
     )
 
 

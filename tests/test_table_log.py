@@ -696,3 +696,118 @@ def test_refresh_pipeline_registers_landing_offset(spark, tmp_path):
     tl.append(docs, landing)
     run_landing_to_curated(spark, landing, curated, str(tmp_path / "ck"))
     assert tl.cdf_consumer_offsets(landing) == {"curated-refresh": 0}
+
+
+def test_pruned_read_plans_under_committed_schema(spark, table):
+    """Round-8 ADVICE (medium): after an additive evolution,
+    read_snapshot_pruned must plan under the COMMITTED schema — when
+    stats pruning drops every post-evolution file, the evolved column
+    must still appear (null-filled), exactly like the plain filtered
+    snapshot scan it promises to equal."""
+    tl.append(_df(spark, [1, 2]), table, stats_cols=["doc_id"])
+    evolved = spark.createDataFrame(
+        [(30, 300, "web")], "doc_id long, n_chars long, source string"
+    )
+    tl.append(evolved, table, stats_cols=["doc_id"])
+    # range [1, 2] prunes the evolved file: only pre-evolution files
+    # are read, and they must null-fill 'source'
+    df, kept, total = tl.read_snapshot_pruned(spark, table, "doc_id", 1, 2)
+    assert kept < total
+    assert "source" in df.columns
+    plain = tl.read_snapshot(spark, table).filter(
+        "doc_id >= 1 AND doc_id <= 2"
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the all-pruned schema-only branch carries the committed schema too
+    empty, k0, _ = tl.read_snapshot_pruned(spark, table, "doc_id", -9, -5)
+    assert k0 == 0
+    assert empty.columns == df.columns
+    assert empty.count() == 0
+
+
+def test_append_schema_rides_pinned_and_revalidated(spark, table, monkeypatch):
+    """Round-8 ADVICE: a schema-carrying append must not commit
+    unpinned — a concurrent schema evolution landing between the
+    fail-fast validation and the commit must be re-validated against,
+    not silently overwritten by the stale schema."""
+    tl.append(_df(spark, [1]), table)  # v0: (doc_id, n_chars)
+    evolved_json = spark.createDataFrame(
+        [(1, 1, "x")], "doc_id long, n_chars long, extra string"
+    ).schema.json()
+    real_stage = tl._stage_dataframe
+
+    def stage_then_interlope(df, table_dir, hint):
+        names = real_stage(df, table_dir, hint)
+        # concurrent writer evolves the schema inside the window
+        tl.commit(table_dir, add=[], op="interloper", schema=evolved_json)
+        return names
+
+    monkeypatch.setattr(tl, "_stage_dataframe", stage_then_interlope)
+    # this append's (doc_id, n_chars) schema would DROP 'extra' if it
+    # became the newest committed schema — re-validation at the pinned
+    # commit base must refuse it
+    with pytest.raises(tl.SchemaEvolutionError, match="extra"):
+        tl.append(_df(spark, [2]), table)
+
+
+def test_entries_between_reads_only_covered_versions(spark, table):
+    """The change feed's per-trigger metadata read is ranged: only the
+    commits the batch covers are opened, never the log from zero."""
+    for i in range(4):
+        tl.append(_df(spark, [i]), table)  # v0..v3
+    assert [e["version"] for e in tl.entries_between(table, 1, 3)] == [2, 3]
+    assert [e["version"] for e in tl.entries_between(table, -1, 0)] == [0]
+    assert tl.entries_between(table, 3, 3) == []
+    # proof the ranged read never touches commits at or below `after`:
+    # with v0's json gone it still answers, while a from-zero replay
+    # cannot
+    os.remove(tl._version_path(table, 0))
+    assert [e["version"] for e in tl.entries_between(table, 1, 3)] == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        tl.log_entries(table)
+
+
+def test_layout_only_flag_and_op_fallback():
+    """New commits carry an explicit dataChange flag; pre-flag tables
+    fall back to the known layout-only op names."""
+    assert tl.layout_only({"op": "compact"})
+    assert tl.layout_only({"op": "cdc-compact-bpf8"})
+    assert tl.layout_only({"op": "anything", "dataChange": False})
+    assert not tl.layout_only({"op": "append"})
+    assert not tl.layout_only({"op": "cdc-batch-3"})
+
+
+def test_change_feed_skips_cdc_relayout_commits(spark, table):
+    """Round-8 ADVICE: a CDC warehouse layout coarsening
+    (op cdc-compact-bpf{n}, dataChange=false) moves every byte of the
+    table — the feed must emit NOTHING for it, or a consumer streams a
+    full-table remove+insert for a rewrite that changed no contents."""
+    import shutil
+
+    _register_table_log_source(spark)
+    tl.append(_df(spark, [1]), table)  # v0
+    old = os.path.basename(tl.snapshot_files(table)[0])
+    new = "relayout-0.parquet"
+    shutil.copy(os.path.join(table, old), os.path.join(table, new))
+    tl.commit(
+        table, add=[new], remove=[old], op="cdc-compact-bpf8",
+        data_change=False,
+    )  # v1: layout-only
+    tl.append(_df(spark, [2]), table)  # v2
+
+    q = (
+        _cdf(spark, table)
+        .writeStream.format("memory")
+        .queryName("tlog_cdf_relayout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r._change_type, r._commit_version, r.doc_id)
+        for r in spark.table("tlog_cdf_relayout").collect()
+    )
+    assert rows == [("insert", 0, 1), ("insert", 2, 2)]
