@@ -1,0 +1,220 @@
+"""Storage-partitioned (co-located) join of two bucketed table-log
+tables — a fact-fact join with ZERO shuffle of table data.
+
+Reference parity hook: every join in the reference pipeline
+(`/root/reference/src/data_processor.py` — items x products, order
+summaries x headers) re-shuffles both inputs on every run. The repo's
+broadcast joins already remove the shuffle when one side is
+dimension-sized; this module removes it when BOTH sides are facts:
+write each table hash-bucketed on its join key with the bucket spec
+committed INTO the table log (the role Iceberg's partition spec
+plays), and the join becomes one task per aligned bucket range that
+reads both sides' files for exactly that key range and merges
+locally. Neither table's data ever crosses an exchange — the
+storage-partitioned join (SPJ) Spark ships for Iceberg/DSv2 scans.
+
+Why ``mapInPandas`` and not a declarative bucketed scan: Spark's SQL
+bucketing only co-locates *saveAsTable* catalog tables, and a Python
+DataSource cannot report ``outputPartitioning`` to the planner, so a
+bucket-aligned table_log scan pair would still be exchanged. The
+brief's operator ladder applies — the built-in operators genuinely
+cannot express "these two scans are already co-partitioned", so the
+join itself runs as an Arrow-batched grouped merge (ladder rung (b)),
+while all planning stays metadata-sized on the driver.
+
+Scale shape at 100 TB: the ONLY exchange in the plan moves one
+metadata row per aligned bucket group (task routing, bytes ~ file
+names); each task streams two bucket-local parquet scans through one
+pandas hash-merge. Layouts need not match file-for-file — a side
+coarsened by compaction (``buckets_per_file`` > 1) aligns at the
+coarser granularity, so maintenance never breaks join locality.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table_log as tl
+from ..streaming.cdc import (
+    _group_of_name,
+    _stage_groups_into_table,
+    bucket_expr,
+    layout_buckets_per_file,
+)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    key_col: str,
+    n_buckets: int,
+    stats_cols: list[str] = (),
+) -> int:
+    """Materialize ``df`` as a hash-bucketed table-log table: one data
+    file per bucket (``pmod(xxhash64(key), n)`` — the one shared
+    key->bucket definition), bucket id in the FILE NAME, and the
+    bucket spec recorded in the commit's ``meta`` so readers can plan
+    co-located joins against it. Overwrite semantics, atomic."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    os.makedirs(table_dir, exist_ok=True)
+    latest = tl.current_version(table_dir)
+    old = (
+        [os.path.basename(p) for p in tl.snapshot_files(table_dir)]
+        if latest is not None
+        else []
+    )
+    grouped = df.withColumn("grp", bucket_expr(key_col, n_buckets))
+    names = _stage_groups_into_table(
+        grouped, table_dir, f"w{0 if latest is None else latest + 1}"
+    )
+    stats = (
+        tl._file_stats(table_dir, names, list(stats_cols))
+        if stats_cols
+        else None
+    )
+    return tl.commit(
+        table_dir,
+        add=names,
+        remove=old,
+        op="bucketed-write",
+        stats=stats,
+        # grp is folded into file names, not stored in the data
+        schema=df.schema.json(),
+        base_version=latest,
+        meta={"bucket": {"key": key_col, "n": int(n_buckets)}},
+    )
+
+
+def bucket_spec(table_dir: str) -> dict | None:
+    """The table's committed bucket spec ``{"key": col, "n": buckets}``
+    (newest ``meta.bucket`` entry wins), or None for tables never
+    written bucketed."""
+    for entry in reversed(tl.log_entries(table_dir)):
+        spec = (entry.get("meta") or {}).get("bucket")
+        if spec:
+            return spec
+    return None
+
+
+def colocated_plan(
+    left_dir: str, right_dir: str
+) -> list[tuple[int, list[str], list[str]]]:
+    """Driver-side task plan for the co-located join: one entry per
+    aligned bucket group — ``(coarse_group, left_files, right_files)``
+    — skipping groups empty on either side (inner-join locality).
+    Validates that both tables commit the SAME bucket count (same
+    hash by construction: ``bucket_expr`` is the one definition), and
+    aligns mismatched file groupings at the coarser granularity."""
+    specs = []
+    for d in (left_dir, right_dir):
+        s = bucket_spec(d)
+        if s is None:
+            raise ValueError(
+                f"{d} has no committed bucket spec — write it with "
+                "write_bucketed (or repartition and use a plain join)"
+            )
+        specs.append(s)
+    ls, rs = specs
+    if ls["n"] != rs["n"]:
+        raise ValueError(
+            f"bucket counts differ ({ls['n']} vs {rs['n']}): keys hash "
+            "to different buckets, co-location does not hold"
+        )
+    bpf_l = layout_buckets_per_file(left_dir)
+    bpf_r = layout_buckets_per_file(right_dir)
+    coarse = max(bpf_l, bpf_r)
+    if coarse % bpf_l or coarse % bpf_r:
+        raise ValueError(
+            f"file groupings {bpf_l} and {bpf_r} do not nest — "
+            "compact one side to a multiple of the other"
+        )
+    sides: list[dict[int, list[str]]] = []
+    for d, bpf in ((left_dir, bpf_l), (right_dir, bpf_r)):
+        per: dict[int, list[str]] = defaultdict(list)
+        for p in tl.snapshot_files(d):
+            per[_group_of_name(p) * bpf // coarse].append(p)
+        sides.append(per)
+    lf, rf = sides
+    return [
+        (g, sorted(lf[g]), sorted(rf[g]))
+        for g in sorted(set(lf) & set(rf))
+    ]
+
+
+def colocated_bucket_join(
+    spark: SparkSession, left_dir: str, right_dir: str
+) -> DataFrame:
+    """INNER-join two bucketed table-log tables on their committed
+    bucket keys with zero shuffle of table data.
+
+    The plan: a LOCAL metadata relation (one row per aligned bucket
+    group, carrying both sides' file lists), range-repartitioned so
+    groups spread one-per-task — the only Exchange in the plan, over
+    ~file-name-sized rows — then ``mapInPandas`` reads each group's
+    files from BOTH tables and hash-merges them in Arrow/pandas.
+    Equal keys share a bucket by construction (same hash, same n), so
+    the union of per-group joins IS the join. Output columns: all
+    left columns, then the right columns minus its key (the committed
+    snapshot schemas are the source of truth; overlapping non-key
+    names are refused rather than silently suffixed)."""
+    ls = bucket_spec(left_dir)
+    tasks = colocated_plan(left_dir, right_dir)
+    rs = bucket_spec(right_dir)
+    lkey, rkey = ls["key"], rs["key"]
+    lschema = tl.snapshot_schema(left_dir)
+    rschema = tl.snapshot_schema(right_dir)
+    if lschema is None or rschema is None:
+        raise ValueError("both tables must carry committed schemas")
+    overlap = ({f.name for f in lschema} & {f.name for f in rschema}) - (
+        {lkey} if lkey == rkey else set()
+    )
+    if overlap:
+        raise ValueError(
+            f"non-key column name overlap {sorted(overlap)}: rename "
+            "before joining"
+        )
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        lschema.fields + [f for f in rschema.fields if f.name != rkey]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        def _read(paths) -> pd.DataFrame:
+            import pyarrow as pa
+
+            return pa.concat_tables(
+                [pq.read_table(p) for p in paths]
+            ).to_pandas()
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                left = _read(row.left_files)
+                right = _read(row.right_files)
+                if lkey == rkey:
+                    out = left.merge(right, on=lkey, how="inner")
+                else:
+                    out = left.merge(
+                        right, left_on=lkey, right_on=rkey, how="inner"
+                    ).drop(columns=[rkey])
+                if not out.empty:
+                    yield out[out_cols]
+
+    meta = spark.createDataFrame(
+        [(g, lf, rf) for g, lf, rf in tasks],
+        "grp int, left_files array<string>, right_files array<string>",
+    )
+    n = max(len(tasks), 1)
+    return meta.repartitionByRange(n, "grp").mapInPandas(merge, out_schema)

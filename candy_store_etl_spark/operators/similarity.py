@@ -284,11 +284,68 @@ def embedding_neardup_pairs_lsh(
 
 def query_probe_buckets(query: Sequence[float], planes: np.ndarray) -> list[int]:
     """Query bucket + all Hamming-1 neighbors (multi-probe)."""
+    return query_probe_buckets_radius(query, planes, 1)
+
+
+def query_probe_buckets_radius(
+    query: Sequence[float], planes: np.ndarray, radius: int
+) -> list[int]:
+    """All buckets within Hamming distance <= ``radius`` of the
+    query's bucket — the multi-probe LSH probe set (Lv et al.,
+    "Multi-Probe LSH", VLDB 2007: probing near-miss buckets of ONE
+    table substitutes for building more tables). radius 0 = the exact
+    bucket; 1 adds the n single-bit flips; 2 adds the n(n-1)/2
+    double flips. Distinct masks give distinct bucket ids, so the
+    probe count is exactly sum of binomials C(n, 0..radius)."""
+    if not 0 <= radius <= 2:
+        raise ValueError(f"radius must be 0, 1, or 2 (got {radius})")
     q = np.asarray(query, dtype=np.float64)
     bits = (planes.astype(np.float64) @ q) > 0
     weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
     base = int((bits.astype(np.int64) * weights).sum())
-    return [base] + [base ^ (1 << i) for i in range(planes.shape[0])]
+    n = planes.shape[0]
+    probes = [base]
+    if radius >= 1:
+        probes += [base ^ (1 << i) for i in range(n)]
+    if radius >= 2:
+        probes += [
+            base ^ (1 << i) ^ (1 << j)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+    return probes
+
+
+def cosine_topk_lsh_multiprobe(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    radius: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with a RADIUS knob: LSH bucket prefilter over
+    the Hamming-<=radius probe set + exact rerank. The radius is the
+    query-time recall/scan trade (index untouched): radius 0 scans
+    ~1/2^n of the corpus, radius 2 scans ~(1+n+C(n,2))/2^n — the
+    serving knob `ann_recall_lsh_sweep` makes measurable."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        return cosine_topk_blockwise(
+            emb, query, k, id_col=id_col, vec_col=vec_col
+        )
+    dim = len(first[0])
+    planes = hyperplane_planes(dim, n_planes=n_planes, seed=seed)
+    buckets = lsh_bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
+    probes = query_probe_buckets_radius(query, planes, radius)
+    candidate_ids = buckets.filter(F.col("bucket").isin(probes)).select(id_col)
+    candidates = emb.join(candidate_ids, on=id_col, how="left_semi")
+    return cosine_topk_blockwise(
+        candidates, query, k, id_col=id_col, vec_col=vec_col
+    )
 
 
 def _centroid_seeds(

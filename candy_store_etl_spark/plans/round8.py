@@ -1,0 +1,422 @@
+"""Round-8 queries: the storage-partitioned (co-located) join over
+bucketed table-log tables, and the multi-probe LSH serving tier with
+its oracled recall/scan frontier.
+
+Reference parity hooks: the reference's joins re-shuffle both inputs
+per run (`/root/reference/src/data_processor.py` — items x products,
+summaries x headers); the co-located join is the at-scale answer when
+BOTH sides are fact-sized. The LSH rows extend the ANN serving
+surface the same way round 7's IVF sweep did: an approximate tier is
+not done until its recall/scan trade is a measured, hash-checked
+number.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+from .rounding import SQL_FROUND
+
+_N_BUCKETS = 16
+
+
+def _ensure_colocated_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, content-keyed) the bucketed join fixtures: an
+    order-stats fact and a customer dim, both hash-bucketed on
+    cust_key with the spec committed into their logs — plus a THIRD
+    table that is the dim COARSENED to 4 buckets/file, so the
+    mixed-layout query proves alignment survives compaction."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from ..streaming.cdc import compact_warehouse
+
+    okey = content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    ckey = content_fingerprint(os.path.join(sf_dir, "customer.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"csetl_coloc_{okey}_{ckey}_n{_N_BUCKETS}"
+    )
+    sub = {
+        n: os.path.join(root, n)
+        for n in ("order_stats", "cust_dim", "cust_dim_coarse")
+    }
+
+    def _intact(d: str) -> bool:
+        vers = {"order_stats": 0, "cust_dim": 0, "cust_dim_coarse": 1}
+        for n, want in vers.items():
+            t = os.path.join(d, n)
+            if tl.current_version(t) != want:
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        stats = orders.groupBy(
+            F.col("o_custkey").alias("cust_key")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # integer cents: the sum is associative and exact, so the
+            # bucketed write's partitioning can never change the value
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("spend_cents"),
+        )
+        dim = cust.select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        write_bucketed(
+            stats,
+            os.path.join(stage, "order_stats"),
+            key_col="cust_key",
+            n_buckets=_N_BUCKETS,
+        )
+        for n in ("cust_dim", "cust_dim_coarse"):
+            write_bucketed(
+                dim,
+                os.path.join(stage, n),
+                key_col="cust_key",
+                n_buckets=_N_BUCKETS,
+            )
+        compact_warehouse(
+            spark,
+            os.path.join(stage, "cust_dim_coarse"),
+            key_col="cust_key",
+            n_buckets=_N_BUCKETS,
+            buckets_per_file=4,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+_COLOC_ORACLE = """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(s.n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(s.spend_cents) AS BIGINT) AS spend_cents
+    FROM (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ) s
+    JOIN customer c ON c.c_custkey = s.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """
+
+
+def _coloc_segment_rollup(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("spend_cents").alias("spend_cents"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@register(
+    "colocated_customer_join",
+    oracle=_COLOC_ORACLE,
+    doc="Storage-partitioned join of TWO fact-sized table-log tables "
+    "with zero shuffle of table data: both sides were written "
+    "hash-bucketed on cust_key (pmod(xxhash64, 16)) with the bucket "
+    "spec committed into each table's log, so the join plans as one "
+    "task per bucket reading both sides' files for exactly that key "
+    "range and merging locally (Arrow/pandas hash-merge). The only "
+    "Exchange moves one metadata row per bucket; no parquet scan "
+    "appears in the JVM plan at all (pinned in tests). The DuckDB "
+    "oracle is the plain join+rollup — bucketing is a layout "
+    "contract, never a semantics change. At 100 TB this is the SPJ "
+    "shape Spark ships for Iceberg scans, delivered through the "
+    "table log's own committed metadata.",
+    tags=("join", "table_log", "bucketed", "mapInPandas"),
+)
+def colocated_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        os.path.join(root, "cust_dim"),
+    )
+    return _coloc_segment_rollup(joined)
+
+
+@register(
+    "colocated_join_coarse_layout",
+    oracle=_COLOC_ORACLE,
+    doc="The same co-located join after MAINTENANCE changed one "
+    "side's physical layout: the dim table was compacted to 4 "
+    "buckets per file (cdc-compact, layout-only commit) while the "
+    "fact side stays at 1 — the planner aligns the sides at the "
+    "coarser granularity (4 tasks instead of 16, each reading one "
+    "coarse dim file and four fine fact files), and the result is "
+    "bit-identical to the fine-layout join. Compaction must never "
+    "break join locality, and this row makes that a hash-checked "
+    "property rather than a docstring claim.",
+    tags=("join", "table_log", "bucketed", "compaction"),
+)
+def colocated_join_coarse_layout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        os.path.join(root, "cust_dim_coarse"),
+    )
+    return _coloc_segment_rollup(joined)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: the serving tier and its recall/scan frontier
+# ---------------------------------------------------------------------------
+
+# 6 planes = 64 buckets: at the test corpus sizes this keeps every
+# sweep point populated (8 planes left radius 0-1 nearly empty — the
+# synthetic embeddings are near-random, the regime where LSH recall
+# is honestly hard; the sweep MEASURES that instead of hiding it)
+_LSH_PLANES = 6
+_LSH_DIM = 64
+
+# DuckDB twins of the float-dot / quantized-dot helpers (same shapes
+# as plans/vectors.py — the fold order matches Spark's aggregate()).
+_SQL_FDOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_SQL_QDOT = (
+    "CAST(list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i]*{b}[i])) AS DOUBLE)"
+)
+
+
+def _plane_literals() -> str:
+    from ..operators.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(_LSH_DIM, n_planes=_LSH_PLANES, seed=42)
+    return ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(_LSH_PLANES)
+    )
+
+
+def _lsh_bucket_ctes() -> str:
+    """Shared CTE block: inlined plane literals, quantized corpus,
+    query bucket, per-vector buckets, and the Hamming<=2 probe set
+    tagged with its radius."""
+    fdot_q = _SQL_FDOT.format(a="qv.qe", b="p.pvec")
+    fdot_e = _SQL_FDOT.format(a="e.embedding", b="p.pvec")
+    return f"""planes(pidx, pvec) AS (VALUES {_plane_literals()}),
+    base AS (
+      SELECT vec_id, embedding,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS qe, q AS qq FROM base WHERE vec_id = 0),
+    qbucket AS (
+      SELECT SUM(CASE WHEN {fdot_q} > 0
+                      THEN 1::BIGINT << p.pidx ELSE 0 END)::BIGINT AS b
+      FROM planes p, qv
+    ),
+    vb AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {fdot_e} > 0
+                      THEN 1::BIGINT << p.pidx ELSE 0 END)::BIGINT AS bucket
+      FROM base e CROSS JOIN planes p
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    probes AS (
+      SELECT 0 AS r, b AS pb FROM qbucket
+      UNION ALL
+      SELECT 1, xor(b, 1::BIGINT << i.i)
+      FROM qbucket, (SELECT unnest(range({_LSH_PLANES})) AS i) i
+      UNION ALL
+      SELECT 2, xor(xor(b, 1::BIGINT << i.i), 1::BIGINT << j.j)
+      FROM qbucket,
+           (SELECT unnest(range({_LSH_PLANES})) AS i) i,
+           (SELECT unnest(range({_LSH_PLANES})) AS j) j
+      WHERE i.i < j.j
+    )"""
+
+
+def _lsh_multiprobe_topk_oracle() -> str:
+    from .vectors import _sql_cosine
+
+    return f"""
+    WITH {_lsh_bucket_ctes()}
+    SELECT e.vec_id,
+           {SQL_FROUND(_sql_cosine("e.embedding", "qv.qe"), 6)} AS cosine_sim
+    FROM base e
+    JOIN vb ON vb.vec_id = e.vec_id
+    CROSS JOIN qv
+    WHERE vb.bucket IN (SELECT pb FROM probes WHERE r <= 2)
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_topk_lsh_multiprobe",
+    oracle=_lsh_multiprobe_topk_oracle(),
+    doc="The multi-probe LSH serving tier: top-10 after prefiltering "
+    "to the query bucket's Hamming<=2 probe set (1+6+15 of 64 "
+    "buckets — one table probed harder instead of more tables built, "
+    "the Lv et al. VLDB'07 trade) + exact cosine rerank. Oracled "
+    "end-to-end like ann_topk_lsh: the seeded plane matrix is "
+    "inlined into the DuckDB SQL, so bucket assignment, the two-flip "
+    "probe expansion, and the rerank are all value-checked.",
+    tags=("vectors", "ann", "lsh", "multiprobe"),
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_lsh_multiprobe
+    from .vectors import _rounded_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    raw = cosine_topk_lsh_multiprobe(
+        emb.filter(F.col("vec_id") != 0),
+        query,
+        k=100,
+        n_planes=_LSH_PLANES,
+        radius=2,
+    )
+    return _rounded_topk(raw, k=10)
+
+
+_PROBE_COUNTS = {
+    0: 1,
+    1: 1 + _LSH_PLANES,
+    2: 1 + _LSH_PLANES + _LSH_PLANES * (_LSH_PLANES - 1) // 2,
+}
+
+
+def _lsh_sweep_oracle() -> str:
+    qdot = _SQL_QDOT.format(a="co.q", b="qq")
+    qnorm = _SQL_QDOT.format(a="co.q", b="co.q")
+    qqnorm = _SQL_QDOT.format(a="qq", b="qq")
+    blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS radius,
+           CAST({_PROBE_COUNTS[r]} AS BIGINT) AS buckets_probed,
+           (SELECT COUNT(*) FROM cosed
+            WHERE bucket IN (SELECT pb FROM probes WHERE r <= {r}))
+             AS cand_rows,
+           (SELECT COUNT(*) FROM (
+              SELECT vid FROM (
+                SELECT vid,
+                       row_number() OVER (ORDER BY cos DESC, vid) AS rn
+                FROM cosed
+                WHERE bucket IN (SELECT pb FROM probes WHERE r <= {r})) t
+              WHERE rn <= 10) tt
+            JOIN exact10 USING (vid)) AS hits"""
+        for r in (0, 1, 2)
+    )
+    return f"""
+    WITH {_lsh_bucket_ctes()},
+    corpus AS (SELECT vec_id AS vid, q FROM base WHERE vec_id <> 0),
+    cosed AS (
+      SELECT co.vid,
+             {qdot} / (sqrt({qnorm}) * sqrt({qqnorm})) AS cos,
+             vb.bucket
+      FROM corpus co
+      JOIN vb ON vb.vec_id = co.vid
+      CROSS JOIN qv
+    ),
+    exact10 AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY cos DESC, vid) AS rn
+        FROM cosed) WHERE rn <= 10
+    )
+    SELECT radius, buckets_probed, cand_rows, hits,
+           hits * 10 AS recall_pct
+    FROM (
+{blocks}
+    )
+    ORDER BY radius
+    """
+
+
+@register(
+    "ann_recall_lsh_sweep",
+    oracle=_lsh_sweep_oracle(),
+    doc="The multi-probe LSH recall/scan FRONTIER, companion to the "
+    "IVF probe sweep: top-10 recall at probe radius 0 (exact "
+    "bucket), 1 (+6 single flips), 2 (+15 double flips) against the "
+    "exact top-10 over the same quantized space, next to the probe "
+    "count and the CANDIDATE ROWS each radius actually scans. The "
+    "bucket index is computed once and every sweep point is a filter "
+    "over it — the radius is a pure query-time knob, which is the "
+    "operational argument for multi-probe over more hash tables. "
+    "Every number is an exact integer and the DuckDB oracle replays "
+    "the whole frontier (float-sign bucket bits from inlined plane "
+    "literals, integer-quantized cosine ranking), so the recall "
+    "curve itself is hash-checked, not self-reported.",
+    tags=("vectors", "ann", "lsh", "multiprobe", "evaluation"),
+)
+def ann_recall_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_cache
+    from ..operators.similarity import (
+        _quantized,
+        _rerank_portable,
+        hyperplane_planes,
+        lsh_bucket_ids,
+        query_probe_buckets_radius,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    planes = hyperplane_planes(_LSH_DIM, n_planes=_LSH_PLANES, seed=42)
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        _quantized(F.col("embedding")).alias("q"),
+    )
+    q_ints = [
+        int(__import__("math").floor(float(x) * 1_000_000.0 + 0.5))
+        for x in qrow.embedding
+    ]
+    qlit = F.array(*[F.lit(v).cast("long") for v in q_ints])
+    corpus = base.filter(F.col("vid") != 0).transform(tracked_cache)
+    exact_ids = {
+        r.vec_id for r in _rerank_portable(corpus, qlit, 10).collect()
+    }
+    buckets = lsh_bucket_ids(
+        emb.filter(F.col("vec_id") != 0), planes
+    ).transform(tracked_cache)
+    rows = []
+    for r in (0, 1, 2):
+        probes = query_probe_buckets_radius(qrow.embedding, planes, r)
+        cand = buckets.filter(F.col("bucket").isin(probes)).select(
+            F.col("vec_id").alias("vid")
+        )
+        cand_rows = cand.count()
+        top10 = _rerank_portable(corpus.join(cand, "vid"), qlit, 10)
+        hits = sum(1 for t in top10.collect() if t.vec_id in exact_ids)
+        rows.append((r, len(probes), cand_rows, hits, hits * 10))
+    return spark.createDataFrame(
+        rows,
+        "radius long, buckets_probed long, cand_rows long, hits long, "
+        "recall_pct long",
+    ).orderBy("radius")

@@ -129,6 +129,7 @@ def ensure_loaded() -> None:
     from . import round5  # noqa: F401  # new in round 5
     from . import round6  # noqa: F401  # new in round 6
     from . import round7  # noqa: F401  # new in round 7
+    from . import round8  # noqa: F401  # new in round 8
 
     from .registry import QUERIES
 

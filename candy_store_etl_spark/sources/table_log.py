@@ -223,6 +223,7 @@ def commit(
     schema: str | None = None,
     base_version: int | None | object = _UNPINNED,
     data_change: bool = True,
+    meta: dict | None = None,
 ) -> int:
     """Atomically commit the next version. ``add``/``remove`` are data
     file names relative to ``table_dir``. Returns the committed
@@ -256,6 +257,11 @@ def commit(
         # moves bytes, not table contents — change-feed readers key
         # their skip off this flag, not off op-name conventions
         entry["dataChange"] = False
+    if meta is not None:
+        # free-form table properties riding the commit (e.g. a bucket
+        # spec: the Iceberg-partition-spec role — layout contracts a
+        # reader can PLAN against, resolved newest-wins from the log)
+        entry["meta"] = meta
     if stats:
         entry["stats"] = stats
     if schema is not None:

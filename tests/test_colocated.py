@@ -1,0 +1,142 @@
+"""Storage-partitioned join over bucketed table-log tables
+(operators/colocated.py): parity with a plain join, alignment across
+mismatched layouts, the zero-data-shuffle plan shape, and the loud
+failure modes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from candy_store_etl_spark.operators import colocated as co
+from candy_store_etl_spark.sources import table_log as tl
+from candy_store_etl_spark.streaming import cdc
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "left"), str(tmp_path / "right")
+
+
+def _facts(spark, n=500):
+    # keys 0..n-1; values derived so any row loss/dup is visible
+    return spark.createDataFrame(
+        [(i, i * 3, float(i) / 2) for i in range(n)],
+        "k long, a long, b double",
+    )
+
+
+def _dims(spark, n=500):
+    # only even keys (and some beyond the fact range) -> both sides
+    # have unmatched keys, exercising inner-join semantics
+    return spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, n + 100, 2)], "k long, d string"
+    )
+
+
+def _expected(spark, n=500):
+    return sorted(
+        (i, i * 3, float(i) / 2, f"d{i}") for i in range(0, n, 2)
+    )
+
+
+def test_write_bucketed_records_spec_and_roundtrips(spark, dirs):
+    left, _ = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    assert co.bucket_spec(left) == {"key": "k", "n": 8}
+    got = sorted(
+        (r.k, r.a, r.b) for r in tl.read_snapshot(spark, left).collect()
+    )
+    assert got == sorted((i, i * 3, float(i) / 2) for i in range(500))
+    # one file per non-empty bucket, bucket id in the name
+    files = tl.snapshot_files(left)
+    assert 1 <= len(files) <= 8
+    groups = {cdc._group_of_name(p) for p in files}
+    assert groups <= set(range(8))
+
+
+def test_colocated_join_matches_plain_join(spark, dirs):
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    co.write_bucketed(_dims(spark), right, key_col="k", n_buckets=8)
+    j = co.colocated_bucket_join(spark, left, right)
+    assert j.columns == ["k", "a", "b", "d"]
+    got = sorted((r.k, r.a, r.b, r.d) for r in j.collect())
+    assert got == _expected(spark)
+
+
+def test_alignment_survives_compaction(spark, dirs):
+    """A side coarsened by maintenance (4 buckets/file) still joins
+    bit-identically — at the coarser task granularity."""
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    co.write_bucketed(_dims(spark), right, key_col="k", n_buckets=8)
+    cdc.compact_warehouse(
+        spark, right, key_col="k", n_buckets=8, buckets_per_file=4
+    )
+    plan = co.colocated_plan(left, right)
+    assert len(plan) == 2  # 8 buckets / 4 per file
+    for _, lf, rf in plan:
+        assert len(lf) == 4 and len(rf) == 1
+    got = sorted(
+        (r.k, r.a, r.b, r.d)
+        for r in co.colocated_bucket_join(spark, left, right).collect()
+    )
+    assert got == _expected(spark)
+
+
+def test_plan_moves_no_table_data(spark, dirs):
+    """The executed plan's only exchange carries the metadata rows
+    (one per bucket group); neither table's parquet is scanned
+    JVM-side at all — the SPJ property."""
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    co.write_bucketed(_dims(spark), right, key_col="k", n_buckets=8)
+    j = co.colocated_bucket_join(spark, left, right)
+    j.collect()  # AQE: final plan only after execution
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("Exchange") <= 2  # metadata range-repartition only
+
+
+def test_mismatched_bucket_counts_refused(spark, dirs):
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    co.write_bucketed(_dims(spark), right, key_col="k", n_buckets=16)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        co.colocated_plan(left, right)
+
+
+def test_unbucketed_table_refused(spark, dirs):
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    tl.append(_dims(spark), right)  # plain append: no spec
+    with pytest.raises(ValueError, match="bucket spec"):
+        co.colocated_plan(left, right)
+
+
+def test_overlapping_nonkey_columns_refused(spark, dirs):
+    left, right = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    clash = spark.createDataFrame(
+        [(0, 1)], "k long, a long"  # 'a' clashes with the fact column
+    )
+    co.write_bucketed(clash, right, key_col="k", n_buckets=8)
+    with pytest.raises(ValueError, match="overlap"):
+        co.colocated_bucket_join(spark, left, right)
+
+
+def test_different_key_names_join_and_drop_right_key(spark, dirs):
+    left, right = dirs
+    co.write_bucketed(_facts(spark, 100), left, key_col="k", n_buckets=4)
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 100, 2)], "ck long, d string"
+    )
+    co.write_bucketed(dim, right, key_col="ck", n_buckets=4)
+    j = co.colocated_bucket_join(spark, left, right)
+    assert j.columns == ["k", "a", "b", "d"]
+    got = sorted((r.k, r.d) for r in j.collect())
+    assert got == [(i, f"d{i}") for i in range(0, 100, 2)]

@@ -318,3 +318,88 @@ def test_random_projection_preserves_distance_structure(spark, sf_correctness):
     assert abs(ratios.mean() - 1.0) < 0.1, ratios.mean()
     assert np.quantile(ratios, 0.9) < 2.5, np.quantile(ratios, 0.9)
     assert np.quantile(ratios, 0.1) > 0.2, np.quantile(ratios, 0.1)
+
+
+def test_multiprobe_radius_sets_nest_and_count():
+    from candy_store_etl_spark.operators.similarity import (
+        query_probe_buckets_radius,
+    )
+
+    planes = hyperplane_planes(64, n_planes=6, seed=42)
+    q = [0.3] * 64
+    r0 = query_probe_buckets_radius(q, planes, 0)
+    r1 = query_probe_buckets_radius(q, planes, 1)
+    r2 = query_probe_buckets_radius(q, planes, 2)
+    # exact binomial sizes, all distinct, nested by construction
+    assert (len(r0), len(r1), len(r2)) == (1, 7, 22)
+    assert len(set(r2)) == 22
+    assert set(r0) <= set(r1) <= set(r2)
+    assert all(0 <= p < 2**6 for p in r2)
+    # every probe really is within Hamming distance 2 of the base
+    base = r0[0]
+    assert all(bin(base ^ p).count("1") <= 2 for p in r2)
+    # radius 1 == the legacy helper
+    assert r1 == query_probe_buckets(q, planes)
+    import pytest
+
+    with pytest.raises(ValueError, match="radius"):
+        query_probe_buckets_radius(q, planes, 3)
+
+
+def test_multiprobe_candidates_grow_and_contain_lower_radius(
+    spark, sf_smoke
+):
+    """The radius knob is monotone: each step's candidate set contains
+    the previous one, so recall can only improve as scan grows."""
+    from candy_store_etl_spark.operators.similarity import (
+        lsh_bucket_ids,
+        query_probe_buckets_radius,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    planes = hyperplane_planes(64, n_planes=6, seed=42)
+    buckets = lsh_bucket_ids(emb.filter(F.col("vec_id") != 0), planes)
+    buckets.cache()
+    try:
+        sets = []
+        for r in (0, 1, 2):
+            probes = query_probe_buckets_radius(qrow.embedding, planes, r)
+            sets.append(
+                {
+                    x.vec_id
+                    for x in buckets.filter(
+                        F.col("bucket").isin(probes)
+                    ).collect()
+                }
+            )
+        assert sets[0] <= sets[1] <= sets[2]
+        assert len(sets[2]) > len(sets[0])
+    finally:
+        buckets.unpersist()
+
+
+def test_multiprobe_topk_subset_of_exact_scores(spark, sf_smoke):
+    """Every multiprobe hit carries its TRUE cosine (exact rerank), so
+    the tier's results are always a subset of the exact ranking —
+    approximate membership, never approximate scores."""
+    from candy_store_etl_spark.operators.similarity import (
+        cosine_topk_lsh_multiprobe,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    approx = {
+        r.vec_id: round(r.cosine_sim, 6)
+        for r in cosine_topk_lsh_multiprobe(
+            corpus, query, k=10, n_planes=6, radius=2
+        ).collect()
+    }
+    exact = {
+        r.vec_id: round(r.cosine_sim, 6)
+        for r in cosine_topk_blockwise(corpus, query, k=500).collect()
+    }
+    assert approx  # radius 2 at 6 planes always finds candidates here
+    for vid, sim in approx.items():
+        assert exact[vid] == sim
