@@ -34,9 +34,6 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from collections.abc import Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,8 +156,9 @@ def colocated_bucket_join(
     The plan: a LOCAL metadata relation (one row per aligned bucket
     group, carrying both sides' file lists), range-repartitioned so
     groups spread one-per-task — the only Exchange in the plan, over
-    ~file-name-sized rows — then ``mapInPandas`` reads each group's
-    files from BOTH tables and hash-merges them in Arrow/pandas.
+    ~file-name-sized rows — then ``mapInArrow`` reads each group's
+    files from BOTH tables and hash-joins them with Acero (columnar
+    end-to-end; no pandas materialization).
     Equal keys share a bucket by construction (same hash, same n), so
     the union of per-group joins IS the join. Output columns: all
     left columns, then the right columns minus its key (the committed
@@ -189,32 +187,37 @@ def colocated_bucket_join(
     )
     out_cols = [f.name for f in out_schema.fields]
 
-    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_schema)
+
+    def merge(batches):
+        # Arrow end-to-end: parquet -> Acero hash join -> record
+        # batches into the JVM; no pandas materialization at all
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def _read(paths) -> pd.DataFrame:
-            import pyarrow as pa
+        def _read(paths) -> pa.Table:
+            return pa.concat_tables([pq.read_table(p) for p in paths])
 
-            return pa.concat_tables(
-                [pq.read_table(p) for p in paths]
-            ).to_pandas()
-
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                left = _read(row.left_files)
-                right = _read(row.right_files)
-                if lkey == rkey:
-                    out = left.merge(right, on=lkey, how="inner")
-                else:
-                    out = left.merge(
-                        right, left_on=lkey, right_on=rkey, how="inner"
-                    ).drop(columns=[rkey])
-                if not out.empty:
-                    yield out[out_cols]
+        for batch in batches:
+            for row in batch.to_pylist():
+                left = _read(row["left_files"])
+                right = _read(row["right_files"])
+                joined = left.join(
+                    right,
+                    keys=lkey,
+                    right_keys=rkey,
+                    join_type="inner",
+                )
+                if joined.num_rows:
+                    yield from joined.select(out_cols).cast(
+                        target
+                    ).to_batches()
 
     meta = spark.createDataFrame(
         [(g, lf, rf) for g, lf, rf in tasks],
         "grp int, left_files array<string>, right_files array<string>",
     )
     n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp").mapInPandas(merge, out_schema)
+    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)

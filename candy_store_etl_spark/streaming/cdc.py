@@ -171,18 +171,31 @@ def make_partitioned_cdc_sink(
     applied: set[int] | None = None
     bpf: int = 1
     last_v: int | None | object = object()  # sentinel: never seen
+    # the warehouse IS a bucketed table: publish its bucket spec and
+    # schema through the log (once each) so batch consumers can plan
+    # co-located joins against it (operators/colocated.py)
+    need_meta = need_schema = True
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..caching import scoped_cache
+        from ..operators.colocated import bucket_spec
 
-        nonlocal applied, bpf, last_v
+        nonlocal applied, bpf, last_v, need_meta, need_schema
         base_v = tl.current_version(table_dir)
         if applied is None:
             applied = applied_batches(table_dir)
             bpf = layout_buckets_per_file(table_dir)
+            if base_v is not None:
+                need_meta = bucket_spec(table_dir) is None
+                need_schema = tl.snapshot_schema(table_dir) is None
         elif base_v != last_v:
             bpf = layout_buckets_per_file(table_dir)
         last_v = base_v
+        meta = (
+            {"bucket": {"key": key_col, "n": int(n_buckets)}}
+            if need_meta
+            else None
+        )
         if batch_id in applied:
             return  # retried epoch: the committed swap IS the marker
         spark = batch_df.sparkSession
@@ -201,7 +214,10 @@ def make_partitioned_cdc_sink(
                 for r in inc.select("bucket", "grp").distinct().collect()
             ]
             if not touched:
-                last_v = tl.commit(table_dir, op=f"cdc-batch-{batch_id}")
+                last_v = tl.commit(
+                    table_dir, op=f"cdc-batch-{batch_id}", meta=meta
+                )
+                need_meta = need_meta and meta is None
                 applied.add(batch_id)
                 return
             touched_groups = {g for _, g in touched}
@@ -253,7 +269,12 @@ def make_partitioned_cdc_sink(
             remove=[os.path.basename(p) for p in old_touched],
             op=f"cdc-batch-{batch_id}",
             base_version=base_v,
+            meta=meta,
+            # grp rides file names, not data; the committed schema is
+            # what makes the warehouse joinable by snapshot readers
+            schema=merged.drop("grp").schema.json() if need_schema else None,
         )
+        need_meta = need_schema = False
         applied.add(batch_id)
         if metrics is not None:
             # footer row counts: metadata I/O only, zero Spark jobs —

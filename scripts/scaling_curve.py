@@ -67,6 +67,13 @@ QUERIES = [
     # fraction constant)
     "incremental_corpus_refresh",
     "table_log_zorder_compact",
+    # round-8 additions: the storage-partitioned join (scratch pair
+    # builds once in the untimed warm-up; the timed passes measure
+    # the per-bucket merge + rollup — the curve verifies the
+    # no-table-data-shuffle claim survives the decade) and the LSH
+    # probe sweep (three bucket-filtered reranks over one index)
+    "colocated_customer_join",
+    "ann_recall_lsh_sweep",
 ]
 
 # measured at sf10 too (each trial is ~10-60s); complete since round 5

@@ -341,3 +341,33 @@ def test_null_merge_keys_merge_to_one_row(spark, table):
     want = keyed(_increments(_events(spark, all_rows)).collect())
     assert got == want
     assert sum(1 for t in got if t[0] is None) == 1
+
+
+def test_warehouse_joins_colocated_with_bucketed_dim(spark, table, tmp_path):
+    """The sink publishes its bucket spec + schema through the log, so
+    the live warehouse is a first-class side of a storage-partitioned
+    join: stream updates in, write a dim table bucketed with the same
+    spec, and the co-located join matches the plain shuffle join."""
+    from candy_store_etl_spark.operators import colocated as co
+
+    sink = _sink(table)
+    sink(_events(spark, [(u, float(u)) for u in range(40)]), 0)
+    sink(_events(spark, [(u, 2.0 * u) for u in range(0, 40, 2)]), 1)
+    assert co.bucket_spec(table) == {"key": "user_id", "n": N_BUCKETS}
+    assert tl.snapshot_schema(table) is not None
+
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(0, 60, 2)],
+        "user_id long, tier string",
+    )
+    dim_dir = str(tmp_path / "dim")
+    co.write_bucketed(dim, dim_dir, key_col="user_id", n_buckets=N_BUCKETS)
+    j = co.colocated_bucket_join(spark, table, dim_dir)
+    got = sorted(
+        (r.user_id, r.n_events, r.cents, r.tier) for r in j.collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.cents, r.tier)
+        for r in read_warehouse(spark, table).join(dim, "user_id").collect()
+    )
+    assert got == want and len(got) == 20
