@@ -147,6 +147,144 @@ def colocated_plan(
     ]
 
 
+def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
+    """The bucket a key value lives in, computed with the SAME
+    xxhash64 the writer used (evaluated through Spark so the hash is
+    the engine's own, with the literal cast to the stored key type —
+    xxhash64 is type-sensitive). One 1-row job, no table I/O."""
+    spec = bucket_spec(table_dir)
+    if spec is None:
+        raise ValueError(f"{table_dir} has no committed bucket spec")
+    schema = tl.snapshot_schema(table_dir)
+    dtype = (
+        schema[spec["key"]].dataType.simpleString()
+        if schema is not None
+        else "bigint"
+    )
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit(value).cast(dtype)), F.lit(spec["n"])
+            )
+            .cast("int")
+            .alias("b")
+        )
+        .first()
+        .b
+    )
+
+
+def point_lookup(
+    spark: SparkSession, table_dir: str, values: list
+) -> DataFrame:
+    """Key-sharded point lookup: each value's bucket names its file
+    group directly (hash + file-name test — no stats, no footers, no
+    scan of any other file), so a lookup touches O(values) files out
+    of the whole table. Returns the matching rows plus ``probe_files``
+    — how many data files THAT key's probe opened — which pins the
+    serving contract (1 at fine layout) instead of documenting it.
+    At 100 TB this is the difference between a point read costing one
+    file and costing a table scan; it falls out of the same committed
+    bucket spec the co-located join plans with."""
+    spec = bucket_spec(table_dir)
+    if spec is None:
+        raise ValueError(f"{table_dir} has no committed bucket spec")
+    bpf = layout_buckets_per_file(table_dir)
+    schema = tl.snapshot_schema(table_dir)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    by_group: dict[int, list[str]] = defaultdict(list)
+    for p in tl.snapshot_files(table_dir):
+        by_group[_group_of_name(p)].append(p)
+    parts = []
+    for v in values:
+        files = by_group.get(bucket_of_value(spark, table_dir, v) // bpf, [])
+        if not files:
+            continue  # provably absent: its bucket holds no rows at all
+        parts.append(
+            reader.parquet(*files)
+            .filter(F.col(spec["key"]) == F.lit(v))
+            .withColumn("probe_files", F.lit(len(files)).cast("long"))
+        )
+    if not parts:
+        raise ValueError("no requested key maps to a populated bucket")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bucketed_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Per-key aggregation WITHOUT an exchange: the table is bucketed
+    on the key, so every row of a key lives in one file group — each
+    task aggregates its group to completion locally (Acero group_by)
+    and emits final results. No partial/final split, no shuffle: the
+    map-side-complete aggregation Spark's catalog bucketing enables,
+    derived here from the table log's committed spec. ``aggs`` is
+    ``[(col, arrow_fn, out_name), ...]`` (e.g. ``("cents", "sum",
+    "spend_cents")``)."""
+    spec = bucket_spec(table_dir)
+    if spec is None:
+        raise ValueError(f"{table_dir} has no committed bucket spec")
+    key = spec["key"]
+    schema = tl.snapshot_schema(table_dir)
+    if schema is None:
+        raise ValueError("bucketed_aggregate needs a committed schema")
+    by_group: dict[int, list[str]] = defaultdict(list)
+    for p in tl.snapshot_files(table_dir):
+        by_group[_group_of_name(p)].append(p)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark_types = {f.name: f for f in schema.fields}
+    out_schema = StructType(
+        [spark_types[key]]
+        + [
+            StructField(
+                out,
+                LongType()
+                if fn == "count"
+                else spark_types[col].dataType,
+                True,
+            )
+            for col, fn, out in aggs
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    target = to_arrow_schema(out_schema)
+
+    def agg(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                tbl = pa.concat_tables(
+                    [pq.read_table(p) for p in row["files"]]
+                )
+                got = tbl.group_by(key).aggregate(
+                    [(col, fn) for col, fn, _ in aggs]
+                )
+                rename = {f"{col}_{fn}": out for col, fn, out in aggs}
+                got = got.rename_columns(
+                    [rename.get(n, n) for n in got.column_names]
+                )
+                if got.num_rows:
+                    yield from got.select(out_cols).cast(target).to_batches()
+
+    meta = spark.createDataFrame(
+        sorted((g, sorted(fs)) for g, fs in by_group.items()),
+        "grp int, files array<string>",
+    )
+    n = max(len(by_group), 1)
+    return meta.repartitionByRange(n, "grp").mapInArrow(agg, out_schema)
+
+
 def colocated_bucket_join(
     spark: SparkSession, left_dir: str, right_dir: str
 ) -> DataFrame:

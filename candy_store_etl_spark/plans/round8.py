@@ -48,7 +48,12 @@ def _ensure_colocated_tables(spark: SparkSession, sf_dir: str) -> str:
     }
 
     def _intact(d: str) -> bool:
-        vers = {"order_stats": 0, "cust_dim": 0, "cust_dim_coarse": 1}
+        vers = {
+            "order_stats": 0,
+            "cust_dim": 0,
+            "cust_dim_coarse": 1,
+            "order_lines": 0,
+        }
         for n, want in vers.items():
             t = os.path.join(d, n)
             if tl.current_version(t) != want:
@@ -79,6 +84,19 @@ def _ensure_colocated_tables(spark: SparkSession, sf_dir: str) -> str:
         write_bucketed(
             stats,
             os.path.join(stage, "order_stats"),
+            key_col="cust_key",
+            n_buckets=_N_BUCKETS,
+        )
+        # the RAW fact rows bucketed by customer — the layout that
+        # makes per-customer aggregation exchange-free
+        write_bucketed(
+            orders.select(
+                F.col("o_custkey").alias("cust_key"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ),
+            os.path.join(stage, "order_lines"),
             key_col="cust_key",
             n_buckets=_N_BUCKETS,
         )
@@ -186,6 +204,72 @@ def colocated_join_coarse_layout(
         os.path.join(root, "cust_dim_coarse"),
     )
     return _coloc_segment_rollup(joined)
+
+
+_LOOKUP_KEYS = (7, 42, 123)
+
+
+@register(
+    "bucketed_point_lookup",
+    oracle=f"""
+    SELECT c_custkey AS cust_key, c_mktsegment AS mktsegment,
+           CAST(1 AS BIGINT) AS probe_files
+    FROM customer WHERE c_custkey IN {_LOOKUP_KEYS}
+    ORDER BY cust_key
+    """,
+    doc="Key-sharded point lookup against the bucketed dim table: "
+    "each key's bucket (same xxhash64 the writer committed) names "
+    "its ONE file group directly — no stats, no footers, no other "
+    "file opened. probe_files is emitted per key and the oracle pins "
+    "it to 1, so 'a point read costs one file' is a hash-checked "
+    "CONTRACT: any layout regression that makes a lookup touch more "
+    "files fails the gate, not just a docstring. At 100 TB this is "
+    "the serving-path read the bucket spec exists for.",
+    tags=("table_log", "bucketed", "serving"),
+)
+def bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import point_lookup
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    return point_lookup(
+        spark, os.path.join(root, "cust_dim"), list(_LOOKUP_KEYS)
+    ).orderBy("cust_key")
+
+
+@register(
+    "bucketed_local_aggregate",
+    oracle="""
+    SELECT o_custkey AS cust_key,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS spend_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY spend_cents DESC, cust_key
+    LIMIT 10
+    """,
+    doc="Per-key aggregation with NO exchange: the raw order rows are "
+    "bucketed by customer, so each task aggregates its bucket to "
+    "completion locally (Acero group_by over the group's files) and "
+    "emits FINAL per-customer sums — no partial/final split, no "
+    "shuffle of fact rows; the only exchange in the plan routes one "
+    "metadata row per bucket, and the top-10 head is a driver-side "
+    "TakeOrdered over already-final rows. This is the "
+    "map-side-complete aggregation catalog bucketing enables, derived "
+    "from the table log's committed spec.",
+    tags=("table_log", "bucketed", "aggregation", "mapInArrow"),
+)
+def bucketed_local_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import bucketed_aggregate
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    per_key = bucketed_aggregate(
+        spark,
+        os.path.join(root, "order_lines"),
+        [("cents", "sum", "spend_cents"), ("cents", "count", "n_orders")],
+    )
+    return per_key.orderBy(
+        F.col("spend_cents").desc(), F.col("cust_key")
+    ).limit(10)
 
 
 # ---------------------------------------------------------------------------

@@ -140,3 +140,51 @@ def test_different_key_names_join_and_drop_right_key(spark, dirs):
     assert j.columns == ["k", "a", "b", "d"]
     got = sorted((r.k, r.d) for r in j.collect())
     assert got == [(i, f"d{i}") for i in range(0, 100, 2)]
+
+
+def test_point_lookup_opens_one_file_per_key(spark, dirs):
+    left, _ = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    got = co.point_lookup(spark, left, [3, 17, 9999]).collect()
+    # key 9999 is absent but its bucket is populated: zero rows for
+    # it, no error; present keys carry probe_files == 1 (the contract)
+    assert sorted((r.k, r.a, r.probe_files) for r in got) == [
+        (3, 9, 1),
+        (17, 51, 1),
+    ]
+
+
+def test_point_lookup_survives_coarse_layout(spark, dirs):
+    """After compaction to 4 buckets/file a lookup still opens exactly
+    ONE file — the coarser group file."""
+    left, _ = dirs
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=8)
+    cdc.compact_warehouse(
+        spark, left, key_col="k", n_buckets=8, buckets_per_file=4
+    )
+    got = co.point_lookup(spark, left, [3]).collect()
+    assert [(r.k, r.probe_files) for r in got] == [(3, 1)]
+
+
+def test_bucketed_aggregate_matches_groupby_without_exchange(spark, dirs):
+    left, _ = dirs
+    rows = [(i % 37, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    co.write_bucketed(df, left, key_col="k", n_buckets=8)
+    agg = co.bucketed_aggregate(
+        spark, left, [("v", "sum", "v_sum"), ("v", "count", "n")]
+    )
+    got = sorted((r.k, r.v_sum, r.n) for r in agg.collect())
+    want = sorted(
+        (r.k, r.v_sum, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("v_sum"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    # plan shape: no JVM aggregate, no parquet scan, only the
+    # metadata exchange — the aggregation is final inside the tasks
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("Exchange") <= 2
