@@ -18,91 +18,78 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-7 window. Policy: (a) every query NEW or whose
-# plan/oracle/operator-closure CHANGED in round 7 heads the window
-# (19: thirteen new queries incl. the late-round composites —
-# incremental corpus refresh, the table-log-versioned IVF index and
-# its append-only incremental-refresh twin — plus the streaming
-# change feed and schema evolution; the PMI cap now shared with its
-# oracle; the trigram row's counting tier; the table_log queries sit
-# over the rewritten sources/table_log.py; the token heavy-hitter
-# sits over the weighted-fold sketches.py; the capstone funnel and
-# ann_topk_ivf_portable sit over the extracted operators/funnel.py /
-# _ivf_train_portable refactors); (b) the remaining 31 slots
-# re-confirm by STRICT oldest-evidence order — ALL 22 queries whose
-# last driver row is round 2 (the oldest anywhere in the catalog,
-# incl. the NOTES-named errors_after_purchase and
-# lineitem_measures_unpivot), then 9 of the 22 round-3 rows
-# (alphabetical; fuzzy_part_name_match,
-# incremental_neardup_probe, nation_revenue_share,
-# null_safe_user_join, priority_transition_matrix,
-# shard_token_budget, stratified_sample_docs,
-# streaming_static_enrich, suppliers_covering_brand,
-# top_terms_per_lang, vocab_oov_rate, weekly_active_users, and
-# zorder_layout_key defer). Round 8's backlog: those twelve, then
-# the 41-query r4 cohort (ANN family, patch grid, sketch/window
-# singles), then r5.
+# Round-8 window. Policy: (a) every query NEW or whose
+# plan/oracle/operator-closure CHANGED in round 8 heads the window
+# (20: the six new queries — the co-located join pair, the bucketed
+# point lookup + local aggregate, the multi-probe LSH tier and its
+# recall sweep; the eight table_log faces plus the three versioned
+# IVF queries, the incremental-refresh composite, and the IVF probe
+# sweep sit over the round-8 table_log.py/table_log_source.py
+# hardening (committed-schema pruned reads, pinned schema appends,
+# dataChange flag, ranged change-feed reads, writer fsyncs, commit
+# meta); ann_topk_lsh sits over the similarity.py multi-probe
+# refactor of query_probe_buckets); (b) the remaining 30 slots
+# re-confirm by STRICT oldest-evidence order — ALL 13 queries whose
+# last driver row is round 3, then 17 of the 40-query round-4 cohort
+# (alphabetical; rows-only fast tiers seated adjacent to their
+# portable twins). Round 9's backlog: the remaining 23 r4 rows
+# (label_centroids..., minhash family, simhash, patch grid,
+# streaming_dedup_events, ...), then the 46 r5 rows.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) new or changed in round 7
-    "pretraining_pipeline_funnel",  # capstone; funnel primitives refactor
-    "incremental_corpus_refresh",  # NEW: second composite, reuses stages
-    "ann_ivf_index_versioned",  # NEW: IVF index through the table log
-    "ann_ivf_index_incremental",  # NEW: append-only index refresh
-    "ann_ivf_index_batch",  # NEW: batched serving over the log index
-    "ann_recall_at_k",  # NEW: oracled recall@10 of the IVF tier
-    "ann_recall_probe_sweep",  # NEW: recall/scan frontier, one index
-    "ann_topk_ivf_portable",  # _ivf_train_portable extraction beneath
-    "table_log_checkpoint_native_read",  # NEW: ckpt replay + DataSource
-    "table_log_writer_roundtrip",  # NEW: native-writer two-phase commit
-    "table_log_change_feed",  # NEW: streaming CDF face of the log
-    "table_log_schema_evolution",  # NEW: additive evolution via the log
-    "collocation_pmi_top",  # _PMI_MAX_POS now shared with the oracle
-    "heavy_hitter_char_trigrams",  # direct numpy counting tier
-    "heavy_hitter_tokens",  # sketches.py gained the weighted fold
-    "table_log_zorder_compact",  # NEW: OPTIMIZE ZORDER through the log
-    "table_log_string_pruned_scan",  # NEW: string-stats pruning
-    "table_log_time_travel",  # table_log.py rewrite underneath
-    "table_log_pruned_scan",  # table_log.py rewrite underneath
+    # (a) new or changed in round 8
+    "colocated_customer_join",  # NEW: storage-partitioned join
+    "colocated_join_coarse_layout",  # NEW: SPJ across mixed layouts
+    "bucketed_point_lookup",  # NEW: one-file point-read contract
+    "bucketed_local_aggregate",  # NEW: exchange-free per-key agg
+    "ann_topk_lsh_multiprobe",  # NEW: Hamming<=2 probe serving tier
+    "ann_recall_lsh_sweep",  # NEW: LSH recall/scan frontier
+    "table_log_time_travel",  # table_log.py hardened underneath
+    "table_log_pruned_scan",  # committed-schema pruned reads
+    "table_log_checkpoint_native_read",
+    "table_log_writer_roundtrip",  # writer fsyncs + pinned appends
+    "table_log_change_feed",  # ranged reads + dataChange skip
+    "table_log_schema_evolution",  # append re-validates at commit base
+    "table_log_zorder_compact",
+    "table_log_string_pruned_scan",
+    "ann_ivf_index_versioned",  # served through the hardened log
+    "ann_ivf_index_incremental",
+    "ann_ivf_index_batch",
+    "incremental_corpus_refresh",  # appends through the hardened log
+    "ann_recall_probe_sweep",  # serves from the committed index
+    "ann_topk_lsh",  # query_probe_buckets refactored beneath
     # (b) re-confirmations, strict oldest-evidence first
-    # last seated round 2 (all 22)
-    "brand_flagship_part",
-    "brand_price_stats",
-    "daily_from_hourly_rollup",
-    "doc_bigrams_udtf",
-    "embedding_array_ops",
-    "embedding_neardup_pairs",
-    "errors_after_purchase",
-    "event_date_spine",
-    "explode_outer_head3",
-    "lineitem_measures_unpivot",
-    "nation_order_years",
-    "null_handling_ops",
-    "order_date_parts",
-    "order_priority_profile",
-    "order_status_cube",
-    "order_value_distribution",
-    "part_name_analysis",
-    "region_pairs_cross",
-    "salted_status_revenue",
-    "token_array_set_ops",
-    "user_first_last_events",
-    "user_sessions",
-    # last seated round 3 (9 of 22; fuzzy_part_name_match,
-    # incremental_neardup_probe,
-    # nation_revenue_share, null_safe_user_join,
-    # priority_transition_matrix, shard_token_budget,
-    # stratified_sample_docs, streaming_static_enrich,
-    # suppliers_covering_brand, top_terms_per_lang, vocab_oov_rate,
-    # weekly_active_users, and zorder_layout_key defer to r8)
-    "approx_price_quantiles",
-    "data_quality_audit",
-    "doc_bigram_logprob",
-    "doc_chunks",
-    "doc_length_histogram",
-    "doc_quality_classifier",
-    "doc_repetition_stats",
-    "doc_shard_assignment",
-    "domain_capped_sample",
+    # last seated round 3 (all 13)
+    "fuzzy_part_name_match",
+    "incremental_neardup_probe",
+    "nation_revenue_share",
+    "null_safe_user_join",
+    "priority_transition_matrix",
+    "shard_token_budget",
+    "stratified_sample_docs",
+    "streaming_static_enrich",
+    "suppliers_covering_brand",
+    "top_terms_per_lang",
+    "vocab_oov_rate",
+    "weekly_active_users",
+    "zorder_layout_key",
+    # last seated round 4 (17 of 40, alphabetical; the rest defer)
+    "ann_batch_topk",
+    "ann_range_search",
+    "ann_topk_arrow",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_pq_portable",
+    "bpe_top_pairs",
+    "brand_price_mode_median",
+    "daily_value_anomalies_mad",
+    "daily_value_regression",
+    "dataset_card_stats",
+    "doc_char_entropy",
+    "embedding_quantize_int8",
+    "event_type_pivot_native",
+    "hll_sketch_users",
+    "incremental_neardup_probe_lsh",
+    "incremental_neardup_probe_lsh_portable",
     )
 
 
