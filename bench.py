@@ -69,6 +69,11 @@ HEADLINE = [
     # the versioned IVF index (pinned-version stats-pruned reads)
     "incremental_corpus_refresh",
     "ann_ivf_index_versioned",
+    # round-8 additions: the storage-partitioned join (scratch pair
+    # builds once, content-keyed; timed passes measure the per-bucket
+    # Acero merges + rollup) and the exchange-free bucketed aggregate
+    "colocated_customer_join",
+    "bucketed_local_aggregate",
 ]
 
 

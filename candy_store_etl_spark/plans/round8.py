@@ -157,7 +157,8 @@ def _coloc_segment_rollup(joined: DataFrame) -> DataFrame:
     "hash-bucketed on cust_key (pmod(xxhash64, 16)) with the bucket "
     "spec committed into each table's log, so the join plans as one "
     "task per bucket reading both sides' files for exactly that key "
-    "range and merging locally (Arrow/pandas hash-merge). The only "
+    "range and merging locally (Acero hash join, Arrow end-to-end). "
+    "The only "
     "Exchange moves one metadata row per bucket; no parquet scan "
     "appears in the JVM plan at all (pinned in tests). The DuckDB "
     "oracle is the plain join+rollup — bucketing is a layout "

@@ -47,6 +47,11 @@ HEADLINE = [
     # index (pinned-version probe-pruned scans)
     "incremental_corpus_refresh",
     "ann_ivf_index_versioned",
+    # round-8: the storage-partitioned join (the plan to review is the
+    # ABSENCE of table-data exchanges) and the exchange-free bucketed
+    # aggregate
+    "colocated_customer_join",
+    "bucketed_local_aggregate",
 ]
 
 
