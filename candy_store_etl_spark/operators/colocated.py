@@ -13,10 +13,16 @@ reads both sides' files for exactly that key range and merges
 locally. Neither table's data ever crosses an exchange — the
 storage-partitioned join (SPJ) Spark ships for Iceberg/DSv2 scans.
 
-Why ``mapInPandas`` and not a declarative bucketed scan: Spark's SQL
-bucketing only co-locates *saveAsTable* catalog tables, and a Python
-DataSource cannot report ``outputPartitioning`` to the planner, so a
-bucket-aligned table_log scan pair would still be exchanged. The
+Relation to ``sources/bucketing.py``: that module is the CATALOG
+path — ``bucketBy(n, key).saveAsTable`` tables whose equi-join plans
+as a zero-Exchange sort-merge join, the right tool when a Hive
+metastore owns the table. This module is the TABLE-LOG-native twin
+for tables that need snapshot/commit semantics: versioned, vacuum-
+able, compactable, streamable (the CDC warehouse), where no catalog
+bucket metadata exists for the planner to see. Spark's SQL bucketing
+cannot cover these, and a Python DataSource cannot report
+``outputPartitioning`` to the planner, so a bucket-aligned table_log
+scan pair would still be exchanged. The
 brief's operator ladder applies — the built-in operators genuinely
 cannot express "these two scans are already co-partitioned", so the
 join itself runs as an Arrow-batched grouped merge (ladder rung (b)),
