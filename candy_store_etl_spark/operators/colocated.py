@@ -291,6 +291,104 @@ def bucketed_aggregate(
     return meta.repartitionByRange(n, "grp").mapInArrow(agg, out_schema)
 
 
+def colocated_multi_join(
+    spark: SparkSession, dirs: list[str]
+) -> DataFrame:
+    """INNER-join N bucketed table-log tables on their committed
+    bucket keys in ONE task wave — the star-on-one-key case (fact +
+    satellites all bucketed by the same entity): each aligned bucket
+    group is read from every table and chained through Acero hash
+    joins locally, so however many tables participate, no table data
+    crosses an exchange and no extra join stages appear. The first
+    table anchors: every other table joins its own committed key
+    against the anchor's key column. Output: anchor columns, then
+    each table's non-key columns in argument order."""
+    if len(dirs) < 2:
+        raise ValueError("colocated_multi_join needs >= 2 tables")
+    specs = []
+    for d in dirs:
+        s = bucket_spec(d)
+        if s is None:
+            raise ValueError(f"{d} has no committed bucket spec")
+        specs.append(s)
+    if len({s["n"] for s in specs}) != 1:
+        raise ValueError(
+            f"bucket counts differ ({[s['n'] for s in specs]}): keys "
+            "hash to different buckets, co-location does not hold"
+        )
+    bpfs = [layout_buckets_per_file(d) for d in dirs]
+    coarse = max(bpfs)
+    if any(coarse % b for b in bpfs):
+        raise ValueError(
+            f"file groupings {bpfs} do not nest — compact to multiples"
+        )
+    sides: list[dict[int, list[str]]] = []
+    for d, bpf in zip(dirs, bpfs):
+        per: dict[int, list[str]] = defaultdict(list)
+        for p in tl.snapshot_files(d):
+            per[_group_of_name(p) * bpf // coarse].append(p)
+        sides.append(per)
+    common = sorted(set.intersection(*(set(s) for s in sides)))
+    tasks = [(g, [sorted(s[g]) for s in sides]) for g in common]
+
+    schemas = [tl.snapshot_schema(d) for d in dirs]
+    if any(s is None for s in schemas):
+        raise ValueError("every table must carry a committed schema")
+    anchor_key = specs[0]["key"]
+    keys = [s["key"] for s in specs]
+    from pyspark.sql.types import StructType
+
+    out_fields = list(schemas[0].fields)
+    seen = {f.name for f in schemas[0].fields}
+    for schema, key in zip(schemas[1:], keys[1:]):
+        extra = [f for f in schema.fields if f.name != key]
+        overlap = {f.name for f in extra} & seen
+        if overlap:
+            raise ValueError(
+                f"non-key column name overlap {sorted(overlap)}: "
+                "rename before joining"
+            )
+        out_fields += extra
+        seen |= {f.name for f in extra}
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_schema)
+
+    def merge(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _read(paths) -> pa.Table:
+            return pa.concat_tables([pq.read_table(p) for p in paths])
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                joined = _read(row["files"][0])
+                for i, paths in enumerate(row["files"][1:], start=1):
+                    joined = joined.join(
+                        _read(paths),
+                        keys=anchor_key,
+                        right_keys=keys[i],
+                        join_type="inner",
+                    )
+                    if not joined.num_rows:
+                        break
+                if joined.num_rows:
+                    yield from joined.select(out_cols).cast(
+                        target
+                    ).to_batches()
+
+    meta = spark.createDataFrame(
+        [(g, fs) for g, fs in tasks],
+        "grp int, files array<array<string>>",
+    )
+    n = max(len(tasks), 1)
+    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
+
+
 def colocated_bucket_join(
     spark: SparkSession, left_dir: str, right_dir: str
 ) -> DataFrame:

@@ -316,6 +316,30 @@ def query_probe_buckets_radius(
     return probes
 
 
+def query_probe_sequence(
+    margins: Sequence[int], n_planes: int, n_probes: int, base: int
+) -> list[int]:
+    """QUERY-DIRECTED multi-probe order (the actual Lv et al. VLDB'07
+    refinement over the plain Hamming ball): flipping plane ``i``
+    costs the query's quantized |margin| against that hyperplane — a
+    bit the query barely cleared is cheap to flip (the true neighbors
+    plausibly sit just across it), a bit cleared by a wide margin is
+    expensive. Probe buckets in increasing total flip cost over the
+    masks of popcount <= 2, tie-broken by mask value (a total order
+    both engines replay exactly — ``margins`` are integers). Returns
+    the ``n_probes`` cheapest buckets; cost 0 is always the base
+    bucket, so the sequence extends the exact lookup."""
+    masks: list[tuple[int, int]] = [(0, 0)]
+    masks += [(margins[i], 1 << i) for i in range(n_planes)]
+    masks += [
+        (margins[i] + margins[j], (1 << i) | (1 << j))
+        for i in range(n_planes)
+        for j in range(i + 1, n_planes)
+    ]
+    masks.sort()
+    return [base ^ m for _, m in masks[:n_probes]]
+
+
 def cosine_topk_lsh_multiprobe(
     emb: DataFrame,
     query: Sequence[float],

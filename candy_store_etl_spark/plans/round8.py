@@ -207,6 +207,58 @@ def colocated_join_coarse_layout(
     return _coloc_segment_rollup(joined)
 
 
+@register(
+    "colocated_three_table_join",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS order_cents,
+           CAST(SUM(s.spend_cents) AS BIGINT) AS cust_cents_weighted
+    FROM orders o
+    JOIN s ON s.o_custkey = o.o_custkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY mktsegment
+    ORDER BY mktsegment
+    """,
+    doc="A THREE-table star joined in ONE co-located task wave: raw "
+    "order rows, per-customer stats, and the customer dim — all "
+    "bucketed on the same key — are read group-locally and chained "
+    "through Acero joins inside each task, so adding a third table "
+    "adds zero exchanges and zero extra join stages to the plan "
+    "(where the shuffle plan would add a whole exchange+join stage "
+    "per table). The oracle is the plain 3-way SQL join + rollup.",
+    tags=("join", "table_log", "bucketed", "mapInArrow"),
+)
+def colocated_three_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import colocated_multi_join
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    joined = colocated_multi_join(
+        spark,
+        [
+            os.path.join(root, "order_lines"),
+            os.path.join(root, "order_stats"),
+            os.path.join(root, "cust_dim"),
+        ],
+    )
+    return (
+        joined.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("order_cents"),
+            F.sum("spend_cents").alias("cust_cents_weighted"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
 _LOOKUP_KEYS = (7, 42, 123)
 
 
@@ -505,3 +557,189 @@ def ann_recall_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "radius long, buckets_probed long, cand_rows long, hits long, "
         "recall_pct long",
     ).orderBy("radius")
+
+
+_DIRECTED_BUDGET = 8
+
+
+def _lsh_directed_oracle() -> str:
+    qdot = _SQL_QDOT.format(a="co.q", b="qq")
+    qnorm = _SQL_QDOT.format(a="co.q", b="co.q")
+    qqnorm = _SQL_QDOT.format(a="qq", b="qq")
+    fdot_q = _SQL_FDOT.format(a="qv.qe", b="p.pvec")
+    fdot_e = _SQL_FDOT.format(a="e.embedding", b="p.pvec")
+    blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT '{s}' AS strategy,
+           CAST({_DIRECTED_BUDGET} AS BIGINT) AS probes,
+           (SELECT COUNT(*) FROM cosed
+            WHERE bucket IN (SELECT pb FROM {s})) AS cand_rows,
+           (SELECT COUNT(*) FROM (
+              SELECT vid FROM (
+                SELECT vid,
+                       row_number() OVER (ORDER BY cos DESC, vid) AS rn
+                FROM cosed
+                WHERE bucket IN (SELECT pb FROM {s})) t
+              WHERE rn <= 10) tt
+            JOIN exact10 USING (vid)) AS hits"""
+        for s in ("directed", "indexed")
+    )
+    return f"""
+    WITH planes(pidx, pvec) AS (VALUES {_plane_literals()}),
+    base AS (
+      SELECT vec_id, embedding,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x*1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS qe, q AS qq FROM base WHERE vec_id = 0),
+    qm AS (SELECT p.pidx, {fdot_q} AS m FROM planes p, qv),
+    qb AS (
+      SELECT SUM(CASE WHEN m > 0
+                      THEN 1::BIGINT << pidx ELSE 0 END)::BIGINT AS b
+      FROM qm
+    ),
+    qc AS (
+      SELECT pidx, CAST(FLOOR(ABS(m)*1000000.0 + 0.5) AS BIGINT) AS c
+      FROM qm
+    ),
+    masks AS (
+      SELECT CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS mask
+      UNION ALL
+      SELECT c, 1::BIGINT << pidx FROM qc
+      UNION ALL
+      SELECT a.c + b.c, (1::BIGINT << a.pidx) | (1::BIGINT << b.pidx)
+      FROM qc a JOIN qc b ON a.pidx < b.pidx
+    ),
+    directed AS (
+      SELECT xor((SELECT b FROM qb), mask) AS pb
+      FROM masks ORDER BY cost, mask LIMIT {_DIRECTED_BUDGET}
+    ),
+    indexed AS (
+      SELECT (SELECT b FROM qb) AS pb
+      UNION ALL
+      SELECT xor((SELECT b FROM qb), 1::BIGINT << i.i)
+      FROM (SELECT unnest(range({_LSH_PLANES})) AS i) i
+      UNION ALL
+      SELECT xor((SELECT b FROM qb), 3::BIGINT)
+    ),
+    vb AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN {fdot_e} > 0
+                      THEN 1::BIGINT << p.pidx ELSE 0 END)::BIGINT AS bucket
+      FROM base e CROSS JOIN planes p
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    corpus AS (SELECT vec_id AS vid, q FROM base WHERE vec_id <> 0),
+    cosed AS (
+      SELECT co.vid,
+             {qdot} / (sqrt({qnorm}) * sqrt({qqnorm})) AS cos,
+             vb.bucket
+      FROM corpus co
+      JOIN vb ON vb.vec_id = co.vid
+      CROSS JOIN qv
+    ),
+    exact10 AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY cos DESC, vid) AS rn
+        FROM cosed) WHERE rn <= 10
+    )
+    SELECT strategy, probes, cand_rows, hits, hits * 10 AS recall_pct
+    FROM (
+{blocks}
+    )
+    ORDER BY strategy
+    """
+
+
+@register(
+    "ann_recall_lsh_directed",
+    oracle=_lsh_directed_oracle(),
+    doc="QUERY-DIRECTED multi-probe vs blind Hamming-order probing at "
+    "the SAME budget (8 of 64 buckets): flipping a hyperplane bit "
+    "costs the query's |margin| against that plane — near-miss bits "
+    "are probed first (Lv et al. VLDB'07's actual contribution; the "
+    "plain Hamming ball treats all flips as equal). Both engines "
+    "derive the probe order from INTEGER quantized margins computed "
+    "with the same left-fold dot product, so the order — and every "
+    "recall/candidate count — is hash-checked end-to-end. The "
+    "'indexed' baseline probes base + all single flips + the first "
+    "index-order pair; the comparison shows what margin information "
+    "buys at a fixed scan budget.",
+    tags=("vectors", "ann", "lsh", "multiprobe", "evaluation"),
+)
+def ann_recall_lsh_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..caching import tracked_cache
+    from ..operators.similarity import (
+        _quantized,
+        _rerank_portable,
+        hyperplane_planes,
+        lsh_bucket_ids,
+        query_probe_sequence,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    planes = hyperplane_planes(_LSH_DIM, n_planes=_LSH_PLANES, seed=42)
+    # query margins with F.aggregate's left fold — bit-identical to
+    # the oracle's list_sum fold (numpy's pairwise summation is NOT;
+    # the probe ORDER must agree exactly, so the fold must too)
+    qe = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+    mcols = []
+    for i in range(_LSH_PLANES):
+        pv = F.array(
+            *[F.lit(float(v)).cast("double") for v in planes[i]]
+        )
+        mcols.append(
+            F.aggregate(
+                F.zip_with(qe, pv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"m{i}")
+        )
+    mrow = spark.range(1).select(*mcols).first()
+    ms = [mrow[f"m{i}"] for i in range(_LSH_PLANES)]
+    qbase = sum((1 << i) for i, m in enumerate(ms) if m > 0)
+    margins = [math.floor(abs(m) * 1_000_000.0 + 0.5) for m in ms]
+    probe_sets = {
+        "directed": query_probe_sequence(
+            margins, _LSH_PLANES, _DIRECTED_BUDGET, qbase
+        ),
+        "indexed": [qbase]
+        + [qbase ^ (1 << i) for i in range(_LSH_PLANES)]
+        + [qbase ^ 3],
+    }
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        _quantized(F.col("embedding")).alias("q"),
+    )
+    q_ints = [
+        int(math.floor(float(x) * 1_000_000.0 + 0.5))
+        for x in qrow.embedding
+    ]
+    qlit = F.array(*[F.lit(v).cast("long") for v in q_ints])
+    corpus = base.filter(F.col("vid") != 0).transform(tracked_cache)
+    exact_ids = {
+        r.vec_id for r in _rerank_portable(corpus, qlit, 10).collect()
+    }
+    buckets = lsh_bucket_ids(
+        emb.filter(F.col("vec_id") != 0), planes
+    ).transform(tracked_cache)
+    rows = []
+    for strategy in ("directed", "indexed"):
+        probes = probe_sets[strategy]
+        cand = buckets.filter(F.col("bucket").isin(probes)).select(
+            F.col("vec_id").alias("vid")
+        )
+        cand_rows = cand.count()
+        top10 = _rerank_portable(corpus.join(cand, "vid"), qlit, 10)
+        hits = sum(1 for t in top10.collect() if t.vec_id in exact_ids)
+        rows.append((strategy, _DIRECTED_BUDGET, cand_rows, hits, hits * 10))
+    return spark.createDataFrame(
+        rows,
+        "strategy string, probes long, cand_rows long, hits long, "
+        "recall_pct long",
+    ).orderBy("strategy")

@@ -188,3 +188,66 @@ def test_bucketed_aggregate_matches_groupby_without_exchange(spark, dirs):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "Scan parquet" not in plan and "FileScan" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_multi_join_three_tables_matches_chained_join(spark, tmp_path):
+    a, b, c = (str(tmp_path / n) for n in "abc")
+    fa = spark.createDataFrame(
+        [(i % 50, i) for i in range(600)], "k long, x long"
+    )
+    fb = spark.createDataFrame(
+        [(i, i * 2) for i in range(0, 50)], "k long, y long"
+    )
+    fc = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(0, 50, 2)], "ck long, s string"
+    )
+    co.write_bucketed(fa, a, key_col="k", n_buckets=8)
+    co.write_bucketed(fb, b, key_col="k", n_buckets=8)
+    co.write_bucketed(fc, c, key_col="ck", n_buckets=8)
+    j = co.colocated_multi_join(spark, [a, b, c])
+    assert j.columns == ["k", "x", "y", "s"]
+    got = sorted((r.k, r.x, r.y, r.s) for r in j.collect())
+    want = sorted(
+        (r.k, r.x, r.y, r.s)
+        for r in fa.join(fb, "k")
+        .join(fc, fa["k"] == fc["ck"])
+        .select("k", "x", "y", "s")
+        .collect()
+    )
+    assert got == want and got  # even anchor keys only
+    # still zero table-data exchange, zero parquet scans, ONE wave
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_multi_join_mixed_layout_and_guards(spark, tmp_path):
+    a, b, c = (str(tmp_path / n) for n in "abc")
+    fa = spark.createDataFrame(
+        [(i, i) for i in range(100)], "k long, x long"
+    )
+    co.write_bucketed(fa, a, key_col="k", n_buckets=8)
+    co.write_bucketed(
+        fa.select("k", F.col("x").alias("y")), b, key_col="k", n_buckets=8
+    )
+    co.write_bucketed(
+        fa.select("k", F.col("x").alias("z")), c, key_col="k", n_buckets=8
+    )
+    # coarsen the MIDDLE table: alignment still holds
+    cdc.compact_warehouse(
+        spark, b, key_col="k", n_buckets=8, buckets_per_file=4
+    )
+    got = sorted(
+        (r.k, r.x, r.y, r.z)
+        for r in co.colocated_multi_join(spark, [a, b, c]).collect()
+    )
+    assert got == [(i, i, i, i) for i in range(100)]
+    with pytest.raises(ValueError, match=">= 2"):
+        co.colocated_multi_join(spark, [a])
+    d = str(tmp_path / "d")
+    co.write_bucketed(
+        fa.select("k", F.col("x").alias("w")), d, key_col="k", n_buckets=16
+    )
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        co.colocated_multi_join(spark, [a, d])

@@ -403,3 +403,32 @@ def test_multiprobe_topk_subset_of_exact_scores(spark, sf_smoke):
     assert approx  # radius 2 at 6 planes always finds candidates here
     for vid, sim in approx.items():
         assert exact[vid] == sim
+
+
+def test_query_probe_sequence_orders_by_margin_cost():
+    from candy_store_etl_spark.operators.similarity import (
+        query_probe_sequence,
+    )
+
+    # margins: plane 2 barely cleared (cheap flip), plane 0 wide
+    margins = [900, 500, 10, 300, 700, 40]
+    base = 0b101010
+    seq = query_probe_sequence(margins, 6, 8, base)
+    assert seq[0] == base  # cost 0 first, always
+    # next cheapest: flip 2 (10), flip 5 (40), flip 2+5 (50), ...
+    assert seq[1] == base ^ (1 << 2)
+    assert seq[2] == base ^ (1 << 5)
+    assert seq[3] == base ^ (1 << 2) ^ (1 << 5)
+    assert seq[4] == base ^ (1 << 3)
+    assert len(seq) == len(set(seq)) == 8
+    # full enumeration is the whole Hamming<=2 ball
+    full = query_probe_sequence(margins, 6, 22, base)
+    assert sorted(full) == sorted(
+        base ^ m
+        for m in [0]
+        + [1 << i for i in range(6)]
+        + [(1 << i) | (1 << j) for i in range(6) for j in range(i + 1, 6)]
+    )
+    # deterministic tie-break by mask value on equal costs
+    tied = query_probe_sequence([5, 5, 5, 5, 5, 5], 6, 7, 0)
+    assert tied == [0, 1, 2, 4, 8, 16, 32]
