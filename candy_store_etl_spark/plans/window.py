@@ -20,20 +20,22 @@ from __future__ import annotations
 
 # Round-8 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 8 heads the window
-# (20: the six new queries — the co-located join pair, the bucketed
-# point lookup + local aggregate, the multi-probe LSH tier and its
-# recall sweep; the eight table_log faces plus the three versioned
+# (22: the eight new queries — the co-located join pair + the
+# three-table star, the bucketed point lookup + local aggregate, the
+# multi-probe LSH tier, its recall sweep, and the margin-directed
+# probe comparison; the eight table_log faces plus the three versioned
 # IVF queries, the incremental-refresh composite, and the IVF probe
 # sweep sit over the round-8 table_log.py/table_log_source.py
 # hardening (committed-schema pruned reads, pinned schema appends,
 # dataChange flag, ranged change-feed reads, writer fsyncs, commit
 # meta); ann_topk_lsh sits over the similarity.py multi-probe
-# refactor of query_probe_buckets); (b) the remaining 30 slots
+# refactor of query_probe_buckets); (b) the remaining 28 slots
 # re-confirm by STRICT oldest-evidence order — ALL 13 queries whose
-# last driver row is round 3, then 17 of the 40-query round-4 cohort
+# last driver row is round 3, then 15 of the 40-query round-4 cohort
 # (alphabetical; rows-only fast tiers seated adjacent to their
-# portable twins). Round 9's backlog: the remaining 23 r4 rows
-# (label_centroids..., minhash family, simhash, patch grid,
+# portable twins). Round 9's backlog: the remaining 25 r4 rows
+# (the incremental_neardup_probe_lsh pair evicted below, then
+# label_centroids..., minhash family, simhash, patch grid,
 # streaming_dedup_events, ...), then the 46 r5 rows.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 8
@@ -43,6 +45,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bucketed_local_aggregate",  # NEW: exchange-free per-key agg
     "ann_topk_lsh_multiprobe",  # NEW: Hamming<=2 probe serving tier
     "ann_recall_lsh_sweep",  # NEW: LSH recall/scan frontier
+    "ann_recall_lsh_directed",  # NEW: margin-directed probe order
+    "colocated_three_table_join",  # NEW: N-way SPJ, one task wave
     "table_log_time_travel",  # table_log.py hardened underneath
     "table_log_pruned_scan",  # committed-schema pruned reads
     "table_log_checkpoint_native_read",
@@ -88,8 +92,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "event_type_pivot_native",
     "hll_sketch_users",
-    "incremental_neardup_probe_lsh",
-    "incremental_neardup_probe_lsh_portable",
+    # (incremental_neardup_probe_lsh + _portable pair evicted to the
+    # r9 backlog head when the two late round-8 queries were seated)
     )
 
 
