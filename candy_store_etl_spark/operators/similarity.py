@@ -622,6 +622,49 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_directed(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_probes: int = 8,
+    seed: int = 42,
+    probes: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k with a PROBE BUDGET instead of a radius: the
+    ``n_probes`` cheapest buckets in the query's margin-directed
+    sequence are scanned, then exact-rerank — the serving shape where
+    scan cost is fixed per query and recall is whatever the margins
+    buy (measured by `ann_recall_lsh_directed`). ``probes`` overrides
+    the probe set when the caller computed margins elsewhere (e.g.
+    the fold-exact path the oracled queries use); the default derives
+    them with numpy, fine for serving."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        return cosine_topk_blockwise(
+            emb, query, k, id_col=id_col, vec_col=vec_col
+        )
+    dim = len(first[0])
+    planes = hyperplane_planes(dim, n_planes=n_planes, seed=seed)
+    if probes is None:
+        q = np.asarray(query, dtype=np.float64)
+        ms = planes.astype(np.float64) @ q
+        base = int(
+            ((ms > 0).astype(np.int64) << np.arange(n_planes)).sum()
+        )
+        margins = [int(np.floor(abs(m) * 1_000_000.0 + 0.5)) for m in ms]
+        probes = query_probe_sequence(margins, n_planes, n_probes, base)
+    buckets = lsh_bucket_ids(emb, planes, id_col=id_col, vec_col=vec_col)
+    candidate_ids = buckets.filter(F.col("bucket").isin(probes)).select(id_col)
+    candidates = emb.join(candidate_ids, on=id_col, how="left_semi")
+    return cosine_topk_blockwise(
+        candidates, query, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ)
 # ---------------------------------------------------------------------------

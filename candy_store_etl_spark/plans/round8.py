@@ -562,29 +562,38 @@ def ann_recall_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIRECTED_BUDGET = 8
 
 
-def _lsh_directed_oracle() -> str:
-    qdot = _SQL_QDOT.format(a="co.q", b="qq")
-    qnorm = _SQL_QDOT.format(a="co.q", b="co.q")
-    qqnorm = _SQL_QDOT.format(a="qq", b="qq")
+def _query_margins_fold(spark: SparkSession, qvec, planes) -> tuple[list[int], int]:
+    """(quantized |margin| per plane, base bucket) for a query vector,
+    computed with F.aggregate's LEFT FOLD — bit-identical to the
+    oracle's list_sum fold, which numpy's pairwise summation is not;
+    the directed probe ORDER must agree exactly, so the fold must."""
+    import math
+
+    qe = F.array(*[F.lit(float(x)).cast("double") for x in qvec])
+    mcols = []
+    for i in range(planes.shape[0]):
+        pv = F.array(*[F.lit(float(v)).cast("double") for v in planes[i]])
+        mcols.append(
+            F.aggregate(
+                F.zip_with(qe, pv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"m{i}")
+        )
+    mrow = spark.range(1).select(*mcols).first()
+    ms = [mrow[f"m{i}"] for i in range(planes.shape[0])]
+    base = sum((1 << i) for i, m in enumerate(ms) if m > 0)
+    margins = [math.floor(abs(m) * 1_000_000.0 + 0.5) for m in ms]
+    return margins, base
+
+
+def _lsh_directed_ctes() -> str:
+    """Shared CTE block for the directed-probe oracles: inlined plane
+    literals, fold-computed query margins -> quantized flip costs ->
+    the cost-ordered probe set, plus per-vector buckets."""
     fdot_q = _SQL_FDOT.format(a="qv.qe", b="p.pvec")
     fdot_e = _SQL_FDOT.format(a="e.embedding", b="p.pvec")
-    blocks = "\n    UNION ALL\n".join(
-        f"""    SELECT '{s}' AS strategy,
-           CAST({_DIRECTED_BUDGET} AS BIGINT) AS probes,
-           (SELECT COUNT(*) FROM cosed
-            WHERE bucket IN (SELECT pb FROM {s})) AS cand_rows,
-           (SELECT COUNT(*) FROM (
-              SELECT vid FROM (
-                SELECT vid,
-                       row_number() OVER (ORDER BY cos DESC, vid) AS rn
-                FROM cosed
-                WHERE bucket IN (SELECT pb FROM {s})) t
-              WHERE rn <= 10) tt
-            JOIN exact10 USING (vid)) AS hits"""
-        for s in ("directed", "indexed")
-    )
-    return f"""
-    WITH planes(pidx, pvec) AS (VALUES {_plane_literals()}),
+    return f"""planes(pidx, pvec) AS (VALUES {_plane_literals()}),
     base AS (
       SELECT vec_id, embedding,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -615,14 +624,6 @@ def _lsh_directed_oracle() -> str:
       SELECT xor((SELECT b FROM qb), mask) AS pb
       FROM masks ORDER BY cost, mask LIMIT {_DIRECTED_BUDGET}
     ),
-    indexed AS (
-      SELECT (SELECT b FROM qb) AS pb
-      UNION ALL
-      SELECT xor((SELECT b FROM qb), 1::BIGINT << i.i)
-      FROM (SELECT unnest(range({_LSH_PLANES})) AS i) i
-      UNION ALL
-      SELECT xor((SELECT b FROM qb), 3::BIGINT)
-    ),
     vb AS (
       SELECT e.vec_id,
              SUM(CASE WHEN {fdot_e} > 0
@@ -630,6 +631,37 @@ def _lsh_directed_oracle() -> str:
       FROM base e CROSS JOIN planes p
       WHERE e.vec_id <> 0
       GROUP BY e.vec_id
+    )"""
+
+
+def _lsh_directed_oracle() -> str:
+    qdot = _SQL_QDOT.format(a="co.q", b="qq")
+    qnorm = _SQL_QDOT.format(a="co.q", b="co.q")
+    qqnorm = _SQL_QDOT.format(a="qq", b="qq")
+    blocks = "\n    UNION ALL\n".join(
+        f"""    SELECT '{s}' AS strategy,
+           CAST({_DIRECTED_BUDGET} AS BIGINT) AS probes,
+           (SELECT COUNT(*) FROM cosed
+            WHERE bucket IN (SELECT pb FROM {s})) AS cand_rows,
+           (SELECT COUNT(*) FROM (
+              SELECT vid FROM (
+                SELECT vid,
+                       row_number() OVER (ORDER BY cos DESC, vid) AS rn
+                FROM cosed
+                WHERE bucket IN (SELECT pb FROM {s})) t
+              WHERE rn <= 10) tt
+            JOIN exact10 USING (vid)) AS hits"""
+        for s in ("directed", "indexed")
+    )
+    return f"""
+    WITH {_lsh_directed_ctes()},
+    indexed AS (
+      SELECT (SELECT b FROM qb) AS pb
+      UNION ALL
+      SELECT xor((SELECT b FROM qb), 1::BIGINT << i.i)
+      FROM (SELECT unnest(range({_LSH_PLANES})) AS i) i
+      UNION ALL
+      SELECT xor((SELECT b FROM qb), 3::BIGINT)
     ),
     corpus AS (SELECT vec_id AS vid, q FROM base WHERE vec_id <> 0),
     cosed AS (
@@ -684,26 +716,7 @@ def ann_recall_lsh_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).first()
     planes = hyperplane_planes(_LSH_DIM, n_planes=_LSH_PLANES, seed=42)
-    # query margins with F.aggregate's left fold — bit-identical to
-    # the oracle's list_sum fold (numpy's pairwise summation is NOT;
-    # the probe ORDER must agree exactly, so the fold must too)
-    qe = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
-    mcols = []
-    for i in range(_LSH_PLANES):
-        pv = F.array(
-            *[F.lit(float(v)).cast("double") for v in planes[i]]
-        )
-        mcols.append(
-            F.aggregate(
-                F.zip_with(qe, pv, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"m{i}")
-        )
-    mrow = spark.range(1).select(*mcols).first()
-    ms = [mrow[f"m{i}"] for i in range(_LSH_PLANES)]
-    qbase = sum((1 << i) for i, m in enumerate(ms) if m > 0)
-    margins = [math.floor(abs(m) * 1_000_000.0 + 0.5) for m in ms]
+    margins, qbase = _query_margins_fold(spark, qrow.embedding, planes)
     probe_sets = {
         "directed": query_probe_sequence(
             margins, _LSH_PLANES, _DIRECTED_BUDGET, qbase
@@ -743,3 +756,56 @@ def ann_recall_lsh_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strategy string, probes long, cand_rows long, hits long, "
         "recall_pct long",
     ).orderBy("strategy")
+
+
+def _lsh_directed_topk_oracle() -> str:
+    from .vectors import _sql_cosine
+
+    return f"""
+    WITH {_lsh_directed_ctes()}
+    SELECT e.vec_id,
+           {SQL_FROUND(_sql_cosine("e.embedding", "qv.qe"), 6)} AS cosine_sim
+    FROM base e
+    JOIN vb ON vb.vec_id = e.vec_id
+    CROSS JOIN qv
+    WHERE vb.bucket IN (SELECT pb FROM directed)
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_topk_lsh_directed",
+    oracle=_lsh_directed_topk_oracle(),
+    doc="The directed-probe SERVING op to ann_recall_lsh_directed's "
+    "evaluation row: top-10 after scanning only the 8 cheapest "
+    "buckets in the query's margin-ranked probe sequence, then exact "
+    "cosine rerank — fixed scan budget per query, recall bought by "
+    "margin information instead of a wider Hamming ball. The DuckDB "
+    "oracle replays the margin fold, the cost-ordered probe LIMIT, "
+    "the bucket filter, and the rounded rerank end-to-end.",
+    tags=("vectors", "ann", "lsh", "multiprobe"),
+)
+def ann_topk_lsh_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        cosine_topk_lsh_directed,
+        hyperplane_planes,
+        query_probe_sequence,
+    )
+    from .vectors import _rounded_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    planes = hyperplane_planes(_LSH_DIM, n_planes=_LSH_PLANES, seed=42)
+    margins, qbase = _query_margins_fold(spark, qrow.embedding, planes)
+    probes = query_probe_sequence(
+        margins, _LSH_PLANES, _DIRECTED_BUDGET, qbase
+    )
+    raw = cosine_topk_lsh_directed(
+        emb.filter(F.col("vec_id") != 0),
+        qrow.embedding,
+        k=100,
+        n_planes=_LSH_PLANES,
+        probes=probes,
+    )
+    return _rounded_topk(raw, k=10)

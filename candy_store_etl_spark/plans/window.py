@@ -20,20 +20,20 @@ from __future__ import annotations
 
 # Round-8 window. Policy: (a) every query NEW or whose
 # plan/oracle/operator-closure CHANGED in round 8 heads the window
-# (22: the eight new queries — the co-located join pair + the
+# (23: the nine new queries — the co-located join pair + the
 # three-table star, the bucketed point lookup + local aggregate, the
 # multi-probe LSH tier, its recall sweep, and the margin-directed
-# probe comparison; the eight table_log faces plus the three versioned
+# probe comparison + its serving op; the eight table_log faces plus the three versioned
 # IVF queries, the incremental-refresh composite, and the IVF probe
 # sweep sit over the round-8 table_log.py/table_log_source.py
 # hardening (committed-schema pruned reads, pinned schema appends,
 # dataChange flag, ranged change-feed reads, writer fsyncs, commit
 # meta); ann_topk_lsh sits over the similarity.py multi-probe
-# refactor of query_probe_buckets); (b) the remaining 28 slots
+# refactor of query_probe_buckets); (b) the remaining 27 slots
 # re-confirm by STRICT oldest-evidence order — ALL 13 queries whose
-# last driver row is round 3, then 15 of the 40-query round-4 cohort
+# last driver row is round 3, then 14 of the 40-query round-4 cohort
 # (alphabetical; rows-only fast tiers seated adjacent to their
-# portable twins). Round 9's backlog: the remaining 25 r4 rows
+# portable twins). Round 9's backlog: the remaining 26 r4 rows
 # (the incremental_neardup_probe_lsh pair evicted below, then
 # label_centroids..., minhash family, simhash, patch grid,
 # streaming_dedup_events, ...), then the 46 r5 rows.
@@ -46,6 +46,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh_multiprobe",  # NEW: Hamming<=2 probe serving tier
     "ann_recall_lsh_sweep",  # NEW: LSH recall/scan frontier
     "ann_recall_lsh_directed",  # NEW: margin-directed probe order
+    "ann_topk_lsh_directed",  # NEW: the directed-probe serving op
     "colocated_three_table_join",  # NEW: N-way SPJ, one task wave
     "table_log_time_travel",  # table_log.py hardened underneath
     "table_log_pruned_scan",  # committed-schema pruned reads
@@ -76,7 +77,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "weekly_active_users",
     "zorder_layout_key",
-    # last seated round 4 (17 of 40, alphabetical; the rest defer)
+    # last seated round 4 (14 of 40, alphabetical; the rest defer)
     "ann_batch_topk",
     "ann_range_search",
     "ann_topk_arrow",
@@ -91,9 +92,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_char_entropy",
     "embedding_quantize_int8",
     "event_type_pivot_native",
-    "hll_sketch_users",
-    # (incremental_neardup_probe_lsh + _portable pair evicted to the
-    # r9 backlog head when the two late round-8 queries were seated)
+    # (hll_sketch_users and the incremental_neardup_probe_lsh +
+    # _portable pair evicted to the r9 backlog head when the three
+    # late round-8 queries were seated)
     )
 
 
