@@ -2,8 +2,9 @@
 over the SAME bucketed table-log pair (round-8 colocated operator).
 
 Modes, identical results (asserted on first rep):
-  spj     — colocated_bucket_join: per-bucket Arrow/pandas merge, the
-            only Exchange moves one metadata row per bucket group
+  spj     — colocated_bucket_join: per-bucket Acero merge via
+            mapInArrow, the only Exchange moves one metadata row per
+            bucket group
   shuffle — read_snapshot both sides + DataFrame join on the key:
             Catalyst's plan (sort-merge or broadcast), both scans
             exchanged as usual
@@ -12,7 +13,12 @@ Both run the same downstream rollup (per-mktsegment aggregate), so
 the delta isolates the JOIN strategy. Rotated execution order across
 repetitions (the only trustworthy micro-comparison on this box).
 
-Usage: python scripts/ab_colocated.py [sf_dir] [reps]
+``--n-buckets N`` (default 16) sizes the layout: more buckets = more
+SPJ tasks = more of the 32 cores busy — the crossover vs the shuffle
+join moves with it. Non-default bucket counts build their own
+content-keyed scratch pair.
+
+Usage: python scripts/ab_colocated.py [sf_dir] [reps] [--n-buckets N]
 """
 
 from __future__ import annotations
@@ -34,14 +40,82 @@ from candy_store_etl_spark.session import build_session
 from candy_store_etl_spark.sources import table_log as tl
 
 
+def _ensure_pair_n(spark, sf_dir: str, n_buckets: int) -> tuple[str, str]:
+    """A (order_stats, cust_dim) pair bucketed at ``n_buckets``; the
+    registered fixture covers 16, other counts build their own
+    content-keyed scratch."""
+    if n_buckets == 16:
+        root = _ensure_colocated_tables(spark, sf_dir)
+        return (
+            os.path.join(root, "order_stats"),
+            os.path.join(root, "cust_dim"),
+        )
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.operators.colocated import write_bucketed
+    from candy_store_etl_spark.sources.scratch import (
+        content_fingerprint,
+        ensure_scratch,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    okey = content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    ckey = content_fingerprint(os.path.join(sf_dir, "customer.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"csetl_coloc_{okey}_{ckey}_n{n_buckets}"
+    )
+
+    def _intact(d: str) -> bool:
+        for n in ("order_stats", "cust_dim"):
+            t = os.path.join(d, n)
+            if tl.current_version(t) != 0:
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        stats = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("spend_cents"),
+        )
+        dim = cust.select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        write_bucketed(
+            stats, os.path.join(stage, "order_stats"),
+            key_col="cust_key", n_buckets=n_buckets,
+        )
+        write_bucketed(
+            dim, os.path.join(stage, "cust_dim"),
+            key_col="cust_key", n_buckets=n_buckets,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return os.path.join(root, "order_stats"), os.path.join(root, "cust_dim")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = list(sys.argv[1:])
+    n_buckets = 16
+    if "--n-buckets" in args:
+        i = args.index("--n-buckets")
+        n_buckets = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    reps = int(args[1]) if len(args) > 1 else 3
     spark = build_session("ab-colocated", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
-    root = _ensure_colocated_tables(spark, sf_dir)
-    left = os.path.join(root, "order_stats")
-    right = os.path.join(root, "cust_dim")
+    left, right = _ensure_pair_n(spark, sf_dir, n_buckets)
 
     def spj():
         return _coloc_segment_rollup(
@@ -75,6 +149,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "n_buckets": n_buckets,
                 "reps": reps,
                 "times": times,
                 "best": best,
