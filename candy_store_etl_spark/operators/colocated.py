@@ -99,13 +99,50 @@ def write_bucketed(
 
 def bucket_spec(table_dir: str) -> dict | None:
     """The table's committed bucket spec ``{"key": col, "n": buckets}``
-    (newest ``meta.bucket`` entry wins), or None for tables never
-    written bucketed."""
-    for entry in reversed(tl.log_entries(table_dir)):
-        spec = (entry.get("meta") or {}).get("bucket")
-        if spec:
-            return spec
-    return None
+    (newest ``meta.bucket`` entry wins; an overwrite/compact without a
+    spec RESETS it — the layout those commits produce is not
+    bucketed), or None for tables never written bucketed."""
+    return tl.committed_bucket_spec(table_dir)
+
+
+def write_bucketed_native(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    key_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """``write_bucketed`` through the ENGINE's DataSource writer
+    (``df.write.format("table_log")`` + ``bucketBy``/``nBuckets``
+    options): tasks write their buckets' files directly into the table
+    (two-phase: durable task files, then ONE atomic driver commit —
+    no staging-directory rename pass), the bucket id rides each file
+    name, and the spec + schema land in the commit, so the written
+    table is immediately a storage-partitioned-join side. The bucket
+    id is computed HERE with the engine's own ``xxhash64``
+    (``bucket_expr``) and shipped to tasks as the ``_bucket`` carrier
+    column — a Python-side hash reimplementation could silently
+    disagree with the JVM's and break co-location. The repartition on
+    the carrier puts each bucket wholly in one task, so the layout
+    comes out one file per populated bucket (append mode may add more
+    files per bucket; the co-located planner reads file LISTS per
+    group, so that only widens a group, never breaks it)."""
+    from ..sources import table_log_source
+
+    table_log_source.register(df.sparkSession)
+    (
+        df.withColumn(
+            table_log_source.BUCKET_COL, bucket_expr(key_col, n_buckets)
+        )
+        .repartition(n_buckets, F.col(table_log_source.BUCKET_COL))
+        .write.format("table_log")
+        .option("path", table_dir)
+        .option("bucketBy", key_col)
+        .option("nBuckets", str(n_buckets))
+        .mode(mode)
+        .save()
+    )
 
 
 def colocated_plan(

@@ -1,0 +1,259 @@
+"""Round-9 queries: the LIVE CDC warehouse as a co-located join side
+(stream-then-join end-to-end), and the engine-native bucketed write
+path producing storage-partitioned-join-ready tables straight from
+``df.write.format("table_log")``.
+
+Reference parity hooks: the reference's pipeline re-reads and
+re-shuffles its stores on every run (`/root/reference/src/
+data_processor.py`); here a continuously-merged warehouse is ALSO a
+zero-shuffle join side, because the streaming sink publishes its
+bucket spec + schema through the same commit log the join planner
+reads. The native-writer row closes the loop the other way: a table
+written through the ordinary ``df.write`` face comes out with the
+same co-location contract as the library path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+from .round8 import _COLOC_ORACLE, _coloc_segment_rollup
+
+_CDC_BUCKETS = 16
+_FEED_FILES = 4
+
+
+def _ensure_cdc_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, content-keyed) the streamed warehouse fixture: the
+    events table staged as ``_FEED_FILES`` parquet files and replayed
+    through a REAL file-source micro-batch stream
+    (maxFilesPerTrigger=1) into the partitioned CDC sink — one atomic
+    merge commit per batch, bucket spec + schema published through the
+    log by the sink itself — plus a user-tier dim written bucketed
+    with the same spec. The final warehouse contents are
+    batch-split-invariant (per-key sums of exact integers), so the
+    fixture is deterministic even though the file order isn't."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from ..streaming.cdc import make_partitioned_cdc_sink
+    from ..streaming.events import run_stream_foreach_batch
+
+    key = content_fingerprint(
+        os.path.join(sf_dir, "events.parquet"), extra="cdcwh"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_cdcwh_{key}")
+    wh = os.path.join(root, "warehouse")
+    dim_dir = os.path.join(root, "user_dim")
+
+    def _data_batches(table_dir: str) -> int:
+        return sum(
+            1
+            for e in tl.log_entries(table_dir)
+            if e["op"].startswith("cdc-batch-") and e["add"]
+        )
+
+    def _intact(d: str) -> bool:
+        w, u = os.path.join(d, "warehouse"), os.path.join(d, "user_dim")
+        if tl.current_version(w) is None or tl.current_version(u) != 0:
+            return False
+        if _data_batches(w) != _FEED_FILES:
+            return False
+        for t in (w, u):
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        feed = os.path.join(stage, "feed")
+        events.select("user_id", "value").repartition(
+            _FEED_FILES
+        ).write.parquet(feed)
+
+        def increments(batch_df: DataFrame) -> DataFrame:
+            return batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        run_stream_foreach_batch(
+            stream,
+            make_partitioned_cdc_sink(
+                os.path.join(stage, "warehouse"),
+                increments,
+                key_col="user_id",
+                add_cols=("n_events", "cents"),
+                n_buckets=_CDC_BUCKETS,
+            ),
+            checkpoint_dir=os.path.join(stage, "ckpt"),
+        )
+        dim = (
+            events.select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.concat(
+                    F.lit("tier"),
+                    F.pmod(F.col("user_id"), F.lit(3)).cast("string"),
+                ).alias("tier"),
+            )
+        )
+        write_bucketed(
+            dim, os.path.join(stage, "user_dim"),
+            key_col="user_id", n_buckets=_CDC_BUCKETS,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "cdc_warehouse_colocated_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id
+    )
+    SELECT 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST({_FEED_FILES} AS BIGINT) AS stream_batches
+    FROM w GROUP BY 1 ORDER BY tier
+    """,
+    doc="STREAM-then-JOIN end-to-end: the events table replayed "
+    "through a real micro-batch file stream (maxFilesPerTrigger=1) "
+    "into the partitioned CDC merge-upsert sink — one atomic "
+    "bucket-scoped commit per batch — and the LIVE warehouse then "
+    "joined co-located (zero data shuffle) against a user-tier dim "
+    "bucketed with the same committed spec, straight from the spec + "
+    "schema the SINK itself published through the log. The oracle "
+    "recomputes the per-tier rollup from raw events, so it verifies "
+    "the whole chain: the micro-batch merges reconstructed the exact "
+    "batch aggregate (additive integer merges are batch-split-"
+    "invariant) AND the co-located join over the streamed layout "
+    "equals the plain join; stream_batches pins that the warehouse "
+    "was built by exactly 4 data-carrying merge commits, not one "
+    "batch pass. At 100 TB this is the lakehouse serving shape: a "
+    "trickle-merged warehouse that is ALWAYS a first-class SPJ side, "
+    "no re-layout between ingest and serve.",
+    tags=("streaming", "cdc", "table_log", "bucketed", "join"),
+)
+def cdc_warehouse_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+    from ..sources import table_log as tl
+
+    root = _ensure_cdc_warehouse(spark, sf_dir)
+    wh = os.path.join(root, "warehouse")
+    n_batches = sum(
+        1
+        for e in tl.log_entries(wh)
+        if e["op"].startswith("cdc-batch-") and e["add"]
+    )
+    joined = colocated_bucket_join(spark, wh, os.path.join(root, "user_dim"))
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .withColumn("stream_batches", F.lit(n_batches).cast("long"))
+        .orderBy("tier")
+    )
+
+
+def _ensure_native_spj_tables(spark: SparkSession, sf_dir: str) -> str:
+    """The round-8 (order_stats, cust_dim) pair, written through the
+    ENGINE's DataSource writer instead of the library staging path."""
+    from ..operators.colocated import write_bucketed_native
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    okey = content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    ckey = content_fingerprint(os.path.join(sf_dir, "customer.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"csetl_natspj_{okey}_{ckey}"
+    )
+
+    def _intact(d: str) -> bool:
+        for n in ("order_stats", "cust_dim"):
+            t = os.path.join(d, n)
+            if tl.current_version(t) != 0:
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        stats = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("spend_cents"),
+        )
+        dim = cust.select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        write_bucketed_native(
+            stats, os.path.join(stage, "order_stats"),
+            key_col="cust_key", n_buckets=16,
+        )
+        write_bucketed_native(
+            dim, os.path.join(stage, "cust_dim"),
+            key_col="cust_key", n_buckets=16,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "colocated_native_writer_join",
+    oracle=_COLOC_ORACLE,
+    doc="The colocated_customer_join result reproduced over tables "
+    "written through the ENGINE's writer face — "
+    "df.write.format('table_log').option('bucketBy', "
+    "...).option('nBuckets', ...) — instead of the library staging "
+    "path: tasks stream one durable parquet file per bucket directly "
+    "into the table (bucket id computed JVM-side with the engine's "
+    "own xxhash64 and carried to tasks as a stripped layout column), "
+    "the driver folds every task's files into ONE atomic commit "
+    "carrying the bucket spec + schema, and the committed table "
+    "immediately plans the zero-data-shuffle storage-partitioned "
+    "join. Same oracle as colocated_customer_join: two write paths, "
+    "one layout contract, hash-identical results.",
+    tags=("join", "table_log", "bucketed", "datasource"),
+)
+def colocated_native_writer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_native_spj_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        os.path.join(root, "cust_dim"),
+    )
+    return _coloc_segment_rollup(joined)

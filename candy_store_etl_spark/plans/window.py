@@ -122,6 +122,7 @@ def ensure_loaded() -> None:
     from . import round6  # noqa: F401  # new in round 6
     from . import round7  # noqa: F401  # new in round 7
     from . import round8  # noqa: F401  # new in round 8
+    from . import round9  # noqa: F401  # round 8, continued
 
     from .registry import QUERIES
 

@@ -686,6 +686,26 @@ def cdf_consumer_offsets(table_dir: str) -> dict[str, int]:
     return out
 
 
+def committed_bucket_spec(table_dir: str) -> dict | None:
+    """The newest committed bucket spec (``meta.bucket``), honoring
+    LAYOUT RESETS: an ``overwrite``/``compact`` commit that carries no
+    spec replaced the physical file layout, so an older spec no longer
+    describes the resident files — resolution stops there and the
+    table reads as unbucketed, instead of serving a stale spec whose
+    co-located plan would fail (or worse, mis-route point lookups).
+    CDC batch/compaction commits (``cdc-*``) preserve the bucketed
+    layout by construction and never reset."""
+    if current_version(table_dir) is None:
+        return None
+    for entry in reversed(log_entries(table_dir)):
+        m = entry.get("meta") or {}
+        if "bucket" in m:
+            return m["bucket"]
+        if entry["op"] in ("overwrite", "compact"):
+            return None
+    return None
+
+
 def maybe_compact(
     spark: SparkSession,
     table_dir: str,

@@ -122,6 +122,15 @@ def _pad_batch(batch, arrow_schema):
     return pa.RecordBatch.from_arrays(cols, names=list(arrow_schema.names))
 
 
+def _drop_column(batch, idx: int):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [batch.column(i) for i in range(batch.num_columns) if i != idx],
+        names=[n for i, n in enumerate(batch.schema.names) if i != idx],
+    )
+
+
 class TableLogReader(DataSourceReader):
     def __init__(self, options: dict, schema=None) -> None:
         self.table_dir = options.get("path")
@@ -192,6 +201,24 @@ class _WroteFile(WriterCommitMessage):
     rows: int
 
 
+@dataclass
+class _WroteBucketFiles(WriterCommitMessage):
+    names: tuple  # table-relative data file names, one per bucket seen
+    rows: int
+
+
+# the carrier column a bucketed native write reads the per-row bucket
+# id from (computed JVM-side by cdc.bucket_expr — the ONE key->bucket
+# definition; the writer strips it, so data files never store it)
+BUCKET_COL = "_bucket"
+
+
+def _message_names(m) -> list[str]:
+    if m is None or m.rows == 0:
+        return []
+    return list(m.names) if isinstance(m, _WroteBucketFiles) else [m.name]
+
+
 class TableLogWriter(DataSourceArrowWriter):
     """Engine-native writes: ``df.write.format("table_log").save()``.
 
@@ -213,6 +240,37 @@ class TableLogWriter(DataSourceArrowWriter):
         if not self.table_dir:
             raise ValueError("table_log requires option 'path'")
         self.overwrite = overwrite
+        # bucketBy/nBuckets (option keys arrive lowercased): the write
+        # lands one file per BUCKET with the id in the name and the
+        # spec in the commit meta, so a natively-written table is a
+        # first-class storage-partitioned-join side. Rows must carry
+        # the precomputed BUCKET_COL — use
+        # operators.colocated.write_bucketed_native, which computes it
+        # with the engine's own xxhash64 (a Python reimplementation
+        # could silently disagree with the JVM hash).
+        self.bucket_key = options.get("bucketby") or None
+        self.n_buckets = int(options.get("nbuckets", 0) or 0)
+        if self.bucket_key is not None and self.n_buckets < 1:
+            raise ValueError("bucketBy requires nBuckets >= 1")
+        if schema is not None and self.bucket_key is not None:
+            from pyspark.sql.types import StructType
+
+            names = [f.name for f in schema.fields]
+            if BUCKET_COL not in names:
+                raise ValueError(
+                    f"bucketBy write needs the {BUCKET_COL!r} carrier "
+                    "column (engine-computed bucket ids) — write "
+                    "through operators.colocated.write_bucketed_native"
+                )
+            if self.bucket_key not in names:
+                raise ValueError(
+                    f"bucketBy column {self.bucket_key!r} not in the "
+                    "written DataFrame"
+                )
+            # the carrier column is layout metadata, never table data
+            schema = StructType(
+                [f for f in schema.fields if f.name != BUCKET_COL]
+            )
         # the written DataFrame's schema, recorded in the commit so
         # readers resolve it from the log (and appends are validated
         # as additive evolutions, same as the library write path)
@@ -223,6 +281,8 @@ class TableLogWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
+        if self.bucket_key is not None:
+            return self._write_bucketed(iterator, ctx)
         name = (
             f"w{ctx.stageId()}-{ctx.partitionId()}"
             f"-{ctx.taskAttemptId()}.parquet"
@@ -259,8 +319,63 @@ class TableLogWriter(DataSourceArrowWriter):
             os.close(fd)
         return _WroteFile(name=name, rows=rows)
 
+    def _write_bucketed(self, iterator, ctx):
+        """One file PER BUCKET this task sees, bucket id in the name
+        (``b{bucket:05d}-…``, the layout ``streaming/cdc.py`` and the
+        co-located planner parse). The helper repartitions on the
+        carrier column first, so each bucket lands wholly in one task
+        and the table gets exactly one file per populated bucket."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.table_dir, exist_ok=True)
+        tag = (
+            f"w{ctx.stageId()}-{ctx.partitionId()}-{ctx.taskAttemptId()}"
+        )
+        writers: dict[int, object] = {}
+        names: dict[int, str] = {}
+        rows = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                idx = batch.schema.get_field_index(BUCKET_COL)
+                buckets = batch.column(idx)
+                data = _drop_column(batch, idx)
+                for b in pc.unique(buckets).to_pylist():
+                    if b is None or not 0 <= b < self.n_buckets:
+                        raise ValueError(
+                            f"bucket id {b!r} outside [0, "
+                            f"{self.n_buckets}) — {BUCKET_COL} must be "
+                            "pmod(xxhash64(key), nBuckets)"
+                        )
+                    sub = data.filter(pc.equal(buckets, b))
+                    w = writers.get(b)
+                    if w is None:
+                        names[b] = f"b{b:05d}-{tag}.parquet"
+                        w = writers[b] = pq.ParquetWriter(
+                            os.path.join(self.table_dir, names[b]),
+                            sub.schema,
+                        )
+                    w.write_batch(sub)
+                    rows += sub.num_rows
+        finally:
+            for w in writers.values():
+                w.close()
+        # same durability order as the plain path: data bytes first,
+        # directory entries next (commit), log entry last
+        for name in names.values():
+            fd = os.open(os.path.join(self.table_dir, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        return _WroteBucketFiles(names=tuple(sorted(names.values())), rows=rows)
+
     def commit(self, messages):
-        names = sorted(m.name for m in messages if m and m.rows > 0)
+        names = sorted(
+            n for m in messages for n in _message_names(m)
+        )
         # task-file fsyncs (write()) made the data durable; the table
         # DIRECTORY entries for those names must be too, before the
         # log references them
@@ -277,6 +392,7 @@ class TableLogWriter(DataSourceArrowWriter):
             tl.commit(
                 self.table_dir, add=names, remove=old, op="overwrite",
                 schema=self.schema_json, base_version=base,
+                meta=self._bucket_meta(),
             )
         else:
 
@@ -294,20 +410,40 @@ class TableLogWriter(DataSourceArrowWriter):
                         else tl._resolve_snapshot(self.table_dir, base)[2],
                         self.schema_json,
                     )
+                self._check_existing_spec()
                 return {
                     "add": names, "op": "append",
                     "schema": self.schema_json,
+                    "meta": self._bucket_meta(),
                 }
 
             tl.commit_with_retry(self.table_dir, derive)
+
+    def _bucket_meta(self) -> dict | None:
+        if self.bucket_key is None:
+            return None
+        return {"bucket": {"key": self.bucket_key, "n": self.n_buckets}}
+
+    def _check_existing_spec(self) -> None:
+        """A bucketed append onto a table with a DIFFERENT committed
+        spec would silently break co-location (keys hashing to other
+        buckets than the resident files') — refuse at commit time."""
+        if self.bucket_key is None:
+            return
+        spec = tl.committed_bucket_spec(self.table_dir)
+        if spec is not None and spec != self._bucket_meta()["bucket"]:
+            raise ValueError(
+                f"table is bucketed as {spec}, append declares "
+                f"{self._bucket_meta()['bucket']} — layouts must match"
+            )
 
     def abort(self, messages):
         # staged files were never referenced by the log; delete what
         # we can now, vacuum's grace window reclaims the rest
         for m in messages:
-            if m and m.rows > 0:
+            for name in _message_names(m):
                 try:
-                    os.remove(os.path.join(self.table_dir, m.name))
+                    os.remove(os.path.join(self.table_dir, name))
                 except OSError:
                     pass
 
