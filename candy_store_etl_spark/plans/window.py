@@ -62,6 +62,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "incremental_corpus_refresh",  # appends through the hardened log
     "ann_recall_probe_sweep",  # serves from the committed index
     "ann_topk_lsh",  # query_probe_buckets refactored beneath
+    "cdc_warehouse_colocated_join",  # NEW: stream-then-SPJ end-to-end
+    "colocated_native_writer_join",  # NEW: bucketBy native writer
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 3 (all 13)
     "fuzzy_part_name_match",
@@ -90,11 +92,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "daily_value_regression",
     "dataset_card_stats",
     "doc_char_entropy",
-    "embedding_quantize_int8",
-    "event_type_pivot_native",
     # (hll_sketch_users and the incremental_neardup_probe_lsh +
     # _portable pair evicted to the r9 backlog head when the three
-    # late round-8 queries were seated)
+    # late round-8 queries were seated; embedding_quantize_int8 and
+    # event_type_pivot_native followed when the stream-then-SPJ pair
+    # landed — backlog order: those five, then the remaining r4 rows,
+    # then the 46 r5 rows)
     )
 
 
