@@ -145,15 +145,34 @@ def write_bucketed_native(
     )
 
 
+#: public join-type name -> Acero join_type. Keys double as the
+#: ``how=`` vocabulary of ``colocated_bucket_join``.
+_ACERO_JOIN = {
+    "inner": "inner",
+    "left": "left outer",
+    "full": "full outer",
+    "left_semi": "left semi",
+    "left_anti": "left anti",
+}
+
+
 def colocated_plan(
-    left_dir: str, right_dir: str
+    left_dir: str, right_dir: str, how: str = "inner"
 ) -> list[tuple[int, list[str], list[str]]]:
     """Driver-side task plan for the co-located join: one entry per
     aligned bucket group — ``(coarse_group, left_files, right_files)``
-    — skipping groups empty on either side (inner-join locality).
-    Validates that both tables commit the SAME bucket count (same
-    hash by construction: ``bucket_expr`` is the one definition), and
-    aligns mismatched file groupings at the coarser granularity."""
+    — with group SELECTION driven by the join type: inner and
+    left-semi output only matched left rows, so groups empty on
+    either side plan no task; left-outer and left-anti must emit
+    unmatched left rows, so every left-populated group plans a task
+    (its right list may be empty); full-outer plans the union. This
+    is bucket-level pruning falling out of join semantics — an anti
+    join against a sparse blocklist still skips nothing on the left,
+    but an inner join with a sparse probe side reads only the probed
+    buckets. Validates that both tables commit the SAME bucket count
+    (same hash by construction: ``bucket_expr`` is the one
+    definition), and aligns mismatched file groupings at the coarser
+    granularity."""
     specs = []
     for d in (left_dir, right_dir):
         s = bucket_spec(d)
@@ -183,10 +202,20 @@ def colocated_plan(
         for p in tl.snapshot_files(d):
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
+    if how not in _ACERO_JOIN:
+        raise ValueError(
+            f"how={how!r} not in {sorted(_ACERO_JOIN)}"
+        )
     lf, rf = sides
+    if how in ("inner", "left_semi"):
+        groups = set(lf) & set(rf)
+    elif how in ("left", "left_anti"):
+        groups = set(lf)
+    else:  # full
+        groups = set(lf) | set(rf)
     return [
-        (g, sorted(lf[g]), sorted(rf[g]))
-        for g in sorted(set(lf) & set(rf))
+        (g, sorted(lf.get(g, ())), sorted(rf.get(g, ())))
+        for g in sorted(groups)
     ]
 
 
@@ -427,24 +456,37 @@ def colocated_multi_join(
 
 
 def colocated_bucket_join(
-    spark: SparkSession, left_dir: str, right_dir: str
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """INNER-join two bucketed table-log tables on their committed
-    bucket keys with zero shuffle of table data.
+    """Join two bucketed table-log tables on their committed bucket
+    keys with zero shuffle of table data. ``how`` covers the full
+    bucketed-join surface: ``inner``, ``left`` (outer), ``full``
+    (outer), ``left_semi``, and ``left_anti`` — the last being the
+    100 TB decontamination serving shape (corpus anti-joined against
+    a blocklist, both bucketed, no exchange of corpus bytes).
 
     The plan: a LOCAL metadata relation (one row per aligned bucket
-    group, carrying both sides' file lists), range-repartitioned so
-    groups spread one-per-task — the only Exchange in the plan, over
+    group, carrying both sides' file lists — a side's list may be
+    empty for outer/anti groups), range-repartitioned so groups
+    spread one-per-task — the only Exchange in the plan, over
     ~file-name-sized rows — then ``mapInArrow`` reads each group's
     files from BOTH tables and hash-joins them with Acero (columnar
-    end-to-end; no pandas materialization).
-    Equal keys share a bucket by construction (same hash, same n), so
-    the union of per-group joins IS the join. Output columns: all
-    left columns, then the right columns minus its key (the committed
-    snapshot schemas are the source of truth; overlapping non-key
-    names are refused rather than silently suffixed)."""
+    end-to-end; no pandas materialization). Equal keys share a
+    bucket by construction (same hash, same n), so the union of
+    per-group joins IS the join: an unmatched left row is unmatched
+    in its OWN bucket or nowhere. Output columns: all left columns,
+    then (except semi/anti, whose output is left rows verbatim) the
+    right columns minus its key, null-filled where the join type
+    leaves them unmatched; for ``full`` the key column is the
+    Acero-coalesced key, so right-only rows carry their key under
+    the left name. The committed snapshot schemas are the source of
+    truth; overlapping non-key names are refused rather than
+    silently suffixed."""
     ls = bucket_spec(left_dir)
-    tasks = colocated_plan(left_dir, right_dir)
+    tasks = colocated_plan(left_dir, right_dir, how)
     rs = bucket_spec(right_dir)
     lkey, rkey = ls["key"], rs["key"]
     lschema = tl.snapshot_schema(left_dir)
@@ -459,16 +501,37 @@ def colocated_bucket_join(
             f"non-key column name overlap {sorted(overlap)}: rename "
             "before joining"
         )
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
-    out_schema = StructType(
-        lschema.fields + [f for f in rschema.fields if f.name != rkey]
-    )
+    def _nullable(fields):
+        return [StructField(f.name, f.dataType, True) for f in fields]
+
+    if how in ("left_semi", "left_anti"):
+        out_schema = StructType(list(lschema.fields))
+    elif how == "left":
+        out_schema = StructType(
+            list(lschema.fields)
+            + _nullable(f for f in rschema.fields if f.name != rkey)
+        )
+    elif how == "full":
+        # everything but the coalesced key can be unmatched-null
+        out_schema = StructType(
+            [lschema[lkey]]
+            + _nullable(f for f in lschema.fields if f.name != lkey)
+            + _nullable(f for f in rschema.fields if f.name != rkey)
+        )
+    else:
+        out_schema = StructType(
+            lschema.fields + [f for f in rschema.fields if f.name != rkey]
+        )
     out_cols = [f.name for f in out_schema.fields]
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(out_schema)
+    l_arrow = to_arrow_schema(lschema)
+    r_arrow = to_arrow_schema(rschema)
+    join_type = _ACERO_JOIN[how]
 
     def merge(batches):
         # Arrow end-to-end: parquet -> Acero hash join -> record
@@ -476,18 +539,20 @@ def colocated_bucket_join(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def _read(paths) -> pa.Table:
+        def _read(paths, schema) -> pa.Table:
+            if not paths:  # a side empty in this group (outer/anti)
+                return pa.Table.from_batches([], schema=schema)
             return pa.concat_tables([pq.read_table(p) for p in paths])
 
         for batch in batches:
             for row in batch.to_pylist():
-                left = _read(row["left_files"])
-                right = _read(row["right_files"])
+                left = _read(row["left_files"], l_arrow)
+                right = _read(row["right_files"], r_arrow)
                 joined = left.join(
                     right,
                     keys=lkey,
                     right_keys=rkey,
-                    join_type="inner",
+                    join_type=join_type,
                 )
                 if joined.num_rows:
                     yield from joined.select(out_cols).cast(

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
 from .registry import register
-from .round8 import _COLOC_ORACLE, _coloc_segment_rollup
+from .round8 import (
+    _COLOC_ORACLE,
+    _coloc_segment_rollup,
+    _ensure_colocated_tables,
+)
 
 _CDC_BUCKETS = 16
 _FEED_FILES = 4
@@ -257,3 +261,155 @@ def colocated_native_writer_join(
         os.path.join(root, "cust_dim"),
     )
     return _coloc_segment_rollup(joined)
+
+
+@register(
+    "colocated_left_join_coverage",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN s.n_orders IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_without_orders,
+           CAST(COALESCE(SUM(s.n_orders), 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(s.spend_cents), 0) AS BIGINT)
+             AS spend_cents
+    FROM customer c
+    LEFT JOIN s ON s.o_custkey = c.c_custkey
+    GROUP BY mktsegment
+    ORDER BY mktsegment
+    """,
+    doc="LEFT-outer storage-partitioned join: the customer dim "
+    "(left) against per-customer order stats, both bucketed on "
+    "cust_key — customers with NO orders (a third of TPC-H custkeys) "
+    "survive with the stats columns null-filled inside each bucket's "
+    "Acero task, and the per-segment rollup counts them. The planner "
+    "keeps every left-populated bucket group (a right-empty group "
+    "still plans a task emitting left rows), unlike the inner form's "
+    "matched-groups-only pruning — join semantics drive bucket-level "
+    "task selection. Zero shuffle of table data either way; the "
+    "oracle is the plain SQL LEFT JOIN + rollup.",
+    tags=("join", "table_log", "bucketed", "outer"),
+)
+def colocated_left_join_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "cust_dim"),
+        os.path.join(root, "order_stats"),
+        how="left",
+    )
+    return (
+        joined.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("n_orders").isNull(), 1).otherwise(0)
+            ).alias("n_without_orders"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.sum("spend_cents"), F.lit(0)).alias(
+                "spend_cents"
+            ),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_BLOCK_MOD = 7
+
+
+def _ensure_doc_blocklist_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Corpus + blocklist bucketed on doc_id with one committed spec:
+    the decontamination SERVING layout (the batch Bloom path in
+    plans/scale_ops.py decides WHAT to block; this layout makes
+    applying a blocklist a zero-corpus-shuffle anti join)."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    key = content_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"), extra="blocklist"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_docblk_{key}")
+
+    def _intact(d: str) -> bool:
+        for n in ("corpus", "blocklist"):
+            t = os.path.join(d, n)
+            if tl.current_version(t) != 0:
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        write_bucketed(
+            docs, os.path.join(stage, "corpus"),
+            key_col="doc_id", n_buckets=16,
+        )
+        write_bucketed(
+            docs.filter(
+                F.pmod(F.col("doc_id"), F.lit(_BLOCK_MOD)) == 0
+            ).select("doc_id"),
+            os.path.join(stage, "blocklist"),
+            key_col="doc_id", n_buckets=16,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "colocated_anti_join_decontaminate",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % {_BLOCK_MOD} <> 0
+    GROUP BY source ORDER BY source
+    """,
+    doc="ANTI-join decontamination at SERVING layout: the corpus and "
+    "a blocklist both bucketed on doc_id, so removing blocked docs "
+    "is a per-bucket Acero left-anti join — corpus bytes never cross "
+    "an exchange, and buckets the (sparse) blocklist doesn't touch "
+    "pass their rows through without building a hash table. This is "
+    "the apply-side counterpart of bloom_decontaminate_docs: the "
+    "Bloom path DECIDES what to block with a broadcast sketch; this "
+    "layout APPLIES an arbitrary-size blocklist with zero corpus "
+    "shuffle — at 100 TB a blocklist can outgrow any broadcast, but "
+    "it can never outgrow its own buckets. Oracle: NOT-IN by the "
+    "blocklist predicate, per-source survivor rollup.",
+    tags=("join", "table_log", "bucketed", "dedup", "anti"),
+)
+def colocated_anti_join_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_doc_blocklist_tables(spark, sf_dir)
+    kept = colocated_bucket_join(
+        spark,
+        os.path.join(root, "corpus"),
+        os.path.join(root, "blocklist"),
+        how="left_anti",
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_topk_lsh",  # query_probe_buckets refactored beneath
     "cdc_warehouse_colocated_join",  # NEW: stream-then-SPJ end-to-end
     "colocated_native_writer_join",  # NEW: bucketBy native writer
+    "colocated_left_join_coverage",  # NEW: outer SPJ, null-filled
+    "colocated_anti_join_decontaminate",  # NEW: anti SPJ blocklist
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 3 (all 13)
     "fuzzy_part_name_match",
@@ -90,13 +92,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "brand_price_mode_median",
     "daily_value_anomalies_mad",
     "daily_value_regression",
-    "dataset_card_stats",
-    "doc_char_entropy",
     # (hll_sketch_users and the incremental_neardup_probe_lsh +
     # _portable pair evicted to the r9 backlog head when the three
-    # late round-8 queries were seated; embedding_quantize_int8 and
-    # event_type_pivot_native followed when the stream-then-SPJ pair
-    # landed — backlog order: those five, then the remaining r4 rows,
+    # late round-8 queries were seated; embedding_quantize_int8,
+    # event_type_pivot_native, dataset_card_stats and doc_char_entropy
+    # followed when the stream-then-SPJ and outer/anti-SPJ pairs
+    # landed — backlog order: those seven, then the remaining r4 rows,
     # then the 46 r5 rows)
     )
 

@@ -142,6 +142,93 @@ def test_plain_overwrite_resets_committed_spec(spark, tmp_path):
     assert co.bucket_spec(d) == {"key": "k", "n": 4}
 
 
+def _written_pair(spark, tmp_path, n_buckets=8):
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed_native(
+        _facts(spark), left, key_col="k", n_buckets=n_buckets
+    )
+    co.write_bucketed_native(
+        _dims(spark), right, key_col="k", n_buckets=n_buckets
+    )
+    return left, right
+
+
+def test_colocated_left_outer_join(spark, tmp_path):
+    """Odd fact keys have no dim row: they must survive with the dim
+    column null-filled (Arrow type fidelity through the cast)."""
+    left, right = _written_pair(spark, tmp_path)
+    j = co.colocated_bucket_join(spark, left, right, how="left")
+    got = sorted((r.k, r.a, r.b, r.d) for r in j.collect())
+    want = sorted(
+        (i, i * 3, float(i) / 2, f"d{i}" if i % 2 == 0 else None)
+        for i in range(400)
+    )
+    assert got == want
+
+
+def test_colocated_full_outer_join(spark, tmp_path):
+    """Dim-only keys (400..498 even) appear with fact columns null
+    and their key under the coalesced left name."""
+    left, right = _written_pair(spark, tmp_path)
+    j = co.colocated_bucket_join(spark, left, right, how="full")
+    got = sorted(
+        (r.k, r.a, r.b, r.d) for r in j.collect()
+    )
+    want = sorted(
+        [
+            (i, i * 3, float(i) / 2, f"d{i}" if i % 2 == 0 else None)
+            for i in range(400)
+        ]
+        + [(i, None, None, f"d{i}") for i in range(400, 500, 2)]
+    )
+    assert got == want
+
+
+def test_colocated_semi_and_anti_join(spark, tmp_path):
+    """Semi emits matched left rows verbatim (left columns only);
+    anti emits the complement; together they partition the left."""
+    left, right = _written_pair(spark, tmp_path)
+    semi = co.colocated_bucket_join(spark, left, right, how="left_semi")
+    anti = co.colocated_bucket_join(spark, left, right, how="left_anti")
+    assert semi.columns == ["k", "a", "b"] == anti.columns
+    got_semi = sorted((r.k, r.a, r.b) for r in semi.collect())
+    got_anti = sorted((r.k, r.a, r.b) for r in anti.collect())
+    assert got_semi == sorted(
+        (i, i * 3, float(i) / 2) for i in range(0, 400, 2)
+    )
+    assert got_anti == sorted(
+        (i, i * 3, float(i) / 2) for i in range(1, 400, 2)
+    )
+
+
+def test_colocated_plan_prunes_by_join_type(spark, tmp_path):
+    """Inner/semi against a SPARSE probe side plans only the probed
+    buckets (bucket-level pruning); left/anti plan every
+    left-populated group even where the right side is empty."""
+    left = str(tmp_path / "l")
+    probe = str(tmp_path / "p")
+    co.write_bucketed_native(_facts(spark), left, key_col="k", n_buckets=8)
+    sparse = spark.createDataFrame([(7, "x")], "k long, p string")
+    co.write_bucketed_native(sparse, probe, key_col="k", n_buckets=8)
+    inner = co.colocated_plan(left, probe, "inner")
+    semi = co.colocated_plan(left, probe, "left_semi")
+    assert len(inner) == len(semi) == 1  # one populated probe bucket
+    outer = co.colocated_plan(left, probe, "left")
+    anti = co.colocated_plan(left, probe, "left_anti")
+    n_left_groups = len({cdc._group_of_name(p) for p in tl.snapshot_files(left)})
+    assert len(outer) == len(anti) == n_left_groups
+    empty_right = [g for g, _, rf in anti if not rf]
+    assert len(empty_right) == n_left_groups - 1
+    # and the anti join over that plan is the exact complement
+    got = sorted(
+        r.k
+        for r in co.colocated_bucket_join(
+            spark, left, probe, how="left_anti"
+        ).collect()
+    )
+    assert got == [i for i in range(400) if i != 7]
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
