@@ -455,11 +455,69 @@ def colocated_multi_join(
     return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
 
 
+def _split_skewed_groups(
+    tasks: list[tuple[int, list[str], list[str]]], max_rows: int
+) -> list[tuple[int, list[str], list[str]]]:
+    """Skew relief for the SPJ: a bucket group whose LEFT side exceeds
+    ``max_rows`` splits into several tasks at ROW-GROUP granularity —
+    each chunk of left row groups pairs with the group's FULL right
+    file list, so every left row still meets the complete right side
+    exactly once and the union of chunk joins equals the unsplit join
+    (valid for inner/left/semi/anti, where output rows are left-row-
+    local; full outer would duplicate right-unmatched rows and is
+    refused upstream). Chunk specs encode as ``path#start:end``
+    (half-open row-group range); whole files stay bare paths. Row
+    counts come from parquet footers, read driver-side only when
+    splitting is requested — at warehouse scale the same numbers
+    would ride the commit's per-file stats."""
+    import pyarrow.parquet as pq
+
+    def _encode(chunk: list[tuple[str, int]]) -> list[str]:
+        specs: list[str] = []
+        cur, s, e = None, 0, 0
+        for p, i in chunk:
+            if p == cur and i == e:
+                e += 1
+            else:
+                if cur is not None:
+                    specs.append(f"{cur}#{s}:{e}")
+                cur, s, e = p, i, i + 1
+        specs.append(f"{cur}#{s}:{e}")
+        return specs
+
+    out: list[tuple[int, list[str], list[str]]] = []
+    for g, lf, rf in tasks:
+        units: list[tuple[str, int, int]] = []
+        total = 0
+        for p in lf:
+            md = pq.ParquetFile(p).metadata
+            for i in range(md.num_row_groups):
+                n = md.row_group(i).num_rows
+                units.append((p, i, n))
+                total += n
+        if total <= max_rows or len(units) <= 1:
+            out.append((g, list(lf), rf))
+            continue
+        chunk: list[tuple[str, int]] = []
+        rows = 0
+        for p, i, n in units:
+            if chunk and rows + n > max_rows:
+                out.append((g, _encode(chunk), rf))
+                chunk, rows = [], 0
+            chunk.append((p, i))
+            rows += n
+        if chunk:
+            out.append((g, _encode(chunk), rf))
+    return out
+
+
 def colocated_bucket_join(
     spark: SparkSession,
     left_dir: str,
     right_dir: str,
     how: str = "inner",
+    *,
+    max_task_rows: int | None = None,
 ) -> DataFrame:
     """Join two bucketed table-log tables on their committed bucket
     keys with zero shuffle of table data. ``how`` covers the full
@@ -484,9 +542,24 @@ def colocated_bucket_join(
     Acero-coalesced key, so right-only rows carry their key under
     the left name. The committed snapshot schemas are the source of
     truth; overlapping non-key names are refused rather than
-    silently suffixed."""
+    silently suffixed.
+
+    ``max_task_rows`` opts into SKEW RELIEF: a hot bucket whose left
+    side exceeds it splits into several row-group-ranged tasks, each
+    joining against the group's full right side (see
+    ``_split_skewed_groups``) — the SPJ analogue of AQE's skew-join
+    split, planned from layout metadata instead of runtime shuffle
+    sizes. Refused for ``full`` (right-unmatched rows would
+    duplicate per chunk)."""
     ls = bucket_spec(left_dir)
     tasks = colocated_plan(left_dir, right_dir, how)
+    if max_task_rows is not None:
+        if how == "full":
+            raise ValueError(
+                "max_task_rows cannot split a full outer join — "
+                "right-unmatched rows would emit once per chunk"
+            )
+        tasks = _split_skewed_groups(tasks, max_task_rows)
     rs = bucket_spec(right_dir)
     lkey, rkey = ls["key"], rs["key"]
     lschema = tl.snapshot_schema(left_dir)
@@ -539,10 +612,19 @@ def colocated_bucket_join(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def _read(paths, schema) -> pa.Table:
-            if not paths:  # a side empty in this group (outer/anti)
+        def _read_spec(spec: str) -> pa.Table:
+            if "#" in spec:  # skew-split row-group range
+                path, rng = spec.rsplit("#", 1)
+                s, e = rng.split(":")
+                return pq.ParquetFile(path).read_row_groups(
+                    list(range(int(s), int(e)))
+                )
+            return pq.read_table(spec)
+
+        def _read(specs, schema) -> pa.Table:
+            if not specs:  # a side empty in this group (outer/anti)
                 return pa.Table.from_batches([], schema=schema)
-            return pa.concat_tables([pq.read_table(p) for p in paths])
+            return pa.concat_tables([_read_spec(s) for s in specs])
 
         for batch in batches:
             for row in batch.to_pylist():
@@ -559,9 +641,14 @@ def colocated_bucket_join(
                         target
                     ).to_batches()
 
+    # sub distinguishes a split group's chunks so the range
+    # partitioner spreads them one-per-task (the point of the split)
     meta = spark.createDataFrame(
-        [(g, lf, rf) for g, lf, rf in tasks],
-        "grp int, left_files array<string>, right_files array<string>",
+        [(g, i, lf, rf) for i, (g, lf, rf) in enumerate(tasks)],
+        "grp int, sub int, left_files array<string>, "
+        "right_files array<string>",
     )
     n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
+    return meta.repartitionByRange(n, "grp", "sub").mapInArrow(
+        merge, out_schema
+    )

@@ -370,6 +370,119 @@ def _ensure_doc_blocklist_tables(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_SPLIT_SLICES = 4
+_SPLIT_TASK_ROWS = 1500
+
+
+def _ensure_skewed_lines_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Fact-heavy SPJ fixture: every lineitem row bucketed by order
+    key, laid out as ``_SPLIT_SLICES`` files per bucket (one overwrite
+    + three appends, sliced by line number so the slicing is
+    deterministic), plus an order dim with the same spec. The multi-
+    file-per-bucket layout gives the skew splitter real row-group
+    units to cut at."""
+    from ..operators.colocated import write_bucketed, write_bucketed_native
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    lkey = content_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    okey = content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"csetl_skewspj_{lkey}_{okey}"
+    )
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(os.path.join(d, "lines")) != (
+            _SPLIT_SLICES - 1
+        ):
+            return False
+        if tl.current_version(os.path.join(d, "order_dim")) != 0:
+            return False
+        for n in ("lines", "order_dim"):
+            t = os.path.join(d, n)
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("l_linenumber").alias("ln"),
+        )
+        for s in range(_SPLIT_SLICES):
+            write_bucketed_native(
+                li.filter(F.pmod(F.col("ln"), F.lit(_SPLIT_SLICES)) == s)
+                .drop("ln"),
+                os.path.join(stage, "lines"),
+                key_col="okey",
+                n_buckets=16,
+                mode="overwrite" if s == 0 else "append",
+            )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            os.path.join(stage, "order_dim"),
+            key_col="okey",
+            n_buckets=16,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "colocated_skew_split_join",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY status ORDER BY status
+    """,
+    doc="SKEW-RELIEVED storage-partitioned join: every lineitem row "
+    "bucketed by order key (laid out as several files per bucket) "
+    "joined against the order dim with max_task_rows forcing hot "
+    "bucket groups to split into row-group-ranged chunks — each "
+    "chunk joins against its group's FULL right side, so the union "
+    "of chunk joins IS the join and the oracle (the plain SQL join + "
+    "status rollup) hash-pins split-invariance. This is the SPJ "
+    "analogue of AQE's skew-join split, planned from layout metadata "
+    "(footer row counts; commit stats at warehouse scale) instead of "
+    "runtime shuffle sizes: at 100 TB a power-law key (one customer, "
+    "one domain) lands whole buckets on one task unless the planner "
+    "can cut below bucket granularity, and the cut must never change "
+    "results.",
+    tags=("join", "table_log", "bucketed", "skew"),
+)
+def colocated_skew_split_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_skewed_lines_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "lines"),
+        os.path.join(root, "order_dim"),
+        max_task_rows=_SPLIT_TASK_ROWS,
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
 @register(
     "colocated_anti_join_decontaminate",
     oracle=f"""

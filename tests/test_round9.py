@@ -229,6 +229,67 @@ def test_colocated_plan_prunes_by_join_type(spark, tmp_path):
     assert got == [i for i in range(400) if i != 7]
 
 
+def _skewed_pair(spark, tmp_path):
+    """Left: 800 rows over 4 buckets (~200/bucket) laid out as FOUR
+    files per bucket (three appends), so each group has several
+    splittable units; right: dims for even keys."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed_native(
+        _facts(spark, 200), left, key_col="k", n_buckets=4
+    )
+    for lo in (200, 400, 600):
+        extra = spark.createDataFrame(
+            [(i, i * 3, float(i) / 2) for i in range(lo, lo + 200)],
+            "k long, a long, b double",
+        )
+        co.write_bucketed_native(
+            extra, left, key_col="k", n_buckets=4, mode="append"
+        )
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 900, 2)], "k long, d string"
+    )
+    co.write_bucketed_native(dims, right, key_col="k", n_buckets=4)
+    return left, right
+
+
+def test_colocated_skew_split_matches_unsplit(spark, tmp_path):
+    """Splitting a hot group into row-group-ranged chunks must not
+    change ANY join type's result (each left row still meets the
+    full right side exactly once)."""
+    left, right = _skewed_pair(spark, tmp_path)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = sorted(
+            map(tuple, co.colocated_bucket_join(
+                spark, left, right, how=how
+            ).collect())
+        )
+        split = sorted(
+            map(tuple, co.colocated_bucket_join(
+                spark, left, right, how=how, max_task_rows=120
+            ).collect())
+        )
+        assert split == plain, how
+    # and the plan really did split: more tasks than bucket groups
+    tasks = co._split_skewed_groups(
+        co.colocated_plan(left, right, "inner"), 120
+    )
+    groups = {g for g, _, _ in tasks}
+    assert len(tasks) > len(groups)
+    assert any("#" in s for _, lf, _ in tasks for s in lf)
+    # every chunk carries the group's FULL right side
+    by_group_rf = {}
+    for g, _, rf in tasks:
+        assert by_group_rf.setdefault(g, rf) == rf
+
+
+def test_colocated_skew_split_refused_for_full_outer(spark, tmp_path):
+    left, right = _written_pair(spark, tmp_path)
+    with pytest.raises(ValueError, match="full outer"):
+        co.colocated_bucket_join(
+            spark, left, right, how="full", max_task_rows=10
+        )
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
