@@ -74,6 +74,9 @@ HEADLINE = [
     # Acero merges + rollup) and the exchange-free bucketed aggregate
     "colocated_customer_join",
     "bucketed_local_aggregate",
+    # round-9 addition: the skew-relieved SPJ (row-group-split hot
+    # buckets; timed passes measure the split planning + chunk joins)
+    "colocated_skew_split_join",
 ]
 
 

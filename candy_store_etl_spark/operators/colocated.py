@@ -219,11 +219,15 @@ def colocated_plan(
     ]
 
 
-def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
-    """The bucket a key value lives in, computed with the SAME
+def buckets_of_values(
+    spark: SparkSession, table_dir: str, values: list
+) -> list[int]:
+    """The bucket each key value lives in, computed with the SAME
     xxhash64 the writer used (evaluated through Spark so the hash is
-    the engine's own, with the literal cast to the stored key type —
-    xxhash64 is type-sensitive). One 1-row job, no table I/O."""
+    the engine's own, with the values cast to the stored key type —
+    xxhash64 is type-sensitive). ONE job for the whole batch — a
+    1-row job per key turns a K-key lookup into K driver round
+    trips; no table I/O either way."""
     spec = bucket_spec(table_dir)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
@@ -233,18 +237,27 @@ def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
         if schema is not None
         else "bigint"
     )
-    return (
-        spark.range(1)
-        .select(
-            F.pmod(
-                F.xxhash64(F.lit(value).cast(dtype)), F.lit(spec["n"])
-            )
-            .cast("int")
-            .alias("b")
+    rows = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], f"i int, v {dtype}"
         )
-        .first()
-        .b
+        .select(
+            "i",
+            F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
     )
+    out = [0] * len(values)
+    for r in rows:
+        out[r.i] = r.b
+    return out
+
+
+def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
+    """Single-key face of ``buckets_of_values``."""
+    return buckets_of_values(spark, table_dir, [value])[0]
 
 
 def point_lookup(
@@ -268,9 +281,10 @@ def point_lookup(
     by_group: dict[int, list[str]] = defaultdict(list)
     for p in tl.snapshot_files(table_dir):
         by_group[_group_of_name(p)].append(p)
+    buckets = buckets_of_values(spark, table_dir, values)
     parts = []
-    for v in values:
-        files = by_group.get(bucket_of_value(spark, table_dir, v) // bpf, [])
+    for v, b in zip(values, buckets):
+        files = by_group.get(b // bpf, [])
         if not files:
             continue  # provably absent: its bucket holds no rows at all
         parts.append(
@@ -311,18 +325,29 @@ def bucketed_aggregate(
         by_group[_group_of_name(p)].append(p)
 
     from pyspark.sql.pandas.types import to_arrow_schema
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def _out_type(fn: str, src):
+        # Acero result dtypes: counts are int64 whatever the input;
+        # mean/stddev/variance promote to float64; everything else
+        # (sum/min/max/first/last/product) keeps the source type
+        if fn in ("count", "count_distinct"):
+            return LongType()
+        if fn in ("mean", "stddev", "variance", "approximate_median"):
+            return DoubleType()
+        return src
 
     spark_types = {f.name: f for f in schema.fields}
     out_schema = StructType(
         [spark_types[key]]
         + [
             StructField(
-                out,
-                LongType()
-                if fn == "count"
-                else spark_types[col].dataType,
-                True,
+                out, _out_type(fn, spark_types[col].dataType), True
             )
             for col, fn, out in aggs
         ]

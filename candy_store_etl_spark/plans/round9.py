@@ -464,14 +464,27 @@ def _ensure_skewed_lines_tables(spark: SparkSession, sf_dir: str) -> str:
 def colocated_skew_split_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import pyarrow.parquet as pq
+
     from ..operators.colocated import colocated_bucket_join
+    from ..sources import table_log as tl
 
     root = _ensure_skewed_lines_tables(spark, sf_dir)
+    lines = os.path.join(root, "lines")
+    # bound = rows per chunk targeting ~64 tasks table-wide, floored
+    # at _SPLIT_TASK_ROWS: a fixed absolute bound is miscalibrated
+    # across scale factors (1500 splits sf0.01 into ~40 tasks but
+    # sf10 into ~4000 Python-worker invocations); driver-side footer
+    # sums are one read per file, the same metadata the splitter uses
+    total = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in tl.snapshot_files(lines)
+    )
     joined = colocated_bucket_join(
         spark,
-        os.path.join(root, "lines"),
+        lines,
         os.path.join(root, "order_dim"),
-        max_task_rows=_SPLIT_TASK_ROWS,
+        max_task_rows=max(_SPLIT_TASK_ROWS, total // 64),
     )
     return (
         joined.groupBy("status")

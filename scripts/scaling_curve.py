@@ -74,6 +74,13 @@ QUERIES = [
     # probe sweep (three bucket-filtered reranks over one index)
     "colocated_customer_join",
     "ann_recall_lsh_sweep",
+    # round-9 additions: the skew-relieved SPJ (every lineitem row
+    # through row-group-split bucket tasks — the curve verifies the
+    # split keeps task sizes bounded as the hot side grows) and the
+    # bucketed anti-join decontamination (corpus-shuffle-free apply
+    # side; its cost should track the corpus scan, not the blocklist)
+    "colocated_skew_split_join",
+    "colocated_anti_join_decontaminate",
 ]
 
 # measured at sf10 too (each trial is ~10-60s); complete since round 5

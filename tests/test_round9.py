@@ -290,6 +290,47 @@ def test_colocated_skew_split_refused_for_full_outer(spark, tmp_path):
         )
 
 
+def test_bucketed_aggregate_mean_and_count_distinct(spark, tmp_path):
+    """Acero result dtypes surface correctly: counts are int64
+    whatever the input, mean promotes to float64 (the old mapping
+    declared the SOURCE type for every non-count agg, which would
+    have truncated or refused a mean over integers)."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i % 10, i, i % 3) for i in range(100)],
+        "k long, x long, y long",
+    )
+    co.write_bucketed(df, d, key_col="k", n_buckets=4)
+    got = co.bucketed_aggregate(
+        spark,
+        d,
+        [
+            ("x", "mean", "x_mean"),
+            ("y", "count_distinct", "y_nd"),
+            ("x", "sum", "x_sum"),
+        ],
+    )
+    assert got.schema["x_mean"].dataType.simpleString() == "double"
+    assert got.schema["y_nd"].dataType.simpleString() == "bigint"
+    rows = {r.k: (r.x_mean, r.y_nd, r.x_sum) for r in got.collect()}
+    for k in range(10):
+        xs = list(range(k, 100, 10))
+        assert rows[k] == (sum(xs) / 10.0, 3, sum(xs))
+
+
+def test_buckets_of_values_one_job_matches_layout(spark, tmp_path):
+    """The batched bucket computation agrees with where the writer
+    actually placed each key (probe_files==1 layout)."""
+    d = str(tmp_path / "t")
+    co.write_bucketed_native(_facts(spark), d, key_col="k", n_buckets=8)
+    vals = [0, 7, 123, 399]
+    buckets = co.buckets_of_values(spark, d, vals)
+    assert len(buckets) == len(vals)
+    looked = co.point_lookup(spark, d, vals)
+    got = {r.k: r.probe_files for r in looked.collect()}
+    assert set(got) == set(vals) and set(got.values()) == {1}
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
