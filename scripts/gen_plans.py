@@ -52,6 +52,11 @@ HEADLINE = [
     # aggregate
     "colocated_customer_join",
     "bucketed_local_aggregate",
+    # round-9: the skew-relieved SPJ (the plan to review is the chunked
+    # metadata routing — still no table-data exchange) and the
+    # anti-join decontamination apply side
+    "colocated_skew_split_join",
+    "colocated_anti_join_decontaminate",
 ]
 
 
