@@ -60,19 +60,36 @@ def write_bucketed(
     key_col: str,
     n_buckets: int,
     stats_cols: list[str] = (),
+    mode: str = "overwrite",
 ) -> int:
     """Materialize ``df`` as a hash-bucketed table-log table: one data
     file per bucket (``pmod(xxhash64(key), n)`` — the one shared
     key->bucket definition), bucket id in the FILE NAME, and the
     bucket spec recorded in the commit's ``meta`` so readers can plan
-    co-located joins against it. Overwrite semantics, atomic."""
+    co-located joins against it. Atomic; ``mode="append"`` widens
+    each bucket's file group instead of replacing the table (the
+    declared spec must match the committed one — appending under a
+    different layout would silently break co-location), and with
+    ``stats_cols`` each slice's files carry their own [min, max], so
+    range-sliced appends give stats pruning sub-bucket file
+    granularity to cut at."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode={mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     latest = tl.current_version(table_dir)
+    if mode == "append" and latest is not None:
+        spec = tl.committed_bucket_spec(table_dir)
+        declared = {"key": key_col, "n": int(n_buckets)}
+        if spec is not None and spec != declared:
+            raise ValueError(
+                f"table is bucketed as {spec}, append declares "
+                f"{declared} — layouts must match"
+            )
     old = (
         [os.path.basename(p) for p in tl.snapshot_files(table_dir)]
-        if latest is not None
+        if latest is not None and mode == "overwrite"
         else []
     )
     grouped = df.withColumn("grp", bucket_expr(key_col, n_buckets))
@@ -88,7 +105,7 @@ def write_bucketed(
         table_dir,
         add=names,
         remove=old,
-        op="bucketed-write",
+        op=f"bucketed-{mode}" if mode == "append" else "bucketed-write",
         stats=stats,
         # grp is folded into file names, not stored in the data
         schema=df.schema.json(),
@@ -536,6 +553,43 @@ def _split_skewed_groups(
     return out
 
 
+def prune_tasks_by_left_stats(
+    tasks: list[tuple[int, list[str], list[str]]],
+    left_dir: str,
+    column: str,
+    lo,
+    hi,
+    *,
+    keep_empty_left: bool = False,
+) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
+    """Drop left files whose committed [min, max] for ``column``
+    cannot intersect [lo, hi] from an SPJ task plan — zone-map
+    pruning INSIDE bucket groups, planned from the log with zero
+    read-time footer I/O (the same losslessness rules as
+    ``read_snapshot_pruned``: stats-less files are kept, committed-
+    empty files are dropped, and the caller still applies the exact
+    row filter). A group whose left side prunes to nothing plans no
+    task unless ``keep_empty_left`` (full outer must still emit its
+    right side). Returns ``(tasks, files_kept, files_total)``."""
+    stats = tl.snapshot_file_stats(left_dir)
+    out: list[tuple[int, list[str], list[str]]] = []
+    kept_n = total = 0
+    for g, lf, rf in tasks:
+        kept = []
+        for p in lf:
+            total += 1
+            entry = stats.get(os.path.basename(p), {})
+            if entry.get("rows") == 0:
+                continue
+            st = entry.get("cols", {}).get(column)
+            if st is None or (st["min"] <= hi and st["max"] >= lo):
+                kept.append(p)
+        kept_n += len(kept)
+        if kept or keep_empty_left:
+            out.append((g, kept, rf))
+    return out, kept_n, total
+
+
 def colocated_bucket_join(
     spark: SparkSession,
     left_dir: str,
@@ -543,6 +597,7 @@ def colocated_bucket_join(
     how: str = "inner",
     *,
     max_task_rows: int | None = None,
+    left_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Join two bucketed table-log tables on their committed bucket
     keys with zero shuffle of table data. ``how`` covers the full
@@ -575,9 +630,24 @@ def colocated_bucket_join(
     ``_split_skewed_groups``) — the SPJ analogue of AQE's skew-join
     split, planned from layout metadata instead of runtime shuffle
     sizes. Refused for ``full`` (right-unmatched rows would
-    duplicate per chunk)."""
+    duplicate per chunk).
+
+    ``left_range=(column, lo, hi)`` composes ZONE-MAP pruning with
+    the layout: left files whose committed stats cannot intersect
+    the range are never read (``prune_tasks_by_left_stats``), and
+    the exact inclusive-range filter is applied to the left input
+    Arrow-side before the join, so the result equals filtering the
+    left table first — layout locates the KEY, stats locate the
+    RANGE, one planner uses both."""
     ls = bucket_spec(left_dir)
     tasks = colocated_plan(left_dir, right_dir, how)
+    if left_range is not None:
+        tasks, _, _ = prune_tasks_by_left_stats(
+            tasks,
+            left_dir,
+            *left_range,
+            keep_empty_left=(how == "full"),
+        )
     if max_task_rows is not None:
         if how == "full":
             raise ValueError(
@@ -635,6 +705,7 @@ def colocated_bucket_join(
         # Arrow end-to-end: parquet -> Acero hash join -> record
         # batches into the JVM; no pandas materialization at all
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         def _read_spec(spec: str) -> pa.Table:
@@ -654,6 +725,11 @@ def colocated_bucket_join(
         for batch in batches:
             for row in batch.to_pylist():
                 left = _read(row["left_files"], l_arrow)
+                if left_range is not None:
+                    rcol, rlo, rhi = left_range
+                    left = left.filter(
+                        (pc.field(rcol) >= rlo) & (pc.field(rcol) <= rhi)
+                    )
                 right = _read(row["right_files"], r_arrow)
                 joined = left.join(
                     right,

@@ -496,6 +496,124 @@ def colocated_skew_split_join(
     )
 
 
+# the synthetic lineitem's ship dates span 1995..2001 (NOT classic
+# TPC-H's 1992..1998 — probed, not assumed)
+_PRUNE_SLICES = ((0, 1996), (1997, 1998), (1999, 2000), (2001, 9999))
+# epoch-day bounds of 1996 (1970..1995 spans 6 leap years; 1996 is one)
+_PRUNE_LO, _PRUNE_HI = 9496, 9861
+
+
+def _ensure_pruned_spj_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Lines bucketed by order key, appended in four ship-YEAR slices
+    with per-file [min, max] epoch-day stats in each commit — the
+    layout where zone-map pruning has sub-bucket file granularity to
+    cut at — plus the order dim under the same spec."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    lkey = content_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    okey = content_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"csetl_prunespj_{lkey}_{okey}"
+    )
+
+    def _intact(d: str) -> bool:
+        if tl.current_version(os.path.join(d, "lines")) != (
+            len(_PRUNE_SLICES) - 1
+        ):
+            return False
+        if tl.current_version(os.path.join(d, "order_dim")) != 0:
+            return False
+        for n in ("lines", "order_dim"):
+            t = os.path.join(d, n)
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+            ).alias("sd"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        for i, (a, b) in enumerate(_PRUNE_SLICES):
+            write_bucketed(
+                li.filter(F.col("yr").between(a, b)).drop("yr"),
+                os.path.join(stage, "lines"),
+                key_col="okey",
+                n_buckets=16,
+                stats_cols=["sd"],
+                mode="overwrite" if i == 0 else "append",
+            )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            os.path.join(stage, "order_dim"),
+            key_col="okey",
+            n_buckets=16,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "colocated_pruned_range_join",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY status ORDER BY status
+    """,
+    doc="ZONE-MAP pruning composed with the co-located layout: lines "
+    "bucketed by order key and appended in ship-year slices, each "
+    "slice's files carrying committed [min, max] epoch-day stats — a "
+    "1996-only range join opens just the one overlapping slice's file "
+    "per bucket (planned from the log, zero read-time footer I/O; "
+    "files_kept/files_total pinned in tests), and the exact range "
+    "filter applies Arrow-side before the per-bucket Acero join. "
+    "Hash layout locates the KEY, commit stats locate the RANGE, one "
+    "task plan uses both — the Iceberg partition-spec + manifest-"
+    "stats composition on plain parquet. The oracle is the plain SQL "
+    "range-filtered join + rollup, so pruning losslessness rides the "
+    "hash check.",
+    tags=("join", "table_log", "bucketed", "pruning"),
+)
+def colocated_pruned_range_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_pruned_spj_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "lines"),
+        os.path.join(root, "order_dim"),
+        left_range=("sd", _PRUNE_LO, _PRUNE_HI),
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
+    )
+
+
 @register(
     "colocated_anti_join_decontaminate",
     oracle=f"""

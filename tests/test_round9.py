@@ -331,6 +331,97 @@ def test_buckets_of_values_one_job_matches_layout(spark, tmp_path):
     assert set(got) == set(vals) and set(got.values()) == {1}
 
 
+def _sliced_stats_pair(spark, tmp_path):
+    """Left appended in two value slices with committed sd stats plus
+    one stats-LESS slice; right dims under the same spec."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+
+    def _slice(lo, hi):
+        return spark.createDataFrame(
+            [(i, i * 2, lo + (i % (hi - lo))) for i in range(200)],
+            "k long, a long, sd long",
+        )
+
+    co.write_bucketed(
+        _slice(0, 100), left, key_col="k", n_buckets=4,
+        stats_cols=["sd"],
+    )
+    co.write_bucketed(
+        _slice(100, 200), left, key_col="k", n_buckets=4,
+        stats_cols=["sd"], mode="append",
+    )
+    co.write_bucketed(  # no stats: pruning must KEEP these files
+        _slice(200, 300), left, key_col="k", n_buckets=4, mode="append",
+    )
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 2)], "k long, d string"
+    )
+    co.write_bucketed(dims, right, key_col="k", n_buckets=4)
+    return left, right
+
+
+def test_colocated_pruned_range_join_lossless_and_prunes(spark, tmp_path):
+    """left_range never changes the result vs exact-filter-after-join
+    (stats-less files kept, exact residual applied), and it really
+    drops the non-overlapping statsful slice's files from the plan."""
+    left, right = _sliced_stats_pair(spark, tmp_path)
+    pruned = co.colocated_bucket_join(
+        spark, left, right, left_range=("sd", 0, 99)
+    )
+    plain = co.colocated_bucket_join(spark, left, right)
+    got = sorted(map(tuple, pruned.collect()))
+    want = sorted(
+        tuple(r)
+        for r in plain.collect()
+        if 0 <= r.sd <= 99
+    )
+    assert got == want and len(got) > 0
+    tasks, kept, total = co.prune_tasks_by_left_stats(
+        co.colocated_plan(left, right, "inner"), left, "sd", 0, 99
+    )
+    # slice 1 statsful+overlapping (kept), slice 2 statsful non-
+    # overlapping (dropped), slice 3 stats-less (kept): 8 of 12
+    assert (kept, total) == (8, 12)
+
+
+def test_colocated_pruned_range_join_gate_fixture_prunes(spark, sf_smoke):
+    """The registered query's fixture really gives pruning sub-bucket
+    granularity: only the 1994-1995 slice survives the plan."""
+    from candy_store_etl_spark.plans.round9 import (
+        _PRUNE_HI,
+        _PRUNE_LO,
+        _ensure_pruned_spj_tables,
+    )
+
+    root = _ensure_pruned_spj_tables(spark, sf_smoke)
+    left = os.path.join(root, "lines")
+    right = os.path.join(root, "order_dim")
+    tasks, kept, total = co.prune_tasks_by_left_stats(
+        co.colocated_plan(left, right, "inner"),
+        left,
+        "sd",
+        _PRUNE_LO,
+        _PRUNE_HI,
+    )
+    # one of four year slices overlaps 1996; thin slices may leave a
+    # bucket empty, so pin the fraction band rather than an exact 4x
+    assert 0 < kept <= total / 3
+    stats = tl.snapshot_file_stats(left)
+    for _, lf, _ in tasks:
+        for p in lf:
+            st = stats[os.path.basename(p)]["cols"]["sd"]
+            assert st["min"] <= _PRUNE_HI and st["max"] >= _PRUNE_LO
+
+
+def test_write_bucketed_append_mismatched_spec_refused(spark, tmp_path):
+    d = str(tmp_path / "t")
+    co.write_bucketed(_facts(spark), d, key_col="k", n_buckets=8)
+    with pytest.raises(ValueError, match="layouts must match"):
+        co.write_bucketed(
+            _facts(spark), d, key_col="k", n_buckets=4, mode="append"
+        )
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
