@@ -79,19 +79,26 @@ def write_bucketed(
         raise ValueError(f"mode={mode!r}")
     os.makedirs(table_dir, exist_ok=True)
     latest = tl.current_version(table_dir)
-    if mode == "append" and latest is not None:
+    declared = {"key": key_col, "n": int(n_buckets)}
+    new_schema = df.schema.json()
+
+    def _check_spec() -> None:
         spec = tl.committed_bucket_spec(table_dir)
-        declared = {"key": key_col, "n": int(n_buckets)}
         if spec is not None and spec != declared:
             raise ValueError(
                 f"table is bucketed as {spec}, append declares "
                 f"{declared} — layouts must match"
             )
-    old = (
-        [os.path.basename(p) for p in tl.snapshot_files(table_dir)]
-        if latest is not None and mode == "overwrite"
-        else []
-    )
+
+    if mode == "append" and latest is not None:
+        # fail fast BEFORE the data write; the commit re-checks both
+        # at the version it actually lands on (library-append
+        # discipline: a concurrent commit may have evolved the schema
+        # or reset the layout in between)
+        _check_spec()
+        tl._validate_evolution(
+            tl._resolve_snapshot(table_dir, latest)[2], new_schema
+        )
     grouped = df.withColumn("grp", bucket_expr(key_col, n_buckets))
     names = _stage_groups_into_table(
         grouped, table_dir, f"w{0 if latest is None else latest + 1}"
@@ -101,17 +108,41 @@ def write_bucketed(
         if stats_cols
         else None
     )
-    return tl.commit(
-        table_dir,
-        add=names,
-        remove=old,
-        op=f"bucketed-{mode}" if mode == "append" else "bucketed-write",
-        stats=stats,
-        # grp is folded into file names, not stored in the data
-        schema=df.schema.json(),
-        base_version=latest,
-        meta={"bucket": {"key": key_col, "n": int(n_buckets)}},
-    )
+    meta = {"bucket": declared}
+    if mode == "overwrite":
+        return tl.commit(
+            table_dir,
+            add=names,
+            remove=[
+                os.path.basename(p) for p in tl.snapshot_files(table_dir)
+            ]
+            if latest is not None
+            else [],
+            op="bucketed-write",
+            stats=stats,
+            # grp is folded into file names, not stored in the data
+            schema=new_schema,
+            base_version=latest,
+            meta=meta,
+        )
+
+    def derive(base: int | None) -> dict:
+        _check_spec()
+        tl._validate_evolution(
+            None
+            if base is None
+            else tl._resolve_snapshot(table_dir, base)[2],
+            new_schema,
+        )
+        return {
+            "add": names,
+            "op": "bucketed-append",
+            "stats": stats,
+            "schema": new_schema,
+            "meta": meta,
+        }
+
+    return tl.commit_with_retry(table_dir, derive)
 
 
 def bucket_spec(table_dir: str) -> dict | None:
