@@ -431,17 +431,24 @@ def bucketed_aggregate(
 
 
 def colocated_multi_join(
-    spark: SparkSession, dirs: list[str]
+    spark: SparkSession, dirs: list[str], how: str = "inner"
 ) -> DataFrame:
-    """INNER-join N bucketed table-log tables on their committed
-    bucket keys in ONE task wave — the star-on-one-key case (fact +
+    """Join N bucketed table-log tables on their committed bucket
+    keys in ONE task wave — the star-on-one-key case (fact +
     satellites all bucketed by the same entity): each aligned bucket
     group is read from every table and chained through Acero hash
     joins locally, so however many tables participate, no table data
     crosses an exchange and no extra join stages appear. The first
     table anchors: every other table joins its own committed key
-    against the anchor's key column. Output: anchor columns, then
-    each table's non-key columns in argument order."""
+    against the anchor's key column. ``how``: ``inner`` plans only
+    groups populated in EVERY table; ``left`` keeps every anchor row
+    (the fact-with-optional-satellites star), plans every
+    anchor-populated group, reads missing satellite sides as
+    schema-true empty tables, and null-fills their columns. Output:
+    anchor columns, then each table's non-key columns in argument
+    order."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} not in ['inner', 'left']")
     if len(dirs) < 2:
         raise ValueError("colocated_multi_join needs >= 2 tables")
     specs = []
@@ -467,15 +474,20 @@ def colocated_multi_join(
         for p in tl.snapshot_files(d):
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
-    common = sorted(set.intersection(*(set(s) for s in sides)))
-    tasks = [(g, [sorted(s[g]) for s in sides]) for g in common]
+    if how == "inner":
+        groups = sorted(set.intersection(*(set(s) for s in sides)))
+    else:  # left: every anchor-populated group plans a task
+        groups = sorted(sides[0])
+    tasks = [
+        (g, [sorted(s.get(g, ())) for s in sides]) for g in groups
+    ]
 
     schemas = [tl.snapshot_schema(d) for d in dirs]
     if any(s is None for s in schemas):
         raise ValueError("every table must carry a committed schema")
     anchor_key = specs[0]["key"]
     keys = [s["key"] for s in specs]
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     out_fields = list(schemas[0].fields)
     seen = {f.name for f in schemas[0].fields}
@@ -487,6 +499,10 @@ def colocated_multi_join(
                 f"non-key column name overlap {sorted(overlap)}: "
                 "rename before joining"
             )
+        if how == "left":  # satellite columns can be unmatched-null
+            extra = [
+                StructField(f.name, f.dataType, True) for f in extra
+            ]
         out_fields += extra
         seen |= {f.name for f in extra}
     out_schema = StructType(out_fields)
@@ -495,23 +511,27 @@ def colocated_multi_join(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(out_schema)
+    arrow_schemas = [to_arrow_schema(s) for s in schemas]
+    join_type = "inner" if how == "inner" else "left outer"
 
     def merge(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def _read(paths) -> pa.Table:
+        def _read(paths, schema) -> pa.Table:
+            if not paths:  # satellite empty in this group (left join)
+                return pa.Table.from_batches([], schema=schema)
             return pa.concat_tables([pq.read_table(p) for p in paths])
 
         for batch in batches:
             for row in batch.to_pylist():
-                joined = _read(row["files"][0])
+                joined = _read(row["files"][0], arrow_schemas[0])
                 for i, paths in enumerate(row["files"][1:], start=1):
                     joined = joined.join(
-                        _read(paths),
+                        _read(paths, arrow_schemas[i]),
                         keys=anchor_key,
                         right_keys=keys[i],
-                        join_type="inner",
+                        join_type=join_type,
                     )
                     if not joined.num_rows:
                         break

@@ -324,6 +324,115 @@ def colocated_left_join_coverage(
     )
 
 
+def _ensure_order_span_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-customer order-date span (days), bucketed under the SAME
+    spec as the round-8 (order_stats, cust_dim) pair — co-location
+    holds across tables from different builds because the spec (key,
+    n, xxhash64) is the one shared definition."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    okey = content_fingerprint(
+        os.path.join(sf_dir, "orders.parquet"), extra="span"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_ospan_{okey}")
+
+    def _intact(d: str) -> bool:
+        t = os.path.join(d, "order_span")
+        if tl.current_version(t) != 0:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        span = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("cust_key"))
+            .agg(
+                F.datediff(
+                    F.max(F.to_date("o_orderdate")),
+                    F.min(F.to_date("o_orderdate")),
+                ).alias("span_days")
+            )
+        )
+        write_bucketed(
+            span, os.path.join(stage, "order_span"),
+            key_col="cust_key", n_buckets=16,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return root
+
+
+@register(
+    "colocated_left_star_join",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT o_custkey,
+             DATEDIFF('day', MIN(CAST(o_orderdate AS DATE)),
+                      MAX(CAST(o_orderdate AS DATE))) AS span_days
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN s.n_orders IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_without_orders,
+           CAST(COALESCE(SUM(s.n_orders), 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(t.span_days), 0) AS BIGINT) AS span_days
+    FROM customer c
+    LEFT JOIN s ON s.o_custkey = c.c_custkey
+    LEFT JOIN t ON t.o_custkey = c.c_custkey
+    GROUP BY mktsegment
+    ORDER BY mktsegment
+    """,
+    doc="LEFT-outer N-way star in ONE co-located task wave: the "
+    "customer dim anchors, and two per-customer satellites (order "
+    "stats; order-date span) chain through Acero LEFT-outer joins "
+    "inside each bucket task — customers with no orders keep one "
+    "row with both satellites null-filled, satellites missing from "
+    "a bucket group read as schema-true empty tables, and adding a "
+    "satellite still adds zero exchanges and zero join stages. The "
+    "two satellites come from DIFFERENT builds (round-8's stats "
+    "fixture and a fresh span table): co-location holds because the "
+    "committed spec — key, bucket count, the engine's xxhash64 — is "
+    "the one shared definition, which is exactly how a 100 TB "
+    "lakehouse grows a star schema without re-laying anything out. "
+    "Oracle: the plain two-LEFT-JOIN SQL star + rollup.",
+    tags=("join", "table_log", "bucketed", "outer", "star"),
+)
+def colocated_left_star_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_multi_join
+
+    r8 = _ensure_colocated_tables(spark, sf_dir)
+    span = _ensure_order_span_table(spark, sf_dir)
+    joined = colocated_multi_join(
+        spark,
+        [
+            os.path.join(r8, "cust_dim"),
+            os.path.join(r8, "order_stats"),
+            os.path.join(span, "order_span"),
+        ],
+        how="left",
+    )
+    return (
+        joined.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("n_orders").isNull(), 1).otherwise(0)
+            ).alias("n_without_orders"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.sum("span_days"), F.lit(0)).alias("span_days"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
 _BLOCK_MOD = 7
 
 

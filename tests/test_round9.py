@@ -422,6 +422,44 @@ def test_write_bucketed_append_mismatched_spec_refused(spark, tmp_path):
         )
 
 
+def test_colocated_multi_join_left_star(spark, tmp_path):
+    """Anchor rows survive missing satellites (null-filled), a
+    satellite empty in a whole bucket group reads as schema-true
+    empty, and the chain equals pairwise left joins."""
+    anchor = str(tmp_path / "a")
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, f"seg{i % 3}") for i in range(120)], "k long, seg string"
+        ),
+        anchor, key_col="k", n_buckets=4,
+    )
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(0, 120, 2)], "k long, x long"
+        ),
+        s1, key_col="k", n_buckets=4,
+    )
+    co.write_bucketed(  # sparse: ONE key — most bucket groups empty
+        spark.createDataFrame([(7, "only")], "k long, y string"),
+        s2, key_col="k", n_buckets=4,
+    )
+    j = co.colocated_multi_join(spark, [anchor, s1, s2], how="left")
+    got = {r.k: (r.seg, r.x, r.y) for r in j.collect()}
+    assert len(got) == 120
+    for i in range(120):
+        assert got[i] == (
+            f"seg{i % 3}",
+            i * 10 if i % 2 == 0 else None,
+            "only" if i == 7 else None,
+        )
+    # inner over the same tables keeps only the fully-matched key
+    inner = co.colocated_multi_join(spark, [anchor, s1, s2], how="inner")
+    assert [(r.k, r.y) for r in inner.collect()] == []  # 7 is odd: no s1 row
+    with pytest.raises(ValueError, match="how="):
+        co.colocated_multi_join(spark, [anchor, s1], how="full")
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
