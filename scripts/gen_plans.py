@@ -57,6 +57,8 @@ HEADLINE = [
     # anti-join decontamination apply side
     "colocated_skew_split_join",
     "colocated_anti_join_decontaminate",
+    "colocated_pruned_range_join",
+    "colocated_left_star_join",
 ]
 
 

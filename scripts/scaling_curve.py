@@ -81,6 +81,11 @@ QUERIES = [
     # side; its cost should track the corpus scan, not the blocklist)
     "colocated_skew_split_join",
     "colocated_anti_join_decontaminate",
+    # round-9 late additions: zone-map pruning composed with the SPJ
+    # (the row verifying pruned cost tracks the RANGE's data, not the
+    # table) and the left-outer star (null-filling adds no exchanges)
+    "colocated_pruned_range_join",
+    "colocated_left_star_join",
 ]
 
 # measured at sf10 too (each trial is ~10-60s); complete since round 5
@@ -294,9 +299,23 @@ def main() -> None:
             pat = rf"^\| {_re.escape(name)} \| .*\|$"
             text, n_sub = _re.subn(pat, line, text, count=1, flags=_re.M)
             if n_sub == 0:
-                raise SystemExit(
-                    f"--only: {name} has no row in SCALING.md — run a "
-                    "full curve first"
+                # a query newly added to the curve list gets its row
+                # INSERTED (before the candy row, which closes the
+                # table) instead of forcing a full re-run of every
+                # other row's measurements
+                candy = _re.search(
+                    r"^\| candy_pipeline_5_outputs \| .*\|$", text, _re.M
+                )
+                if candy is None:
+                    raise SystemExit(
+                        f"--only: {name} has no row and SCALING.md has "
+                        "no table to insert into — run a full curve"
+                    )
+                text = (
+                    text[: candy.start()]
+                    + line
+                    + "\n"
+                    + text[candy.start() :]
                 )
         note_re = _re.compile(
             r"^Fresh-session re-measured rows \(--only\):.*$\n?", _re.M
