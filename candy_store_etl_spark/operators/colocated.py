@@ -39,6 +39,8 @@ coarser granularity, so maintenance never breaks join locality.
 from __future__ import annotations
 
 import os
+import re
+import uuid
 from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,6 +91,21 @@ def write_bucketed(
                 f"table is bucketed as {spec}, append declares "
                 f"{declared} — layouts must match"
             )
+        if (
+            mode == "append"
+            and spec is None
+            and tl.current_version(table_dir) is not None
+            and tl.snapshot_files(table_dir)
+        ):
+            # resident files were written WITHOUT a bucket layout
+            # (plain write, or an overwrite reset the spec): a
+            # bucketed append would publish a spec that does not
+            # describe them, and every later co-located plan would
+            # crash on the non-bucket-named files
+            raise ValueError(
+                f"{table_dir} holds unbucketed data — overwrite "
+                "bucketed instead of appending a bucket layout"
+            )
 
     if mode == "append" and latest is not None:
         # fail fast BEFORE the data write; the commit re-checks both
@@ -100,8 +117,15 @@ def write_bucketed(
             tl._resolve_snapshot(table_dir, latest)[2], new_schema
         )
     grouped = df.withColumn("grp", bucket_expr(key_col, n_buckets))
+    # the tag must be unique PER WRITER, not per version hint: two
+    # concurrent appends both starting from version N would otherwise
+    # stage identical final names and silently clobber each other's
+    # data files even though the commit race itself is detected
     names = _stage_groups_into_table(
-        grouped, table_dir, f"w{0 if latest is None else latest + 1}"
+        grouped,
+        table_dir,
+        f"w{0 if latest is None else latest + 1}"
+        f"p{os.getpid()}u{uuid.uuid4().hex[:6]}",
     )
     stats = (
         tl._file_stats(table_dir, names, list(stats_cols))
@@ -143,6 +167,25 @@ def write_bucketed(
         }
 
     return tl.commit_with_retry(table_dir, derive)
+
+
+def _pad_table(tbl, schema):
+    """Conform one file's Arrow table to the committed snapshot
+    schema: pre-evolution files lack later columns (additive-only
+    evolution), so missing columns null-fill and present ones cast —
+    without this, ``pa.concat_tables`` over a mixed-schema bucket
+    group raises, and the committed-schema ``select(out_cols)``
+    would fail for old files. Same contract as the native reader's
+    ``_pad_batch`` and ``read_snapshot``'s explicit-schema scan."""
+    import pyarrow as pa
+
+    cols = []
+    for f in schema:
+        if f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def bucket_spec(table_dir: str) -> dict | None:
@@ -285,9 +328,15 @@ def buckets_of_values(
         if schema is not None
         else "bigint"
     )
+    # lit().cast() per value (not createDataFrame, whose type
+    # verification REJECTS e.g. an int probe against a double key —
+    # the cast coerces exactly as the writer's bucket_expr did)
     rows = (
-        spark.createDataFrame(
-            [(i, v) for i, v in enumerate(values)], f"i int, v {dtype}"
+        spark.range(1)
+        .select(
+            F.posexplode(
+                F.array(*[F.lit(v).cast(dtype) for v in values])
+            ).alias("i", "v")
         )
         .select(
             "i",
@@ -382,12 +431,22 @@ def bucketed_aggregate(
 
     def _out_type(fn: str, src):
         # Acero result dtypes: counts are int64 whatever the input;
-        # mean/stddev/variance promote to float64; everything else
-        # (sum/min/max/first/last/product) keeps the source type
+        # mean/stddev/variance promote to float64; sum/product
+        # promote to the 64-bit family (int->int64, float32->double —
+        # probed, not assumed: declaring the source type would make
+        # the safe cast raise on the first overflowing group);
+        # min/max keep the source type
         if fn in ("count", "count_distinct"):
             return LongType()
         if fn in ("mean", "stddev", "variance", "approximate_median"):
             return DoubleType()
+        if fn in ("sum", "product"):
+            s = src.simpleString()
+            if s in ("tinyint", "smallint", "int", "bigint"):
+                return LongType()
+            if s in ("float", "double"):
+                return DoubleType()
+            return src
         return src
 
     spark_types = {f.name: f for f in schema.fields}
@@ -403,6 +462,8 @@ def bucketed_aggregate(
     out_cols = [f.name for f in out_schema.fields]
     target = to_arrow_schema(out_schema)
 
+    read_arrow = to_arrow_schema(schema)
+
     def agg(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -410,7 +471,10 @@ def bucketed_aggregate(
         for batch in batches:
             for row in batch.to_pylist():
                 tbl = pa.concat_tables(
-                    [pq.read_table(p) for p in row["files"]]
+                    [
+                        _pad_table(pq.read_table(p), read_arrow)
+                        for p in row["files"]
+                    ]
                 )
                 got = tbl.group_by(key).aggregate(
                     [(col, fn) for col, fn, _ in aggs]
@@ -521,7 +585,9 @@ def colocated_multi_join(
         def _read(paths, schema) -> pa.Table:
             if not paths:  # satellite empty in this group (left join)
                 return pa.Table.from_batches([], schema=schema)
-            return pa.concat_tables([pq.read_table(p) for p in paths])
+            return pa.concat_tables(
+                [_pad_table(pq.read_table(p), schema) for p in paths]
+            )
 
         for batch in batches:
             for row in batch.to_pylist():
@@ -759,19 +825,26 @@ def colocated_bucket_join(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        import re as _re
+
+        _range = _re.compile(r"^(.*)#(\d+):(\d+)$")
+
         def _read_spec(spec: str) -> pa.Table:
-            if "#" in spec:  # skew-split row-group range
-                path, rng = spec.rsplit("#", 1)
-                s, e = rng.split(":")
-                return pq.ParquetFile(path).read_row_groups(
-                    list(range(int(s), int(e)))
+            m = _range.match(spec)  # skew-split row-group range —
+            # anchored suffix match, so a '#' elsewhere in a real
+            # path never misparses as a range
+            if m:
+                return pq.ParquetFile(m.group(1)).read_row_groups(
+                    list(range(int(m.group(2)), int(m.group(3))))
                 )
             return pq.read_table(spec)
 
         def _read(specs, schema) -> pa.Table:
             if not specs:  # a side empty in this group (outer/anti)
                 return pa.Table.from_batches([], schema=schema)
-            return pa.concat_tables([_read_spec(s) for s in specs])
+            return pa.concat_tables(
+                [_pad_table(_read_spec(s), schema) for s in specs]
+            )
 
         for batch in batches:
             for row in batch.to_pylist():

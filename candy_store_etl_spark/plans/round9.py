@@ -53,8 +53,6 @@ def _ensure_cdc_warehouse(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(sf_dir, "events.parquet"), extra="cdcwh"
     )
     root = os.path.join(tempfile.gettempdir(), f"csetl_cdcwh_{key}")
-    wh = os.path.join(root, "warehouse")
-    dim_dir = os.path.join(root, "user_dim")
 
     def _data_batches(table_dir: str) -> int:
         return sum(

@@ -686,6 +686,9 @@ def cdf_consumer_offsets(table_dir: str) -> dict[str, int]:
     return out
 
 
+_BUCKET_FILE_RE = re.compile(r"^b\d{5}-")
+
+
 def committed_bucket_spec(table_dir: str) -> dict | None:
     """The newest committed bucket spec (``meta.bucket``), honoring
     LAYOUT RESETS: an ``overwrite``/``compact`` commit that carries no
@@ -693,8 +696,12 @@ def committed_bucket_spec(table_dir: str) -> dict | None:
     describes the resident files — resolution stops there and the
     table reads as unbucketed, instead of serving a stale spec whose
     co-located plan would fail (or worse, mis-route point lookups).
-    CDC batch/compaction commits (``cdc-*``) preserve the bucketed
-    layout by construction and never reset."""
+    The same reset applies to any spec-less commit that ADDS files
+    outside the bucket naming scheme (a plain ``tl.append`` onto a
+    bucketed table): those files carry no bucket id, so the layout
+    contract no longer holds table-wide. CDC batch/compaction commits
+    (``cdc-*``) add bucket-named files by construction and never
+    reset."""
     if current_version(table_dir) is None:
         return None
     for entry in reversed(log_entries(table_dir)):
@@ -702,6 +709,10 @@ def committed_bucket_spec(table_dir: str) -> dict | None:
         if "bucket" in m:
             return m["bucket"]
         if entry["op"] in ("overwrite", "compact"):
+            return None
+        if any(
+            not _BUCKET_FILE_RE.match(n) for n in entry.get("add", ())
+        ):
             return None
     return None
 

@@ -43,6 +43,7 @@ without knowing its layout.)
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator, Sequence
 
 from dataclasses import dataclass
@@ -283,9 +284,13 @@ class TableLogWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         if self.bucket_key is not None:
             return self._write_bucketed(iterator, ctx)
+        # stage/partition/attempt ids restart per APPLICATION: two
+        # concurrent apps appending to one table could mint the same
+        # name and clobber each other's bytes, so a random chunk
+        # rides every task file name
         name = (
             f"w{ctx.stageId()}-{ctx.partitionId()}"
-            f"-{ctx.taskAttemptId()}.parquet"
+            f"-{ctx.taskAttemptId()}-{uuid.uuid4().hex[:6]}.parquet"
         )
         os.makedirs(self.table_dir, exist_ok=True)
         # batch-by-batch through ParquetWriter: peak memory is one
@@ -329,8 +334,9 @@ class TableLogWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         os.makedirs(self.table_dir, exist_ok=True)
-        tag = (
+        tag = (  # random chunk: see write()'s cross-app-collision note
             f"w{ctx.stageId()}-{ctx.partitionId()}-{ctx.taskAttemptId()}"
+            f"-{uuid.uuid4().hex[:6]}"
         )
         writers: dict[int, object] = {}
         names: dict[int, str] = {}
@@ -427,7 +433,9 @@ class TableLogWriter(DataSourceArrowWriter):
     def _check_existing_spec(self) -> None:
         """A bucketed append onto a table with a DIFFERENT committed
         spec would silently break co-location (keys hashing to other
-        buckets than the resident files') — refuse at commit time."""
+        buckets than the resident files'), and one onto an UNBUCKETED
+        resident layout would publish a spec that describes none of
+        the existing files — refuse both at commit time."""
         if self.bucket_key is None:
             return
         spec = tl.committed_bucket_spec(self.table_dir)
@@ -435,6 +443,15 @@ class TableLogWriter(DataSourceArrowWriter):
             raise ValueError(
                 f"table is bucketed as {spec}, append declares "
                 f"{self._bucket_meta()['bucket']} — layouts must match"
+            )
+        if (
+            spec is None
+            and tl.current_version(self.table_dir) is not None
+            and tl.snapshot_files(self.table_dir)
+        ):
+            raise ValueError(
+                f"{self.table_dir} holds unbucketed data — overwrite "
+                "bucketed instead of appending a bucket layout"
             )
 
     def abort(self, messages):

@@ -460,6 +460,97 @@ def test_colocated_multi_join_left_star(spark, tmp_path):
         co.colocated_multi_join(spark, [anchor, s1], how="full")
 
 
+def test_colocated_join_survives_schema_evolution(spark, tmp_path):
+    """An additive-evolution append leaves a bucket group holding
+    files with DIFFERENT schemas: every reader (pair join, star
+    join, bucketed aggregate) must pad old files to the committed
+    schema instead of crashing in concat (the evolved column
+    null-fills for pre-evolution rows)."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(100)], "k long, a long"
+        ),
+        left, key_col="k", n_buckets=4,
+    )
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, i * 2, f"s{i}") for i in range(100, 200)],
+            "k long, a long, src string",
+        ),
+        left, key_col="k", n_buckets=4, mode="append",
+    )
+    co.write_bucketed(_dims(spark), right, key_col="k", n_buckets=4)
+    j = co.colocated_bucket_join(spark, left, right)
+    got = {r.k: (r.a, r.src, r.d) for r in j.collect()}
+    assert len(got) == 100  # even keys 0..198
+    assert got[4] == (8, None, "d4")  # pre-evolution row null-fills
+    assert got[104] == (208, "s104", "d104")
+    star = co.colocated_multi_join(spark, [right, left], how="left")
+    assert {r.k for r in star.collect()} == set(range(0, 500, 2))
+    agg = co.bucketed_aggregate(spark, left, [("a", "sum", "a_sum")])
+    assert sum(r.a_sum for r in agg.collect()) == sum(
+        i * 2 for i in range(200)
+    )
+
+
+def test_bucketed_append_onto_unbucketed_refused(spark, tmp_path):
+    """Publishing a bucket spec over resident files written without
+    one would crash every later co-located plan — refused up front,
+    in both the library and the native writer face."""
+    d = str(tmp_path / "t")
+    tl.overwrite(_facts(spark), d)
+    with pytest.raises(Exception, match="unbucketed"):
+        co.write_bucketed(
+            _facts(spark), d, key_col="k", n_buckets=4, mode="append"
+        )
+    table_log_source.register(spark)
+    with pytest.raises(Exception, match="unbucketed"):
+        co.write_bucketed_native(
+            _facts(spark), d, key_col="k", n_buckets=4, mode="append"
+        )
+
+
+def test_plain_append_resets_committed_spec(spark, tmp_path):
+    """A plain tl.append onto a bucketed table adds non-bucket-named
+    files: the spec no longer describes the table and must read as
+    None (a stale spec would crash _group_of_name at plan time)."""
+    d = str(tmp_path / "t")
+    co.write_bucketed(_facts(spark), d, key_col="k", n_buckets=4)
+    assert co.bucket_spec(d) is not None
+    tl.append(_facts(spark, 10), d)
+    assert co.bucket_spec(d) is None
+
+
+def test_buckets_of_values_coerces_probe_types(spark, tmp_path):
+    """Integer probes against a double-typed key must coerce through
+    lit().cast() like the writer's bucket_expr did — not raise in
+    createDataFrame type verification."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(50)], "k double, a long"
+    )
+    co.write_bucketed(df, d, key_col="k", n_buckets=4)
+    got = co.point_lookup(spark, d, [7, 11.0]).collect()
+    assert {r.k for r in got} == {7.0, 11.0}
+
+
+def test_bucketed_aggregate_sum_promotes_int32(spark, tmp_path):
+    """Acero promotes integer sums to int64: declaring the 32-bit
+    source type would make the safe cast raise on the first
+    overflowing group."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i % 2, 2_000_000_000) for i in range(4)], "k long, x int"
+    )
+    co.write_bucketed(df, d, key_col="k", n_buckets=2)
+    got = co.bucketed_aggregate(spark, d, [("x", "sum", "s")])
+    assert got.schema["s"].dataType.simpleString() == "bigint"
+    assert sorted(r.s for r in got.collect()) == [
+        4_000_000_000, 4_000_000_000,
+    ]
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
