@@ -188,12 +188,15 @@ def _pad_table(tbl, schema):
     return pa.Table.from_arrays(cols, schema=schema)
 
 
-def bucket_spec(table_dir: str) -> dict | None:
+def bucket_spec(
+    table_dir: str, *, version: int | None = None
+) -> dict | None:
     """The table's committed bucket spec ``{"key": col, "n": buckets}``
     (newest ``meta.bucket`` entry wins; an overwrite/compact without a
     spec RESETS it — the layout those commits produce is not
-    bucketed), or None for tables never written bucketed."""
-    return tl.committed_bucket_spec(table_dir)
+    bucketed), or None for tables never written bucketed. ``version``
+    pins the spec as of that snapshot."""
+    return tl.committed_bucket_spec(table_dir, version=version)
 
 
 def write_bucketed_native(
@@ -311,7 +314,11 @@ def colocated_plan(
 
 
 def buckets_of_values(
-    spark: SparkSession, table_dir: str, values: list
+    spark: SparkSession,
+    table_dir: str,
+    values: list,
+    *,
+    version: int | None = None,
 ) -> list[int]:
     """The bucket each key value lives in, computed with the SAME
     xxhash64 the writer used (evaluated through Spark so the hash is
@@ -319,10 +326,10 @@ def buckets_of_values(
     xxhash64 is type-sensitive). ONE job for the whole batch — a
     1-row job per key turns a K-key lookup into K driver round
     trips; no table I/O either way."""
-    spec = bucket_spec(table_dir)
+    spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
-    schema = tl.snapshot_schema(table_dir)
+    schema = tl.snapshot_schema(table_dir, version=version)
     dtype = (
         schema[spec["key"]].dataType.simpleString()
         if schema is not None
@@ -358,7 +365,11 @@ def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
 
 
 def point_lookup(
-    spark: SparkSession, table_dir: str, values: list
+    spark: SparkSession,
+    table_dir: str,
+    values: list,
+    *,
+    version: int | None = None,
 ) -> DataFrame:
     """Key-sharded point lookup: each value's bucket names its file
     group directly (hash + file-name test — no stats, no footers, no
@@ -368,17 +379,20 @@ def point_lookup(
     serving contract (1 at fine layout) instead of documenting it.
     At 100 TB this is the difference between a point read costing one
     file and costing a table scan; it falls out of the same committed
-    bucket spec the co-located join plans with."""
-    spec = bucket_spec(table_dir)
+    bucket spec the co-located join plans with. ``version`` pins the
+    whole lookup — spec, file grouping, schema, file list — to one
+    snapshot, so a time-travel point read is exactly the point read
+    that snapshot served when it was current."""
+    spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
-    bpf = layout_buckets_per_file(table_dir)
-    schema = tl.snapshot_schema(table_dir)
+    bpf = layout_buckets_per_file(table_dir, version=version)
+    schema = tl.snapshot_schema(table_dir, version=version)
     reader = spark.read if schema is None else spark.read.schema(schema)
     by_group: dict[int, list[str]] = defaultdict(list)
-    for p in tl.snapshot_files(table_dir):
+    for p in tl.snapshot_files(table_dir, version=version):
         by_group[_group_of_name(p)].append(p)
-    buckets = buckets_of_values(spark, table_dir, values)
+    buckets = buckets_of_values(spark, table_dir, values, version=version)
     parts = []
     for v, b in zip(values, buckets):
         files = by_group.get(b // bpf, [])

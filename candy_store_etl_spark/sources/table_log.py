@@ -689,7 +689,9 @@ def cdf_consumer_offsets(table_dir: str) -> dict[str, int]:
 _BUCKET_FILE_RE = re.compile(r"^b\d{5}-")
 
 
-def committed_bucket_spec(table_dir: str) -> dict | None:
+def committed_bucket_spec(
+    table_dir: str, *, version: int | None = None
+) -> dict | None:
     """The newest committed bucket spec (``meta.bucket``), honoring
     LAYOUT RESETS: an ``overwrite``/``compact`` commit that carries no
     spec replaced the physical file layout, so an older spec no longer
@@ -701,10 +703,12 @@ def committed_bucket_spec(table_dir: str) -> dict | None:
     bucketed table): those files carry no bucket id, so the layout
     contract no longer holds table-wide. CDC batch/compaction commits
     (``cdc-*``) add bucket-named files by construction and never
-    reset."""
+    reset. ``version`` pins resolution to the spec as of that
+    snapshot (time-travel reads plan under the layout their files
+    were written with, not today's)."""
     if current_version(table_dir) is None:
         return None
-    for entry in reversed(log_entries(table_dir)):
+    for entry in reversed(log_entries(table_dir, upto=version)):
         m = entry.get("meta") or {}
         if "bucket" in m:
             return m["bucket"]

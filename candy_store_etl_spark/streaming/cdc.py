@@ -79,14 +79,17 @@ def _group_of_name(name: str) -> int:
     return int(m.group(1))
 
 
-def layout_buckets_per_file(table_dir: str) -> int:
-    """The table's current bucket->file grouping, resolved from the
-    log (the newest ``cdc-compact-bpf{n}`` commit wins; 1 — one
-    bucket per file — until a compaction coarsens it)."""
+def layout_buckets_per_file(
+    table_dir: str, *, version: int | None = None
+) -> int:
+    """The table's bucket->file grouping, resolved from the log (the
+    newest ``cdc-compact-bpf{n}`` commit wins; 1 — one bucket per
+    file — until a compaction coarsens it). ``version`` pins the
+    grouping as of that snapshot, for time-travel reads."""
     if tl.current_version(table_dir) is None:
         return 1
     bpf = 1
-    for e in tl.log_entries(table_dir):
+    for e in tl.log_entries(table_dir, upto=version):
         m = _LAYOUT_RE.fullmatch(e["op"])
         if m:
             bpf = int(m.group(1))

@@ -551,6 +551,54 @@ def test_bucketed_aggregate_sum_promotes_int32(spark, tmp_path):
     ]
 
 
+def test_point_lookup_time_travel(spark, tmp_path):
+    """A version-pinned point lookup resolves EVERYTHING — spec, file
+    grouping, schema, file list — as of that snapshot: after a
+    re-bucketed overwrite changed both the layout (8 -> 4 buckets)
+    and the data, version 0 still serves its original rows."""
+    d = str(tmp_path / "t")
+    co.write_bucketed(_facts(spark, 100), d, key_col="k", n_buckets=8)
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, -i, 0.0) for i in range(100)], "k long, a long, b double"
+        ),
+        d, key_col="k", n_buckets=4,
+    )
+    assert co.bucket_spec(d) == {"key": "k", "n": 4}
+    assert co.bucket_spec(d, version=0) == {"key": "k", "n": 8}
+    now = co.point_lookup(spark, d, [7]).collect()
+    then = co.point_lookup(spark, d, [7], version=0).collect()
+    assert [(r.k, r.a) for r in now] == [(7, -7)]
+    assert [(r.k, r.a) for r in then] == [(7, 21)]
+    assert {r.probe_files for r in then} == {1}
+
+
+def test_colocated_full_outer_differing_key_names(spark, tmp_path):
+    """Full outer across tables whose committed keys have DIFFERENT
+    names: right-only rows carry their key under the left name (the
+    Acero-coalesced key)."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(10)], "k long, a long"
+        ),
+        left, key_col="k", n_buckets=4,
+    )
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(5, 15)], "kk long, d string"
+        ),
+        right, key_col="kk", n_buckets=4,
+    )
+    j = co.colocated_bucket_join(spark, left, right, how="full")
+    got = sorted((r.k, r.a, r.d) for r in j.collect())
+    want = sorted(
+        [(i, i * 2, f"d{i}" if i >= 5 else None) for i in range(10)]
+        + [(i, None, f"d{i}") for i in range(10, 15)]
+    )
+    assert got == want
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
