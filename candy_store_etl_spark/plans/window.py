@@ -18,25 +18,24 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-8 window. Policy: (a) every query NEW or whose
-# plan/oracle/operator-closure CHANGED in round 8 heads the window
-# (23: the nine new queries — the co-located join pair + the
+# Round-8/9 window. Policy: (a) every query NEW or whose
+# plan/oracle/operator-closure CHANGED this round heads the window
+# (30: the nine round-8 queries — the co-located join pair + the
 # three-table star, the bucketed point lookup + local aggregate, the
 # multi-probe LSH tier, its recall sweep, and the margin-directed
-# probe comparison + its serving op; the eight table_log faces plus the three versioned
-# IVF queries, the incremental-refresh composite, and the IVF probe
-# sweep sit over the round-8 table_log.py/table_log_source.py
-# hardening (committed-schema pruned reads, pinned schema appends,
-# dataChange flag, ranged change-feed reads, writer fsyncs, commit
-# meta); ann_topk_lsh sits over the similarity.py multi-probe
-# refactor of query_probe_buckets); (b) the remaining 27 slots
+# probe comparison + its serving op; the eight table_log faces plus
+# the three versioned IVF queries, the incremental-refresh composite,
+# and the IVF probe sweep over the round-8
+# table_log.py/table_log_source.py hardening; ann_topk_lsh over the
+# similarity.py multi-probe refactor; then the SEVEN round-9 SPJ
+# queries — the streamed-CDC warehouse join, the native-writer join,
+# the left-outer coverage and anti-join decontamination forms, the
+# row-group skew split, zone-map pruning composed with the layout,
+# and the left-outer N-way star); (b) the remaining 20 slots
 # re-confirm by STRICT oldest-evidence order — ALL 13 queries whose
-# last driver row is round 3, then 14 of the 40-query round-4 cohort
-# (alphabetical; rows-only fast tiers seated adjacent to their
-# portable twins). Round 9's backlog: the remaining 26 r4 rows
-# (the incremental_neardup_probe_lsh pair evicted below, then
-# label_centroids..., minhash family, simhash, patch grid,
-# streaming_dedup_events, ...), then the 46 r5 rows.
+# last driver row is round 3, then 7 of the round-4 cohort
+# (alphabetical). Round 10's backlog: the 10 freshly-evicted r4 rows
+# noted below, the remaining r4 rows, then the 46 r5 rows.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) new or changed in round 8
     "colocated_customer_join",  # NEW: storage-partitioned join
