@@ -364,6 +364,100 @@ def bucket_of_value(spark: SparkSession, table_dir: str, value) -> int:
     return buckets_of_values(spark, table_dir, [value])[0]
 
 
+def keyset_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """The SCALABLE form of ``point_lookup``: all probe keys in ONE
+    task wave. ``point_lookup`` builds one plan branch per key (the
+    right shape for a handful of keys, where per-key ``probe_files``
+    is the contract being served); for a large key set that plan
+    explodes, and the right shape is this one — hash every key in
+    one job, group keys by the bucket group they live in, and route
+    one metadata row per TOUCHED group (files + that group's keys)
+    to a ``mapInArrow`` task that reads the group's files and
+    filters to its keys. Buckets no key hashes into are never read
+    (bucket pruning by probe set), keys are compared under the
+    stored key type (coerced exactly as the writer's hash was), and
+    files pad to the committed snapshot schema. ``version`` pins the
+    whole lookup to one snapshot."""
+    spec = bucket_spec(table_dir, version=version)
+    if spec is None:
+        raise ValueError(f"{table_dir} has no committed bucket spec")
+    key = spec["key"]
+    schema = tl.snapshot_schema(table_dir, version=version)
+    if schema is None:
+        raise ValueError("keyset_lookup needs a committed schema")
+    dtype = schema[key].dataType.simpleString()
+    bpf = layout_buckets_per_file(table_dir, version=version)
+    by_group: dict[int, list[str]] = defaultdict(list)
+    for p in tl.snapshot_files(table_dir, version=version):
+        by_group[_group_of_name(p)].append(p)
+    # one job hashes AND coerces every probe (posexplode of casted
+    # literals — collected values come back as the stored key type)
+    rows = (
+        spark.range(1)
+        .select(
+            F.posexplode(
+                F.array(*[F.lit(v).cast(dtype) for v in values])
+            ).alias("i", "v")
+        )
+        .select(
+            "v",
+            F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    )
+    keys_of_group: dict[int, list] = defaultdict(list)
+    for r in rows:
+        g = r.b // bpf
+        if g in by_group:  # empty bucket: provably absent
+            keys_of_group[g].append(r.v)
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    read_arrow = to_arrow_schema(schema)
+
+    def probe(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        key_type = read_arrow.field(key).type
+        for batch in batches:
+            for row in batch.to_pylist():
+                tbl = pa.concat_tables(
+                    [
+                        _pad_table(pq.read_table(p), read_arrow)
+                        for p in row["files"]
+                    ]
+                )
+                mask = pc.is_in(
+                    tbl.column(key),
+                    value_set=pa.array(row["vals"], type=key_type),
+                )
+                hit = tbl.filter(mask)
+                if hit.num_rows:
+                    yield from hit.to_batches()
+
+    tasks = sorted(
+        (g, sorted(by_group[g]), sorted(keys_of_group[g]))
+        for g in keys_of_group
+    )
+    if not tasks:
+        raise ValueError("no requested key maps to a populated bucket")
+    meta = spark.createDataFrame(
+        tasks, f"grp int, files array<string>, vals array<{dtype}>"
+    )
+    n = max(len(tasks), 1)
+    return meta.repartitionByRange(n, "grp").mapInArrow(probe, schema)
+
+
 def point_lookup(
     spark: SparkSession,
     table_dir: str,

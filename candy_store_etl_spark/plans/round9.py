@@ -431,6 +431,47 @@ def colocated_left_star_join(
     )
 
 
+_KEYSET = tuple(range(1, 3200, 64))  # 50 probe order keys
+
+
+@register(
+    "bucketed_keyset_lookup",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys_found
+    FROM lineitem
+    WHERE l_orderkey IN ({", ".join(str(k) for k in _KEYSET)})
+    """,
+    doc="KEYSET lookup — the scalable form of the point read: 50 "
+    "probe keys hashed and type-coerced in ONE job, grouped by the "
+    "bucket group they live in, and served as one task per TOUCHED "
+    "group (files + that group's keys), Arrow-side is_in filter — "
+    "buckets no key hashes into are never read. point_lookup's "
+    "one-plan-branch-per-key shape is right for a handful of keys "
+    "(it serves the per-key probe_files contract); this is the shape "
+    "for 'join these 100k ids against the warehouse', where the "
+    "per-key plan would explode and a shuffle join would move the "
+    "table. The oracle is the plain IN-list rollup over raw "
+    "lineitem, so it also re-verifies the bucketed table's contents "
+    "end-to-end.",
+    tags=("table_log", "bucketed", "serving", "lookup"),
+)
+def bucketed_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import keyset_lookup
+
+    root = _ensure_skewed_lines_tables(spark, sf_dir)
+    hit = keyset_lookup(
+        spark, os.path.join(root, "lines"), list(_KEYSET)
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.countDistinct("okey").alias("n_keys_found"),
+    )
+
+
 _BLOCK_MOD = 7
 
 

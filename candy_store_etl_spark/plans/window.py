@@ -68,6 +68,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "colocated_skew_split_join",  # NEW: row-group skew relief
     "colocated_pruned_range_join",  # NEW: zone-map pruning in the SPJ
     "colocated_left_star_join",  # NEW: left-outer N-way star
+    "bucketed_keyset_lookup",  # NEW: one-wave keyset serving
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 3 (all 13)
     "fuzzy_part_name_match",
@@ -90,15 +91,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_pq_portable",
-    "bpe_top_pairs",
     # (hll_sketch_users and the incremental_neardup_probe_lsh +
     # _portable pair evicted to the r9 backlog head when the three
     # late round-8 queries were seated; embedding_quantize_int8,
     # event_type_pivot_native, dataset_card_stats, doc_char_entropy,
-    # daily_value_regression, daily_value_anomalies_mad and
-    # brand_price_mode_median followed as the seven new round-9 SPJ
-    # queries landed — backlog order: those ten, then the remaining
-    # r4 rows, then the 46 r5 rows)
+    # daily_value_regression, daily_value_anomalies_mad,
+    # brand_price_mode_median and bpe_top_pairs followed as the eight
+    # new round-9 SPJ/serving queries landed — backlog order: those
+    # eleven, then the remaining r4 rows, then the 46 r5 rows)
     )
 
 

