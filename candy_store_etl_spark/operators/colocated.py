@@ -376,14 +376,21 @@ def keyset_lookup(
     right shape for a handful of keys, where per-key ``probe_files``
     is the contract being served); for a large key set that plan
     explodes, and the right shape is this one — hash every key in
-    one job, group keys by the bucket group they live in, and route
-    one metadata row per TOUCHED group (files + that group's keys)
-    to a ``mapInArrow`` task that reads the group's files and
-    filters to its keys. Buckets no key hashes into are never read
+    one job, resolve the bucket groups they live in, and scan ONLY
+    those groups' files. Buckets no key hashes into are never read
     (bucket pruning by probe set), keys are compared under the
     stored key type (coerced exactly as the writer's hash was), and
-    files pad to the committed snapshot schema. ``version`` pins the
-    whole lookup to one snapshot."""
+    the scan plans under the committed snapshot schema. ``version``
+    pins the whole lookup to one snapshot.
+
+    Execution is a JVM parquet scan over JUST the touched groups'
+    files with an ``isin`` residual — not a Python-side merge: a
+    lookup has no join to express, so after file pruning the
+    vectorized JVM reader (row-group stats, codegen filter) beats an
+    Arrow-Python task wave at every probe density (measured in
+    ``scripts/ab_point_lookup.py``: the Python form lost 3x to a
+    plain scan once probes saturated the buckets; this form
+    degrades to exactly that scan instead)."""
     spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
@@ -396,66 +403,50 @@ def keyset_lookup(
     by_group: dict[int, list[str]] = defaultdict(list)
     for p in tl.snapshot_files(table_dir, version=version):
         by_group[_group_of_name(p)].append(p)
-    # one job hashes AND coerces every probe (posexplode of casted
-    # literals — collected values come back as the stored key type)
-    rows = (
-        spark.range(1)
-        .select(
-            F.posexplode(
+    # probe relation, size-routed: a LITERAL array is exact cast
+    # semantics but costs Catalyst O(K) analysis (measured ~3.3 s at
+    # K=2000 — more than the scan it was planning); large sets
+    # transport values as strings and cast data-side instead, which
+    # plans in constant time
+    if len(values) <= 64:
+        probe = spark.range(1).select(
+            F.explode(
                 F.array(*[F.lit(v).cast(dtype) for v in values])
-            ).alias("i", "v")
+            ).alias("v")
         )
-        .select(
-            "v",
-            F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
-            .cast("int")
-            .alias("b"),
-        )
-        .collect()
-    )
-    keys_of_group: dict[int, list] = defaultdict(list)
+    else:
+        probe = spark.createDataFrame(
+            [(str(v),) for v in values], "v string"
+        ).select(F.col("v").cast(dtype).alias("v"))
+    # one job hashes AND coerces every probe (collected values come
+    # back as the stored key type)
+    rows = probe.select(
+        "v",
+        F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
+        .cast("int")
+        .alias("b"),
+    ).collect()
+    coerced: list = []
+    touched: set[int] = set()
     for r in rows:
         g = r.b // bpf
         if g in by_group:  # empty bucket: provably absent
-            keys_of_group[g].append(r.v)
-
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    read_arrow = to_arrow_schema(schema)
-
-    def probe(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        key_type = read_arrow.field(key).type
-        for batch in batches:
-            for row in batch.to_pylist():
-                tbl = pa.concat_tables(
-                    [
-                        _pad_table(pq.read_table(p), read_arrow)
-                        for p in row["files"]
-                    ]
-                )
-                mask = pc.is_in(
-                    tbl.column(key),
-                    value_set=pa.array(row["vals"], type=key_type),
-                )
-                hit = tbl.filter(mask)
-                if hit.num_rows:
-                    yield from hit.to_batches()
-
-    tasks = sorted(
-        (g, sorted(by_group[g]), sorted(keys_of_group[g]))
-        for g in keys_of_group
-    )
-    if not tasks:
+            coerced.append(r.v)
+            touched.add(g)
+    files = [p for g in sorted(touched) for p in by_group[g]]
+    if not files:
         raise ValueError("no requested key maps to a populated bucket")
-    meta = spark.createDataFrame(
-        tasks, f"grp int, files array<string>, vals array<{dtype}>"
+    scan = spark.read.schema(schema).parquet(*files)
+    if len(coerced) <= 64:
+        return scan.filter(F.col(key).isin(coerced))
+    # large residual: broadcast semi-join against the probe relation
+    # instead of a K-literal isin predicate (same plan-size trap)
+    probe_rel = spark.createDataFrame(
+        [(v,) for v in sorted(set(coerced))], f"v {dtype}"
     )
-    n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp").mapInArrow(probe, schema)
+    return scan.join(
+        F.broadcast(probe_rel), scan[key] == probe_rel["v"], "left_semi"
+    )
 
 
 def point_lookup(

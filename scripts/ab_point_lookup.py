@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from candy_store_etl_spark.caching import release_caches  # noqa: E402
 from candy_store_etl_spark.operators.colocated import (  # noqa: E402
+    keyset_lookup,
     point_lookup,
     write_bucketed,
 )
@@ -41,7 +42,16 @@ SFS = [
     ("sf10", "/root/repo/.scale/sf10"),
 ]
 N_BUCKETS = int(os.environ.get("AB_LOOKUP_BUCKETS", "64"))
-KEYS = [3, 7, 1001, 4242, 9999]  # 5-key probe batch
+_NKEYS = int(os.environ.get("AB_LOOKUP_NKEYS", "5"))
+# 5 keys by default; large sets step through the key space (the
+# per-key point_lookup mode is skipped above 50 keys — its one plan
+# branch per key is exactly the shape that does not scale, which is
+# what the keyset comparison exists to show)
+KEYS = (
+    [3, 7, 1001, 4242, 9999]
+    if _NKEYS == 5
+    else [3 + 7 * i for i in range(_NKEYS)]
+)
 TRIALS = 3
 
 
@@ -59,6 +69,10 @@ def _ensure_table(spark, sf_dir: str, out_dir: str) -> None:
 
 def _lookup(spark, d: str) -> int:
     return point_lookup(spark, d, KEYS).count()
+
+
+def _keyset(spark, d: str) -> int:
+    return keyset_lookup(spark, d, KEYS).count()
 
 
 def _scan(spark, d: str) -> int:
@@ -84,15 +98,17 @@ def main() -> None:
             tempfile.gettempdir(), f"csetl_ablookup_{label}_{N_BUCKETS}"
         )
         _ensure_table(spark, sf_dir, d)
-        modes = {"lookup": _lookup, "scan": _scan}
+        modes = {"lookup": _lookup, "keyset": _keyset, "scan": _scan}
+        if len(KEYS) > 50:
+            modes.pop("lookup")
         best = {m: float("inf") for m in modes}
         rows = {}
         for m, fn in modes.items():  # untimed warm-up per mode
             rows[m] = fn(spark, d)
         for t in range(TRIALS):
-            order = (
-                ["lookup", "scan"] if t % 2 == 0 else ["scan", "lookup"]
-            )
+            order = list(modes)
+            if t % 2:
+                order.reverse()
             for m in order:
                 release_caches()
                 spark.catalog.clearCache()
@@ -100,12 +116,14 @@ def main() -> None:
                 modes[m](spark, d)
                 best[m] = min(best[m], time.perf_counter() - t0)
         n_files = len(tl.snapshot_files(d))
-        assert rows["lookup"] == rows["scan"], (label, rows)
+        assert len({rows[m] for m in modes}) == 1, (label, rows)
+        cells = " / ".join(
+            f"{m} {best[m]*1000:.0f} ms" for m in modes
+        )
         print(
-            f"{label}: lookup {best['lookup']*1000:.0f} ms vs scan "
-            f"{best['scan']*1000:.0f} ms "
-            f"({best['scan']/best['lookup']:.1f}x) — {len(KEYS)} keys, "
-            f"{n_files} files, rows={rows['lookup']}"
+            f"{label}: {cells} "
+            f"(scan/keyset {best['scan']/best['keyset']:.1f}x) — "
+            f"{len(KEYS)} keys, {n_files} files, rows={rows['keyset']}"
         )
     spark.stop()
 
