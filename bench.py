@@ -74,9 +74,11 @@ HEADLINE = [
     # Acero merges + rollup) and the exchange-free bucketed aggregate
     "colocated_customer_join",
     "bucketed_local_aggregate",
-    # round-9 addition: the skew-relieved SPJ (row-group-split hot
+    # round-9 additions: the skew-relieved SPJ (row-group-split hot
     # buckets; timed passes measure the split planning + chunk joins)
+    # and the size-routed keyset serving read
     "colocated_skew_split_join",
+    "bucketed_keyset_lookup",
 ]
 
 
