@@ -169,6 +169,23 @@ def write_bucketed(
     return tl.commit_with_retry(table_dir, derive)
 
 
+_RANGE_SPEC = re.compile(r"^(.*)#(\d+):(\d+)$")
+
+
+def _read_table_spec(spec: str):
+    """Read one task file spec: a bare parquet path, or a skew-split
+    row-group range ``path#start:end`` (anchored suffix match, so a
+    '#' elsewhere in a real path never misparses as a range)."""
+    import pyarrow.parquet as pq
+
+    m = _RANGE_SPEC.match(spec)
+    if m:
+        return pq.ParquetFile(m.group(1)).read_row_groups(
+            list(range(int(m.group(2)), int(m.group(3))))
+        )
+    return pq.read_table(spec)
+
+
 def _pad_table(tbl, schema):
     """Conform one file's Arrow table to the committed snapshot
     schema: pre-evolution files lack later columns (additive-only
@@ -594,7 +611,11 @@ def bucketed_aggregate(
 
 
 def colocated_multi_join(
-    spark: SparkSession, dirs: list[str], how: str = "inner"
+    spark: SparkSession,
+    dirs: list[str],
+    how: str = "inner",
+    *,
+    max_task_rows: int | None = None,
 ) -> DataFrame:
     """Join N bucketed table-log tables on their committed bucket
     keys in ONE task wave — the star-on-one-key case (fact +
@@ -609,7 +630,13 @@ def colocated_multi_join(
     anchor-populated group, reads missing satellite sides as
     schema-true empty tables, and null-fills their columns. Output:
     anchor columns, then each table's non-key columns in argument
-    order."""
+    order.
+
+    ``max_task_rows`` is the same skew relief as the pair join's: a
+    hot bucket group splits into row-group-ranged ANCHOR chunks,
+    each chunk joining the group's full satellite file lists — every
+    output row is anchor-row-local for both join types, so the union
+    of chunk joins is the join."""
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r} not in ['inner', 'left']")
     if len(dirs) < 2:
@@ -644,6 +671,14 @@ def colocated_multi_join(
     tasks = [
         (g, [sorted(s.get(g, ())) for s in sides]) for g in groups
     ]
+    if max_task_rows is not None:
+        # split on the ANCHOR side; the satellite lists ride each
+        # chunk untouched (the splitter passes its third element
+        # through verbatim)
+        split = _split_skewed_groups(
+            [(g, fs[0], fs[1:]) for g, fs in tasks], max_task_rows
+        )
+        tasks = [(g, [lf] + list(rest)) for g, lf, rest in split]
 
     schemas = [tl.snapshot_schema(d) for d in dirs]
     if any(s is None for s in schemas):
@@ -679,13 +714,12 @@ def colocated_multi_join(
 
     def merge(batches):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         def _read(paths, schema) -> pa.Table:
             if not paths:  # satellite empty in this group (left join)
                 return pa.Table.from_batches([], schema=schema)
             return pa.concat_tables(
-                [_pad_table(pq.read_table(p), schema) for p in paths]
+                [_pad_table(_read_table_spec(p), schema) for p in paths]
             )
 
         for batch in batches:
@@ -705,12 +739,16 @@ def colocated_multi_join(
                         target
                     ).to_batches()
 
+    # sub distinguishes a split group's chunks so the range
+    # partitioner spreads them one-per-task (the point of the split)
     meta = spark.createDataFrame(
-        [(g, fs) for g, fs in tasks],
-        "grp int, files array<array<string>>",
+        [(g, i, fs) for i, (g, fs) in enumerate(tasks)],
+        "grp int, sub int, files array<array<string>>",
     )
     n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
+    return meta.repartitionByRange(n, "grp", "sub").mapInArrow(
+        merge, out_schema
+    )
 
 
 def _split_skewed_groups(
@@ -922,27 +960,12 @@ def colocated_bucket_join(
         # batches into the JVM; no pandas materialization at all
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        import re as _re
-
-        _range = _re.compile(r"^(.*)#(\d+):(\d+)$")
-
-        def _read_spec(spec: str) -> pa.Table:
-            m = _range.match(spec)  # skew-split row-group range —
-            # anchored suffix match, so a '#' elsewhere in a real
-            # path never misparses as a range
-            if m:
-                return pq.ParquetFile(m.group(1)).read_row_groups(
-                    list(range(int(m.group(2)), int(m.group(3))))
-                )
-            return pq.read_table(spec)
 
         def _read(specs, schema) -> pa.Table:
             if not specs:  # a side empty in this group (outer/anti)
                 return pa.Table.from_batches([], schema=schema)
             return pa.concat_tables(
-                [_pad_table(_read_spec(s), schema) for s in specs]
+                [_pad_table(_read_table_spec(s), schema) for s in specs]
             )
 
         for batch in batches:

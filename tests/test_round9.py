@@ -595,6 +595,33 @@ def test_keyset_lookup_matches_filter_and_prunes(spark, tmp_path):
     assert len(buckets) <= 4
 
 
+def test_multi_join_skew_split_matches_unsplit(spark, tmp_path):
+    """Anchor-side row-group splitting never changes the star's
+    result — each chunk joins the group's full satellite lists, and
+    every output row is anchor-row-local for both join types."""
+    anchor, s1 = _skewed_pair(spark, tmp_path)
+    s2 = str(tmp_path / "s2")
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(0, 800, 3)], "k long, m long"
+        ),
+        s2, key_col="k", n_buckets=4,
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, co.colocated_multi_join(
+                spark, [anchor, s1, s2], how=how
+            ).collect())
+        )
+        split = sorted(
+            map(tuple, co.colocated_multi_join(
+                spark, [anchor, s1, s2], how=how, max_task_rows=120
+            ).collect())
+        )
+        assert split == plain, how
+        assert len(plain) > 0
+
+
 def test_colocated_full_outer_differing_key_names(spark, tmp_path):
     """Full outer across tables whose committed keys have DIFFERENT
     names: right-only rows carry their key under the left name (the
