@@ -807,6 +807,20 @@ def _split_skewed_groups(
     return out
 
 
+def _prune_files_by_stats(
+    stats: dict, files: list[str], column: str, lo, hi
+) -> list[str]:
+    kept = []
+    for p in files:
+        entry = stats.get(os.path.basename(p), {})
+        if entry.get("rows") == 0:
+            continue
+        st = entry.get("cols", {}).get(column)
+        if st is None or (st["min"] <= hi and st["max"] >= lo):
+            kept.append(p)
+    return kept
+
+
 def prune_tasks_by_left_stats(
     tasks: list[tuple[int, list[str], list[str]]],
     left_dir: str,
@@ -829,18 +843,37 @@ def prune_tasks_by_left_stats(
     out: list[tuple[int, list[str], list[str]]] = []
     kept_n = total = 0
     for g, lf, rf in tasks:
-        kept = []
-        for p in lf:
-            total += 1
-            entry = stats.get(os.path.basename(p), {})
-            if entry.get("rows") == 0:
-                continue
-            st = entry.get("cols", {}).get(column)
-            if st is None or (st["min"] <= hi and st["max"] >= lo):
-                kept.append(p)
+        kept = _prune_files_by_stats(stats, lf, column, lo, hi)
+        total += len(lf)
         kept_n += len(kept)
         if kept or keep_empty_left:
             out.append((g, kept, rf))
+    return out, kept_n, total
+
+
+def prune_tasks_by_right_stats(
+    tasks: list[tuple[int, list[str], list[str]]],
+    right_dir: str,
+    column: str,
+    lo,
+    hi,
+    *,
+    keep_empty_right: bool = False,
+) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
+    """The RIGHT-side twin of ``prune_tasks_by_left_stats``
+    (filter-then-join semantics on the right input): a group whose
+    right side prunes to nothing plans no task unless
+    ``keep_empty_right`` (left/anti/full must still emit left
+    rows)."""
+    stats = tl.snapshot_file_stats(right_dir)
+    out: list[tuple[int, list[str], list[str]]] = []
+    kept_n = total = 0
+    for g, lf, rf in tasks:
+        kept = _prune_files_by_stats(stats, rf, column, lo, hi)
+        total += len(rf)
+        kept_n += len(kept)
+        if kept or keep_empty_right:
+            out.append((g, lf, kept))
     return out, kept_n, total
 
 
@@ -852,6 +885,7 @@ def colocated_bucket_join(
     *,
     max_task_rows: int | None = None,
     left_range: tuple[str, object, object] | None = None,
+    right_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Join two bucketed table-log tables on their committed bucket
     keys with zero shuffle of table data. ``how`` covers the full
@@ -892,7 +926,10 @@ def colocated_bucket_join(
     the exact inclusive-range filter is applied to the left input
     Arrow-side before the join, so the result equals filtering the
     left table first — layout locates the KEY, stats locate the
-    RANGE, one planner uses both."""
+    RANGE, one planner uses both. ``right_range`` is the symmetric
+    twin on the right input (filter-then-join semantics: for a left
+    outer join, left rows whose matches were filtered out null-fill
+    — exactly as if the right table had been filtered first)."""
     ls = bucket_spec(left_dir)
     tasks = colocated_plan(left_dir, right_dir, how)
     if left_range is not None:
@@ -901,6 +938,13 @@ def colocated_bucket_join(
             left_dir,
             *left_range,
             keep_empty_left=(how == "full"),
+        )
+    if right_range is not None:
+        tasks, _, _ = prune_tasks_by_right_stats(
+            tasks,
+            right_dir,
+            *right_range,
+            keep_empty_right=(how in ("left", "left_anti", "full")),
         )
     if max_task_rows is not None:
         if how == "full":
@@ -972,11 +1016,16 @@ def colocated_bucket_join(
             for row in batch.to_pylist():
                 left = _read(row["left_files"], l_arrow)
                 if left_range is not None:
-                    rcol, rlo, rhi = left_range
+                    fcol, flo, fhi = left_range
                     left = left.filter(
-                        (pc.field(rcol) >= rlo) & (pc.field(rcol) <= rhi)
+                        (pc.field(fcol) >= flo) & (pc.field(fcol) <= fhi)
                     )
                 right = _read(row["right_files"], r_arrow)
+                if right_range is not None:
+                    fcol, flo, fhi = right_range
+                    right = right.filter(
+                        (pc.field(fcol) >= flo) & (pc.field(fcol) <= fhi)
+                    )
                 joined = left.join(
                     right,
                     keys=lkey,

@@ -713,9 +713,7 @@ def _ensure_pruned_spj_tables(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-@register(
-    "colocated_pruned_range_join",
-    oracle="""
+_PRUNED_RANGE_ORACLE = """
     SELECT o.o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
@@ -725,7 +723,12 @@ def _ensure_pruned_spj_tables(spark: SparkSession, sf_dir: str) -> str:
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY status ORDER BY status
-    """,
+    """
+
+
+@register(
+    "colocated_pruned_range_join",
+    oracle=_PRUNED_RANGE_ORACLE,
     doc="ZONE-MAP pruning composed with the co-located layout: lines "
     "bucketed by order key and appended in ship-year slices, each "
     "slice's files carrying committed [min, max] epoch-day stats — a "
@@ -804,4 +807,39 @@ def colocated_anti_join_decontaminate(
             F.sum("n_chars").alias("chars"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "colocated_pruned_range_join_right",
+    oracle=_PRUNED_RANGE_ORACLE,
+    doc="The SAME range-filtered join served with the roles swapped "
+    "and the zone maps on the RIGHT: the order dim anchors the left "
+    "side and the ship-year-sliced lines table probes as the right, "
+    "right_range pruning the satellite's files inside each bucket "
+    "group (filter-then-join semantics — the exact range filter "
+    "applies to the right input Arrow-side). Same oracle as "
+    "colocated_pruned_range_join: two plans, either side prunable, "
+    "one hash-checked answer.",
+    tags=("join", "table_log", "bucketed", "pruning"),
+)
+def colocated_pruned_range_join_right(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import colocated_bucket_join
+
+    root = _ensure_pruned_spj_tables(spark, sf_dir)
+    joined = colocated_bucket_join(
+        spark,
+        os.path.join(root, "order_dim"),
+        os.path.join(root, "lines"),
+        right_range=("sd", _PRUNE_LO, _PRUNE_HI),
+    )
+    return (
+        joined.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("status")
     )

@@ -69,6 +69,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "colocated_pruned_range_join",  # NEW: zone-map pruning in the SPJ
     "colocated_left_star_join",  # NEW: left-outer N-way star
     "bucketed_keyset_lookup",  # NEW: one-wave keyset serving
+    "colocated_pruned_range_join_right",  # NEW: right-side zone maps
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 3 (all 13)
     "fuzzy_part_name_match",
@@ -87,7 +88,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # last seated round 4 (14 of 40, alphabetical; the rest defer)
     "ann_batch_topk",
     "ann_range_search",
-    "ann_topk_arrow",
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_pq_portable",
@@ -96,9 +96,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # late round-8 queries were seated; embedding_quantize_int8,
     # event_type_pivot_native, dataset_card_stats, doc_char_entropy,
     # daily_value_regression, daily_value_anomalies_mad,
-    # brand_price_mode_median and bpe_top_pairs followed as the eight
-    # new round-9 SPJ/serving queries landed — backlog order: those
-    # eleven, then the remaining r4 rows, then the 46 r5 rows)
+    # brand_price_mode_median, bpe_top_pairs and ann_topk_arrow
+    # followed as the nine new round-9 SPJ/serving queries landed —
+    # backlog order: those twelve, then the remaining r4 rows, then
+    # the 46 r5 rows)
     )
 
 

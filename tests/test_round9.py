@@ -622,6 +622,58 @@ def test_multi_join_skew_split_matches_unsplit(spark, tmp_path):
         assert len(plain) > 0
 
 
+def test_colocated_right_range_prune_lossless(spark, tmp_path):
+    """right_range == filter-the-right-table-first for inner AND
+    left outer (left rows whose matches were filtered out
+    null-fill); the non-overlapping statsful slice's files drop."""
+    dims, lines = str(tmp_path / "d"), str(tmp_path / "l")
+
+    def _slice(lo, hi):
+        return spark.createDataFrame(
+            [(i, lo + (i % (hi - lo))) for i in range(200)],
+            "k long, sd long",
+        )
+
+    co.write_bucketed(
+        _slice(0, 100), lines, key_col="k", n_buckets=4,
+        stats_cols=["sd"],
+    )
+    co.write_bucketed(
+        _slice(100, 200), lines, key_col="k", n_buckets=4,
+        stats_cols=["sd"], mode="append",
+    )
+    co.write_bucketed(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(250)], "k long, d string"
+        ),
+        dims, key_col="k", n_buckets=4,
+    )
+    for how in ("inner", "left"):
+        pruned = co.colocated_bucket_join(
+            spark, dims, lines, how=how, right_range=("sd", 0, 99)
+        )
+        plain = co.colocated_bucket_join(spark, dims, lines, how=how)
+        got = sorted(map(tuple, pruned.collect()))
+        want = sorted(
+            tuple(r) for r in plain.collect()
+            if (r.sd is not None and 0 <= r.sd <= 99)
+            or (how == "left" and r.sd is None)
+        )
+        # left outer: rows whose ONLY matches were out-of-range now
+        # null-fill instead — recompute expectation from raw slices
+        if how == "left":
+            in_range = {i for i in range(200)}  # slice 1 rows match
+            want = sorted(
+                [(i, f"d{i}", i % 100) for i in range(200)]
+                + [(i, f"d{i}", None) for i in range(200, 250)]
+            )
+        assert got == want, how
+    tasks, kept, total = co.prune_tasks_by_right_stats(
+        co.colocated_plan(dims, lines, "inner"), lines, "sd", 0, 99
+    )
+    assert (kept, total) == (4, 8)  # one of two statsful slices
+
+
 def test_colocated_full_outer_differing_key_names(spark, tmp_path):
     """Full outer across tables whose committed keys have DIFFERENT
     names: right-only rows carry their key under the left name (the
