@@ -70,6 +70,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "colocated_left_star_join",  # NEW: left-outer N-way star
     "bucketed_keyset_lookup",  # NEW: one-wave keyset serving
     "colocated_pruned_range_join_right",  # NEW: right-side zone maps
+    "cdf_materialized_view_maintenance",  # NEW: CDF -> CDC matview
     # (b) re-confirmations, strict oldest-evidence first
     # last seated round 3 (all 13)
     "fuzzy_part_name_match",
@@ -88,7 +89,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # last seated round 4 (14 of 40, alphabetical; the rest defer)
     "ann_batch_topk",
     "ann_range_search",
-    "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_pq_portable",
     # (hll_sketch_users and the incremental_neardup_probe_lsh +
@@ -96,10 +96,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # late round-8 queries were seated; embedding_quantize_int8,
     # event_type_pivot_native, dataset_card_stats, doc_char_entropy,
     # daily_value_regression, daily_value_anomalies_mad,
-    # brand_price_mode_median, bpe_top_pairs and ann_topk_arrow
-    # followed as the nine new round-9 SPJ/serving queries landed —
-    # backlog order: those twelve, then the remaining r4 rows, then
-    # the 46 r5 rows)
+    # brand_price_mode_median, bpe_top_pairs, ann_topk_arrow and
+    # ann_topk_ivf followed as the ten new round-9 SPJ/serving/IVM
+    # queries landed — backlog order: those thirteen, then the
+    # remaining r4 rows, then the 46 r5 rows)
     )
 
 

@@ -700,6 +700,61 @@ def test_colocated_full_outer_differing_key_names(spark, tmp_path):
     assert got == want
 
 
+def test_cdf_matview_nets_to_zero_and_tracks_overwrite(spark, tmp_path):
+    """The CDF-driven materialized view subtracts removes: after an
+    overwrite drops a source entirely, its row nets to n_docs == 0
+    (and the query face filters it out); surviving sources equal the
+    final snapshot's direct aggregate."""
+    from candy_store_etl_spark.sources import table_log_source
+    from candy_store_etl_spark.streaming.cdc import (
+        make_partitioned_cdc_sink,
+    )
+    from candy_store_etl_spark.streaming.events import (
+        run_stream_foreach_batch,
+    )
+
+    table_log_source.register(spark)
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", 10 + i) for i in range(30)],
+        "doc_id long, source string, n_chars long",
+    )
+    tl.append(docs, base)
+    # overwrite keeps only source s0 — s1/s2 must net to zero
+    tl.overwrite(docs.filter(F.col("source") == "s0"), base)
+
+    def increments(batch_df):
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        return batch_df.groupBy("source").agg(
+            F.sum(sign).alias("n_docs"),
+            F.sum(sign * F.col("n_chars")).alias("chars"),
+        )
+
+    feed = (
+        spark.readStream.format("table_log")
+        .option("path", base)
+        .option("changeFeed", "true")
+        .load()
+    )
+    run_stream_foreach_batch(
+        feed,
+        make_partitioned_cdc_sink(
+            view, increments, key_col="source",
+            add_cols=("n_docs", "chars"), n_buckets=4,
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r.source: (r.n_docs, r.chars)
+        for r in tl.read_snapshot(spark, view).collect()
+    }
+    s0 = [(i, 10 + i) for i in range(0, 30, 3)]
+    assert got["s0"] == (len(s0), sum(c for _, c in s0))
+    assert got["s1"] == (0, 0) and got["s2"] == (0, 0)
+
+
 def test_cdc_warehouse_fixture_shape(spark, sf_smoke):
     """The streamed fixture really is micro-batched: exactly
     _FEED_FILES data-carrying merge commits, sink-published spec +
