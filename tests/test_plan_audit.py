@@ -282,3 +282,28 @@ def test_versioned_ivf_read_is_zero_shuffle(spark, sf_correctness):
     tree = plan.split("\n\n")[0]
     assert count_unique_shuffles(tree) == 0, tree
     assert count_unique_broadcasts(tree) == 0, tree
+
+
+_SPJ_QUERIES = sorted(
+    n
+    for n, s in QUERIES.items()
+    if n.startswith("colocated_") or n == "cdc_warehouse_colocated_join"
+)
+
+
+@pytest.mark.parametrize("name", _SPJ_QUERIES)
+def test_spj_family_has_no_jvm_table_scan(spark, sf_correctness, name):
+    """The storage-partitioned-join contract, pinned for EVERY
+    registered co-located query at once: table data reaches the plan
+    only through the mapInArrow merge (fed by the metadata routing
+    relation), never as a JVM parquet scan — a FileScan here would
+    mean a side silently fell back to the shuffle path."""
+    spark.catalog.clearCache()
+    df = QUERIES[name].fn(spark, sf_correctness)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan, (
+        f"{name}: JVM table scan inside an SPJ plan:\n{plan}"
+    )
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, (
+        f"{name}: expected the Arrow-side co-located merge:\n{plan}"
+    )
