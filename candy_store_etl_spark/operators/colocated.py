@@ -267,8 +267,41 @@ _ACERO_JOIN = {
 }
 
 
+def _check_key_types(
+    left_dir: str,
+    right_dir: str,
+    lkey: str,
+    rkey: str,
+    lv: int | None,
+    rv: int | None,
+) -> None:
+    """Equal bucket counts are NOT enough for co-location: xxhash64
+    is type-sensitive (int 5 and bigint 5 hash differently), so two
+    tables bucketed with the same n on differently-typed keys pass
+    the count check while equal key VALUES land in different buckets
+    — a silently incomplete join. Compare the committed snapshot
+    schemas' key types and refuse the plan instead."""
+    ls = tl.snapshot_schema(left_dir, version=lv)
+    rs = tl.snapshot_schema(right_dir, version=rv)
+    if ls is None or rs is None:
+        return  # no committed schema to compare (join will refuse later)
+    lt, rt = ls[lkey].dataType, rs[rkey].dataType
+    if lt != rt:
+        raise ValueError(
+            f"bucket key types differ ({lkey}: {lt.simpleString()} vs "
+            f"{rkey}: {rt.simpleString()}): xxhash64 is type-sensitive, "
+            "equal values hash to different buckets — cast one table's "
+            "key and rewrite it"
+        )
+
+
 def colocated_plan(
-    left_dir: str, right_dir: str, how: str = "inner"
+    left_dir: str,
+    right_dir: str,
+    how: str = "inner",
+    *,
+    left_version: int | None = None,
+    right_version: int | None = None,
 ) -> list[tuple[int, list[str], list[str]]]:
     """Driver-side task plan for the co-located join: one entry per
     aligned bucket group — ``(coarse_group, left_files, right_files)``
@@ -281,12 +314,29 @@ def colocated_plan(
     join against a sparse blocklist still skips nothing on the left,
     but an inner join with a sparse probe side reads only the probed
     buckets. Validates that both tables commit the SAME bucket count
-    (same hash by construction: ``bucket_expr`` is the one
-    definition), and aligns mismatched file groupings at the coarser
-    granularity."""
+    and the SAME key type (same hash by construction: ``bucket_expr``
+    is the one definition, and xxhash64 is type-sensitive), and
+    aligns mismatched file groupings at the coarser granularity.
+
+    Each side's spec, file grouping, and file list resolve at ONE
+    pinned version (``left_version``/``right_version``, default the
+    current version read ONCE here): a concurrent commit — e.g. a
+    compaction coarsening the live CDC warehouse mid-plan — can no
+    longer land between the bpf read and the file listing and pair
+    post-compaction files with a pre-compaction grouping."""
+    lv = (
+        tl.current_version(left_dir)
+        if left_version is None
+        else left_version
+    )
+    rv = (
+        tl.current_version(right_dir)
+        if right_version is None
+        else right_version
+    )
     specs = []
-    for d in (left_dir, right_dir):
-        s = bucket_spec(d)
+    for d, v in ((left_dir, lv), (right_dir, rv)):
+        s = bucket_spec(d, version=v)
         if s is None:
             raise ValueError(
                 f"{d} has no committed bucket spec — write it with "
@@ -299,8 +349,9 @@ def colocated_plan(
             f"bucket counts differ ({ls['n']} vs {rs['n']}): keys hash "
             "to different buckets, co-location does not hold"
         )
-    bpf_l = layout_buckets_per_file(left_dir)
-    bpf_r = layout_buckets_per_file(right_dir)
+    _check_key_types(left_dir, right_dir, ls["key"], rs["key"], lv, rv)
+    bpf_l = layout_buckets_per_file(left_dir, version=lv)
+    bpf_r = layout_buckets_per_file(right_dir, version=rv)
     coarse = max(bpf_l, bpf_r)
     if coarse % bpf_l or coarse % bpf_r:
         raise ValueError(
@@ -308,9 +359,9 @@ def colocated_plan(
             "compact one side to a multiple of the other"
         )
     sides: list[dict[int, list[str]]] = []
-    for d, bpf in ((left_dir, bpf_l), (right_dir, bpf_r)):
+    for d, bpf, v in ((left_dir, bpf_l, lv), (right_dir, bpf_r, rv)):
         per: dict[int, list[str]] = defaultdict(list)
-        for p in tl.snapshot_files(d):
+        for p in tl.snapshot_files(d, version=v):
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
     if how not in _ACERO_JOIN:
@@ -343,15 +394,24 @@ def buckets_of_values(
     xxhash64 is type-sensitive). ONE job for the whole batch — a
     1-row job per key turns a K-key lookup into K driver round
     trips; no table I/O either way."""
+    if version is None:
+        version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
     schema = tl.snapshot_schema(table_dir, version=version)
-    dtype = (
-        schema[spec["key"]].dataType.simpleString()
-        if schema is not None
-        else "bigint"
-    )
+    if schema is None:
+        # no committed schema means no stored key TYPE — and guessing
+        # one (the old 'bigint' fallback) is worse than failing: for a
+        # string key, lit(v).cast('bigint') yields null, xxhash64(null)
+        # returns the seed, and the probe deterministically targets
+        # the WRONG bucket — a silent miss on resident rows
+        raise ValueError(
+            f"{table_dir} has a bucket spec but no committed schema — "
+            "the stored key type is unknown, so probe hashing cannot "
+            "be trusted; rewrite the table with write_bucketed"
+        )
+    dtype = schema[spec["key"]].dataType.simpleString()
     # lit().cast() per value (not createDataFrame, whose type
     # verification REJECTS e.g. an int probe against a double key —
     # the cast coerces exactly as the writer's bucket_expr did)
@@ -408,6 +468,8 @@ def keyset_lookup(
     ``scripts/ab_point_lookup.py``: the Python form lost 3x to a
     plain scan once probes saturated the buckets; this form
     degrades to exactly that scan instead)."""
+    if version is None:
+        version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
@@ -452,7 +514,11 @@ def keyset_lookup(
             touched.add(g)
     files = [p for g in sorted(touched) for p in by_group[g]]
     if not files:
-        raise ValueError("no requested key maps to a populated bucket")
+        # every probe key hashed into an empty bucket: for a SERVING
+        # lookup that is a legitimate all-miss, not a caller error —
+        # an empty result under the committed schema, so callers never
+        # wrap probes in try/except to handle absence
+        return spark.createDataFrame([], schema)
     scan = spark.read.schema(schema).parquet(*files)
     if len(coerced) <= 64:
         return scan.filter(F.col(key).isin(coerced))
@@ -485,6 +551,8 @@ def point_lookup(
     whole lookup — spec, file grouping, schema, file list — to one
     snapshot, so a time-travel point read is exactly the point read
     that snapshot served when it was current."""
+    if version is None:
+        version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
@@ -506,7 +574,19 @@ def point_lookup(
             .withColumn("probe_files", F.lit(len(files)).cast("long"))
         )
     if not parts:
-        raise ValueError("no requested key maps to a populated bucket")
+        # all probes hashed into empty buckets: a legitimate all-miss
+        # for a serving read — empty result under the committed schema
+        # (+ the probe_files contract column), never an exception
+        # (buckets_of_values already guaranteed schema is not None)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(schema.fields)
+                + [StructField("probe_files", LongType(), False)]
+            ),
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -517,6 +597,8 @@ def bucketed_aggregate(
     spark: SparkSession,
     table_dir: str,
     aggs: list[tuple[str, str, str]],
+    *,
+    version: int | None = None,
 ) -> DataFrame:
     """Per-key aggregation WITHOUT an exchange: the table is bucketed
     on the key, so every row of a key lives in one file group — each
@@ -525,16 +607,20 @@ def bucketed_aggregate(
     map-side-complete aggregation Spark's catalog bucketing enables,
     derived here from the table log's committed spec. ``aggs`` is
     ``[(col, arrow_fn, out_name), ...]`` (e.g. ``("cents", "sum",
-    "spend_cents")``)."""
-    spec = bucket_spec(table_dir)
+    "spend_cents")``). Spec, schema, and file list all resolve at ONE
+    version (``version``, default the current version read once here)
+    — a concurrent commit cannot mix snapshots mid-plan."""
+    if version is None:
+        version = tl.current_version(table_dir)
+    spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
     key = spec["key"]
-    schema = tl.snapshot_schema(table_dir)
+    schema = tl.snapshot_schema(table_dir, version=version)
     if schema is None:
         raise ValueError("bucketed_aggregate needs a committed schema")
     by_group: dict[int, list[str]] = defaultdict(list)
-    for p in tl.snapshot_files(table_dir):
+    for p in tl.snapshot_files(table_dir, version=version):
         by_group[_group_of_name(p)].append(p)
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -641,9 +727,12 @@ def colocated_multi_join(
         raise ValueError(f"how={how!r} not in ['inner', 'left']")
     if len(dirs) < 2:
         raise ValueError("colocated_multi_join needs >= 2 tables")
+    # one pinned version per table for the whole plan (spec, grouping,
+    # files, schema) — same mid-plan-commit defense as the pair join
+    versions = [tl.current_version(d) for d in dirs]
     specs = []
-    for d in dirs:
-        s = bucket_spec(d)
+    for d, v in zip(dirs, versions):
+        s = bucket_spec(d, version=v)
         if s is None:
             raise ValueError(f"{d} has no committed bucket spec")
         specs.append(s)
@@ -652,16 +741,23 @@ def colocated_multi_join(
             f"bucket counts differ ({[s['n'] for s in specs]}): keys "
             "hash to different buckets, co-location does not hold"
         )
-    bpfs = [layout_buckets_per_file(d) for d in dirs]
+    for d, s, v in zip(dirs[1:], specs[1:], versions[1:]):
+        _check_key_types(
+            dirs[0], d, specs[0]["key"], s["key"], versions[0], v
+        )
+    bpfs = [
+        layout_buckets_per_file(d, version=v)
+        for d, v in zip(dirs, versions)
+    ]
     coarse = max(bpfs)
     if any(coarse % b for b in bpfs):
         raise ValueError(
             f"file groupings {bpfs} do not nest — compact to multiples"
         )
     sides: list[dict[int, list[str]]] = []
-    for d, bpf in zip(dirs, bpfs):
+    for d, bpf, v in zip(dirs, bpfs, versions):
         per: dict[int, list[str]] = defaultdict(list)
-        for p in tl.snapshot_files(d):
+        for p in tl.snapshot_files(d, version=v):
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
     if how == "inner":
@@ -680,7 +776,9 @@ def colocated_multi_join(
         )
         tasks = [(g, [lf] + list(rest)) for g, lf, rest in split]
 
-    schemas = [tl.snapshot_schema(d) for d in dirs]
+    schemas = [
+        tl.snapshot_schema(d, version=v) for d, v in zip(dirs, versions)
+    ]
     if any(s is None for s in schemas):
         raise ValueError("every table must carry a committed schema")
     anchor_key = specs[0]["key"]
@@ -829,6 +927,7 @@ def prune_tasks_by_left_stats(
     hi,
     *,
     keep_empty_left: bool = False,
+    version: int | None = None,
 ) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
     """Drop left files whose committed [min, max] for ``column``
     cannot intersect [lo, hi] from an SPJ task plan — zone-map
@@ -838,8 +937,10 @@ def prune_tasks_by_left_stats(
     empty files are dropped, and the caller still applies the exact
     row filter). A group whose left side prunes to nothing plans no
     task unless ``keep_empty_left`` (full outer must still emit its
-    right side). Returns ``(tasks, files_kept, files_total)``."""
-    stats = tl.snapshot_file_stats(left_dir)
+    right side). ``version`` pins the stats to the snapshot the task
+    plan was built from. Returns ``(tasks, files_kept,
+    files_total)``."""
+    stats = tl.snapshot_file_stats(left_dir, version=version)
     out: list[tuple[int, list[str], list[str]]] = []
     kept_n = total = 0
     for g, lf, rf in tasks:
@@ -859,13 +960,14 @@ def prune_tasks_by_right_stats(
     hi,
     *,
     keep_empty_right: bool = False,
+    version: int | None = None,
 ) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
     """The RIGHT-side twin of ``prune_tasks_by_left_stats``
     (filter-then-join semantics on the right input): a group whose
     right side prunes to nothing plans no task unless
     ``keep_empty_right`` (left/anti/full must still emit left
     rows)."""
-    stats = tl.snapshot_file_stats(right_dir)
+    stats = tl.snapshot_file_stats(right_dir, version=version)
     out: list[tuple[int, list[str], list[str]]] = []
     kept_n = total = 0
     for g, lf, rf in tasks:
@@ -930,14 +1032,23 @@ def colocated_bucket_join(
     twin on the right input (filter-then-join semantics: for a left
     outer join, left rows whose matches were filtered out null-fill
     — exactly as if the right table had been filtered first)."""
-    ls = bucket_spec(left_dir)
-    tasks = colocated_plan(left_dir, right_dir, how)
+    # the ENTIRE plan — specs, groupings, file lists, stats, schemas —
+    # resolves at these two versions, read once here: a commit landing
+    # mid-plan (compaction on the live CDC warehouse, a concurrent
+    # append) cannot mix snapshots
+    lv = tl.current_version(left_dir)
+    rv = tl.current_version(right_dir)
+    ls = bucket_spec(left_dir, version=lv)
+    tasks = colocated_plan(
+        left_dir, right_dir, how, left_version=lv, right_version=rv
+    )
     if left_range is not None:
         tasks, _, _ = prune_tasks_by_left_stats(
             tasks,
             left_dir,
             *left_range,
             keep_empty_left=(how == "full"),
+            version=lv,
         )
     if right_range is not None:
         tasks, _, _ = prune_tasks_by_right_stats(
@@ -945,6 +1056,7 @@ def colocated_bucket_join(
             right_dir,
             *right_range,
             keep_empty_right=(how in ("left", "left_anti", "full")),
+            version=rv,
         )
     if max_task_rows is not None:
         if how == "full":
@@ -953,10 +1065,10 @@ def colocated_bucket_join(
                 "right-unmatched rows would emit once per chunk"
             )
         tasks = _split_skewed_groups(tasks, max_task_rows)
-    rs = bucket_spec(right_dir)
+    rs = bucket_spec(right_dir, version=rv)
     lkey, rkey = ls["key"], rs["key"]
-    lschema = tl.snapshot_schema(left_dir)
-    rschema = tl.snapshot_schema(right_dir)
+    lschema = tl.snapshot_schema(left_dir, version=lv)
+    rschema = tl.snapshot_schema(right_dir, version=rv)
     if lschema is None or rschema is None:
         raise ValueError("both tables must carry committed schemas")
     overlap = ({f.name for f in lschema} & {f.name for f in rschema}) - (

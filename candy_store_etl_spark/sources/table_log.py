@@ -323,7 +323,15 @@ def checkpoint(table_dir: str, *, version: int | None = None) -> int:
     the commits AFTER the newest checkpoint at-or-before their target
     version: O(CHECKPOINT_INTERVAL) tail entries instead of
     O(versions) from zero. Commit jsons are never deleted, so
-    time travel below the checkpoint still works."""
+    time travel below the checkpoint still works.
+
+    The checkpoint also FOLDS the resolved layout metadata — bucket
+    spec, buckets-per-file grouping, applied CDC batch ids — so the
+    backward walks that resolve them stop at the newest checkpoint
+    instead of scanning to version zero: on a long-lived warehouse
+    (thousands of cdc-batch commits after the one spec-carrying
+    commit) every co-located plan and point lookup would otherwise
+    pay O(total versions) of metadata reads per query."""
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
@@ -333,6 +341,13 @@ def checkpoint(table_dir: str, *, version: int | None = None) -> int:
         "version": version,
         "live": sorted(live),
         "stats": {n: stats[n] for n in sorted(stats) if n in live},
+        "bucket_spec": committed_bucket_spec(table_dir, version=version),
+        "buckets_per_file": layout_buckets_per_file(
+            table_dir, version=version
+        ),
+        "applied_batches": sorted(
+            applied_batch_ids(table_dir, upto=version)
+        ),
     }
     if schema is not None:
         entry["schema"] = schema
@@ -687,6 +702,39 @@ def cdf_consumer_offsets(table_dir: str) -> dict[str, int]:
 
 
 _BUCKET_FILE_RE = re.compile(r"^b\d{5}-")
+_LAYOUT_BPF_RE = re.compile(r"cdc-compact-bpf(\d+)")
+_CDC_BATCH_RE = re.compile(r"cdc-batch-(\d+)")
+
+
+def _read_entry(table_dir: str, version: int) -> dict:
+    with open(_version_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _read_checkpoint_if_any(table_dir: str, version: int) -> dict | None:
+    """The checkpoint entry AT exactly ``version``, or None. Used by
+    the backward layout walks: a checkpoint's folded layout fields
+    answer for the entire prefix 0..version in one read."""
+    path = _checkpoint_path(table_dir, version)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
+def _pin_version(table_dir: str, version: int | None) -> int | None:
+    """``version`` if given, else the latest committed version —
+    validated either way. The one place a backward walk turns "None
+    means latest" into a concrete number."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return None
+    if version is None:
+        return latest
+    if version > latest:
+        raise ValueError(f"version {version} > latest committed {latest}")
+    return version
 
 
 def committed_bucket_spec(
@@ -705,10 +753,22 @@ def committed_bucket_spec(
     (``cdc-*``) add bucket-named files by construction and never
     reset. ``version`` pins resolution to the spec as of that
     snapshot (time-travel reads plan under the layout their files
-    were written with, not today's)."""
-    if current_version(table_dir) is None:
+    were written with, not today's).
+
+    Resolution walks the log BACKWARDS with direct per-version reads
+    and stops at the first decisive entry (spec, reset, or a
+    checkpoint carrying the folded spec) — O(distance to the newest
+    layout-relevant commit), not O(total versions): a bucketed write
+    answers in one read, a long-lived CDC warehouse in at most
+    CHECKPOINT_INTERVAL."""
+    pinned = _pin_version(table_dir, version)
+    if pinned is None:
         return None
-    for entry in reversed(log_entries(table_dir, upto=version)):
+    for v in range(pinned, -1, -1):
+        ckpt = _read_checkpoint_if_any(table_dir, v)
+        if ckpt is not None and "bucket_spec" in ckpt:
+            return ckpt["bucket_spec"]
+        entry = _read_entry(table_dir, v)
         m = entry.get("meta") or {}
         if "bucket" in m:
             return m["bucket"]
@@ -719,6 +779,52 @@ def committed_bucket_spec(
         ):
             return None
     return None
+
+
+def layout_buckets_per_file(
+    table_dir: str, *, version: int | None = None
+) -> int:
+    """The table's bucket->file grouping: the newest
+    ``cdc-compact-bpf{n}`` commit at-or-before ``version`` wins; 1
+    (one bucket per file) until a compaction coarsens it. Backward
+    walk with the same checkpoint stop as ``committed_bucket_spec``,
+    so resolving the grouping never replays the whole log."""
+    pinned = _pin_version(table_dir, version)
+    if pinned is None:
+        return 1
+    for v in range(pinned, -1, -1):
+        ckpt = _read_checkpoint_if_any(table_dir, v)
+        if ckpt is not None and "buckets_per_file" in ckpt:
+            return ckpt["buckets_per_file"]
+        m = _LAYOUT_BPF_RE.fullmatch(_read_entry(table_dir, v)["op"])
+        if m:
+            return int(m.group(1))
+    return 1
+
+
+def applied_batch_ids(
+    table_dir: str, *, upto: int | None = None
+) -> set[int]:
+    """Batch ids whose ``cdc-batch-N`` commits are in the log — the
+    CDC sink's idempotence ledger, for free. Checkpoint-accelerated:
+    the newest checkpoint's folded set answers for its prefix and only
+    the tail commits are read."""
+    pinned = _pin_version(table_dir, upto)
+    if pinned is None:
+        return set()
+    out: set[int] = set()
+    start = 0
+    for v in range(pinned, -1, -1):
+        ckpt = _read_checkpoint_if_any(table_dir, v)
+        if ckpt is not None and "applied_batches" in ckpt:
+            out = set(ckpt["applied_batches"])
+            start = v + 1
+            break
+    for v in range(start, pinned + 1):
+        m = _CDC_BATCH_RE.fullmatch(_read_entry(table_dir, v)["op"])
+        if m:
+            out.add(int(m.group(1)))
+    return out
 
 
 def maybe_compact(

@@ -62,7 +62,6 @@ from pyspark.sql import functions as F
 from ..sources import table_log as tl
 
 _GROUP_RE = re.compile(r"b(\d{5})-")
-_LAYOUT_RE = re.compile(r"cdc-compact-bpf(\d+)")
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -85,28 +84,15 @@ def layout_buckets_per_file(
     """The table's bucket->file grouping, resolved from the log (the
     newest ``cdc-compact-bpf{n}`` commit wins; 1 — one bucket per
     file — until a compaction coarsens it). ``version`` pins the
-    grouping as of that snapshot, for time-travel reads."""
-    if tl.current_version(table_dir) is None:
-        return 1
-    bpf = 1
-    for e in tl.log_entries(table_dir, upto=version):
-        m = _LAYOUT_RE.fullmatch(e["op"])
-        if m:
-            bpf = int(m.group(1))
-    return bpf
+    grouping as of that snapshot, for time-travel reads. Delegates to
+    the table log's checkpoint-bounded backward walk."""
+    return tl.layout_buckets_per_file(table_dir, version=version)
 
 
 def applied_batches(table_dir: str) -> set[int]:
     """Batch ids whose commits are in the log — the idempotence
-    ledger, for free."""
-    if tl.current_version(table_dir) is None:
-        return set()
-    out = set()
-    for e in tl.log_entries(table_dir):
-        m = re.fullmatch(r"cdc-batch-(\d+)", e["op"])
-        if m:
-            out.add(int(m.group(1)))
-    return out
+    ledger, for free (checkpoint-accelerated in the table log)."""
+    return tl.applied_batch_ids(table_dir)
 
 
 def _stage_groups_into_table(

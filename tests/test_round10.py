@@ -1,0 +1,141 @@
+"""Round-10 surface: the five round-8-ADVICE hardenings of the
+bucketed-layout planner — version-pinned plans, checkpoint-bounded
+layout resolution, key-type validation, empty-result serving lookups,
+and loud failure on untyped probe hashing."""
+
+from __future__ import annotations
+
+import pytest
+
+from candy_store_etl_spark.operators import colocated as co
+from candy_store_etl_spark.sources import table_log as tl
+
+
+def _facts(spark, n=200, offset=0):
+    return spark.createDataFrame(
+        [(i + offset, i * 3) for i in range(n)], "k long, a long"
+    )
+
+
+def _dims(spark, n=200):
+    return spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, n, 2)], "k long, d string"
+    )
+
+
+def test_key_type_mismatch_refused(spark, tmp_path):
+    """Same bucket count, different key TYPES: xxhash64 is
+    type-sensitive, so equal key values hash to different buckets and
+    the join would be silently incomplete — the planner must refuse,
+    not return partial results."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(_facts(spark), left, key_col="k", n_buckets=4)
+    dims_int = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 200, 2)], "k int, d string"
+    )
+    co.write_bucketed(dims_int, right, key_col="k", n_buckets=4)
+    with pytest.raises(ValueError, match="key types differ"):
+        co.colocated_plan(left, right)
+    with pytest.raises(ValueError, match="key types differ"):
+        co.colocated_bucket_join(spark, left, right)
+    with pytest.raises(ValueError, match="key types differ"):
+        co.colocated_multi_join(spark, [left, right])
+
+
+def test_keyset_lookup_all_miss_returns_empty(spark, tmp_path):
+    """Probing only keys that hash into empty buckets is a legitimate
+    all-miss for a serving lookup: an EMPTY result under the committed
+    schema, not an exception the caller must catch."""
+    d = str(tmp_path / "t")
+    # two populated keys out of 64 buckets: most buckets are empty
+    co.write_bucketed(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, a long"),
+        d,
+        key_col="k",
+        n_buckets=64,
+    )
+    populated = set(co.buckets_of_values(spark, d, [1, 2]))
+    # find probe keys landing in EMPTY buckets
+    probes = [
+        v
+        for v, b in zip(
+            range(100, 400), co.buckets_of_values(spark, d, list(range(100, 400)))
+        )
+        if b not in populated
+    ][:5]
+    assert probes, "fixture needs at least one empty-bucket probe"
+    got = co.keyset_lookup(spark, d, probes)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "a"]
+    miss = co.point_lookup(spark, d, probes)
+    assert miss.count() == 0
+    assert [f.name for f in miss.schema.fields] == ["k", "a", "probe_files"]
+
+
+def test_buckets_of_values_without_schema_raises(spark, tmp_path):
+    """A bucket spec with NO committed schema means the stored key
+    type is unknown; the old 'bigint' guess made a string-keyed probe
+    hash xxhash64(null) — a deterministic silent miss. Loud failure
+    instead."""
+    d = str(tmp_path / "t")
+    (tmp_path / "t").mkdir()
+    tl.commit(d, add=[], op="raw", meta={"bucket": {"key": "k", "n": 4}})
+    with pytest.raises(ValueError, match="no committed schema"):
+        co.buckets_of_values(spark, d, ["x"])
+
+
+def test_layout_resolution_is_checkpoint_bounded(spark, tmp_path, monkeypatch):
+    """After many spec-less commits (the CDC-warehouse shape: the one
+    spec-carrying commit followed by thousands of cdc-batch commits),
+    resolving the spec / grouping / batch ledger must stop at the
+    newest checkpoint — not replay the log from version zero on every
+    plan."""
+    d = str(tmp_path / "t")
+    co.write_bucketed(_facts(spark, 50), d, key_col="k", n_buckets=4)
+    # 12 spec-less bucket-named commits -> auto-checkpoint rides v10
+    for i in range(12):
+        tl.commit(d, add=[], op=f"cdc-batch-{i}")
+    ckpt = tl._read_checkpoint_if_any(d, 10)
+    assert ckpt is not None
+    assert ckpt["bucket_spec"] == {"key": "k", "n": 4}
+    assert ckpt["buckets_per_file"] == 1
+    assert ckpt["applied_batches"] == list(range(10))
+
+    reads = []
+    orig = tl._read_entry
+    monkeypatch.setattr(
+        tl, "_read_entry", lambda td, v: (reads.append(v), orig(td, v))[1]
+    )
+    assert tl.committed_bucket_spec(d) == {"key": "k", "n": 4}
+    assert tl.layout_buckets_per_file(d) == 1
+    assert tl.applied_batch_ids(d) == set(range(12))
+    # every walk stopped at the v10 checkpoint: only the tail (v11,
+    # v12) is ever read, never versions 0..9
+    assert reads and min(reads) >= 11
+
+
+def test_colocated_plan_version_pinned(spark, tmp_path):
+    """left_version pins the plan's spec, grouping, AND file list to
+    one snapshot: a plan at version 0 never sees files a later append
+    committed — the mid-plan-commit race the unpinned reads had."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(_facts(spark, 100), left, key_col="k", n_buckets=4)
+    co.write_bucketed(_dims(spark, 100), right, key_col="k", n_buckets=4)
+    v0_files = {f for _, lf, _ in co.colocated_plan(left, right) for f in lf}
+    co.write_bucketed(
+        _facts(spark, 100, offset=100),
+        left,
+        key_col="k",
+        n_buckets=4,
+        mode="append",
+    )
+    pinned = {
+        f
+        for _, lf, _ in co.colocated_plan(left, right, left_version=0)
+        for f in lf
+    }
+    assert pinned == v0_files
+    unpinned = {
+        f for _, lf, _ in co.colocated_plan(left, right) for f in lf
+    }
+    assert unpinned > v0_files
