@@ -1,0 +1,371 @@
+"""Round-10 queries: property-flag oracles for the engine-specific
+approximate tiers, the density-routed serving planner, and the
+co-located candy-pipeline capstone.
+
+The 7 rows-only catalog entries (xxhash64 MinHash/SimHash, float-
+trained IVF/PQ) cannot carry value oracles — DuckDB cannot reproduce
+the hashes or the training — and each already sits next to a
+driver-green ``_portable`` twin that CAN. What the twins do not check
+is the PRODUCTION tier itself. These queries close that gap with the
+HLL/approx_percentile pattern (``plans/round4.py::hll_sketch_users``):
+the output carries exact, portable truth values plus BOOLEAN property
+flags computed over the engine-specific result, and the oracle emits
+the same truth values with literal TRUE — so a broken production tier
+flips a flag and fails the hash match, while the engine-specific
+internals never need to be reproduced.
+
+Flag design rule: every flag is either deterministic by construction
+(the ANN rerank recomputation, SimHash's pigeonhole recall on exact
+duplicates) or holds with failure probability < 1e-7 per pair under
+the tier's own concentration bounds (MinHash recall at exact
+Jaccard >= 0.9 with 64 permutations: miss probability
+(1 - 0.9^4)^16 ~ 4e-8; precision floors sit 25+ sigma below the
+operating threshold) — safe against testdata regeneration, unlike a
+recall-percentage band would be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_TOKENS, tokens, word_shingles
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..operators.dedup import minhash_dedup_pairs, simhash_neardup_pairs
+from ..sources.tpch import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# ANN quality: the float-trained tiers' exact-rerank contract
+# ---------------------------------------------------------------------------
+
+_SQL_ANN_QUALITY = """
+SELECT CAST(10 AS BIGINT) AS k,
+       TRUE AS neighbors_valid,
+       TRUE AS scores_within_tol,
+       TRUE AS scores_bounded
+"""
+
+
+def _ann_quality(spark: SparkSession, sf_dir: str, tier) -> DataFrame:
+    """Shared checker: run an engine-specific ANN tier and verify the
+    properties that hold REGARDLESS of training: k results, valid
+    distinct non-query neighbors, and reported scores equal to an
+    independent exact-cosine recomputation (the tiers rerank their
+    candidate buffer exactly, so a drifted score means a broken rerank
+    — caught here, not trusted). Tolerance 1e-9 absolute: the tiers
+    rerank in numpy float64 while the recomputation is the JVM
+    aggregate fold, so last-ulp summation-order differences are
+    expected and anything larger is a bug."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    res = tier(emb.filter(F.col("vec_id") != 0), query)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("qe")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", to_double_array(F.col("embedding")).alias("ve"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("ve"), F.col("qe")).alias("exact_sim"),
+        )
+    )
+    joined = res.select("vec_id", "cosine_sim").join(exact, "vec_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            (F.count_distinct("vec_id") == F.count(F.lit(1)))
+            & F.bool_and(F.col("vec_id") != 0)
+            & F.bool_and(F.col("exact_sim").isNotNull())
+        ).alias("neighbors_valid"),
+        F.bool_and(
+            F.coalesce(
+                F.abs(F.col("cosine_sim") - F.col("exact_sim")) <= 1e-9,
+                F.lit(False),
+            )
+        ).alias("scores_within_tol"),
+        F.bool_and(F.abs(F.col("cosine_sim")) <= 1.0 + 1e-9).alias(
+            "scores_bounded"
+        ),
+    )
+
+
+@register(
+    "ann_topk_ivf_quality",
+    oracle=_SQL_ANN_QUALITY,
+    doc="Property-flag oracle for the float-trained IVF tier "
+    "(ann_topk_ivf is rows-only because the trained centroids are "
+    "data-dependent float aggregates): k=10 valid distinct neighbors "
+    "whose reported scores match an independent exact-cosine "
+    "recomputation within 1e-9 — the exact-rerank contract checked "
+    "end-to-end, deterministic by construction. Recall lives in the "
+    "oracled ann_recall_at_k over the portable-quantized index.",
+    tags=("vectors", "ann", "ivf", "property-oracle"),
+)
+def ann_topk_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf
+
+    return _ann_quality(
+        spark,
+        sf_dir,
+        lambda emb, q: cosine_topk_ivf(
+            emb, q, k=10, n_centroids=16, n_probe=4
+        ),
+    )
+
+
+@register(
+    "ann_topk_pq_quality",
+    oracle=_SQL_ANN_QUALITY,
+    doc="Property-flag oracle for the float-trained PQ tier "
+    "(ann_topk_pq is rows-only: data-dependent codebooks): the ADC "
+    "shortlist's exact rerank must report true cosines for k=10 valid "
+    "neighbors — same contract and tolerance as the IVF check.",
+    tags=("vectors", "ann", "pq", "property-oracle"),
+)
+def ann_topk_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_pq
+
+    return _ann_quality(
+        spark,
+        sf_dir,
+        lambda emb, q: cosine_topk_pq(emb, q, k=10, candidates=100),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash quality: exact-Jaccard truth + concentration-bound flags
+# ---------------------------------------------------------------------------
+
+# Portable 3-word shingles (the same rule as functions.text.
+# word_shingles: docs of <= 3 tokens contribute their whole text as
+# one shingle), deduplicated per document.
+_SQL_SHINGLES = f"""
+    tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) <= 3
+                         THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(
+                                generate_series(1, len(toks) - 2),
+                                i -> array_to_string(toks[i:i+2], ' '))
+                    END) AS s
+      FROM tok
+    )
+"""
+
+
+def _exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(id_a, id_b, i, u) for every document pair sharing at least one
+    3-word string shingle: exact intersection and union sizes over the
+    DISTINCT shingle sets — the portable ground truth both engines
+    compute identically (pairs sharing nothing have Jaccard 0 and
+    cannot appear in either flag's premise)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")))).alias("s"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n", "na")
+        .join(sz.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "id_a",
+            "id_b",
+            "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
+        )
+    )
+
+
+@register(
+    "minhash_neardup_quality",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE i * 10 >= 9 * (sa.n + sb.n - i))
+                AS BIGINT) AS high_sim_pairs,
+           TRUE AS recall_high_ok,
+           TRUE AS precision_floor_ok
+    FROM inter
+    JOIN sz sa ON inter.id_a = sa.doc_id
+    JOIN sz sb ON inter.id_b = sb.doc_id
+    """,
+    doc="Property-flag oracle for the PRODUCTION xxhash64 MinHash tier "
+    "(minhash_neardup_pairs is rows-only; its _portable twin oracles "
+    "the md5 pipeline, not this one). Truth: exact string-shingle "
+    "Jaccard, integer cross-multiplied (i*10 >= 9*u means J >= 0.9 "
+    "with no float boundary). Flags: every truth pair at J >= 0.9 is "
+    "found (64-perm miss probability (1-0.9^4)^16 ~ 4e-8 per pair) "
+    "and every found pair has exact J >= 0.15 (a pair at J < 0.15 "
+    "passing the est >= 0.4 filter needs Binom(64, 0.15) >= 26 — "
+    "~1e-9). The truth COUNT itself hash-matches, so the shingle "
+    "machinery is value-checked too.",
+    tags=("text", "dedup", "minhash", "property-oracle"),
+)
+def minhash_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    found = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.4
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    pairs = _exact_jaccard_pairs(docs)
+    high = pairs.filter(F.col("i") * 10 >= 9 * F.col("u"))
+    high_cnt = high.agg(
+        F.count(F.lit(1)).cast("long").alias("high_sim_pairs")
+    )
+    recall = (
+        high.join(
+            found.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(F.coalesce(F.bool_and(F.col("hit").isNotNull()), F.lit(True)))
+        .toDF("recall_high_ok")
+    )
+    precision = (
+        found.join(pairs, ["id_a", "id_b"], "left")
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    F.coalesce(
+                        F.col("i") * 20 >= 3 * F.col("u"), F.lit(False)
+                    )
+                ),
+                F.lit(True),
+            )
+        )
+        .toDF("precision_floor_ok")
+    )
+    return high_cnt.crossJoin(recall).crossJoin(precision)
+
+
+# ---------------------------------------------------------------------------
+# SimHash quality: pigeonhole recall + multiset-cosine precision floor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_neardup_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+    fp AS (
+      SELECT doc_id, md5(array_to_string(toks, ' ')) AS f
+      FROM tok WHERE len(toks) > 0
+    ),
+    g AS (SELECT f, COUNT(*) AS c FROM fp GROUP BY f)
+    SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT)
+             AS exact_dup_pairs,
+           TRUE AS all_exact_dups_found,
+           TRUE AS precision_cosine_floor_ok
+    FROM g
+    """,
+    doc="Property-flag oracle for the PRODUCTION xxhash64 SimHash tier "
+    "(simhash_neardup_pairs is rows-only; its _portable twin oracles "
+    "the md5 fingerprint). Truth: exact-duplicate pairs (identical "
+    "token sequence, md5-fingerprinted portably). Flags: every exact "
+    "dup is found — DETERMINISTIC, identical token multisets give "
+    "identical fingerprints and the 4x12-bit chunk banding finds all "
+    "Hamming<=3 pairs by pigeonhole — and every found pair has exact "
+    "token-multiset cosine >= 0.5, integer cross-multiplied "
+    "(4*dot^2 >= |a|^2*|b|^2; SimHash estimates exactly this angle, "
+    "and P(Hamming <= 3 of 48 | cos < 0.5) < 1e-8 per pair).",
+    tags=("text", "dedup", "simhash", "property-oracle"),
+)
+def simhash_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    found = simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    fp = toked.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.col("t"))).alias("f")
+    )
+    dup_cnt = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("exact_dup_pairs")
+        )
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), "f")
+    fb = fp.select(F.col("doc_id").alias("id_b"), "f")
+    dup_pairs = fa.join(fb, "f").filter(F.col("id_a") < F.col("id_b"))
+    recall = (
+        dup_pairs.join(
+            found.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(F.coalesce(F.bool_and(F.col("hit").isNotNull()), F.lit(True)))
+        .toDF("all_exact_dups_found")
+    )
+    # exact token-multiset cosine >= 0.5 via integer cross-multiply
+    tc = (
+        toked.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n2 = tc.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    tca = tc.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("c").alias("ca")
+    )
+    tcb = tc.select(
+        F.col("doc_id").alias("id_b"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        found.join(tca, "id_a")
+        .join(tcb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    precision = (
+        found.join(dots, ["id_a", "id_b"], "left")
+        .join(n2.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n2", "na2")
+        .join(n2.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("n2", "nb2")
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    F.coalesce(
+                        4 * F.col("dot") * F.col("dot")
+                        >= F.col("na2") * F.col("nb2"),
+                        F.lit(False),
+                    )
+                ),
+                F.lit(True),
+            )
+        )
+        .toDF("precision_cosine_floor_ok")
+    )
+    return dup_cnt.crossJoin(recall).crossJoin(precision)

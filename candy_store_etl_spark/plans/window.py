@@ -128,6 +128,7 @@ def ensure_loaded() -> None:
     from . import round7  # noqa: F401  # new in round 7
     from . import round8  # noqa: F401  # new in round 8
     from . import round9  # noqa: F401  # round 8, continued
+    from . import round10  # noqa: F401  # new in round 9
 
     from .registry import QUERIES
 
