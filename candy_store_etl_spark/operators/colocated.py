@@ -447,6 +447,7 @@ def keyset_lookup(
     values: list,
     *,
     version: int | None = None,
+    info: dict | None = None,
 ) -> DataFrame:
     """The SCALABLE form of ``point_lookup``: all probe keys in ONE
     task wave. ``point_lookup`` builds one plan branch per key (the
@@ -513,6 +514,15 @@ def keyset_lookup(
             coerced.append(r.v)
             touched.add(g)
     files = [p for g in sorted(touched) for p in by_group[g]]
+    if info is not None:
+        # pruning evidence for the caller (serve()'s regime queries
+        # oracle the route; tests pin the fractions)
+        info.update(
+            files_scanned=len(files),
+            files_total=sum(len(fs) for fs in by_group.values()),
+            groups_touched=len(touched),
+            groups_total=len(by_group),
+        )
     if not files:
         # every probe key hashed into an empty bucket: for a SERVING
         # lookup that is a legitimate all-miss, not a caller error —
@@ -591,6 +601,101 @@ def point_lookup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: measured crossover (scripts/ab_point_lookup.py): at 64 files the
+#: min/max-skipping pushdown SCAN beat the bucket lookup 0.7-0.9x
+#: (fixed per-probe driver overhead vs a columnar scan); at 512 files
+#: the lookup won 3-9x with a flat cost curve. File COUNT, not row
+#: count, is the lookup's variable, so the router switches on it.
+SERVE_SCAN_FILE_THRESHOLD = 96
+
+
+def _probe_filter(
+    spark: SparkSession, scan: DataFrame, key: str, dtype: str, values: list
+) -> DataFrame:
+    """Size-routed probe residual (keyset_lookup's rule, shared by the
+    scan routes): small sets as an ``isin`` literal predicate — exact
+    cast semantics, pushes to the parquet reader; large sets as a
+    broadcast semi-join against a cast probe relation, because a
+    K-literal predicate costs Catalyst O(K) analysis (measured ~3.3 s
+    at K=2000, more than the scan it plans)."""
+    if len(values) <= 64:
+        return scan.filter(F.col(key).isin(values))
+    probe_rel = spark.createDataFrame(
+        [(str(v),) for v in sorted(set(values))], "v string"
+    ).select(F.col("v").cast(dtype).alias("v"))
+    return scan.join(
+        F.broadcast(probe_rel), scan[key] == probe_rel["v"], "left_semi"
+    )
+
+
+def serve(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list,
+    *,
+    version: int | None = None,
+    key_col: str | None = None,
+    scan_file_threshold: int = SERVE_SCAN_FILE_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """ONE front door over the bucketed-layout serving surface: give
+    it a table and a key set, it picks the execution shape the A/B
+    measurements say wins there and returns ``(rows, info)`` where
+    ``info`` carries the decision (``route``) and the pruning evidence
+    (``files_scanned``/``files_total``). Routes:
+
+    - ``scan-unbucketed`` — no committed bucket spec (or the probe
+      column is not the bucket key, where the layout cannot prune):
+      one pushdown scan of the snapshot with the size-routed probe
+      residual. Requires ``key_col`` naming the probe column.
+    - ``scan-small-table`` — bucketed, but the snapshot holds at most
+      ``scan_file_threshold`` files: the measured regime where a
+      columnar pushdown scan beats per-probe planning (64-file A/B:
+      lookup 0.7-0.9x of the scan), so routing to the lookup here
+      would LOSE 10-40%. Same one-scan shape.
+    - ``keyset`` — bucketed and many files: ``keyset_lookup``'s
+      one-job probe hashing + bucket-group pruning, the shape that won
+      at EVERY probe density at 512 files (8.8x at 5 keys, 1.3x at
+      saturation, where it degrades to slightly better than the scan
+      instead of losing).
+
+    ``point_lookup`` stays the separate per-key CONTRACT api (its
+    ``probe_files`` column pins the one-file point read); as an
+    execution shape it is dominated by ``keyset_lookup``, so the
+    router never picks it. All resolution is pinned to one
+    ``version`` (default: current, read once here)."""
+    if version is None:
+        version = tl.current_version(table_dir)
+    spec = bucket_spec(table_dir, version=version)
+    schema = tl.snapshot_schema(table_dir, version=version)
+    files = tl.snapshot_files(table_dir, version=version)
+    if not files:
+        raise ValueError(f"{table_dir} snapshot has no data files")
+    if schema is None:
+        raise ValueError(
+            f"{table_dir} has no committed schema — the stored probe "
+            "type is unknown (same contract as keyset_lookup)"
+        )
+    if spec is not None and key_col is not None and key_col != spec["key"]:
+        spec = None  # probing off the bucket key: layout cannot prune
+    key = spec["key"] if spec is not None else key_col
+    if key is None:
+        raise ValueError("unbucketed table: pass key_col=")
+    dtype = schema[key].dataType.simpleString()
+    info: dict = {"files_total": len(files)}
+    if spec is None or len(files) <= scan_file_threshold:
+        info["route"] = (
+            "scan-unbucketed" if spec is None else "scan-small-table"
+        )
+        info["files_scanned"] = len(files)
+        scan = spark.read.schema(schema).parquet(*files)
+        return _probe_filter(spark, scan, key, dtype, keys), info
+    info["route"] = "keyset"
+    out = keyset_lookup(
+        spark, table_dir, keys, version=version, info=info
+    )
+    return out, info
 
 
 def bucketed_aggregate(

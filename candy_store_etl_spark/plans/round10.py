@@ -26,6 +26,9 @@ recall-percentage band would be.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -369,3 +372,237 @@ def simhash_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("precision_cosine_floor_ok")
     )
     return dup_cnt.crossJoin(recall).crossJoin(precision)
+
+
+# ---------------------------------------------------------------------------
+# serve(): the density-routed front door over the bucketed layout
+# ---------------------------------------------------------------------------
+#
+# point_lookup / keyset_lookup / the pushdown scan are three execution
+# shapes over one committed layout, and scripts/ab_point_lookup.py
+# measured where each wins (file count is the lookup's variable; the
+# keyset shape wins at every probe density once files are many). serve()
+# encodes those crossovers; the queries below pin one oracled row per
+# regime — the ROUTE itself is a hash-checked output column, so a
+# routing regression fails the driver gate, not just a benchmark.
+
+_WIDE_BUCKETS = 128  # > SERVE_SCAN_FILE_THRESHOLD files when populated
+
+
+def _ensure_serve_lines_table(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem bucketed by order key at a WIDE layout (128 buckets,
+    one file each) — enough files that the router's measured
+    crossover puts every probed lookup on the keyset path."""
+    from ..operators.colocated import write_bucketed
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    key = content_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet"), extra="serve128"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_serve_{key}")
+
+    def _intact(d: str) -> bool:
+        t = os.path.join(d, "lines")
+        if tl.current_version(t) != 0:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        write_bucketed(
+            li,
+            os.path.join(stage, "lines"),
+            key_col="okey",
+            n_buckets=_WIDE_BUCKETS,
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return os.path.join(root, "lines")
+
+
+def _serve_rollup(spark, table_dir, keys, **kw) -> DataFrame:
+    """Run serve() and roll the hits up with the route decision and
+    pruning evidence as literal columns — the shape all the regime
+    queries share."""
+    from ..operators.colocated import serve
+
+    hit, info = serve(spark, table_dir, list(keys), **kw)
+    return hit.agg(
+        F.lit(info["route"]).alias("route"),
+        F.lit(info["files_scanned"] < info["files_total"]).alias("pruned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.countDistinct("okey").alias("n_keys_found"),
+    )
+
+
+def _sql_serve_rollup(route: str, pruned: str, where: str) -> str:
+    return f"""
+    SELECT '{route}' AS route,
+           {pruned} AS pruned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys_found
+    FROM lineitem {where}
+    """
+
+
+_SERVE_SMALL_KEYS = (1, 33, 577)
+_SERVE_LARGE_KEYS = tuple(range(1, 1200, 8))  # 150 probes
+
+
+@register(
+    "serve_probe_small",
+    oracle=_sql_serve_rollup(
+        "keyset",
+        "TRUE",
+        "WHERE l_orderkey IN (1, 33, 577)",
+    ),
+    doc="serve() with a 3-key probe on the 128-file table: the router "
+    "must pick the KEYSET shape (the measured 8.8x-at-5-keys regime) "
+    "and prune — 3 keys touch at most 3 of 128 bucket groups, so "
+    "pruned=TRUE deterministically. The route and the pruning flag "
+    "are output columns, hash-checked against the oracle's literals.",
+    tags=("table_log", "bucketed", "serving", "router"),
+)
+def serve_probe_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _serve_rollup(
+        spark, _ensure_serve_lines_table(spark, sf_dir), _SERVE_SMALL_KEYS
+    )
+
+
+@register(
+    "serve_probe_large",
+    oracle=_sql_serve_rollup(
+        "keyset",
+        "TRUE",
+        f"WHERE l_orderkey IN ({', '.join(str(k) for k in _SERVE_LARGE_KEYS)})",
+    ),
+    doc="serve() with 150 probe keys: still the keyset route (it wins "
+    "at every density once files are many), exercising the LARGE-set "
+    "internals — string-transport probe relation (a 150-literal array "
+    "would cost Catalyst O(K) analysis) and the broadcast semi-join "
+    "residual. 150 fixed keys over 128 buckets leave some buckets "
+    "untouched (the touch pattern is a pure function of the key "
+    "values and the engine hash, not of the data), so pruned=TRUE.",
+    tags=("table_log", "bucketed", "serving", "router"),
+)
+def serve_probe_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _serve_rollup(
+        spark, _ensure_serve_lines_table(spark, sf_dir), _SERVE_LARGE_KEYS
+    )
+
+
+@register(
+    "serve_probe_saturated",
+    oracle=_sql_serve_rollup("keyset", "FALSE", ""),
+    doc="serve() probed with EVERY distinct order key in the table: "
+    "the keyset route saturates — all populated bucket groups are "
+    "touched, pruned=FALSE — and must DEGRADE to the full pruned scan "
+    "(the A/B's 1.3x-at-2000-probes point) instead of losing to it. "
+    "The rollup equals the whole-table aggregate, which is what the "
+    "oracle computes. The probe list is collected driver-side — it is "
+    "probe-key-sized by definition (the query's own input).",
+    tags=("table_log", "bucketed", "serving", "router"),
+)
+def serve_probe_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    ]
+    return _serve_rollup(
+        spark, _ensure_serve_lines_table(spark, sf_dir), sorted(keys)
+    )
+
+
+_SERVE_SCAN_KEYS = tuple(range(1, 3200, 64))  # 50 probes, isin path
+
+
+@register(
+    "serve_small_table_scan",
+    oracle=_sql_serve_rollup(
+        "scan-small-table",
+        "FALSE",
+        f"WHERE l_orderkey IN ({', '.join(str(k) for k in _SERVE_SCAN_KEYS)})",
+    ),
+    doc="serve() on the 64-file fixture (16 buckets x 4 slices): BELOW "
+    "the measured file-count crossover the bucket lookup LOSES to a "
+    "columnar pushdown scan (0.7-0.9x at 64 files in the A/B), so the "
+    "router must pick the scan — route='scan-small-table', no "
+    "pruning, the probe served as an isin pushdown predicate. The "
+    "regime boundary itself is the thing this row checks.",
+    tags=("table_log", "bucketed", "serving", "router"),
+)
+def serve_small_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round9 import _ensure_skewed_lines_tables
+
+    root = _ensure_skewed_lines_tables(spark, sf_dir)
+    return _serve_rollup(
+        spark, os.path.join(root, "lines"), _SERVE_SCAN_KEYS
+    )
+
+
+@register(
+    "serve_unbucketed_scan",
+    oracle="""
+    SELECT 'scan-unbucketed' AS route,
+           FALSE AS pruned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_keys_found
+    FROM documents WHERE doc_id % 7 = 0 AND doc_id < 500
+    """,
+    doc="serve() on a table with NO committed bucket spec (plain "
+    "table-log appends): the layout cannot prune, so the router's "
+    "only safe shape is the pushdown scan over the snapshot with the "
+    "probe as a residual (key_col= names the probe column). The probe "
+    "set is 72 keys, so this row also pins the large-set semi-join "
+    "residual on the scan path.",
+    tags=("table_log", "serving", "router"),
+)
+def serve_unbucketed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve
+    from ..sources import table_log as tl
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    key = content_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"), extra="serveplain"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_srvdoc_{key}")
+
+    def _intact(d: str) -> bool:
+        t = os.path.join(d, "docs")
+        if tl.current_version(t) != 0:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        tl.append(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "n_chars"
+            ),
+            os.path.join(stage, "docs"),
+        )
+
+    ensure_scratch(root, _build, _intact)
+    keys = [k for k in range(0, 500, 7)]
+    hit, info = serve(
+        spark, os.path.join(root, "docs"), keys, key_col="doc_id"
+    )
+    return hit.agg(
+        F.lit(info["route"]).alias("route"),
+        F.lit(info["files_scanned"] < info["files_total"]).alias("pruned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("chars"),
+        F.countDistinct("doc_id").alias("n_keys_found"),
+    )

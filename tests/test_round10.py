@@ -139,3 +139,55 @@ def test_colocated_plan_version_pinned(spark, tmp_path):
         f for _, lf, _ in co.colocated_plan(left, right) for f in lf
     }
     assert unpinned > v0_files
+
+
+def test_serve_routes_by_layout_and_file_count(spark, tmp_path):
+    """The front door picks the measured winner per regime: pushdown
+    scan for unbucketed tables and below the file-count crossover,
+    keyset above it — and every route returns the same rows."""
+    import candy_store_etl_spark.operators.colocated as co2
+
+    wide, small, plain = (
+        str(tmp_path / "wide"),
+        str(tmp_path / "small"),
+        str(tmp_path / "plain"),
+    )
+    df = _facts(spark, 500)
+    co2.write_bucketed(df, wide, key_col="k", n_buckets=128)
+    co2.write_bucketed(df, small, key_col="k", n_buckets=8)
+    tl.append(df, plain)
+    keys = [1, 7, 250, 499, 9999]
+    expect = sorted((r.k, r.a) for r in df.filter(df.k.isin(keys)).collect())
+    for d, kw, route, pruned in (
+        (wide, {}, "keyset", True),
+        (small, {}, "scan-small-table", False),
+        (plain, {"key_col": "k"}, "scan-unbucketed", False),
+    ):
+        hit, info = co2.serve(spark, d, keys, **kw)
+        assert info["route"] == route, (d, info)
+        assert (info["files_scanned"] < info["files_total"]) == pruned
+        assert sorted((r.k, r.a) for r in hit.collect()) == expect
+
+
+def test_serve_off_key_probe_falls_back_to_scan(spark, tmp_path):
+    """Probing a column that is NOT the bucket key: the layout cannot
+    prune, so the router must not pretend it can."""
+    d = str(tmp_path / "t")
+    co.write_bucketed(_facts(spark, 100), d, key_col="k", n_buckets=128)
+    hit, info = co.serve(spark, d, [3, 30], key_col="a")
+    assert info["route"] == "scan-unbucketed"
+    assert sorted(r.k for r in hit.collect()) == [1, 10]
+
+
+def test_serve_large_probe_uses_semi_join_and_matches(spark, tmp_path):
+    """Above the 64-key literal limit the probe rides the broadcast
+    semi-join residual on both the scan and keyset routes."""
+    d = str(tmp_path / "t")
+    df = _facts(spark, 400)
+    co.write_bucketed(df, d, key_col="k", n_buckets=128)
+    keys = list(range(0, 400, 3))  # 134 probes
+    hit, info = co.serve(spark, d, keys)
+    assert info["route"] == "keyset"
+    assert sorted(r.k for r in hit.collect()) == sorted(
+        set(keys) & set(range(400))
+    )
