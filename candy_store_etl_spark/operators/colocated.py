@@ -698,6 +698,28 @@ def serve(
     return out, info
 
 
+def _acero_out_type(fn: str, src):
+    """Acero result dtypes: counts are int64 whatever the input;
+    mean/stddev/variance promote to float64; sum/product promote to
+    the 64-bit family (int->int64, float32->double — probed, not
+    assumed: declaring the source type would make the safe cast raise
+    on the first overflowing group); min/max keep the source type."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    if fn in ("count", "count_distinct"):
+        return LongType()
+    if fn in ("mean", "stddev", "variance", "approximate_median"):
+        return DoubleType()
+    if fn in ("sum", "product"):
+        s = src.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            return LongType()
+        if s in ("float", "double"):
+            return DoubleType()
+        return src
+    return src
+
+
 def bucketed_aggregate(
     spark: SparkSession,
     table_dir: str,
@@ -729,33 +751,9 @@ def bucketed_aggregate(
         by_group[_group_of_name(p)].append(p)
 
     from pyspark.sql.pandas.types import to_arrow_schema
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import StructField, StructType
 
-    def _out_type(fn: str, src):
-        # Acero result dtypes: counts are int64 whatever the input;
-        # mean/stddev/variance promote to float64; sum/product
-        # promote to the 64-bit family (int->int64, float32->double —
-        # probed, not assumed: declaring the source type would make
-        # the safe cast raise on the first overflowing group);
-        # min/max keep the source type
-        if fn in ("count", "count_distinct"):
-            return LongType()
-        if fn in ("mean", "stddev", "variance", "approximate_median"):
-            return DoubleType()
-        if fn in ("sum", "product"):
-            s = src.simpleString()
-            if s in ("tinyint", "smallint", "int", "bigint"):
-                return LongType()
-            if s in ("float", "double"):
-                return DoubleType()
-            return src
-        return src
-
+    _out_type = _acero_out_type
     spark_types = {f.name: f for f in schema.fields}
     out_schema = StructType(
         [spark_types[key]]
@@ -1265,3 +1263,118 @@ def colocated_bucket_join(
     return meta.repartitionByRange(n, "grp", "sub").mapInArrow(
         merge, out_schema
     )
+
+
+def colocated_aggregate_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    aggs: list[tuple[str, str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """FUSED per-key rollup + dimension join in ONE task wave: the
+    left table is aggregated to completion inside each bucket task
+    (the bucket holds every row of each of its keys, so per-key
+    aggregates finalize locally — ``bucketed_aggregate``'s argument)
+    and the result hash-joins the right table's same bucket group in
+    the same task (``colocated_bucket_join``'s argument). The
+    orders-rollup-joins-headers shape of the candy pipeline
+    (``plans/candy_pipeline.py::build_orders_with_profit``, reference
+    `data_processor.py:310-326`) with ZERO exchange of line items,
+    rollups, or headers: composing the two existing operators would
+    still exchange the intermediate rollup (or re-write it as a third
+    bucketed table); fusing them moves nothing but the per-group
+    metadata row.
+
+    ``aggs`` is ``[(left_col, arrow_fn, out_name), ...]`` (Acero's agg
+    vocabulary, as in ``bucketed_aggregate``). ``how``: ``inner``
+    (right rows without left keys vanish — the pipeline's semantics)
+    or ``left`` (every aggregated left key survives, right columns
+    null-filled). Output columns: key, the aggregates, then the right
+    table's non-key columns. At 100 TB this is the fact-rollup-join
+    with one metadata-sized exchange in the whole plan."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r} not in ['inner', 'left']")
+    lv = tl.current_version(left_dir)
+    rv = tl.current_version(right_dir)
+    ls = bucket_spec(left_dir, version=lv)
+    rs = bucket_spec(right_dir, version=rv)
+    tasks = colocated_plan(
+        left_dir,
+        right_dir,
+        "inner" if how == "inner" else "left",
+        left_version=lv,
+        right_version=rv,
+    )
+    lkey, rkey = ls["key"], rs["key"]
+    lschema = tl.snapshot_schema(left_dir, version=lv)
+    rschema = tl.snapshot_schema(right_dir, version=rv)
+    if lschema is None or rschema is None:
+        raise ValueError("both tables must carry committed schemas")
+    from pyspark.sql.types import StructField, StructType
+
+    spark_types = {f.name: f for f in lschema.fields}
+    agg_fields = [
+        StructField(out, _acero_out_type(fn, spark_types[col].dataType), True)
+        for col, fn, out in aggs
+    ]
+    right_extra = [f for f in rschema.fields if f.name != rkey]
+    overlap = ({f.name for f in agg_fields} | {lkey}) & {
+        f.name for f in right_extra
+    }
+    if overlap:
+        raise ValueError(
+            f"output column name overlap {sorted(overlap)}: rename "
+            "before joining"
+        )
+    if how == "left":
+        right_extra = [
+            StructField(f.name, f.dataType, True) for f in right_extra
+        ]
+    out_schema = StructType([spark_types[lkey]] + agg_fields + right_extra)
+    out_cols = [f.name for f in out_schema.fields]
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(out_schema)
+    l_arrow = to_arrow_schema(lschema)
+    r_arrow = to_arrow_schema(rschema)
+    join_type = "inner" if how == "inner" else "left outer"
+
+    def merge(batches):
+        import pyarrow as pa
+
+        def _read(specs, schema) -> pa.Table:
+            if not specs:
+                return pa.Table.from_batches([], schema=schema)
+            return pa.concat_tables(
+                [_pad_table(_read_table_spec(s), schema) for s in specs]
+            )
+
+        rename = {f"{col}_{fn}": out for col, fn, out in aggs}
+        for batch in batches:
+            for row in batch.to_pylist():
+                left = _read(row["left_files"], l_arrow)
+                rolled = left.group_by(lkey).aggregate(
+                    [(col, fn) for col, fn, _ in aggs]
+                )
+                rolled = rolled.rename_columns(
+                    [rename.get(n, n) for n in rolled.column_names]
+                )
+                joined = rolled.join(
+                    _read(row["right_files"], r_arrow),
+                    keys=lkey,
+                    right_keys=rkey,
+                    join_type=join_type,
+                )
+                if joined.num_rows:
+                    yield from joined.select(out_cols).cast(
+                        target
+                    ).to_batches()
+
+    meta = spark.createDataFrame(
+        [(g, lf, rf) for g, lf, rf in tasks],
+        "grp int, left_files array<string>, right_files array<string>",
+    )
+    n = max(len(tasks), 1)
+    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)

@@ -606,3 +606,65 @@ def serve_unbucketed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars"),
         F.countDistinct("doc_id").alias("n_keys_found"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The fused rollup+join SPJ (the candy capstone's stage-2 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "colocated_rollup_join",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey AS okey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(r.cents) AS BIGINT) AS cents,
+           CAST(SUM(r.n_lines) AS BIGINT) AS n_lines
+    FROM r JOIN orders o ON o.o_orderkey = r.okey
+    GROUP BY status ORDER BY status
+    """,
+    doc="FUSED per-key rollup + dimension join in one task wave "
+    "(colocated_aggregate_join): lineitem bucketed by order key is "
+    "aggregated to completion inside each bucket task (the bucket "
+    "holds every row of each key) and the per-order rollup joins the "
+    "co-located order dim in the SAME task — zero exchange of line "
+    "items, rollups, or headers; composing bucketed_aggregate + "
+    "colocated_bucket_join would still exchange the intermediate. "
+    "This is the candy pipeline's orders-rollup-joins-headers stage "
+    "(reference data_processor.py:310-326) as a storage-partitioned "
+    "plan; run_pipeline_tablelog composes it over the real candy "
+    "fixture with table-log stage boundaries (golden-parity pinned "
+    "in tests/test_candy_colocated.py). The final per-status fold is "
+    "an ordinary exchange over rollup-sized rows.",
+    tags=("table_log", "bucketed", "colocated", "join", "agg"),
+)
+def colocated_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import colocated_aggregate_join
+    from .round9 import _ensure_skewed_lines_tables
+
+    root = _ensure_skewed_lines_tables(spark, sf_dir)
+    per_order = colocated_aggregate_join(
+        spark,
+        os.path.join(root, "lines"),
+        os.path.join(root, "order_dim"),
+        aggs=[
+            ("cents", "sum", "cents"),
+            ("okey", "count", "n_lines"),
+        ],
+    )
+    return (
+        per_order.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        .orderBy("status")
+    )

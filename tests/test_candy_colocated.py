@@ -1,0 +1,108 @@
+"""The table-log/SPJ candy pipeline must equal the single-session
+pipeline on the reference's own dataset, and its stage boundaries
+must behave like tables: versioned, time-travelable, bucketed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from candy_store_etl_spark.operators import colocated as co
+from candy_store_etl_spark.sources import table_log as tl
+
+REF_DATA = "/root/reference/data/dataset_5"
+
+
+@pytest.fixture(scope="module")
+def candy_paths():
+    if not os.path.isdir(REF_DATA):
+        pytest.skip("reference dataset not present")
+    return [
+        os.path.join(REF_DATA, f"transactions_202402{d:02d}.json")
+        for d in range(1, 11)
+    ]
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_tablelog_pipeline_matches_single_session(
+    spark, tmp_path, candy_paths
+):
+    from candy_store_etl_spark.plans.candy_colocated import (
+        run_pipeline_tablelog,
+    )
+    from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+    from candy_store_etl_spark.sources.candy import read_products
+
+    products = read_products(
+        spark, os.path.join(REF_DATA, "products.csv")
+    )
+    got = run_pipeline_tablelog(
+        spark, candy_paths, products, str(tmp_path / "tl")
+    )
+    want = run_pipeline(spark, candy_paths, products)
+    orders = {
+        "order_line_items": ("order_id", "product_id"),
+        "products_updated": ("product_id",),
+        "orders": ("order_id",),
+        "daily_summary": ("date",),
+        "sales_profit_forecast": ("date",),
+    }
+    for name, oc in orders.items():
+        g, w = got[name], want[name]
+        assert g.columns == w.columns, name
+        gr, wr = _rows(g, *oc), _rows(w, *oc)
+        assert len(gr) == len(wr), name
+        for grow, wrow in zip(gr, wr):
+            for gv, wv in zip(grow, wrow):
+                if isinstance(gv, float):
+                    # raw double aggregates may differ by summation
+                    # order between Acero and the JVM; money columns
+                    # are rounded upstream so this is last-ulp only
+                    assert abs(gv - wv) < 1e-6, (name, grow, wrow)
+                else:
+                    assert gv == wv, (name, grow, wrow)
+
+
+def test_stage_boundaries_are_versioned_bucketed_tables(
+    spark, tmp_path, candy_paths
+):
+    from candy_store_etl_spark.plans.candy_colocated import (
+        run_pipeline_tablelog,
+    )
+    from candy_store_etl_spark.sources.candy import read_products
+
+    products = read_products(
+        spark, os.path.join(REF_DATA, "products.csv")
+    )
+    work = str(tmp_path / "tl")
+    run_pipeline_tablelog(spark, candy_paths[:3], products, work)
+    li = os.path.join(work, "line_items_tl")
+    hdr = os.path.join(work, "headers_tl")
+    # both stage tables committed one bucketed version on order_id
+    assert co.bucket_spec(li) == {"key": "order_id", "n": 16}
+    assert co.bucket_spec(hdr) == {"key": "order_id", "n": 16}
+    assert tl.current_version(li) == 0
+    assert tl.current_version(os.path.join(work, "orders_tl")) == 0
+    # the staged line items serve a bucketed point read directly
+    any_order = tl.read_snapshot(spark, li).select("order_id").first()[0]
+    hit = co.point_lookup(spark, li, [any_order])
+    assert hit.filter(F.col("order_id") == any_order).count() >= 1
+    # time travel: a second run appends to the orders stage without
+    # clobbering version 0
+    from candy_store_etl_spark.plans.candy_pipeline import (
+        build_daily_summary,
+    )
+
+    v0 = tl.read_snapshot(
+        spark, os.path.join(work, "orders_tl"), version=0
+    ).count()
+    assert v0 > 0
+    assert build_daily_summary(
+        tl.read_snapshot(spark, os.path.join(work, "orders_tl"))
+    ).count() == 3

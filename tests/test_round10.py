@@ -191,3 +191,49 @@ def test_serve_large_probe_uses_semi_join_and_matches(spark, tmp_path):
     assert sorted(r.k for r in hit.collect()) == sorted(
         set(keys) & set(range(400))
     )
+
+
+def test_colocated_aggregate_join_matches_plain_plan(spark, tmp_path):
+    """The fused rollup+join equals groupBy().agg().join() for inner
+    and left, including left keys with no dim row (null-filled)."""
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    facts = spark.createDataFrame(
+        [(i % 50, i, float(i) / 4) for i in range(600)],
+        "k long, v long, x double",
+    )
+    dims = _dims(spark, 100)  # even keys only: odd keys unmatched
+    co.write_bucketed(facts, left, key_col="k", n_buckets=8)
+    co.write_bucketed(dims, right, key_col="k", n_buckets=8)
+    import pyspark.sql.functions as F
+
+    want_base = facts.groupBy("k").agg(
+        F.sum("v").alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    aggs = [("v", "sum", "sv"), ("k", "count", "n"), ("x", "sum", "sx")]
+    for how in ("inner", "left"):
+        got = co.colocated_aggregate_join(spark, left, right, aggs, how=how)
+        want = want_base.join(dims, "k", how)
+        gr = sorted(
+            (r.k, r.sv, r.n, round(r.sx, 6), r.d) for r in got.collect()
+        )
+        wr = sorted(
+            (r.k, r.sv, r.n, round(r.sx, 6), r.d) for r in want.collect()
+        )
+        assert gr == wr, how
+
+
+def test_colocated_aggregate_join_refuses_name_overlap(spark, tmp_path):
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(_facts(spark, 50), left, key_col="k", n_buckets=4)
+    co.write_bucketed(
+        spark.createDataFrame([(0, 5)], "k long, sv long"),
+        right,
+        key_col="k",
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        co.colocated_aggregate_join(
+            spark, left, right, [("a", "sum", "sv")]
+        )
