@@ -4,6 +4,7 @@ atomicity under a version race, and torn-state behavior."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -811,3 +812,111 @@ def test_change_feed_skips_cdc_relayout_commits(spark, table):
         for r in spark.table("tlog_cdf_relayout").collect()
     )
     assert rows == [("insert", 0, 1), ("insert", 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Multi-process commit storm: the O_EXCL contract under real races
+# ---------------------------------------------------------------------------
+
+_STORM_SCHEMA_A = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "a", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+_STORM_SCHEMA_B = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "a", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "b", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _storm_append(args):
+    """One writer process: stage a real (pyarrow) data file, then
+    commit it through the optimistic loop. Writers whose schema the
+    table has evolved PAST retry with the evolved schema — the
+    refresh-and-retry every real writer does. Returns
+    (version, evolution_retried, race_retries)."""
+    table, i, evolved = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candy_store_etl_spark.sources import table_log as tlog
+
+    name = f"v-storm-{i}.parquet"
+    pq.write_table(
+        pa.table({"k": [i], "a": [i * 2]}), os.path.join(table, name)
+    )
+    attempts = [0]
+
+    def mk_derive(schema):
+        def derive(base):
+            attempts[0] += 1
+            tlog._validate_evolution(
+                None
+                if base is None
+                else tlog._resolve_snapshot(table, base)[2],
+                schema,
+            )
+            return {"add": [name], "op": f"storm-{i}", "schema": schema}
+
+        return derive
+
+    schema = _STORM_SCHEMA_B if evolved else _STORM_SCHEMA_A
+    evo_retried = False
+    try:
+        v = tlog.commit_with_retry(
+            table, mk_derive(schema), max_attempts=200
+        )
+    except tlog.SchemaEvolutionError:
+        # an evolved-schema commit landed first; refresh and retry
+        evo_retried = True
+        v = tlog.commit_with_retry(
+            table, mk_derive(_STORM_SCHEMA_B), max_attempts=200
+        )
+    return v, evo_retried, attempts[0] - 1
+
+
+def test_multiprocess_commit_storm(tmp_path):
+    """24 OS processes race one table log: exactly 24 committed
+    versions, every staged file live exactly once (no lost appends,
+    no double-adds), and schema-evolution validation holds under
+    interleaving — once the evolved schema lands, no stale-schema
+    commit ever follows it (stale writers surface the error and
+    refresh instead of silently regressing the table schema)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    table = str(tmp_path / "storm")
+    os.makedirs(table)
+    n = 24
+    # 6 of 24 writers carry the evolved schema (adds nullable b)
+    args = [(table, i, i % 4 == 3) for i in range(n)]
+    with ProcessPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(_storm_append, args))
+
+    assert tl.current_version(table) == n - 1
+    versions = sorted(v for v, _, _ in results)
+    assert versions == list(range(n))  # every writer won exactly one
+    live = {os.path.basename(p) for p in tl.snapshot_files(table)}
+    assert live == {f"v-storm-{i}.parquet" for i in range(n)}
+    entries = tl.log_entries(table)
+    adds = [a for e in entries for a in e["add"]]
+    assert len(adds) == len(set(adds)) == n  # no double-adds
+    # schema monotonicity: after the first B commit, only B commits
+    n_fields = [len(json.loads(e["schema"])["fields"]) for e in entries]
+    first_b = n_fields.index(3)
+    assert all(f == 3 for f in n_fields[first_b:])
+    # contention really happened and the loop absorbed it
+    race_retries = sum(r for _, _, r in results)
+    assert race_retries > 0
+    # the final snapshot resolves under the evolved schema
+    schema = tl.snapshot_schema(table)
+    assert [f.name for f in schema.fields] == ["k", "a", "b"]
