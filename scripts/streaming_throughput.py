@@ -231,16 +231,25 @@ def _run_merge_upsert(spark, stage_dir: str) -> dict:
     return out
 
 
-def _run_merge_upsert_partitioned(spark, sf_dir: str) -> dict:
+def _run_merge_upsert_partitioned(
+    spark, sf_dir: str, *, saturating: bool = False
+) -> dict:
     """The round-6 verdict's directive #3: the CDC warehouse sink with
     rewrite volume proportional to TOUCHED KEYS, not table size
     (streaming/cdc.py — hash-bucketed files committed through the
-    table log; untouched buckets are never opened). The feed is
-    CDC-shaped: one seed batch carries ~98.9% of history, then 11
+    table log; untouched buckets are never opened). The default feed
+    is CDC-shaped: one seed batch carries ~98.9% of history, then 11
     trickle batches each update ~15 users (one user_id%%1000 slice) —
     the arrival pattern a warehouse absorbs in production. Reported
     rewrite fractions are means over the TRICKLE batches; the
-    full-rewrite sink's fraction is 1.0 per batch by construction."""
+    full-rewrite sink's fraction is 1.0 per batch by construction.
+
+    ``saturating=True`` replaces the trickle feed with 12 equal-ROW
+    batches each covering ~8% of the key space (user_id %% 12 slices):
+    the full-input-volume run that makes the sink's rows/s comparable
+    to the full-rewrite sink's (whose batches are the same size) —
+    the trickle run's 1k rows/s is trickle-shaped INPUT, not a sink
+    ceiling, and this row pins that."""
     from pyspark.sql import functions as F
 
     from candy_store_etl_spark.sources import table_log as tl
@@ -254,10 +263,17 @@ def _run_merge_upsert_partitioned(spark, sf_dir: str) -> dict:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id", "value"
     )
-    # stage slices as single ordered files: 00 = seed, 01..11 = trickles
-    slices = [ev.filter(F.col("user_id") % 1000 < 989)] + [
-        ev.filter(F.col("user_id") % 1000 == 989 + i) for i in range(11)
-    ]
+    if saturating:
+        # 12 equal-volume batches, each touching ~1/12 of the keys
+        slices = [
+            ev.filter(F.col("user_id") % 12 == i) for i in range(12)
+        ]
+    else:
+        # slices as single ordered files: 00 = seed, 01..11 = trickles
+        slices = [ev.filter(F.col("user_id") % 1000 < 989)] + [
+            ev.filter(F.col("user_id") % 1000 == 989 + i)
+            for i in range(11)
+        ]
     for i, s in enumerate(slices):
         tmp = os.path.join(workdir, f"slice{i}")
         s.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -314,9 +330,14 @@ def _run_merge_upsert_partitioned(spark, sf_dir: str) -> dict:
         for r in increments(spark.read.parquet(feed_dir)).collect()
     )
     assert got == want, "partitioned CDC merge diverged from batch truth"
-    # rewrite volume over the TRICKLE batches (seed excluded): the
-    # full-rewrite sink's fractions are 1.0/1.0 by construction
-    trickles = [m for m in metrics if m["touched_buckets"] < 512]
+    # rewrite volume over the steady batches: for the trickle feed
+    # that is every batch but the seed (full-rewrite fractions are
+    # 1.0/1.0 by construction); for the saturating feed every batch
+    # after the cold first one is a steady CDC batch
+    if saturating:
+        trickles = metrics[1:]
+    else:
+        trickles = [m for m in metrics if m["touched_buckets"] < 512]
     frac_files = sum(
         m["files_rewritten"] / m["files_total"] for m in trickles
     ) / max(len(trickles), 1)
@@ -345,6 +366,9 @@ def _run_merge_upsert_partitioned(spark, sf_dir: str) -> dict:
         "rewrite_frac_rows_mean": round(frac_rows, 4),
         "trickle_batches": len(trickles),
     }
+    if saturating:
+        shutil.rmtree(workdir, ignore_errors=True)
+        return out
     # layout compaction: coarsen 1-bucket files into 8-bucket groups
     # in one atomic commit, then replay one trickle through a fresh
     # (restarted) sink to measure the amplification trade — file
@@ -473,6 +497,11 @@ def main() -> None:
         "streaming_cdc_merge_partitioned": _run_merge_upsert_partitioned(
             spark, args.sf_dir
         ),
+        "streaming_cdc_merge_partitioned_saturated": (
+            _run_merge_upsert_partitioned(
+                spark, args.sf_dir, saturating=True
+            )
+        ),
         "streaming_stateful_allocation": _run(
             spark, alloc_stage,
             lambda s: streaming_inventory_allocation(s, stock0),
@@ -571,6 +600,29 @@ def main() -> None:
                 f"batch ({p['trickle_batches']} trickle batches, 1024 "
                 "buckets) — the full-rewrite sink rewrites 100% of "
                 "both every batch.\n"
+            )
+        s = results.get("streaming_cdc_merge_partitioned_saturated", {})
+        if s:
+            f.write(
+                "The SATURATED partitioned-CDC row feeds the same "
+                "sink 12 equal-volume batches each covering ~8% of "
+                "the key space (full input volume, not trickles), "
+                "making its rows/s directly comparable to the "
+                "full-rewrite sink's — and it LOSES there: "
+                f"{s['sustained_rows_per_sec']} rows/s while "
+                f"rewriting a mean {s['rewrite_frac_files_mean']:.1%} "
+                f"of files / {s['rewrite_frac_rows_mean']:.1%} of rows "
+                "per batch (~1,250 touched keys hash into ~70% of the "
+                "1024 one-bucket files, so each batch pays ~730 "
+                "per-bucket file rewrites where the full-rewrite sink "
+                "pays one bulk write). That is the honest crossover: "
+                "a batch touching K keys rewrites ~n/bpf * "
+                "(1 - exp(-K*bpf/n)) file groups, so the layout pays "
+                "only while K*bpf << n — trickle-shaped batches "
+                "(the 1.45%-of-files row above) — and at ~10% key "
+                "coverage even bpf=8 (128 groups) would saturate "
+                "every group; there, switch to the full-rewrite sink "
+                "or coarsen n_buckets toward the batch key coverage.\n"
             )
         c = p.get("compaction") if p else None
         if c:
