@@ -79,6 +79,12 @@ HEADLINE = [
     # and the size-routed keyset serving read
     "colocated_skew_split_join",
     "bucketed_keyset_lookup",
+    # round-10 additions: the fused rollup+join SPJ (per-key agg
+    # completes inside each bucket task and joins the dim locally)
+    # and the density-routed serving front door (keyset regime over
+    # the 128-file scratch table, built once content-keyed)
+    "colocated_rollup_join",
+    "serve_probe_small",
 ]
 
 

@@ -91,6 +91,20 @@ def write_bucketed(
                 f"table is bucketed as {spec}, append declares "
                 f"{declared} — layouts must match"
             )
+        if mode == "append" and spec is not None:
+            bpf = tl.layout_buckets_per_file(table_dir)
+            if bpf != 1:
+                # resident files are named by GROUP id (bucket//bpf);
+                # this writer emits per-BUCKET names, which the
+                # grouped readers would misread as group ids — a
+                # silent mis-route, refuse instead (the CDC sink
+                # resolves the grouping and is the append path for
+                # coarsened warehouses)
+                raise ValueError(
+                    f"{table_dir} layout is group-coarsened "
+                    f"(buckets_per_file={bpf}); append through the "
+                    "CDC sink, or overwrite to re-bucket"
+                )
         if (
             mode == "append"
             and spec is None
@@ -448,6 +462,7 @@ def keyset_lookup(
     *,
     version: int | None = None,
     info: dict | None = None,
+    _resolved: dict | None = None,
 ) -> DataFrame:
     """The SCALABLE form of ``point_lookup``: all probe keys in ONE
     task wave. ``point_lookup`` builds one plan branch per key (the
@@ -468,21 +483,33 @@ def keyset_lookup(
     Arrow-Python task wave at every probe density (measured in
     ``scripts/ab_point_lookup.py``: the Python form lost 3x to a
     plain scan once probes saturated the buckets; this form
-    degrades to exactly that scan instead)."""
-    if version is None:
-        version = tl.current_version(table_dir)
-    spec = bucket_spec(table_dir, version=version)
-    if spec is None:
-        raise ValueError(f"{table_dir} has no committed bucket spec")
+    degrades to exactly that scan instead).
+
+    ``_resolved`` (internal, passed by ``serve()``) carries the
+    already-pinned ``{"spec", "schema", "bpf", "by_group"}`` so the
+    front door's routing reads are not paid a second time here —
+    without it every keyset-routed serve() call walked the log twice
+    per metadata fact."""
+    if _resolved is not None:
+        spec = _resolved["spec"]
+        schema = _resolved["schema"]
+        bpf = _resolved["bpf"]
+        by_group = _resolved["by_group"]
+    else:
+        if version is None:
+            version = tl.current_version(table_dir)
+        spec = bucket_spec(table_dir, version=version)
+        if spec is None:
+            raise ValueError(f"{table_dir} has no committed bucket spec")
+        schema = tl.snapshot_schema(table_dir, version=version)
+        if schema is None:
+            raise ValueError("keyset_lookup needs a committed schema")
+        bpf = layout_buckets_per_file(table_dir, version=version)
+        by_group = defaultdict(list)
+        for p in tl.snapshot_files(table_dir, version=version):
+            by_group[_group_of_name(p)].append(p)
     key = spec["key"]
-    schema = tl.snapshot_schema(table_dir, version=version)
-    if schema is None:
-        raise ValueError("keyset_lookup needs a committed schema")
     dtype = schema[key].dataType.simpleString()
-    bpf = layout_buckets_per_file(table_dir, version=version)
-    by_group: dict[int, list[str]] = defaultdict(list)
-    for p in tl.snapshot_files(table_dir, version=version):
-        by_group[_group_of_name(p)].append(p)
     # probe relation, size-routed: a LITERAL array is exact cast
     # semantics but costs Catalyst O(K) analysis (measured ~3.3 s at
     # K=2000 — more than the scan it was planning); large sets
@@ -670,8 +697,6 @@ def serve(
     spec = bucket_spec(table_dir, version=version)
     schema = tl.snapshot_schema(table_dir, version=version)
     files = tl.snapshot_files(table_dir, version=version)
-    if not files:
-        raise ValueError(f"{table_dir} snapshot has no data files")
     if schema is None:
         raise ValueError(
             f"{table_dir} has no committed schema — the stored probe "
@@ -679,11 +704,19 @@ def serve(
         )
     if spec is not None and key_col is not None and key_col != spec["key"]:
         spec = None  # probing off the bucket key: layout cannot prune
+    info: dict = {"files_total": len(files)}
+    if not files:
+        # an empty snapshot is a legitimate all-miss for a serving
+        # read — same no-try/except contract as the lookups
+        info["route"] = (
+            "scan-unbucketed" if spec is None else "scan-small-table"
+        )
+        info["files_scanned"] = 0
+        return spark.createDataFrame([], schema), info
     key = spec["key"] if spec is not None else key_col
     if key is None:
         raise ValueError("unbucketed table: pass key_col=")
     dtype = schema[key].dataType.simpleString()
-    info: dict = {"files_total": len(files)}
     if spec is None or len(files) <= scan_file_threshold:
         info["route"] = (
             "scan-unbucketed" if spec is None else "scan-small-table"
@@ -692,8 +725,22 @@ def serve(
         scan = spark.read.schema(schema).parquet(*files)
         return _probe_filter(spark, scan, key, dtype, keys), info
     info["route"] = "keyset"
+    bpf = layout_buckets_per_file(table_dir, version=version)
+    by_group: dict[int, list[str]] = defaultdict(list)
+    for p in files:
+        by_group[_group_of_name(p)].append(p)
     out = keyset_lookup(
-        spark, table_dir, keys, version=version, info=info
+        spark,
+        table_dir,
+        keys,
+        version=version,
+        info=info,
+        _resolved={
+            "spec": spec,
+            "schema": schema,
+            "bpf": bpf,
+            "by_group": by_group,
+        },
     )
     return out, info
 
@@ -753,13 +800,12 @@ def bucketed_aggregate(
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructField, StructType
 
-    _out_type = _acero_out_type
     spark_types = {f.name: f for f in schema.fields}
     out_schema = StructType(
         [spark_types[key]]
         + [
             StructField(
-                out, _out_type(fn, spark_types[col].dataType), True
+                out, _acero_out_type(fn, spark_types[col].dataType), True
             )
             for col, fn, out in aggs
         ]

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_cache
 from ..operators.colocated import colocated_aggregate_join, write_bucketed
 from ..sources import table_log as tl
 from .candy_pipeline import (
@@ -65,7 +66,11 @@ def run_pipeline_tablelog(
     hdr_dir = os.path.join(workdir, "headers_tl")
     orders_dir = os.path.join(workdir, "orders_tl")
 
-    txns = load_daily_transactions(spark, transaction_paths)
+    # two write jobs consume txns (line items + headers): cached, the
+    # multiLine JSON parse happens once — same rule as run_pipeline
+    txns = load_daily_transactions(spark, transaction_paths).transform(
+        tracked_cache
+    )
     li = build_line_items(txns, products)
     write_bucketed(
         li.withColumn(
@@ -97,7 +102,11 @@ def run_pipeline_tablelog(
             ("profit_term", "sum", "order_profit"),
         ],
     )
-    tl.append(
+    # overwrite, not append: a re-run with the same workdir must
+    # REPLACE the orders relation (append would silently double every
+    # order in three outputs) — version 0 stays readable for time
+    # travel either way
+    tl.overwrite(
         rolled.select(
             "order_id",
             "order_datetime",

@@ -18,88 +18,78 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-8/9 window. Policy: (a) every query NEW or whose
-# plan/oracle/operator-closure CHANGED this round heads the window
-# (30: the nine round-8 queries — the co-located join pair + the
-# three-table star, the bucketed point lookup + local aggregate, the
-# multi-probe LSH tier, its recall sweep, and the margin-directed
-# probe comparison + its serving op; the eight table_log faces plus
-# the three versioned IVF queries, the incremental-refresh composite,
-# and the IVF probe sweep over the round-8
-# table_log.py/table_log_source.py hardening; ann_topk_lsh over the
-# similarity.py multi-probe refactor; then the SEVEN round-9 SPJ
-# queries — the streamed-CDC warehouse join, the native-writer join,
-# the left-outer coverage and anti-join decontamination forms, the
-# row-group skew split, zone-map pruning composed with the layout,
-# and the left-outer N-way star); (b) the remaining 20 slots
-# re-confirm by STRICT oldest-evidence order — ALL 13 queries whose
-# last driver row is round 3, then 7 of the round-4 cohort
-# (alphabetical). Round 10's backlog: the 10 freshly-evicted r4 rows
-# noted below, the remaining r4 rows, then the 46 r5 rows.
+# Round-9/10 window. Judge directives applied: (1) cap NEW seats at
+# 15 and give the other 35 slots to STRICT oldest-evidence
+# re-confirmation — the entire remaining round-4 cohort (30, computed
+# from the cross-round CORRECTNESS union) plus the first 5 of the
+# round-5 cohort (alphabetical), so after this round no query carries
+# driver evidence older than round 5; (2) the 7 rows-only tiers
+# (xxhash/float-trained: minhash/simhash pairs, clusters, probe,
+# IVF/PQ topk) are NO LONGER SEATED — each is now covered by a new
+# property-flag ORACLED query (plans/round10.py), so every window row
+# can hash-green and no slot prints err:no_oracle. Head seats: the 10
+# round-10 queries (4 property-flag quality oracles, 5 serve() regime
+# rows, the fused rollup-join) + 5 representatives of the
+# changed-closure colocated/table_log surface (version-pinned plans,
+# checkpoint-folded layout resolution, empty-result lookups).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) new or changed in round 8
-    "colocated_customer_join",  # NEW: storage-partitioned join
-    "colocated_join_coarse_layout",  # NEW: SPJ across mixed layouts
-    "bucketed_point_lookup",  # NEW: one-file point-read contract
-    "bucketed_local_aggregate",  # NEW: exchange-free per-key agg
-    "ann_topk_lsh_multiprobe",  # NEW: Hamming<=2 probe serving tier
-    "ann_recall_lsh_sweep",  # NEW: LSH recall/scan frontier
-    "ann_recall_lsh_directed",  # NEW: margin-directed probe order
-    "ann_topk_lsh_directed",  # NEW: the directed-probe serving op
-    "colocated_three_table_join",  # NEW: N-way SPJ, one task wave
-    "table_log_time_travel",  # table_log.py hardened underneath
-    "table_log_pruned_scan",  # committed-schema pruned reads
+    # (a) NEW this round (10)
+    "ann_topk_ivf_quality",  # NEW: exact-rerank property oracle
+    "ann_topk_pq_quality",  # NEW: PQ rerank property oracle
+    "minhash_neardup_quality",  # NEW: exact-Jaccard truth + flags
+    "simhash_neardup_quality",  # NEW: dup recall + cosine floor
+    "serve_probe_small",  # NEW: router regime — keyset, pruned
+    "serve_probe_large",  # NEW: router regime — semi-join residual
+    "serve_probe_saturated",  # NEW: router regime — degrade to scan
+    "serve_small_table_scan",  # NEW: router regime — file crossover
+    "serve_unbucketed_scan",  # NEW: router regime — no layout
+    "colocated_rollup_join",  # NEW: fused SPJ rollup+join
+    # (a') changed-closure representatives (5): colocated.py and
+    # table_log.py were version-pinned + checkpoint-folded this round
+    "colocated_customer_join",
+    "bucketed_point_lookup",
+    "bucketed_keyset_lookup",
+    "bucketed_local_aggregate",
     "table_log_checkpoint_native_read",
-    "table_log_writer_roundtrip",  # writer fsyncs + pinned appends
-    "table_log_change_feed",  # ranged reads + dataChange skip
-    "table_log_schema_evolution",  # append re-validates at commit base
-    "table_log_zorder_compact",
-    "table_log_string_pruned_scan",
-    "ann_ivf_index_versioned",  # served through the hardened log
-    "ann_ivf_index_incremental",
-    "ann_ivf_index_batch",
-    "incremental_corpus_refresh",  # appends through the hardened log
-    "ann_recall_probe_sweep",  # serves from the committed index
-    "ann_topk_lsh",  # query_probe_buckets refactored beneath
-    "cdc_warehouse_colocated_join",  # NEW: stream-then-SPJ end-to-end
-    "colocated_native_writer_join",  # NEW: bucketBy native writer
-    "colocated_left_join_coverage",  # NEW: outer SPJ, null-filled
-    "colocated_anti_join_decontaminate",  # NEW: anti SPJ blocklist
-    "colocated_skew_split_join",  # NEW: row-group skew relief
-    "colocated_pruned_range_join",  # NEW: zone-map pruning in the SPJ
-    "colocated_left_star_join",  # NEW: left-outer N-way star
-    "bucketed_keyset_lookup",  # NEW: one-wave keyset serving
-    "colocated_pruned_range_join_right",  # NEW: right-side zone maps
-    "cdf_materialized_view_maintenance",  # NEW: CDF -> CDC matview
-    # (b) re-confirmations, strict oldest-evidence first
-    # last seated round 3 (all 13)
-    "fuzzy_part_name_match",
-    "incremental_neardup_probe",
-    "nation_revenue_share",
-    "null_safe_user_join",
-    "priority_transition_matrix",
-    "shard_token_budget",
-    "stratified_sample_docs",
-    "streaming_static_enrich",
-    "suppliers_covering_brand",
-    "top_terms_per_lang",
-    "vocab_oov_rate",
-    "weekly_active_users",
-    "zorder_layout_key",
-    # last seated round 4 (14 of 40, alphabetical; the rest defer)
-    "ann_batch_topk",
-    "ann_range_search",
-    "ann_topk_pq",
-    "ann_topk_pq_portable",
-    # (hll_sketch_users and the incremental_neardup_probe_lsh +
-    # _portable pair evicted to the r9 backlog head when the three
-    # late round-8 queries were seated; embedding_quantize_int8,
-    # event_type_pivot_native, dataset_card_stats, doc_char_entropy,
-    # daily_value_regression, daily_value_anomalies_mad,
-    # brand_price_mode_median, bpe_top_pairs, ann_topk_arrow and
-    # ann_topk_ivf followed as the ten new round-9 SPJ/serving/IVM
-    # queries landed — backlog order: those thirteen, then the
-    # remaining r4 rows, then the 46 r5 rows)
+    # (b) re-confirmations, strict oldest-evidence first:
+    # the ENTIRE remaining round-4 cohort (30)
+    "ann_topk_arrow",
+    "bpe_top_pairs",
+    "brand_price_mode_median",
+    "daily_value_anomalies_mad",
+    "daily_value_regression",
+    "dataset_card_stats",
+    "doc_char_entropy",
+    "embedding_quantize_int8",
+    "event_type_pivot_native",
+    "hll_sketch_users",
+    "incremental_neardup_probe_lsh_portable",
+    "interpolate_daily_gaps",
+    "label_centroids",
+    "label_centroids_arrow",
+    "minhash_neardup_pairs_oph_portable",
+    "minhash_neardup_pairs_portable",
+    "multimodal_patch_grid",
+    "multimodal_segment_audio",
+    "neardup_clusters_minhash_portable",
+    "order_cube_grouping_id",
+    "orders_aging_buckets",
+    "part_name_levenshtein_match",
+    "pipe_syntax_daily_orders",
+    "price_window_distribution",
+    "products_merge_upsert",
+    "safe_arithmetic_ops",
+    "simhash_neardup_pairs_portable",
+    "streaming_dedup_events",
+    "token_budget_head_selection",
+    "user_event_bitmask",
+    # then the round-5 cohort, alphabetical (5 of 45; the remaining
+    # 40 r5 rows are the round-11 backlog head)
+    "ann_topk_blockwise",
+    "ann_topk_cosine",
+    "benchmark_decontamination",
+    "bloom_decontaminate_docs",
+    "brand_revenue",
     )
 
 
@@ -127,8 +117,8 @@ def ensure_loaded() -> None:
     from . import round6  # noqa: F401  # new in round 6
     from . import round7  # noqa: F401  # new in round 7
     from . import round8  # noqa: F401  # new in round 8
-    from . import round9  # noqa: F401  # round 8, continued
-    from . import round10  # noqa: F401  # new in round 9
+    from . import round9  # noqa: F401
+    from . import round10  # noqa: F401  # newest round's additions
 
     from .registry import QUERIES
 

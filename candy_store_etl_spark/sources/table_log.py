@@ -267,16 +267,29 @@ def commit(
     if schema is not None:
         entry["schema"] = schema
     path = _version_path(table_dir, version)
+    # write-then-HARDLINK publication: the version file must appear
+    # fully written or not at all — creating it with O_EXCL and then
+    # writing into it exposes a window where a concurrent reader
+    # (current_version glob -> _read_entry) sees an empty/partial
+    # json and crashes mid-parse (hit for real by the 24-process
+    # commit storm test). os.link keeps the exact same exclusive-
+    # create contract (EEXIST -> exactly one winner) while the linked
+    # content is already durable.
+    import uuid as _uuid
+
+    tmp = f"{path}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError as exc:
         raise ConcurrentCommitError(
             f"version {version} already committed in {table_dir}"
         ) from exc
-    with os.fdopen(fd, "w") as f:
-        json.dump(entry, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
+    finally:
+        os.unlink(tmp)
     # the file's fsync does not make its DIRECTORY ENTRY durable; a
     # crash after return must not lose a commit the caller saw succeed
     _fsync_dir(_log_dir(table_dir))
@@ -737,6 +750,52 @@ def _pin_version(table_dir: str, version: int | None) -> int | None:
     return version
 
 
+def _walk_layout(
+    table_dir: str, version: int | None, decide, ckpt_key: str, default
+):
+    """Shared backward layout walk: examine commit entries newest-
+    first, stopping at the first DECISIVE one (``decide(entry) ->
+    (decided, value)``); the newest checkpoint at-or-before the pinned
+    version answers for its whole prefix through its folded
+    ``ckpt_key`` field, so the walk reads at most CHECKPOINT_INTERVAL
+    entries plus ONE checkpoint — located via the
+    ``_last_checkpoint`` hint, not by probing every version for a
+    checkpoint file (a failed open per version is an O(versions)
+    syscall tax on tables with no checkpoint at all, the common
+    small-table case). Pre-fold checkpoints (written before the key
+    existed) fall back to walking their prefix's entries."""
+    pinned = _pin_version(table_dir, version)
+    if pinned is None:
+        return default
+    ckpt_v = _latest_checkpoint_at_or_before(table_dir, pinned)
+    floor = -1 if ckpt_v is None else ckpt_v
+    for v in range(pinned, floor, -1):
+        decided, value = decide(_read_entry(table_dir, v))
+        if decided:
+            return value
+    if ckpt_v is None:
+        return default
+    ckpt = _read_checkpoint_if_any(table_dir, ckpt_v) or {}
+    if ckpt_key in ckpt:
+        return ckpt[ckpt_key]
+    for v in range(ckpt_v, -1, -1):
+        decided, value = decide(_read_entry(table_dir, v))
+        if decided:
+            return value
+    return default
+
+
+def _spec_decision(entry: dict):
+    m = entry.get("meta") or {}
+    if "bucket" in m:
+        return True, m["bucket"]
+    if entry["op"] in ("overwrite", "compact"):
+        return True, None
+    if any(not _BUCKET_FILE_RE.match(n) for n in entry.get("add", ())):
+        return True, None
+    return False, None
+
+
 def committed_bucket_spec(
     table_dir: str, *, version: int | None = None
 ) -> dict | None:
@@ -755,30 +814,33 @@ def committed_bucket_spec(
     snapshot (time-travel reads plan under the layout their files
     were written with, not today's).
 
-    Resolution walks the log BACKWARDS with direct per-version reads
-    and stops at the first decisive entry (spec, reset, or a
-    checkpoint carrying the folded spec) — O(distance to the newest
-    layout-relevant commit), not O(total versions): a bucketed write
-    answers in one read, a long-lived CDC warehouse in at most
-    CHECKPOINT_INTERVAL."""
-    pinned = _pin_version(table_dir, version)
-    if pinned is None:
-        return None
-    for v in range(pinned, -1, -1):
-        ckpt = _read_checkpoint_if_any(table_dir, v)
-        if ckpt is not None and "bucket_spec" in ckpt:
-            return ckpt["bucket_spec"]
-        entry = _read_entry(table_dir, v)
-        m = entry.get("meta") or {}
-        if "bucket" in m:
-            return m["bucket"]
-        if entry["op"] in ("overwrite", "compact"):
-            return None
-        if any(
-            not _BUCKET_FILE_RE.match(n) for n in entry.get("add", ())
-        ):
-            return None
-    return None
+    Resolution is the checkpoint-bounded backward walk
+    (``_walk_layout``) — O(distance to the newest layout-relevant
+    commit), not O(total versions): a bucketed write answers in one
+    read, a long-lived CDC warehouse in at most CHECKPOINT_INTERVAL."""
+    return _walk_layout(
+        table_dir, version, _spec_decision, "bucket_spec", None
+    )
+
+
+def _bpf_decision(entry: dict):
+    m = _LAYOUT_BPF_RE.fullmatch(entry["op"])
+    if m:
+        return True, int(m.group(1))
+    if entry["op"] in ("overwrite", "compact", "bucketed-write"):
+        # the commit REPLACED every resident file: a spec-carrying
+        # overwrite lays the table out one file per bucket (grouping
+        # 1), a plain overwrite/compact leaves it unbucketed (grouping
+        # moot — 1). Without this stop, a pre-overwrite
+        # cdc-compact-bpf{n} would keep describing files it no longer
+        # matches and every lookup would probe group = bucket//n
+        # against per-bucket names — a silent serving miss.
+        return True, 1
+    if "bucket" not in (entry.get("meta") or {}) and any(
+        not _BUCKET_FILE_RE.match(n) for n in entry.get("add", ())
+    ):
+        return True, 1  # table went unbucketed: grouping moot
+    return False, None
 
 
 def layout_buckets_per_file(
@@ -786,20 +848,15 @@ def layout_buckets_per_file(
 ) -> int:
     """The table's bucket->file grouping: the newest
     ``cdc-compact-bpf{n}`` commit at-or-before ``version`` wins; 1
-    (one bucket per file) until a compaction coarsens it. Backward
-    walk with the same checkpoint stop as ``committed_bucket_spec``,
-    so resolving the grouping never replays the whole log."""
-    pinned = _pin_version(table_dir, version)
-    if pinned is None:
-        return 1
-    for v in range(pinned, -1, -1):
-        ckpt = _read_checkpoint_if_any(table_dir, v)
-        if ckpt is not None and "buckets_per_file" in ckpt:
-            return ckpt["buckets_per_file"]
-        m = _LAYOUT_BPF_RE.fullmatch(_read_entry(table_dir, v)["op"])
-        if m:
-            return int(m.group(1))
-    return 1
+    (one bucket per file) until a compaction coarsens it, and any
+    commit that REPLACES the file layout (overwrite / compact /
+    bucketed-write) RESETS the grouping — the same reset discipline as
+    ``committed_bucket_spec``, for the same reason: a grouping
+    describing replaced files mis-routes every probe. Same
+    checkpoint-bounded backward walk."""
+    return _walk_layout(
+        table_dir, version, _bpf_decision, "buckets_per_file", 1
+    )
 
 
 def applied_batch_ids(
@@ -808,18 +865,20 @@ def applied_batch_ids(
     """Batch ids whose ``cdc-batch-N`` commits are in the log — the
     CDC sink's idempotence ledger, for free. Checkpoint-accelerated:
     the newest checkpoint's folded set answers for its prefix and only
-    the tail commits are read."""
+    the tail commits are read (checkpoint located via the
+    ``_last_checkpoint`` hint; pre-fold checkpoints fall back to a
+    full walk)."""
     pinned = _pin_version(table_dir, upto)
     if pinned is None:
         return set()
     out: set[int] = set()
     start = 0
-    for v in range(pinned, -1, -1):
-        ckpt = _read_checkpoint_if_any(table_dir, v)
-        if ckpt is not None and "applied_batches" in ckpt:
+    ckpt_v = _latest_checkpoint_at_or_before(table_dir, pinned)
+    if ckpt_v is not None:
+        ckpt = _read_checkpoint_if_any(table_dir, ckpt_v) or {}
+        if "applied_batches" in ckpt:
             out = set(ckpt["applied_batches"])
-            start = v + 1
-            break
+            start = ckpt_v + 1
     for v in range(start, pinned + 1):
         m = _CDC_BATCH_RE.fullmatch(_read_entry(table_dir, v)["op"])
         if m:

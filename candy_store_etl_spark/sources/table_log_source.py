@@ -444,6 +444,14 @@ class TableLogWriter(DataSourceArrowWriter):
                 f"table is bucketed as {spec}, append declares "
                 f"{self._bucket_meta()['bucket']} — layouts must match"
             )
+        if spec is not None and tl.layout_buckets_per_file(self.table_dir) != 1:
+            # resident files are named by GROUP id; this writer emits
+            # per-BUCKET names — the grouped readers would misread
+            # them as group ids (same guard as write_bucketed)
+            raise ValueError(
+                f"{self.table_dir} layout is group-coarsened; append "
+                "through the CDC sink, or overwrite to re-bucket"
+            )
         if (
             spec is None
             and tl.current_version(self.table_dir) is not None

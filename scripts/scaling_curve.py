@@ -149,7 +149,10 @@ def main() -> None:
         raise SystemExit(f"run scripts/gen_scale_data.py first ({args.sf1} missing)")
     have_sf10 = os.path.isdir(args.sf10)
     if args.only is not None:
-        known = set(QUERIES) | {"candy_pipeline_5_outputs"}
+        known = set(QUERIES) | {
+            "candy_pipeline_5_outputs",
+            "candy_pipeline_tablelog_outputs",
+        }
         unknown = sorted(set(args.only) - known)
         if unknown:
             raise SystemExit(
@@ -224,9 +227,9 @@ def main() -> None:
               f"{_verdict(r1)}{ten}")
 
     # the reference's own workload, scaled: 10 → 100 → 1000 days
-    run_candy = args.only is None or "candy_pipeline_5_outputs" in args.only
-    if run_candy and os.path.isdir(CANDY_BASE) and os.path.isdir(CANDY_SF1):
-        from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+    def _candy_row(name: str, run_fn) -> None:
+        """Days-scaled (10 -> 100 -> 1000 distinct days) best-of-N for
+        one candy-pipeline form; rows land in the shared table."""
         from candy_store_etl_spark.sources.candy import read_products
 
         def candy_best(data_dir: str, trials: int) -> float:
@@ -243,7 +246,7 @@ def main() -> None:
                 release_caches()
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                for df in run_pipeline(spark, paths, products).values():
+                for df in run_fn(spark, paths, products).values():
                     df.write.format("noop").mode("overwrite").save()
                 if i > 0:
                     best = min(best, time.perf_counter() - t0)
@@ -256,10 +259,46 @@ def main() -> None:
         if os.path.isdir(CANDY_SF10):
             t10 = candy_best(CANDY_SF10, args.trials)
             r10 = t10 / t1 if t1 > 0 else float("inf")
-        rows.append(("candy_pipeline_5_outputs", tb, t1, r1, t10, r10))
+        rows.append((name, tb, t1, r1, t10, r10))
         ten = f" sf10={t10:.2f}s x{r10:.1f} {_verdict(r10)}" if t10 else ""
-        print(f"candy_pipeline_5_outputs: base={tb:.2f}s sf1={t1:.2f}s "
+        print(f"{name}: base={tb:.2f}s sf1={t1:.2f}s "
               f"x{r1:.1f} {_verdict(r1)}{ten}")
+
+    have_candy = os.path.isdir(CANDY_BASE) and os.path.isdir(CANDY_SF1)
+    if have_candy and (
+        args.only is None or "candy_pipeline_5_outputs" in args.only
+    ):
+        from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+
+        _candy_row("candy_pipeline_5_outputs", run_pipeline)
+    if have_candy and (
+        args.only is None or "candy_pipeline_tablelog_outputs" in args.only
+    ):
+        # the table-log/SPJ staged form: bucketed stage tables + the
+        # fused rollup-join; each timed run writes fresh stage tables
+        # (that write IS part of the staged pipeline's cost)
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from candy_store_etl_spark.plans.candy_colocated import (
+            run_pipeline_tablelog,
+        )
+
+        _tl_dirs: list = []
+
+        def _run_tl(spark_, paths, products):
+            # the returned DataFrames read FROM the stage tables, so a
+            # run's workdir must outlive the caller's materializing
+            # noop writes — clean the previous run's dir instead
+            while _tl_dirs:
+                _shutil.rmtree(_tl_dirs.pop(), ignore_errors=True)
+            work = _tempfile.mkdtemp(prefix="curve_candy_tl_")
+            _tl_dirs.append(work)
+            return run_pipeline_tablelog(spark_, paths, products, work)
+
+        _candy_row("candy_pipeline_tablelog_outputs", _run_tl)
+        while _tl_dirs:
+            _shutil.rmtree(_tl_dirs.pop(), ignore_errors=True)
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     # preserve the streaming-throughput section across curve re-runs
@@ -395,7 +434,14 @@ def main() -> None:
             "days, scripts/gen_candy_scale.py: shifted timestamps, "
             "offset transaction ids, same product catalog) — its "
             "'sf0.1' column is the reference's base 10-day dataset. "
-            "Streaming throughput is measured separately by "
+            "`candy_pipeline_tablelog_outputs` is the same workload "
+            "through table-log stage boundaries (bucketed stage "
+            "tables + the fused co-located rollup-join, "
+            "plans/candy_colocated.py) — its time INCLUDES writing "
+            "the versioned stage tables each run, and its second "
+            "decade stays sub-linear because the rollup+headers join "
+            "moves no fact data across an exchange. Streaming "
+            "throughput is measured separately by "
             "scripts/streaming_throughput.py, which appends its "
             "section below.\n"
         )

