@@ -59,6 +59,11 @@ HEADLINE = [
     "colocated_anti_join_decontaminate",
     "colocated_pruned_range_join",
     "colocated_left_star_join",
+    # round-10: the fused rollup+join (the plan to review is ONE task
+    # wave doing agg+join with only the metadata routing exchange) and
+    # the serve() keyset regime (bucket-pruned JVM scan + isin)
+    "colocated_rollup_join",
+    "serve_probe_small",
 ]
 
 
