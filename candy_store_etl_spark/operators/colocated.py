@@ -84,27 +84,22 @@ def write_bucketed(
     declared = {"key": key_col, "n": int(n_buckets)}
     new_schema = df.schema.json()
 
-    def _check_spec() -> None:
+    def _check_spec() -> int:
+        """Validate the layout and return the bucket->file GROUPING
+        to write under. Appends are GROUP-AWARE: on a compaction-
+        coarsened table (buckets_per_file > 1) the new files must be
+        named by GROUP id exactly like the resident ones — the CDC
+        sink's rule — or the grouped readers would misread per-bucket
+        names as group ids. Maintenance therefore never turns an
+        append away; the commit-time re-check refuses only if the
+        grouping CHANGED between staging and commit (the staged names
+        would then describe the wrong layout)."""
         spec = tl.committed_bucket_spec(table_dir)
         if spec is not None and spec != declared:
             raise ValueError(
                 f"table is bucketed as {spec}, append declares "
                 f"{declared} — layouts must match"
             )
-        if mode == "append" and spec is not None:
-            bpf = tl.layout_buckets_per_file(table_dir)
-            if bpf != 1:
-                # resident files are named by GROUP id (bucket//bpf);
-                # this writer emits per-BUCKET names, which the
-                # grouped readers would misread as group ids — a
-                # silent mis-route, refuse instead (the CDC sink
-                # resolves the grouping and is the append path for
-                # coarsened warehouses)
-                raise ValueError(
-                    f"{table_dir} layout is group-coarsened "
-                    f"(buckets_per_file={bpf}); append through the "
-                    "CDC sink, or overwrite to re-bucket"
-                )
         if (
             mode == "append"
             and spec is None
@@ -120,17 +115,27 @@ def write_bucketed(
                 f"{table_dir} holds unbucketed data — overwrite "
                 "bucketed instead of appending a bucket layout"
             )
+        if mode == "append" and spec is not None:
+            return tl.layout_buckets_per_file(table_dir)
+        return 1
 
+    write_bpf = 1
     if mode == "append" and latest is not None:
         # fail fast BEFORE the data write; the commit re-checks both
         # at the version it actually lands on (library-append
         # discipline: a concurrent commit may have evolved the schema
         # or reset the layout in between)
-        _check_spec()
+        write_bpf = _check_spec()
         tl._validate_evolution(
             tl._resolve_snapshot(table_dir, latest)[2], new_schema
         )
-    grouped = df.withColumn("grp", bucket_expr(key_col, n_buckets))
+    bucket = bucket_expr(key_col, n_buckets)
+    grouped = df.withColumn(
+        "grp",
+        bucket
+        if write_bpf == 1
+        else (bucket / F.lit(write_bpf)).cast("int"),
+    )
     # the tag must be unique PER WRITER, not per version hint: two
     # concurrent appends both starting from version N would otherwise
     # stage identical final names and silently clobber each other's
@@ -165,7 +170,11 @@ def write_bucketed(
         )
 
     def derive(base: int | None) -> dict:
-        _check_spec()
+        if _check_spec() != write_bpf:
+            raise ValueError(
+                f"{table_dir} file grouping changed between staging "
+                "and commit (concurrent compaction) — retry the append"
+            )
         tl._validate_evolution(
             None
             if base is None
@@ -1424,3 +1433,94 @@ def colocated_aggregate_join(
     )
     n = max(len(tasks), 1)
     return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
+
+
+#: router vocabulary -> (Acero fn, Spark fn) for serve_aggregate: only
+#: names whose semantics MATCH across the two routes are admitted
+#: (count/count_distinct are non-null counts on both; mean promotes to
+#: float64 on both; stddev/variance are excluded — ddof conventions
+#: differ and a route change must never change the answer).
+_SERVE_AGGS = {
+    "sum": "sum",
+    "count": "count",
+    "min": "min",
+    "max": "max",
+    "mean": "avg",
+    "count_distinct": "count_distinct",
+}
+
+
+def serve_aggregate(
+    spark: SparkSession,
+    table_dir: str,
+    group_col: str,
+    aggs: list[tuple[str, str, str]],
+    *,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """The AGGREGATE face of the serving front door: grouped
+    aggregation over a table-log table, routed by whether the layout
+    can carry it exchange-free. Grouping BY the committed bucket key
+    routes to ``bucketed_aggregate`` (every key's rows live in one
+    bucket group, so per-key aggregates finalize inside their task —
+    route ``bucketed-local``, zero exchange of fact rows); grouping by
+    any other column — or an unbucketed table — routes to an ordinary
+    partial/final shuffle aggregate over the snapshot scan (route
+    ``shuffle-agg``, the only correct shape when rows of a group span
+    files). ``aggs`` is ``[(col, fn, out)]`` with ``fn`` from the
+    route-invariant vocabulary (sum/count/min/max/mean/
+    count_distinct): a route change can never change the answer, and
+    the regime queries hash-check the route itself."""
+    bad = [fn for _, fn, _ in aggs if fn not in _SERVE_AGGS]
+    if bad:
+        raise ValueError(
+            f"unsupported agg fns {sorted(set(bad))} — route-invariant "
+            f"vocabulary is {sorted(_SERVE_AGGS)}"
+        )
+    if version is None:
+        version = tl.current_version(table_dir)
+    spec = bucket_spec(table_dir, version=version)
+    schema = tl.snapshot_schema(table_dir, version=version)
+    if schema is None:
+        raise ValueError(f"{table_dir} needs a committed schema")
+    info: dict = {}
+    if spec is not None and spec["key"] == group_col:
+        info["route"] = "bucketed-local"
+        return (
+            bucketed_aggregate(spark, table_dir, aggs, version=version),
+            info,
+        )
+    info["route"] = "shuffle-agg"
+    files = tl.snapshot_files(table_dir, version=version)
+    if not files:
+        from pyspark.sql.types import StructField, StructType
+
+        spark_types = {f.name: f for f in schema.fields}
+        empty = StructType(
+            [spark_types[group_col]]
+            + [
+                StructField(
+                    out,
+                    _acero_out_type(fn, spark_types[col].dataType),
+                    True,
+                )
+                for col, fn, out in aggs
+            ]
+        )
+        return spark.createDataFrame([], empty), info
+    scan = spark.read.schema(schema).parquet(*files)
+    exprs = []
+    for col, fn, out in aggs:
+        sfn = _SERVE_AGGS[fn]
+        e = (
+            F.count_distinct(col)
+            if sfn == "count_distinct"
+            else getattr(F, sfn)(col)
+        )
+        # match bucketed_aggregate's (Acero's) result dtypes so the
+        # route is invisible in the output schema too
+        target = _acero_out_type(
+            fn, scan.schema[col].dataType
+        ).simpleString()
+        exprs.append(e.cast(target).alias(out))
+    return scan.groupBy(group_col).agg(*exprs), info

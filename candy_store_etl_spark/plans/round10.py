@@ -668,3 +668,108 @@ def colocated_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# serve_aggregate(): the AGGREGATE face of the serving front door
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serve_aggregate_bucketed",
+    oracle="""
+    SELECT 'bucketed-local' AS route,
+           l_orderkey AS okey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY okey
+    ORDER BY cents DESC, okey LIMIT 10
+    """,
+    doc="serve_aggregate grouping BY the committed bucket key: the "
+    "router must pick the exchange-free bucketed-local shape (every "
+    "key's rows live in one bucket group, so per-key aggregates "
+    "finalize inside their task — no partial/final split, no shuffle "
+    "of fact rows). The route is a hash-checked output column; the "
+    "agg vocabulary is route-invariant by construction, so the values "
+    "equal the plain SQL rollup.",
+    tags=("table_log", "bucketed", "serving", "router", "agg"),
+)
+def serve_aggregate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve_aggregate
+
+    d = _ensure_serve_lines_table(spark, sf_dir)
+    got, info = serve_aggregate(
+        spark,
+        d,
+        "okey",
+        [("cents", "sum", "cents"), ("okey", "count", "n_lines")],
+    )
+    return (
+        got.select(
+            F.lit(info["route"]).alias("route"), "okey", "cents", "n_lines"
+        )
+        .orderBy(F.col("cents").desc(), "okey")
+        .limit(10)
+    )
+
+
+@register(
+    "serve_aggregate_shuffle",
+    oracle="""
+    SELECT 'shuffle-agg' AS route,
+           (l_orderkey % 10) AS okey_band,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY okey_band ORDER BY okey_band
+    """,
+    doc="serve_aggregate grouping OFF the bucket key (a derived band "
+    "column): rows of a group span bucket files, so the only correct "
+    "shape is the ordinary partial/final shuffle aggregate over the "
+    "snapshot scan — the router must say so (route='shuffle-agg') "
+    "rather than pretend the layout helps. Same route-invariant "
+    "values as the plain SQL rollup.",
+    tags=("table_log", "serving", "router", "agg"),
+)
+def serve_aggregate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve_aggregate
+    from ..sources import table_log as tl
+
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    # grouping by a non-key column needs it STORED: a banded copy of
+    # the lineitem rollup columns, built once (ensure_scratch guards
+    # the check-then-act race two concurrent gate runs would have)
+    key = content_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet"), extra="servband"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"csetl_srvband_{key}")
+
+    def _intact(dd: str) -> bool:
+        t = os.path.join(dd, "banded")
+        if tl.current_version(t) != 0:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            (F.col("l_orderkey") % 10).cast("long").alias("okey_band"),
+        )
+        tl.append(li, os.path.join(stage, "banded"))
+
+    ensure_scratch(root, _build, _intact)
+    band_dir = os.path.join(root, "banded")
+    got, info = serve_aggregate(
+        spark,
+        band_dir,
+        "okey_band",
+        [("cents", "sum", "cents"), ("okey", "count", "n_lines")],
+    )
+    return got.select(
+        F.lit(info["route"]).alias("route"), "okey_band", "cents", "n_lines"
+    ).orderBy("okey_band")

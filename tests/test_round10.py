@@ -269,23 +269,37 @@ def test_bpf_resets_on_layout_replacing_commits(spark, tmp_path):
     assert tl._read_checkpoint_if_any(d, ckpt_v)["buckets_per_file"] == 1
 
 
-def test_bucketed_append_onto_coarsened_layout_refused(spark, tmp_path):
-    """Per-bucket append names would be misread as group ids once the
-    layout is coarsened — both writer faces must refuse."""
+def test_bucketed_append_onto_coarsened_layout(spark, tmp_path):
+    """The LIBRARY append is group-aware: on a compaction-coarsened
+    table it names new files by GROUP id (the CDC sink's rule), so
+    maintenance never turns appends away and lookups/joins keep
+    routing correctly. The NATIVE writer (whose carrier column is
+    per-bucket) refuses instead of mis-routing."""
     d = str(tmp_path / "t")
     df = _facts(spark, 200)
     co.write_bucketed(df, d, key_col="k", n_buckets=8)
     from candy_store_etl_spark.streaming.cdc import compact_warehouse
 
     compact_warehouse(spark, d, key_col="k", n_buckets=8, buckets_per_file=4)
-    with pytest.raises(ValueError, match="coarsened"):
-        co.write_bucketed(
-            _facts(spark, 10, offset=500), d, key_col="k",
-            n_buckets=8, mode="append",
-        )
+    co.write_bucketed(
+        _facts(spark, 50, offset=500), d, key_col="k",
+        n_buckets=8, mode="append",
+    )
+    assert tl.layout_buckets_per_file(d) == 4
+    # every file (old coarse + new appended) is named by GROUP id
+    from candy_store_etl_spark.streaming.cdc import _group_of_name
+
+    assert all(
+        _group_of_name(p) < 2 for p in tl.snapshot_files(d)
+    )  # 8 buckets / 4 per file = groups {0, 1}
+    # appended keys serve correctly through the grouped lookups
+    got = co.keyset_lookup(spark, d, [3, 505, 549])
+    assert sorted(r.k for r in got.collect()) == [3, 505, 549]
+    hit = co.point_lookup(spark, d, [510])
+    assert [r.k for r in hit.collect()] == [510]
     with pytest.raises(Exception, match="coarsened"):
         co.write_bucketed_native(
-            _facts(spark, 10, offset=500), d, key_col="k",
+            _facts(spark, 10, offset=900), d, key_col="k",
             n_buckets=8, mode="append",
         )
 
@@ -303,3 +317,51 @@ def test_serve_empty_snapshot_returns_empty(spark, tmp_path):
     assert hit.count() == 0
     assert [f.name for f in hit.schema.fields] == ["k", "a"]
     assert info["files_scanned"] == 0 and info["files_total"] == 0
+
+
+def test_serve_aggregate_routes_and_matches(spark, tmp_path):
+    """Grouping BY the bucket key routes exchange-free; off-key (or
+    unbucketed) routes to the shuffle aggregate — identical values
+    either way (the vocabulary is route-invariant)."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i % 20, i, float(i) / 8) for i in range(400)],
+        "k long, v long, x double",
+    )
+    co.write_bucketed(df, d, key_col="k", n_buckets=8)
+    import pyspark.sql.functions as F
+
+    aggs = [("v", "sum", "sv"), ("v", "count", "n"), ("x", "mean", "mx")]
+    want = sorted(
+        (r.k, r.sv, r.n, round(r.mx, 9))
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("sv"),
+            F.count("v").alias("n"),
+            F.avg("x").alias("mx"),
+        )
+        .collect()
+    )
+    got, info = co.serve_aggregate(spark, d, "k", aggs)
+    assert info["route"] == "bucketed-local"
+    assert sorted((r.k, r.sv, r.n, round(r.mx, 9)) for r in got.collect()) == want
+    # off-key grouping on the same table: shuffle route, same shape
+    got2, info2 = co.serve_aggregate(
+        spark, d, "v", [("x", "sum", "sx")]
+    )
+    assert info2["route"] == "shuffle-agg"
+    assert got2.count() == 400
+    with pytest.raises(ValueError, match="route-invariant"):
+        co.serve_aggregate(spark, d, "k", [("x", "stddev", "s")])
+
+
+def test_serve_aggregate_empty_snapshot(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = _facts(spark, 10)
+    tl.append(df, d)
+    old = [os.path.basename(p) for p in tl.snapshot_files(d)]
+    tl.commit(d, add=[], remove=old, op="truncate")
+    got, info = co.serve_aggregate(spark, d, "k", [("a", "sum", "sa")])
+    assert info["route"] == "shuffle-agg"
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "sa"]
