@@ -62,14 +62,26 @@ def topological_order() -> list[str]:
 class StageContext:
     """Everything a task needs to run in its own process: where the
     inputs live, where stage artifacts go, and how to get a session.
-    Stages communicate ONLY through parquet/CSV under ``workdir`` —
-    no temp views, no driver state (the reference DAG's fatal flaw,
-    `candy_store_pipeline_dag.py:147-207`)."""
+    Stages communicate ONLY through persisted artifacts under
+    ``workdir`` — no temp views, no driver state (the reference DAG's
+    fatal flaw, `candy_store_pipeline_dag.py:147-207`).
+
+    ``stage_format`` picks the artifact kind: ``"parquet"`` (plain
+    directories — resumable, but each stage re-shuffles what the next
+    joins and artifacts have no history) or ``"table_log"`` (each
+    stage a VERSIONED table-log table; the fact-sized ones bucketed on
+    ``order_id`` with ``n_buckets``, so the orders-rollup⋈headers task
+    runs as the fused storage-partitioned join with zero fact
+    exchange, a re-run lands as a new atomic version instead of
+    clobbering files, and every stage output time-travels). Same task
+    graph, same outputs — pinned equal in tests/test_orchestration."""
 
     session_factory: Callable[[], SparkSession]
     transaction_paths: tuple[str, ...]
     products_path: str
     workdir: str
+    stage_format: str = "parquet"
+    n_buckets: int = 16
 
     def stage(self, artifact: str) -> str:
         return os.path.join(self.workdir, artifact)
@@ -80,6 +92,7 @@ def run_stage(name: str, ctx: StageContext) -> None:
     upstream stage artifacts from disk, compute, write this task's
     artifact. Safe to call from any process once upstreams have run."""
     from ..plans.candy_pipeline import (
+        _ROUND2,
         build_daily_summary,
         build_forecast,
         build_line_items,
@@ -92,33 +105,104 @@ def run_stage(name: str, ctx: StageContext) -> None:
 
     spark = ctx.session_factory()
     reports = ctx.stage("reports")
+    tablelog = ctx.stage_format == "table_log"
+    if tablelog:
+        from pyspark.sql import functions as F
+
+        from ..operators.colocated import (
+            colocated_aggregate_join,
+            write_bucketed,
+        )
+        from ..sources import table_log as tl
+
+    def _read(artifact: str):
+        if tablelog:
+            return tl.read_snapshot(spark, ctx.stage(artifact))
+        return spark.read.parquet(ctx.stage(artifact))
+
+    def _write(df, artifact: str, *, bucket_key: str | None = None):
+        if tablelog:
+            # every stage is a versioned snapshot; fact-sized stages
+            # bucket on the join key so downstream tasks plan SPJs
+            if bucket_key is not None:
+                write_bucketed(
+                    df,
+                    ctx.stage(artifact),
+                    key_col=bucket_key,
+                    n_buckets=ctx.n_buckets,
+                )
+            else:
+                tl.overwrite(df, ctx.stage(artifact))
+        else:
+            write_partitioned(df, ctx.stage(artifact))
 
     if name == "load_transactions":
         # materializing the scan freezes day_idx/row_in_file, so every
         # downstream task sees one immutable sequence-keyed relation
-        write_partitioned(
+        _write(
             load_daily_transactions(spark, list(ctx.transaction_paths)),
-            ctx.stage("txns"),
+            "txns",
         )
     elif name == "build_line_items":
-        txns = spark.read.parquet(ctx.stage("txns"))
+        txns = _read("txns")
         products = read_products(spark, ctx.products_path)
-        write_partitioned(
-            build_line_items(txns, products), ctx.stage("line_items")
-        )
+        li = build_line_items(txns, products)
+        if tablelog:
+            # the stored profit_term makes the next task's rollup a
+            # pure stored-column aggregate (candy_colocated's rule);
+            # exports select their 5 columns, so the extra one rides
+            li = li.withColumn(
+                "profit_term",
+                F.col("line_total")
+                - F.col("quantity") * F.col("cost_to_make"),
+            )
+        _write(li, "line_items", bucket_key="order_id" if tablelog else None)
     elif name == "build_orders":
-        txns = spark.read.parquet(ctx.stage("txns"))
-        line_items = spark.read.parquet(ctx.stage("line_items"))
-        write_partitioned(
-            build_orders_with_profit(line_items, txns), ctx.stage("orders")
-        )
+        txns = _read("txns")
+        if tablelog:
+            # the fused storage-partitioned rollup+join: headers land
+            # as their own bucketed stage table, then each bucket task
+            # aggregates its orders to completion and joins that
+            # bucket's headers locally — zero fact exchange
+            write_bucketed(
+                txns.select(
+                    F.col("transaction_id").alias("order_id"),
+                    F.col("timestamp").alias("order_datetime"),
+                    "customer_id",
+                ).dropDuplicates(["order_id"]),
+                ctx.stage("headers"),
+                key_col="order_id",
+                n_buckets=ctx.n_buckets,
+            )
+            rolled = colocated_aggregate_join(
+                spark,
+                ctx.stage("line_items"),
+                ctx.stage("headers"),
+                aggs=[
+                    ("line_total", "sum", "amount_raw"),
+                    ("order_id", "count", "num_items"),
+                    ("profit_term", "sum", "order_profit"),
+                ],
+            )
+            _write(
+                rolled.select(
+                    "order_id",
+                    "order_datetime",
+                    "customer_id",
+                    _ROUND2(F.col("amount_raw")).alias("total_amount"),
+                    "num_items",
+                    "order_profit",
+                ),
+                "orders",
+            )
+        else:
+            line_items = _read("line_items")
+            _write(build_orders_with_profit(line_items, txns), "orders")
     elif name == "build_daily_summary":
-        orders_full = spark.read.parquet(ctx.stage("orders"))
-        write_partitioned(
-            build_daily_summary(orders_full), ctx.stage("daily_summary")
-        )
+        orders_full = _read("orders")
+        _write(build_daily_summary(orders_full), "daily_summary")
     elif name == "export_line_items":
-        line_items = spark.read.parquet(ctx.stage("line_items"))
+        line_items = _read("line_items")
         save_single_csv(
             line_items.select(
                 "order_id", "product_id", "quantity", "unit_price", "line_total"
@@ -127,7 +211,7 @@ def run_stage(name: str, ctx: StageContext) -> None:
             "order_line_items.csv",
         )
     elif name == "export_products_updated":
-        line_items = spark.read.parquet(ctx.stage("line_items"))
+        line_items = _read("line_items")
         products = read_products(spark, ctx.products_path)
         save_single_csv(
             build_products_updated(line_items, products),
@@ -135,17 +219,17 @@ def run_stage(name: str, ctx: StageContext) -> None:
             "products_updated.csv",
         )
     elif name == "export_orders":
-        orders_full = spark.read.parquet(ctx.stage("orders"))
+        orders_full = _read("orders")
         save_single_csv(
             orders_full.drop("order_profit").orderBy("order_id"),
             reports,
             "orders.csv",
         )
     elif name == "export_daily_summary":
-        daily = spark.read.parquet(ctx.stage("daily_summary"))
+        daily = _read("daily_summary")
         save_single_csv(daily.orderBy("date"), reports, "daily_summary.csv")
     elif name == "forecast":
-        daily = spark.read.parquet(ctx.stage("daily_summary"))
+        daily = _read("daily_summary")
         save_single_csv(
             build_forecast(daily), reports, "sales_profit_forecast.csv"
         )
