@@ -773,3 +773,152 @@ def serve_aggregate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         F.lit(info["route"]).alias("route"), "okey_band", "cents", "n_lines"
     ).orderBy("okey_band")
+
+
+# ---------------------------------------------------------------------------
+# Matview-of-matview: the change feed of a maintained view drives the
+# next downstream view — a two-hop incremental-maintenance chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdf_matview_chain",
+    oracle="""
+    WITH final_rows AS (
+      SELECT source, n_chars FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT source, n_chars FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT substr(source, -1, 1) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM final_rows GROUP BY band ORDER BY band
+    """,
+    doc="TWO-HOP incremental view maintenance: the base table's "
+    "change feed maintains a per-source view (hop 1 — "
+    "cdf_materialized_view_maintenance's shape), and that VIEW'S OWN "
+    "change feed maintains a coarser per-band rollup (hop 2) — the "
+    "maintained view is a first-class table-log table, so its "
+    "versioned commits feed downstream consumers exactly like any "
+    "base table's. Hop-2 correctness telescopes: the CDC sink "
+    "replaces a key's row per batch (remove old + insert new in one "
+    "commit), so folding SIGNED contributions of the view's CDF rows "
+    "nets to the sum over the view's CURRENT rows. The oracle "
+    "recomputes the final per-band aggregate directly from the "
+    "source relation after the base's append/append/overwrite/"
+    "compact/append history — two hops of deltas equal zero hops of "
+    "recomputation. At 100 TB this is a DAG of rollups following a "
+    "mutating lakehouse table at commit granularity, each hop's cost "
+    "proportional to its delta.",
+    tags=("warehouse", "table-format", "streaming", "cdc", "ivm"),
+)
+def cdf_matview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import table_log as tl
+    from ..sources import table_log_source
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from ..streaming.cdc import make_partitioned_cdc_sink
+    from ..streaming.events import run_stream_foreach_batch
+
+    table_log_source.register(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    # the extra salt VERSIONS the fixture logic (band definition):
+    # bump it when _build changes, or the content-keyed scratch would
+    # serve a stale build
+    key = content_fingerprint(src, extra="ivm-chain-v2")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_ivm2_{key}")
+    view2 = os.path.join(root, "view2")
+
+    def _intact(d: str) -> bool:
+        for name, want_v in (("base", 4), ("view1", None), ("view2", None)):
+            t = os.path.join(d, name)
+            v = tl.current_version(t)
+            if v is None or (want_v is not None and v != want_v):
+                return False
+        for name in ("view1", "view2"):
+            t = os.path.join(d, name)
+            if not any(
+                e["op"].startswith("cdc-batch-")
+                for e in tl.log_entries(t)
+            ):
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(t)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        b = os.path.join(stage, "base")
+        tl.append(docs.filter(F.col("doc_id") % 3 == 0), b)
+        tl.append(docs.filter(F.col("doc_id") % 3 == 1), b)
+        tl.overwrite(docs.filter(F.col("doc_id") < 300), b)
+        tl.compact(spark, b)
+        tl.append(docs.filter(F.col("doc_id") % 5 == 0), b)
+
+        def sign():
+            return F.when(
+                F.col("_change_type") == "insert", F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        def inc1(batch_df: DataFrame) -> DataFrame:
+            return batch_df.groupBy("source").agg(
+                F.sum(sign()).alias("n_docs"),
+                F.sum(sign() * F.col("n_chars")).alias("chars"),
+            )
+
+        def _feed(path: str):
+            return (
+                spark.readStream.format("table_log")
+                .option("path", path)
+                .option("changeFeed", "true")
+                .load()
+            )
+
+        v1 = os.path.join(stage, "view1")
+        run_stream_foreach_batch(
+            _feed(b),
+            make_partitioned_cdc_sink(
+                v1,
+                inc1,
+                key_col="source",
+                add_cols=("n_docs", "chars"),
+                n_buckets=8,
+            ),
+            checkpoint_dir=os.path.join(stage, "ckpt1"),
+        )
+
+        # hop 2: the VIEW's change feed — each CDC batch removed a
+        # key's old row and inserted its new one, so signed folding
+        # of (n_docs, chars) telescopes to the view's current values
+        def inc2(batch_df: DataFrame) -> DataFrame:
+            return (
+                batch_df.withColumn(
+                    # LAST char: the fixture's sources share a prefix,
+                    # so a first-char band would collapse to one group
+                    "band", F.substring("source", -1, 1)
+                )
+                .groupBy("band")
+                .agg(
+                    F.sum(sign() * F.col("n_docs")).alias("n_docs"),
+                    F.sum(sign() * F.col("chars")).alias("chars"),
+                )
+            )
+
+        run_stream_foreach_batch(
+            _feed(v1),
+            make_partitioned_cdc_sink(
+                os.path.join(stage, "view2"),
+                inc2,
+                key_col="band",
+                add_cols=("n_docs", "chars"),
+                n_buckets=4,
+            ),
+            checkpoint_dir=os.path.join(stage, "ckpt2"),
+        )
+
+    ensure_scratch(root, _build, _intact)
+    return (
+        tl.read_snapshot(spark, view2)
+        .filter(F.col("n_docs") > 0)
+        .select("band", "n_docs", "chars")
+        .orderBy("band")
+    )
