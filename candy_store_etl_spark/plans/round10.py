@@ -922,3 +922,125 @@ def cdf_matview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "n_docs", "chars")
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split: near-dup CLUSTERS stay on one side
+# ---------------------------------------------------------------------------
+
+_SQL_MD5_INT6_CLUSTER = """
+  list_sum(list_transform(generate_series(1, 6),
+    i -> (strpos('0123456789abcdef',
+                 substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)) - 1)
+         * CAST(16 AS BIGINT) ** (6 - i)))
+"""
+
+
+def _leakage_split_oracle() -> str:
+    from .vectors import minhash_portable_ctes
+
+    return f"""
+    WITH RECURSIVE {minhash_portable_ctes()},
+    pairs AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.5
+    ),
+    alledges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION ALL SELECT dst, src FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN alledges e ON e.a = r.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node
+    ),
+    sp AS (
+      SELECT cluster_id,
+             CASE WHEN m < 80 THEN 'train'
+                  WHEN m < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, cluster_id,
+               ({_SQL_MD5_INT6_CLUSTER}) % 100 AS m
+        FROM labels
+      )
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           TRUE AS no_leakage
+    FROM sp GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    doc="LEAKAGE-SAFE train/val/test split: hashing documents "
+    "independently (dataset_split_assignment) puts near-duplicates of "
+    "a training document into the test set — the classic eval-leakage "
+    "failure. This splits by the md5 of each document's NEAR-DUP "
+    "CLUSTER representative (portable MinHash pairs closed into "
+    "connected components by distributed min-label propagation), so "
+    "every near-dup cluster lands wholly on one side by construction "
+    "— and the no_leakage flag VERIFIES it over the actual edge set "
+    "rather than trusting the construction (a wrong cluster label "
+    "flips it). The oracle replays the portable pipeline end-to-end: "
+    "signatures, banding, candidate pairs, recursive-CTE "
+    "reachability, the same md5-mod-100 rule on the cluster id, and "
+    "the per-split doc/cluster counts. At 100 TB the split stays one "
+    "hash of a precomputed label — no RNG state, stable under "
+    "re-runs and repartitioning, and the cluster labels are the same "
+    "relation the dedup survivorship pass already maintains.",
+    tags=("prep", "dedup", "graph", "minhash", "portable", "sampling"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import component_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5,
+        method="portable",
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = component_labels(docs.select("doc_id"), edges, "doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sp = labels.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # verify, don't trust: no near-dup edge may straddle splits
+    sa = sp.select(F.col("doc_id").alias("src"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("dst"), F.col("split").alias("split_b"))
+    leak = (
+        edges.join(sa, "src")
+        .join(sb, "dst")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("split_a") == F.col("split_b")),
+                F.lit(True),
+            )
+        )
+        .toDF("no_leakage")
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(leak)
+        .select("split", "n_docs", "n_clusters", "no_leakage")
+        .orderBy("split")
+    )

@@ -61,6 +61,9 @@ ALLOW_NESTED_LOOP = {
     "ann_topk_pq_quality",
     "minhash_neardup_quality",
     "simhash_neardup_quality",
+    # the no_leakage verification flag rides a broadcast 1-ROW
+    # aggregate cross join (lazy scalar pattern) — never data×data
+    "leakage_safe_split",
 }
 # iterative/multi-stage by design: K chained chunk-rounds, each with
 # its own window + grouped-map exchange; pagerank runs 5 Pregel rounds,
@@ -120,6 +123,12 @@ EXCHANGE_CAP_OVERRIDES = {
     # construction (it exists to check the sketch, not to scale).
     "minhash_neardup_quality": 32,
     "simhash_neardup_quality": 28,
+    # leakage-safe split composes the portable minhash pipeline (its
+    # own ~6-exchange shape), the iterative CC labels (checkpointed
+    # RDD scan re-keyed for the split/count joins), the per-split
+    # rollup, AND the edge-straddle verification joins — each exchange
+    # a designed stage of a four-operator composition
+    "leakage_safe_split": 16,
     # three sequential funnel stages, each a per-user pre-aggregation
     # (partial/final pair on a type-filtered scan) feeding the next as
     # a broadcast side, plus the distinct-users anchor — the fact table
