@@ -44,13 +44,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "serve_small_table_scan",  # NEW: router regime — file crossover
     "serve_unbucketed_scan",  # NEW: router regime — no layout
     "colocated_rollup_join",  # NEW: fused SPJ rollup+join
-    # (a') changed-closure representatives (5): colocated.py and
-    # table_log.py were version-pinned + checkpoint-folded this round
+    # (a continued) late round-10 additions — every never-checked
+    # query gets a seat (scripts/window_backlog.py verifies none
+    # remain unseated); the keyset/lookup closure changes these
+    # compose over are exercised by the serve rows above
+    "serve_aggregate_bucketed",  # NEW: exchange-free agg route
+    "serve_aggregate_shuffle",  # NEW: off-key agg route
+    "cdf_matview_chain",  # NEW: two-hop IVM
+    "leakage_safe_split",  # NEW: cluster-aware split
+    # (a') changed-closure representative: the SPJ core planner was
+    # version-pinned + key-type-validated this round
     "colocated_customer_join",
-    "bucketed_point_lookup",
-    "bucketed_keyset_lookup",
-    "bucketed_local_aggregate",
-    "table_log_checkpoint_native_read",
     # (b) re-confirmations, strict oldest-evidence first:
     # the ENTIRE remaining round-4 cohort (30)
     "ann_topk_arrow",
