@@ -754,6 +754,23 @@ def serve(
     return out, info
 
 
+def _agg_out_fields(
+    schema, key: str, aggs: list[tuple[str, str, str]]
+) -> list:
+    """[key field] + one field per aggregate under Acero's result
+    dtypes — the ONE output-schema builder shared by
+    ``bucketed_aggregate``, ``colocated_aggregate_join``, and
+    ``serve_aggregate``'s empty branch, so the 'route is invisible in
+    the output schema' guarantee cannot drift apart across them."""
+    from pyspark.sql.types import StructField
+
+    spark_types = {f.name: f for f in schema.fields}
+    return [spark_types[key]] + [
+        StructField(out, _acero_out_type(fn, spark_types[col].dataType), True)
+        for col, fn, out in aggs
+    ]
+
+
 def _acero_out_type(fn: str, src):
     """Acero result dtypes: counts are int64 whatever the input;
     mean/stddev/variance promote to float64; sum/product promote to
@@ -809,16 +826,7 @@ def bucketed_aggregate(
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructField, StructType
 
-    spark_types = {f.name: f for f in schema.fields}
-    out_schema = StructType(
-        [spark_types[key]]
-        + [
-            StructField(
-                out, _acero_out_type(fn, spark_types[col].dataType), True
-            )
-            for col, fn, out in aggs
-        ]
-    )
+    out_schema = StructType(_agg_out_fields(schema, key, aggs))
     out_cols = [f.name for f in out_schema.fields]
     target = to_arrow_schema(out_schema)
 
@@ -1368,15 +1376,9 @@ def colocated_aggregate_join(
         raise ValueError("both tables must carry committed schemas")
     from pyspark.sql.types import StructField, StructType
 
-    spark_types = {f.name: f for f in lschema.fields}
-    agg_fields = [
-        StructField(out, _acero_out_type(fn, spark_types[col].dataType), True)
-        for col, fn, out in aggs
-    ]
+    left_fields = _agg_out_fields(lschema, lkey, aggs)  # [key] + aggs
     right_extra = [f for f in rschema.fields if f.name != rkey]
-    overlap = ({f.name for f in agg_fields} | {lkey}) & {
-        f.name for f in right_extra
-    }
+    overlap = {f.name for f in left_fields} & {f.name for f in right_extra}
     if overlap:
         raise ValueError(
             f"output column name overlap {sorted(overlap)}: rename "
@@ -1386,7 +1388,7 @@ def colocated_aggregate_join(
         right_extra = [
             StructField(f.name, f.dataType, True) for f in right_extra
         ]
-    out_schema = StructType([spark_types[lkey]] + agg_fields + right_extra)
+    out_schema = StructType(left_fields + right_extra)
     out_cols = [f.name for f in out_schema.fields]
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -1493,30 +1495,18 @@ def serve_aggregate(
     info["route"] = "shuffle-agg"
     files = tl.snapshot_files(table_dir, version=version)
     if not files:
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import StructType
 
-        spark_types = {f.name: f for f in schema.fields}
-        empty = StructType(
-            [spark_types[group_col]]
-            + [
-                StructField(
-                    out,
-                    _acero_out_type(fn, spark_types[col].dataType),
-                    True,
-                )
-                for col, fn, out in aggs
-            ]
+        return (
+            spark.createDataFrame(
+                [], StructType(_agg_out_fields(schema, group_col, aggs))
+            ),
+            info,
         )
-        return spark.createDataFrame([], empty), info
     scan = spark.read.schema(schema).parquet(*files)
     exprs = []
     for col, fn, out in aggs:
-        sfn = _SERVE_AGGS[fn]
-        e = (
-            F.count_distinct(col)
-            if sfn == "count_distinct"
-            else getattr(F, sfn)(col)
-        )
+        e = getattr(F, _SERVE_AGGS[fn])(col)
         # match bucketed_aggregate's (Acero's) result dtypes so the
         # route is invisible in the output schema too
         target = _acero_out_type(

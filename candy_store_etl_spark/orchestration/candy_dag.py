@@ -92,7 +92,6 @@ def run_stage(name: str, ctx: StageContext) -> None:
     upstream stage artifacts from disk, compute, write this task's
     artifact. Safe to call from any process once upstreams have run."""
     from ..plans.candy_pipeline import (
-        _ROUND2,
         build_daily_summary,
         build_forecast,
         build_line_items,
@@ -107,11 +106,15 @@ def run_stage(name: str, ctx: StageContext) -> None:
     reports = ctx.stage("reports")
     tablelog = ctx.stage_format == "table_log"
     if tablelog:
-        from pyspark.sql import functions as F
-
         from ..operators.colocated import (
             colocated_aggregate_join,
             write_bucketed,
+        )
+        from ..plans.candy_colocated import (
+            FUSED_ORDER_AGGS,
+            dedup_headers,
+            fused_orders_select,
+            line_items_with_profit_term,
         )
         from ..sources import table_log as tl
 
@@ -149,13 +152,10 @@ def run_stage(name: str, ctx: StageContext) -> None:
         li = build_line_items(txns, products)
         if tablelog:
             # the stored profit_term makes the next task's rollup a
-            # pure stored-column aggregate (candy_colocated's rule);
+            # pure stored-column aggregate (candy_colocated's shared
+            # helper — ONE definition with run_pipeline_tablelog);
             # exports select their 5 columns, so the extra one rides
-            li = li.withColumn(
-                "profit_term",
-                F.col("line_total")
-                - F.col("quantity") * F.col("cost_to_make"),
-            )
+            li = line_items_with_profit_term(li)
         _write(li, "line_items", bucket_key="order_id" if tablelog else None)
     elif name == "build_orders":
         txns = _read("txns")
@@ -163,13 +163,11 @@ def run_stage(name: str, ctx: StageContext) -> None:
             # the fused storage-partitioned rollup+join: headers land
             # as their own bucketed stage table, then each bucket task
             # aggregates its orders to completion and joins that
-            # bucket's headers locally — zero fact exchange
+            # bucket's headers locally — zero fact exchange (stage
+            # bodies shared with plans/candy_colocated.py so the two
+            # golden-parity forms cannot drift apart)
             write_bucketed(
-                txns.select(
-                    F.col("transaction_id").alias("order_id"),
-                    F.col("timestamp").alias("order_datetime"),
-                    "customer_id",
-                ).dropDuplicates(["order_id"]),
+                dedup_headers(txns),
                 ctx.stage("headers"),
                 key_col="order_id",
                 n_buckets=ctx.n_buckets,
@@ -178,23 +176,9 @@ def run_stage(name: str, ctx: StageContext) -> None:
                 spark,
                 ctx.stage("line_items"),
                 ctx.stage("headers"),
-                aggs=[
-                    ("line_total", "sum", "amount_raw"),
-                    ("order_id", "count", "num_items"),
-                    ("profit_term", "sum", "order_profit"),
-                ],
+                aggs=FUSED_ORDER_AGGS,
             )
-            _write(
-                rolled.select(
-                    "order_id",
-                    "order_datetime",
-                    "customer_id",
-                    _ROUND2(F.col("amount_raw")).alias("total_amount"),
-                    "num_items",
-                    "order_profit",
-                ),
-                "orders",
-            )
+            _write(fused_orders_select(rolled), "orders")
         else:
             line_items = _read("line_items")
             _write(build_orders_with_profit(line_items, txns), "orders")

@@ -43,6 +43,49 @@ from .candy_pipeline import (
 )
 
 
+# ONE definition of the fused-orders stage, shared with the
+# orchestrated DAG's table_log branch (orchestration/candy_dag.py):
+# both claim golden parity, so the profit-term expression, the header
+# dedup, the agg list, and the rounding point must not be able to
+# drift apart.
+FUSED_ORDER_AGGS = [
+    ("line_total", "sum", "amount_raw"),
+    ("order_id", "count", "num_items"),
+    ("profit_term", "sum", "order_profit"),
+]
+
+
+def line_items_with_profit_term(li: DataFrame) -> DataFrame:
+    """Stage-1 line items plus the precomputed profit term, so the
+    fused rollup is a pure stored-column aggregate."""
+    return li.withColumn(
+        "profit_term",
+        F.col("line_total") - F.col("quantity") * F.col("cost_to_make"),
+    )
+
+
+def dedup_headers(txns: DataFrame) -> DataFrame:
+    """One header row per order (reference's dropDuplicates)."""
+    return txns.select(
+        F.col("transaction_id").alias("order_id"),
+        F.col("timestamp").alias("order_datetime"),
+        "customer_id",
+    ).dropDuplicates(["order_id"])
+
+
+def fused_orders_select(rolled: DataFrame) -> DataFrame:
+    """The golden orders-with-profit projection over the fused
+    rollup+join output (reference money rounding on the amount)."""
+    return rolled.select(
+        "order_id",
+        "order_datetime",
+        "customer_id",
+        _ROUND2(F.col("amount_raw")).alias("total_amount"),
+        "num_items",
+        "order_profit",
+    )
+
+
 def run_pipeline_tablelog(
     spark: SparkSession,
     transaction_paths: list[str],
@@ -71,52 +114,27 @@ def run_pipeline_tablelog(
     txns = load_daily_transactions(spark, transaction_paths).transform(
         tracked_cache
     )
-    li = build_line_items(txns, products)
     write_bucketed(
-        li.withColumn(
-            "profit_term",
-            F.col("line_total") - F.col("quantity") * F.col("cost_to_make"),
-        ),
+        line_items_with_profit_term(build_line_items(txns, products)),
         li_dir,
         key_col="order_id",
         n_buckets=n_buckets,
     )
     write_bucketed(
-        txns.select(
-            F.col("transaction_id").alias("order_id"),
-            F.col("timestamp").alias("order_datetime"),
-            "customer_id",
-        ).dropDuplicates(["order_id"]),
+        dedup_headers(txns),
         hdr_dir,
         key_col="order_id",
         n_buckets=n_buckets,
     )
 
     rolled = colocated_aggregate_join(
-        spark,
-        li_dir,
-        hdr_dir,
-        aggs=[
-            ("line_total", "sum", "amount_raw"),
-            ("order_id", "count", "num_items"),
-            ("profit_term", "sum", "order_profit"),
-        ],
+        spark, li_dir, hdr_dir, aggs=FUSED_ORDER_AGGS
     )
     # overwrite, not append: a re-run with the same workdir must
     # REPLACE the orders relation (append would silently double every
     # order in three outputs) — version 0 stays readable for time
     # travel either way
-    tl.overwrite(
-        rolled.select(
-            "order_id",
-            "order_datetime",
-            "customer_id",
-            _ROUND2(F.col("amount_raw")).alias("total_amount"),
-            "num_items",
-            "order_profit",
-        ),
-        orders_dir,
-    )
+    tl.overwrite(fused_orders_select(rolled), orders_dir)
 
     orders_full = tl.read_snapshot(spark, orders_dir)
     line_items = tl.read_snapshot(spark, li_dir)

@@ -129,14 +129,18 @@ def main() -> None:
             bucketed_aggregate,
         )
 
-        while scratch_dirs:
-            shutil.rmtree(scratch_dirs.pop(), ignore_errors=True)
         inter = tempfile.mkdtemp(prefix="ab_fused_inter_")
         scratch_dirs.append(inter)
         rolled = bucketed_aggregate(spark, lines, AGGS)
         mid = os.path.join(inter, "rollup")
         write_bucketed(rolled, mid, key_col="okey", n_buckets=n_buckets)
         return _fold(colocated_bucket_join(spark, mid, dim))
+
+    def _cleanup_scratch():
+        # OUTSIDE the timed region: charging the previous rep's
+        # rmtree to the composed measurement would bias it
+        while scratch_dirs:
+            shutil.rmtree(scratch_dirs.pop(), ignore_errors=True)
 
     def shuffle():
         rolled = (
@@ -155,6 +159,7 @@ def main() -> None:
         "modes disagree"
     )
 
+    _cleanup_scratch()  # the correctness check's intermediate
     times: dict[str, list[float]] = {n: [] for n in modes}
     order = list(modes)
     for _rep in range(reps):
@@ -164,9 +169,8 @@ def main() -> None:
             t0 = time.perf_counter()
             modes[n]().write.format("noop").mode("overwrite").save()
             times[n].append(round(time.perf_counter() - t0, 3))
+            _cleanup_scratch()
         order = order[1:] + order[:1]  # rotate
-    while scratch_dirs:
-        shutil.rmtree(scratch_dirs.pop(), ignore_errors=True)
 
     best = {n: min(ts) for n, ts in times.items()}
     print(

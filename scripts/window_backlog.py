@@ -26,10 +26,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def latest_green() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(f.split("_r")[1].split(".")[0])
+    # anchored to the repo root, NOT the CWD: run from anywhere, the
+    # artifacts (and so the backlog) must be the same
+    for f in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         for name, row in json.load(open(f)).items():
             err = row.get("err")
             ok = bool(row.get("hash_match")) or (
