@@ -657,7 +657,15 @@ def _probe_filter(
     K-literal predicate costs Catalyst O(K) analysis (measured ~3.3 s
     at K=2000, more than the scan it plans)."""
     if len(values) <= 64:
-        return scan.filter(F.col(key).isin(values))
+        # cast each literal to the STORED key type — raw Python values
+        # would let Catalyst resolve the comparison under a different
+        # implicit cast than the keyset route (which casts probes to
+        # dtype), and serve()'s "route is invisible in the answer"
+        # contract must hold across the 64-probe / 96-file boundaries
+        # for string/decimal/float keys too, not just integers
+        return scan.filter(
+            F.col(key).isin([F.lit(v).cast(dtype) for v in values])
+        )
     probe_rel = spark.createDataFrame(
         [(str(v),) for v in sorted(set(values))], "v string"
     ).select(F.col("v").cast(dtype).alias("v"))
@@ -681,10 +689,13 @@ def serve(
     ``info`` carries the decision (``route``) and the pruning evidence
     (``files_scanned``/``files_total``). Routes:
 
-    - ``scan-unbucketed`` — no committed bucket spec (or the probe
-      column is not the bucket key, where the layout cannot prune):
-      one pushdown scan of the snapshot with the size-routed probe
-      residual. Requires ``key_col`` naming the probe column.
+    - ``scan-unbucketed`` — no committed bucket spec: one pushdown
+      scan of the snapshot with the size-routed probe residual.
+      Requires ``key_col`` naming the probe column.
+    - ``scan-off-key`` — the table IS bucketed but ``key_col`` probes
+      a different column, so the layout cannot prune: same one-scan
+      shape, distinct label (route is a hash-checked contract column;
+      an off-key probe must not masquerade as an unbucketed table).
     - ``scan-small-table`` — bucketed, but the snapshot holds at most
       ``scan_file_threshold`` files: the measured regime where a
       columnar pushdown scan beats per-probe planning (64-file A/B:
@@ -711,15 +722,24 @@ def serve(
             f"{table_dir} has no committed schema — the stored probe "
             "type is unknown (same contract as keyset_lookup)"
         )
-    if spec is not None and key_col is not None and key_col != spec["key"]:
+    off_key = (
+        spec is not None and key_col is not None and key_col != spec["key"]
+    )
+    if off_key:
         spec = None  # probing off the bucket key: layout cannot prune
+    # route is a hash-checked contract column in the registered regime
+    # queries — a bucketed table probed off its key gets its OWN label
+    # ('scan-off-key') so the info never mislabels it as unbucketed
+    scan_route = (
+        "scan-off-key"
+        if off_key
+        else ("scan-unbucketed" if spec is None else "scan-small-table")
+    )
     info: dict = {"files_total": len(files)}
     if not files:
         # an empty snapshot is a legitimate all-miss for a serving
         # read — same no-try/except contract as the lookups
-        info["route"] = (
-            "scan-unbucketed" if spec is None else "scan-small-table"
-        )
+        info["route"] = scan_route
         info["files_scanned"] = 0
         return spark.createDataFrame([], schema), info
     key = spec["key"] if spec is not None else key_col
@@ -727,9 +747,7 @@ def serve(
         raise ValueError("unbucketed table: pass key_col=")
     dtype = schema[key].dataType.simpleString()
     if spec is None or len(files) <= scan_file_threshold:
-        info["route"] = (
-            "scan-unbucketed" if spec is None else "scan-small-table"
-        )
+        info["route"] = scan_route
         info["files_scanned"] = len(files)
         scan = spark.read.schema(schema).parquet(*files)
         return _probe_filter(spark, scan, key, dtype, keys), info

@@ -278,18 +278,26 @@ def commit(
     import uuid as _uuid
 
     tmp = f"{path}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(entry, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
+    # ONE try/finally around write AND link: a crash inside json.dump
+    # or fsync (disk full, interrupt) must not leak the tmp file —
+    # vacuum additionally sweeps stale '*.json.tmp.*' strays from
+    # writers that died between these two syscalls
     try:
-        os.link(tmp, path)
-    except FileExistsError as exc:
-        raise ConcurrentCommitError(
-            f"version {version} already committed in {table_dir}"
-        ) from exc
+        with open(tmp, "w") as f:
+            json.dump(entry, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} already committed in {table_dir}"
+            ) from exc
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
     # the file's fsync does not make its DIRECTORY ENTRY durable; a
     # crash after return must not lose a commit the caller saw succeed
     _fsync_dir(_log_dir(table_dir))
@@ -1046,4 +1054,17 @@ def vacuum(
                 continue  # presumed in-flight staging rename
         os.remove(p)
         deleted.append(name)
+    # sweep stale commit staging files: a writer that died between
+    # writing 'NNNNNNNN.json.tmp.<pid>.<hex>' and linking it leaves a
+    # stray with no other reclamation path (commit's finally unlinks
+    # on every non-crash exit). Same mtime grace as never-referenced
+    # data files so an in-flight commit's tmp is never eaten.
+    for p in glob.glob(os.path.join(_log_dir(table_dir), "*.json.tmp.*")):
+        try:
+            if now - os.stat(p).st_mtime < grace_seconds:
+                continue
+            os.remove(p)
+        except FileNotFoundError:
+            continue  # the owning writer finished/cleaned it
+        deleted.append(os.path.basename(p))
     return sorted(deleted)

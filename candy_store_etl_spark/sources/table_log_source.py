@@ -447,7 +447,11 @@ class TableLogWriter(DataSourceArrowWriter):
         if spec is not None and tl.layout_buckets_per_file(self.table_dir) != 1:
             # resident files are named by GROUP id; this writer emits
             # per-BUCKET names — the grouped readers would misread
-            # them as group ids (same guard as write_bucketed)
+            # them as group ids. write_bucketed ADAPTS here (it stages
+            # driver-side, so it can rename to group ids and append
+            # group-aware); this native writer stages per-bucket names
+            # executor-side before commit sees the layout, so it must
+            # refuse instead.
             raise ValueError(
                 f"{self.table_dir} layout is group-coarsened; append "
                 "through the CDC sink, or overwrite to re-bucket"

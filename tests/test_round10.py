@@ -177,7 +177,7 @@ def test_serve_off_key_probe_falls_back_to_scan(spark, tmp_path):
     d = str(tmp_path / "t")
     co.write_bucketed(_facts(spark, 100), d, key_col="k", n_buckets=128)
     hit, info = co.serve(spark, d, [3, 30], key_col="a")
-    assert info["route"] == "scan-unbucketed"
+    assert info["route"] == "scan-off-key"
     assert sorted(r.k for r in hit.collect()) == [1, 10]
 
 
