@@ -832,6 +832,13 @@ def committed_bucket_spec(
 
 
 def _bpf_decision(entry: dict):
+    meta = entry.get("meta") or {}
+    if "buckets_per_file" in meta:
+        # a commit that REPLACED the whole file layout at a new
+        # grouping (the routed CDC sink's full-rewrite batches) records
+        # the grouping in its meta — op stays 'cdc-batch-N' so the
+        # idempotence ledger still sees it
+        return True, int(meta["buckets_per_file"])
     m = _LAYOUT_BPF_RE.fullmatch(entry["op"])
     if m:
         return True, int(m.group(1))

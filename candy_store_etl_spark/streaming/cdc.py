@@ -125,7 +125,21 @@ def _stage_groups_into_table(
     return names
 
 
-def make_partitioned_cdc_sink(
+#: measured crossover (scripts/streaming_throughput.py, SCALING.md):
+#: at trickle coverage (~1.5% of files/batch) the partitioned merge
+#: wins by construction; at saturating coverage it rewrote ~71% of
+#: 1024 files/batch at 7,148 rows/s while the bulk full-rewrite sink
+#: sustained 142,984 — a ~20x loss driven by PER-FILE overhead, not
+#: row volume. A batch touching K keys rewrites ~G*(1-exp(-K*bpf/n))
+#: of G=n/bpf groups, so the router decides on the EXACT touched-file
+#: fraction (known before writing, from the same metadata-sized
+#: collect the merge already does). 0.3 is conservative: by 30% of
+#: files the per-file term already dominates everywhere measured,
+#: while genuine trickle sits orders of magnitude below it.
+FULL_REWRITE_FILE_FRACTION = 0.3
+
+
+def make_routed_cdc_sink(
     table_dir: str,
     increments_fn,
     *,
@@ -133,18 +147,45 @@ def make_partitioned_cdc_sink(
     add_cols: tuple[str, ...],
     n_buckets: int = 256,
     metrics: list | None = None,
+    full_rewrite_fraction: float | None = FULL_REWRITE_FILE_FRACTION,
+    bulk_files: int = 32,
 ):
     """foreachBatch sink MERGE-upserting additive per-key aggregates
-    into a bucketed table-log warehouse, rewriting ONLY the groups a
-    batch touches.
+    into a bucketed table-log warehouse, ROUTING each batch between
+    the two merge strategies by its measured key coverage (serve()'s
+    treatment applied to the write path):
+
+    - ``partitioned`` — rewrite only the bucket groups the batch
+      touches (trickle regime: rewrite volume proportional to touched
+      keys, untouched files never opened);
+    - ``full-rewrite`` — when the batch's touched-file fraction
+      reaches ``full_rewrite_fraction``, merge against the WHOLE
+      snapshot in one pass and rewrite the table as ~``bulk_files``
+      group files (grouping coarsened to ``ceil(n/bulk_files)``
+      buckets per file, recorded in the commit's meta so readers,
+      lookups and later batches resolve it) — the bulk-write
+      economics the saturated A/B showed winning 20x. The warehouse
+      STAYS a bucketed table-log table either way: same spec, same
+      atomic commit, same idempotence ledger, co-located joins and
+      serve() keep planning against it.
+
+    The routing signal is exact, not predicted-from-K: the touched
+    group set is already collected (metadata-sized) for file
+    selection, so the router compares real file counts. A
+    subsequent trickle batch over the coarsened layout pays ~1/
+    ``bulk_files`` of the table per touched group — re-fine with
+    ``compact_warehouse(buckets_per_file=1)`` when the regime shift
+    is permanent (maintenance policy, not per-batch routing).
 
     ``increments_fn(batch_df) -> DataFrame`` must return one row per
     ``key_col`` with the additive ``add_cols``; the merge is
     old + increment per column (missing side = 0). ``metrics``, if
-    given, collects one dict per applied batch with the rewrite-volume
-    evidence (buckets/groups/files/rows touched vs total). The
-    bucket->file grouping is re-resolved from the LOG on (re)start, so
-    a sink restarted over a compacted table honors the new layout.
+    given, collects one dict per applied batch with the route and the
+    rewrite-volume evidence (buckets/groups/files/rows touched vs
+    total). The bucket->file grouping is re-resolved from the LOG on
+    (re)start, so a sink restarted over a compacted table honors the
+    new layout. ``full_rewrite_fraction=None`` disables routing
+    (always partitioned — ``make_partitioned_cdc_sink``).
     """
     # the applied-id ledger and the layout are read from the log ONCE
     # (covers a sink restarting over an existing table), then
@@ -218,8 +259,28 @@ def make_partitioned_cdc_sink(
             old_touched = [
                 p for p in live if _group_of_name(p) in touched_groups
             ]
-            if old_touched:
-                cur = spark.read.parquet(*old_touched)
+            # route on the EXACT touched-file fraction (already known
+            # from the metadata-sized collect above): past the
+            # crossover, per-group rewrites lose to one bulk pass
+            route, frac = "partitioned", None
+            if live:
+                frac = len(old_touched) / len(live)
+                if (
+                    full_rewrite_fraction is not None
+                    and frac >= full_rewrite_fraction
+                ):
+                    route = "full-rewrite"
+            if route == "full-rewrite":
+                # merge against the WHOLE snapshot, rewrite everything
+                # at bulk-write grouping; the new grouping rides the
+                # commit's meta so the log resolves it atomically
+                merge_files = live
+                out_bpf = max(1, -(-n_buckets // bulk_files))
+            else:
+                merge_files = old_touched
+                out_bpf = bpf
+            if merge_files:
+                cur = spark.read.parquet(*merge_files)
                 old_k = cur.select(
                     F.col(key_col).alias("_k"),
                     *[F.col(c).alias(f"_old_{c}") for c in add_cols],
@@ -243,10 +304,20 @@ def make_partitioned_cdc_sink(
                 merged = inc.select(key_col, *add_cols)
             merged = merged.withColumn(
                 "bucket", bucket_expr(key_col, n_buckets)
-            ).withColumn("grp", grp_of).drop("bucket")
+            ).withColumn(
+                "grp", F.expr(f"CAST(bucket div {out_bpf} AS INT)")
+            ).drop("bucket")
             names = _stage_groups_into_table(
                 merged, table_dir, f"c{batch_id}"
             )
+        removed = merge_files if route == "full-rewrite" else old_touched
+        if route == "full-rewrite":
+            # a full rewrite is self-describing: it re-publishes the
+            # spec and records the coarsened grouping the new files
+            # were laid out under
+            meta = dict(meta or {})
+            meta.setdefault("bucket", {"key": key_col, "n": int(n_buckets)})
+            meta["buckets_per_file"] = int(out_bpf)
         # pinned to the snapshot this merge was derived from: a commit
         # landing in the read-to-commit window (e.g. a racing
         # compaction) raises ConcurrentCommitError — the stream fails
@@ -255,7 +326,7 @@ def make_partitioned_cdc_sink(
         last_v = tl.commit(
             table_dir,
             add=names,
-            remove=[os.path.basename(p) for p in old_touched],
+            remove=[os.path.basename(p) for p in removed],
             op=f"cdc-batch-{batch_id}",
             base_version=base_v,
             meta=meta,
@@ -263,6 +334,7 @@ def make_partitioned_cdc_sink(
             # what makes the warehouse joinable by snapshot readers
             schema=merged.drop("grp").schema.json() if need_schema else None,
         )
+        bpf = out_bpf
         need_meta = need_schema = False
         applied.add(batch_id)
         if metrics is not None:
@@ -274,6 +346,10 @@ def make_partitioned_cdc_sink(
             metrics.append(
                 {
                     "batch_id": batch_id,
+                    "route": route,
+                    "rewrite_frac_planned": (
+                        None if frac is None else round(frac, 4)
+                    ),
                     "touched_buckets": len({b for b, _ in touched}),
                     "touched_groups": len(touched_groups),
                     "buckets_per_file": bpf,
@@ -292,6 +368,31 @@ def make_partitioned_cdc_sink(
             )
 
     return merge_batch
+
+
+def make_partitioned_cdc_sink(
+    table_dir: str,
+    increments_fn,
+    *,
+    key_col: str,
+    add_cols: tuple[str, ...],
+    n_buckets: int = 256,
+    metrics: list | None = None,
+):
+    """The pure partitioned merge sink (routing disabled): every batch
+    rewrites only its touched groups, whatever its coverage. The
+    measured baseline the router is judged against — and the right
+    sink when the feed is KNOWN trickle-shaped and a coarsening
+    surprise would hurt downstream file-granularity consumers."""
+    return make_routed_cdc_sink(
+        table_dir,
+        increments_fn,
+        key_col=key_col,
+        add_cols=add_cols,
+        n_buckets=n_buckets,
+        metrics=metrics,
+        full_rewrite_fraction=None,
+    )
 
 
 def compact_warehouse(

@@ -63,3 +63,97 @@ def test_vacuum_sweeps_stale_commit_tmp_files(spark, tmp_path):
     assert os.path.exists(fresh)  # inside the grace window: in-flight
     # the log itself is untouched and readable
     assert tl.current_version(d) == 0
+
+
+def _cdc_events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, value double")
+
+
+def _cdc_increments(batch_df):
+    import pyspark.sql.functions as F
+
+    return batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+def _routed_sink(table, metrics=None, **kw):
+    from candy_store_etl_spark.streaming.cdc import make_routed_cdc_sink
+
+    return make_routed_cdc_sink(
+        table,
+        _cdc_increments,
+        key_col="user_id",
+        add_cols=("n_events", "cents"),
+        n_buckets=32,
+        metrics=metrics,
+        **kw,
+    )
+
+
+def test_routed_cdc_sink_picks_strategy_by_coverage(spark, tmp_path):
+    """The router's contract: trickle batches merge partitioned
+    (rewrite proportional to touched keys), a saturating batch full-
+    rewrites at bulk grouping — and the warehouse converges to the
+    same values either way."""
+    from candy_store_etl_spark.streaming.cdc import read_warehouse
+
+    table = str(tmp_path / "w")
+    metrics = []
+    sink = _routed_sink(table, metrics, bulk_files=8)
+    batches = [
+        [(u, 1.0) for u in range(200)],      # seed: empty table
+        [(7, 2.5)],                          # trickle: 1 key
+        [(u, 0.5) for u in range(200)],      # saturated: every key
+        [(13, 4.0)],                         # trickle over coarse layout
+    ]
+    for i, rows in enumerate(batches):
+        sink(_cdc_events(spark, rows), i)
+    routes = [m["route"] for m in metrics]
+    assert routes == [
+        "partitioned",  # seed: no live files to cover
+        "partitioned",  # 1 key of 32 buckets: frac <= 1/files < 0.3
+        "full-rewrite",  # every populated group touched: frac = 1.0
+        "partitioned",  # 1 of 8 bulk files = 0.125 < 0.3
+    ]
+    assert metrics[2]["files_total"] <= 8  # bulk grouping landed
+    assert tl.layout_buckets_per_file(table) == 4  # ceil(32/8)
+    # trickle over the coarse layout touches ONE group file
+    assert metrics[3]["files_rewritten"] == 1
+    # parity with the one-shot aggregate over all input
+    all_rows = [r for b in batches for r in b]
+    got = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in read_warehouse(spark, table).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in _cdc_increments(_cdc_events(spark, all_rows)).collect()
+    )
+    assert got == want
+
+
+def test_routed_cdc_full_rewrite_is_idempotent_and_servable(
+    spark, tmp_path
+):
+    """A replayed full-rewrite epoch is a no-op (the commit IS the
+    marker), and the coarsened warehouse is still a first-class
+    bucketed table: spec committed, grouping resolvable, serve()
+    routes and answers correctly over it."""
+    table = str(tmp_path / "w")
+    sink = _routed_sink(table, bulk_files=8)
+    sink(_cdc_events(spark, [(u, 1.0) for u in range(100)]), 0)
+    sink(_cdc_events(spark, [(u, 2.0) for u in range(100)]), 1)  # full
+    v = tl.current_version(table)
+    sink(_cdc_events(spark, [(u, 2.0) for u in range(100)]), 1)  # replay
+    assert tl.current_version(table) == v
+    assert co.bucket_spec(table) == {"key": "user_id", "n": 32}
+    hit, info = co.serve(spark, table, [5, 42])
+    assert info["route"] == "scan-small-table"  # <=8 files
+    assert sorted((r.user_id, r.n_events) for r in hit.collect()) == [
+        (5, 2),
+        (42, 2),
+    ]
