@@ -1532,3 +1532,145 @@ def serve_aggregate(
         ).simpleString()
         exprs.append(e.cast(target).alias(out))
     return scan.groupBy(group_col).agg(*exprs), info
+
+
+#: the join router's broadcast cutoff, in COMPRESSED snapshot bytes
+#: (the same estimator Spark's own autoBroadcastJoinThreshold applies
+#: to file relations). 32 MB is deliberately conservative: at the
+#: measured A/B scales (scripts/ab_colocated.py, ab_fused_rollup.py)
+#: a dimension side this small broadcasts in one stage with no
+#: Python workers and beats BOTH alternatives at every SF, while a
+#: side past it stops being "dimension-sized" and the choice falls
+#: to layout alignment.
+SERVE_JOIN_BROADCAST_BYTES = 32 << 20
+
+
+def serve_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    how: str = "inner",
+    *,
+    on: tuple[str, str] | None = None,
+    broadcast_bytes: int = SERVE_JOIN_BROADCAST_BYTES,
+) -> tuple[DataFrame, dict]:
+    """The JOIN face of the serving front door: join two table-log
+    tables, routed by layout + side sizes to the execution shape the
+    measurements say wins there. Returns ``(rows, info)`` with the
+    decision in ``info["route"]``:
+
+    - ``broadcast`` — one side is dimension-sized (committed snapshot
+      bytes <= ``broadcast_bytes``): scan both snapshots and
+      ``broadcast()`` the small side — ONE JVM stage, no Python
+      workers, and the big side is never exchanged (the candy pricing
+      join's own shape). Precedence over colocated even when layouts
+      align: the co-located plan would pay per-group Arrow-task
+      overhead to avoid an exchange the broadcast plan doesn't do
+      either (the fixed cost ab_fused_rollup measured pricing every
+      SPJ form below its crossover). Sides: the right side
+      broadcasts for inner/left/left_semi/left_anti, the left only
+      for inner (Spark cannot broadcast the preserved side); full
+      outer never broadcasts.
+    - ``colocated`` — both sides are big but share the layout (same
+      bucket count, same key type, both committed): the zero-exchange
+      ``colocated_bucket_join``, the shape whose advantage GROWS with
+      scale (crossover a decade earlier fused, sf1 in the A/B).
+    - ``shuffle`` — no dimension-sized side and no shared layout: the
+      plain Catalyst join over both snapshot scans (shuffle on the
+      keys), the only correct general shape. This route is
+      DECLARATIVE — serve_join forces nothing, so Catalyst/AQE may
+      still upgrade it to a broadcast at runtime if a side's own
+      statistics prove it tiny (the router only forces what committed
+      metadata already proves). Routing never changes the answer: all
+      three routes produce colocated_bucket_join's output-column
+      contract (left columns, then right columns minus its key;
+      coalesced key for full outer).
+
+    ``on=(left_col, right_col)`` names the join keys when a side has
+    no committed bucket spec (the colocated route additionally
+    requires the keys to BE the bucket keys). All metadata — specs,
+    schemas, file lists, byte sizes — resolves once, at each side's
+    current version."""
+    lv = tl.current_version(left_dir)
+    rv = tl.current_version(right_dir)
+    ls = bucket_spec(left_dir, version=lv)
+    rs = bucket_spec(right_dir, version=rv)
+    lschema = tl.snapshot_schema(left_dir, version=lv)
+    rschema = tl.snapshot_schema(right_dir, version=rv)
+    if lschema is None or rschema is None:
+        raise ValueError("both tables must carry committed schemas")
+    if on is not None:
+        lkey, rkey = on
+    elif ls is not None and rs is not None:
+        lkey, rkey = ls["key"], rs["key"]
+    else:
+        raise ValueError(
+            "a side has no committed bucket spec: pass on=(left_col, "
+            "right_col)"
+        )
+    overlap = ({f.name for f in lschema} & {f.name for f in rschema}) - (
+        {lkey} if lkey == rkey else set()
+    )
+    if overlap:
+        raise ValueError(
+            f"non-key column name overlap {sorted(overlap)}: rename "
+            "before joining"
+        )
+    lfiles = tl.snapshot_files(left_dir, version=lv)
+    rfiles = tl.snapshot_files(right_dir, version=rv)
+    lbytes = sum(os.path.getsize(p) for p in lfiles)
+    rbytes = sum(os.path.getsize(p) for p in rfiles)
+    info: dict = {
+        "left_bytes": lbytes,
+        "right_bytes": rbytes,
+        "left_files": len(lfiles),
+        "right_files": len(rfiles),
+    }
+    bcast = None
+    if how in ("inner", "left", "left_semi", "left_anti") and (
+        rbytes <= broadcast_bytes
+    ):
+        bcast = "right"
+    elif how == "inner" and lbytes <= broadcast_bytes:
+        bcast = "left"
+    colocatable = (
+        ls is not None
+        and rs is not None
+        and ls["n"] == rs["n"]
+        and lkey == ls["key"]
+        and rkey == rs["key"]
+        and lschema[lkey].dataType == rschema[rkey].dataType
+    )
+    if bcast is not None:
+        info["route"] = "broadcast"
+        info["broadcast_side"] = bcast
+    elif colocatable:
+        info["route"] = "colocated"
+        return colocated_bucket_join(spark, left_dir, right_dir, how), info
+    else:
+        info["route"] = "shuffle"
+
+    def _scan(files, schema):
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    left = _scan(lfiles, lschema)
+    right = _scan(rfiles, rschema)
+    lside = F.broadcast(left) if bcast == "left" else left
+    rside = F.broadcast(right) if bcast == "right" else right
+    joined = lside.join(rside, left[lkey] == right[rkey], how)
+    if how in ("left_semi", "left_anti"):
+        return joined, info  # left columns verbatim, same as the SPJ
+    r_rest = [right[f.name] for f in rschema.fields if f.name != rkey]
+    if how == "full":
+        out = joined.select(
+            F.coalesce(left[lkey], right[rkey]).alias(lkey),
+            *[left[f.name] for f in lschema.fields if f.name != lkey],
+            *r_rest,
+        )
+    else:
+        out = joined.select(
+            *[left[f.name] for f in lschema.fields], *r_rest
+        )
+    return out, info

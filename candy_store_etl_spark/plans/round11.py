@@ -146,3 +146,165 @@ def cdc_routed_sink_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# serve_join: the JOIN face of the serving front door, three regimes
+# ---------------------------------------------------------------------------
+
+_SQL_STATS_CTE = """
+stats AS (
+  SELECT o_custkey AS cust_key,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+"""
+
+
+def _join_rollup(spark, df, info, *extra) -> DataFrame:
+    """Roll a serve_join result up with the route as a literal column
+    — the regime-query shape shared with the serve() rows."""
+    return df.agg(
+        F.lit(info["route"]).alias("route"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("spend_cents").alias("spend_cents"),
+        *extra,
+    )
+
+
+@register(
+    "serve_join_broadcast",
+    oracle=f"""
+    WITH {_SQL_STATS_CTE}
+    SELECT 'broadcast' AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(spend_cents) AS BIGINT) AS spend_cents,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM stats JOIN customer ON cust_key = c_custkey
+    """,
+    doc="serve_join() with a dimension-sized right side (the customer "
+    "dim, kilobytes of committed snapshot bytes): the router must "
+    "pick the BROADCAST shape — one JVM stage, no Python workers, the "
+    "fact side never exchanged — even though both sides share a "
+    "bucket layout the colocated route could use (ab_fused_rollup's "
+    "fixed SPJ task cost is pure loss when the dim broadcasts for "
+    "free). Route is a hash-checked output column; the joined rollup "
+    "is recomputed by the oracle from the raw relations.",
+    tags=("table_log", "bucketed", "serving", "router", "join"),
+)
+def serve_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve_join
+    from .round8 import _ensure_colocated_tables
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    df, info = serve_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        os.path.join(root, "cust_dim"),
+    )
+    assert info["broadcast_side"] == "right"
+    return _join_rollup(
+        spark, df, info, F.countDistinct("mktsegment").alias("n_segments")
+    )
+
+
+@register(
+    "serve_join_colocated",
+    oracle=f"""
+    WITH {_SQL_STATS_CTE}
+    SELECT 'colocated' AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(spend_cents) AS BIGINT) AS spend_cents,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM stats JOIN customer ON cust_key = c_custkey
+    """,
+    doc="serve_join() with broadcasting ruled out (threshold 0 — the "
+    "stand-in for two sides that are BOTH big at 100 TB): the sides "
+    "share a committed layout (same bucket count, same key type), so "
+    "the router must pick the zero-exchange CO-LOCATED shape rather "
+    "than fall through to a shuffle — and the answer must equal the "
+    "broadcast regime's row for row (route-is-invisible, checked "
+    "against the same oracle rollup).",
+    tags=("table_log", "bucketed", "serving", "router", "join"),
+)
+def serve_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve_join
+    from .round8 import _ensure_colocated_tables
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    df, info = serve_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        os.path.join(root, "cust_dim"),
+        broadcast_bytes=0,
+    )
+    return _join_rollup(
+        spark, df, info, F.countDistinct("mktsegment").alias("n_segments")
+    )
+
+
+@register(
+    "serve_join_shuffle",
+    oracle=f"""
+    WITH {_SQL_STATS_CTE}
+    SELECT 'shuffle' AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(spend_cents) AS BIGINT) AS spend_cents,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS acct_cents
+    FROM stats JOIN customer ON cust_key = c_custkey
+    """,
+    doc="serve_join() with broadcasting ruled out AND no shared "
+    "layout (the right side is a plain spec-less table-log table, "
+    "keys named via on=): neither fast shape is provable from "
+    "committed metadata, so the router's only correct choice is the "
+    "declarative Catalyst join (route 'shuffle' — AQE may still "
+    "upgrade it at runtime; the router forces only what metadata "
+    "proves). Same oracle discipline as the other two regimes.",
+    tags=("table_log", "serving", "router", "join"),
+)
+def serve_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve_join
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from .round8 import _ensure_colocated_tables
+
+    root = _ensure_colocated_tables(spark, sf_dir)
+    ckey = content_fingerprint(
+        os.path.join(sf_dir, "customer.parquet"), extra="servejoin-plain"
+    )
+    proot = os.path.join(tempfile.gettempdir(), f"csetl_sjpl_{ckey}")
+    plain = os.path.join(proot, "acct")
+
+    def _intact(d: str) -> bool:
+        t = os.path.join(d, "acct")
+        if tl.current_version(t) != 0:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        tl.append(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("ckey"),
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("acct_cents"),
+            ),
+            os.path.join(stage, "acct"),
+        )
+
+    ensure_scratch(proot, _build, _intact)
+    df, info = serve_join(
+        spark,
+        os.path.join(root, "order_stats"),
+        plain,
+        on=("cust_key", "ckey"),
+        broadcast_bytes=0,
+    )
+    return df.agg(
+        F.lit(info["route"]).alias("route"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("spend_cents").alias("spend_cents"),
+        F.sum("acct_cents").alias("acct_cents"),
+    )

@@ -157,3 +157,91 @@ def test_routed_cdc_full_rewrite_is_idempotent_and_servable(
         (5, 2),
         (42, 2),
     ]
+
+
+def _write_pair(spark, tmp_path, right_buckets=4):
+    left, right = str(tmp_path / "l"), str(tmp_path / "r")
+    co.write_bucketed(_facts(spark, 300), left, key_col="k", n_buckets=4)
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 300, 2)], "k long, d string"
+    )
+    co.write_bucketed(dims, right, key_col="k", n_buckets=right_buckets)
+    return left, right
+
+
+def test_serve_join_routes_by_size_and_layout(spark, tmp_path):
+    """The join router's three regimes — dimension-sized side ->
+    broadcast, shared layout -> colocated, neither -> shuffle — all
+    return identical rows in the identical column contract."""
+    left, right = _write_pair(spark, tmp_path)
+    got = {}
+    for label, kw in (
+        ("broadcast", {}),  # dims are tiny: under any real threshold
+        ("colocated", {"broadcast_bytes": 0}),  # same layout, both big
+    ):
+        df, info = co.serve_join(spark, left, right, **kw)
+        assert info["route"] == label, info
+        assert df.columns == ["k", "a", "d"]
+        got[label] = sorted((r.k, r.a, r.d) for r in df.collect())
+    # a layout mismatch (different bucket counts) kills the colocated
+    # route; with broadcasting disabled only the shuffle shape is left
+    left2, right2 = _write_pair(
+        spark, tmp_path / "mismatch", right_buckets=8
+    )
+    df, info = co.serve_join(spark, left2, right2, broadcast_bytes=0)
+    assert info["route"] == "shuffle"
+    got["shuffle"] = sorted((r.k, r.a, r.d) for r in df.collect())
+    assert got["broadcast"] == got["colocated"] == got["shuffle"]
+    assert len(got["broadcast"]) == 150
+
+
+def test_serve_join_plan_shapes(spark, tmp_path):
+    """Route claims are plan-audited: the broadcast route plans a
+    BroadcastHashJoin; the shuffle route exchanges on the keys."""
+    left, right = _write_pair(spark, tmp_path)
+    df, info = co.serve_join(spark, left, right)
+    assert info["route"] == "broadcast" and info["broadcast_side"] == "right"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    df2, info2 = co.serve_join(spark, left, right, broadcast_bytes=0)
+    assert info2["route"] == "colocated"
+    # the shuffle route is DECLARATIVE: serve_join forces nothing, and
+    # Catalyst may still auto-broadcast a side its own stats prove
+    # tiny — disable that to pin the declared shuffle shape
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df3, info3 = co.serve_join(
+            spark,
+            *_write_pair(spark, tmp_path / "m", right_buckets=8),
+            broadcast_bytes=0,
+        )
+        assert info3["route"] == "shuffle"
+        plan3 = df3._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_serve_join_outer_semantics_and_on(spark, tmp_path):
+    """full outer never broadcasts (no preserved-side broadcast in
+    Spark); left join null-fills; on= serves unbucketed sides."""
+    left, right = _write_pair(spark, tmp_path)
+    df, info = co.serve_join(spark, left, right, "full")
+    assert info["route"] == "colocated"  # broadcast suppressed
+    df2, info2 = co.serve_join(spark, left, right, "left")
+    assert info2["route"] == "broadcast"
+    rows = {r.k: r.d for r in df2.collect()}
+    assert rows[2] == "d2" and rows[3] is None and len(rows) == 300
+    # unbucketed right side: spec-less appends need explicit keys
+    plain = str(tmp_path / "plain")
+    tl.append(
+        spark.createDataFrame(
+            [(i, f"p{i}") for i in range(0, 300, 3)], "kk long, p string"
+        ),
+        plain,
+    )
+    df3, info3 = co.serve_join(spark, left, plain, on=("k", "kk"))
+    assert info3["route"] == "broadcast"
+    assert sorted(df3.columns) == ["a", "k", "p"]
+    assert df3.count() == 100
