@@ -63,6 +63,7 @@ def write_bucketed(
     n_buckets: int,
     stats_cols: list[str] = (),
     mode: str = "overwrite",
+    extra_meta: dict | None = None,
 ) -> int:
     """Materialize ``df`` as a hash-bucketed table-log table: one data
     file per bucket (``pmod(xxhash64(key), n)`` — the one shared
@@ -151,7 +152,10 @@ def write_bucketed(
         if stats_cols
         else None
     )
-    meta = {"bucket": declared}
+    # extra_meta rides the same commit (e.g. an ingest ledger tag a
+    # caller uses for append idempotence); the bucket spec always wins
+    # on key collision
+    meta = {**(extra_meta or {}), "bucket": declared}
     if mode == "overwrite":
         return tl.commit(
             table_dir,

@@ -148,3 +148,215 @@ def run_pipeline_tablelog(
         "daily_summary": daily,
         "sales_profit_forecast": build_forecast(daily),
     }
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    transaction_paths: list[str],
+    products: DataFrame,
+    workdir: str,
+    *,
+    n_buckets: int = 16,
+) -> dict[str, DataFrame]:
+    """The candy pipeline as INCREMENTAL VIEW MAINTENANCE — the true
+    at-scale answer to the reference's per-day driver loop
+    (`data_processor.py:172`): each day's transactions APPEND to the
+    line-items stage table, whose change feed maintains the orders
+    rollup, whose own change feed maintains the daily summary —
+    maintenance cost at every hop is proportional to the DAY'S DELTA,
+    never a stage rescan, so day 1000 costs what day 10 did.
+
+    The chain (all table-log tables under ``workdir``):
+
+    - ``line_items_tl`` — append-only history, bucketed on order_id,
+      each row carrying the header attributes (order_datetime,
+      customer_id) and the precomputed profit term: the
+      denormalization that keeps the downstream hops join-free.
+    - ``usage_tl`` — per-product allocated quantity, maintained from
+      the line-items feed: the next day's greedy allocation reads
+      REMAINING stock from it (stock minus merged usage) instead of
+      re-aggregating history. Greedy allocation is sequential by
+      construction, so day-at-a-time allocation against the carried
+      remainder equals the batch pipeline's global
+      (day, row, item)-ordered pass exactly.
+    - ``orders_rollup_tl`` — per-order amount/items/profit, maintained
+      from the line-items feed by the routed CDC sink
+      (``carry_cols`` rides the order's datetime and customer).
+    - ``daily_tl`` — per-date orders/sales/profit, maintained from the
+      ROLLUP table's change feed with signed folding (an updated
+      order's old row nets out, cdf_matview_chain's telescoping).
+
+    Every maintained table is versioned: a crashed day replays
+    idempotently (the CDC ledger), and yesterday's warehouse is one
+    ``version=`` away. Outputs match ``run_pipeline``'s five (parity
+    pinned in tests over the reference's own dataset)."""
+    li_dir = os.path.join(workdir, "line_items_tl")
+    usage_dir = os.path.join(workdir, "usage_tl")
+    rollup_dir = os.path.join(workdir, "orders_rollup_tl")
+    daily_dir = os.path.join(workdir, "daily_tl")
+
+    from ..sources import table_log_source
+    from ..streaming.cdc import make_routed_cdc_sink
+    from ..streaming.events import run_stream_foreach_batch
+
+    table_log_source.register(spark)
+
+    def _sign():
+        return F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    def _inc_orders(batch_df: DataFrame) -> DataFrame:
+        s = _sign()
+        return batch_df.groupBy("order_id").agg(
+            F.sum(s * F.col("line_total")).alias("amount_raw"),
+            F.sum(s).alias("num_items"),
+            F.sum(s * F.col("profit_term")).alias("order_profit"),
+            F.max("order_datetime").alias("order_datetime"),
+            F.max("customer_id").alias("customer_id"),
+        )
+
+    def _inc_usage(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("product_id").agg(
+            F.sum(_sign() * F.col("quantity")).alias("used_total")
+        )
+
+    def _inc_daily(batch_df: DataFrame) -> DataFrame:
+        s = _sign()
+        return (
+            batch_df.withColumn(
+                "date",
+                F.date_format(F.to_date("order_datetime"), "yyyy-MM-dd"),
+            )
+            .groupBy("date")
+            .agg(
+                F.sum(s).alias("num_orders"),
+                F.sum(s * _ROUND2(F.col("amount_raw"))).alias("sales_raw"),
+                F.sum(s * F.col("order_profit")).alias("profit_raw"),
+            )
+        )
+
+    sink_orders = make_routed_cdc_sink(
+        rollup_dir,
+        _inc_orders,
+        key_col="order_id",
+        add_cols=("amount_raw", "num_items", "order_profit"),
+        carry_cols=("order_datetime", "customer_id"),
+        n_buckets=n_buckets,
+    )
+    sink_usage = make_routed_cdc_sink(
+        usage_dir,
+        _inc_usage,
+        key_col="product_id",
+        add_cols=("used_total",),
+        n_buckets=4,
+    )
+    sink_daily = make_routed_cdc_sink(
+        daily_dir,
+        _inc_daily,
+        key_col="date",
+        add_cols=("num_orders", "sales_raw", "profit_raw"),
+        n_buckets=n_buckets,
+    )
+
+    def _feed(path: str):
+        return (
+            spark.readStream.format("table_log")
+            .option("path", path)
+            .option("changeFeed", "true")
+            .load()
+        )
+
+    def _drain(src_dir: str, sink, ckpt: str) -> None:
+        run_stream_foreach_batch(
+            _feed(src_dir), sink, checkpoint_dir=os.path.join(workdir, ckpt)
+        )
+
+    # the DAY LEDGER is the line-items log itself: each day's append
+    # commits its file name in meta, so re-invoking over the same
+    # workdir with an extended path list ingests only the new days
+    # (the maintenance hops are already idempotent via the CDC batch
+    # ledger + stream checkpoints)
+    ingested = {
+        (e.get("meta") or {}).get("day")
+        for e in (
+            tl.log_entries(li_dir)
+            if tl.current_version(li_dir) is not None
+            else []
+        )
+    }
+    for day_path in transaction_paths:
+        day = os.path.basename(day_path)
+        if day in ingested:
+            continue
+        txns = load_daily_transactions(spark, [day_path]).transform(
+            tracked_cache
+        )
+        # remaining stock = catalog stock minus MERGED usage: the one
+        # carried state the sequential greedy allocation needs (per
+        # product — dimension-sized, never the line-item history)
+        if tl.current_version(usage_dir) is not None:
+            usage = tl.read_snapshot(spark, usage_dir)
+            day_products = (
+                products.join(F.broadcast(usage), "product_id", "left")
+                .withColumn(
+                    "stock",
+                    (
+                        F.col("stock") - F.coalesce("used_total", F.lit(0))
+                    ).cast("int"),
+                )
+                .drop("used_total")
+            )
+        else:
+            day_products = products
+        li_day = line_items_with_profit_term(
+            build_line_items(txns, day_products)
+        ).join(F.broadcast(dedup_headers(txns)), "order_id")
+        write_bucketed(
+            li_day,
+            li_dir,
+            key_col="order_id",
+            n_buckets=n_buckets,
+            mode=(
+                "append" if tl.current_version(li_dir) is not None
+                else "overwrite"
+            ),
+            extra_meta={"day": day},
+        )
+        # drain the chain: line-items feed -> rollup + usage, then the
+        # rollup's OWN feed -> daily. Checkpoints persist in workdir,
+        # so each drain processes exactly the new commits.
+        _drain(li_dir, sink_orders, "ckpt_orders")
+        _drain(li_dir, sink_usage, "ckpt_usage")
+        _drain(rollup_dir, sink_daily, "ckpt_daily")
+
+    line_items = tl.read_snapshot(spark, li_dir)
+    rollup = tl.read_snapshot(spark, rollup_dir)
+    orders_full = rollup.select(
+        "order_id",
+        "order_datetime",
+        "customer_id",
+        _ROUND2(F.col("amount_raw")).alias("total_amount"),
+        "num_items",
+        "order_profit",
+    )
+    daily = (
+        tl.read_snapshot(spark, daily_dir)
+        .filter(F.col("num_orders") > 0)
+        .select(
+            "date",
+            "num_orders",
+            _ROUND2(F.col("sales_raw")).alias("total_sales"),
+            _ROUND2(F.col("profit_raw")).alias("total_profit"),
+        )
+        .orderBy("date")
+    )
+    return {
+        "order_line_items": line_items.select(
+            "order_id", "product_id", "quantity", "unit_price", "line_total"
+        ).orderBy("order_id", "product_id"),
+        "products_updated": build_products_updated(line_items, products),
+        "orders": orders_full.drop("order_profit").orderBy("order_id"),
+        "daily_summary": daily,
+        "sales_profit_forecast": build_forecast(daily),
+    }

@@ -145,6 +145,7 @@ def make_routed_cdc_sink(
     *,
     key_col: str,
     add_cols: tuple[str, ...],
+    carry_cols: tuple[str, ...] = (),
     n_buckets: int = 256,
     metrics: list | None = None,
     full_rewrite_fraction: float | None = FULL_REWRITE_FILE_FRACTION,
@@ -179,7 +180,15 @@ def make_routed_cdc_sink(
 
     ``increments_fn(batch_df) -> DataFrame`` must return one row per
     ``key_col`` with the additive ``add_cols``; the merge is
-    old + increment per column (missing side = 0). ``metrics``, if
+    old + increment per column (missing side = 0). ``carry_cols`` are
+    NON-additive dimension attributes constant per key (an order's
+    timestamp, a customer id): merged as coalesce(incoming, old) —
+    new value wins when the key is in the batch, the stored value
+    survives when it is not — so a keyed matview can carry the
+    attributes its own downstream consumers group by, without a
+    join back to a dimension table in the maintenance path (the
+    denormalization that keeps two-hop IVM delta-proportional at
+    every hop). ``metrics``, if
     given, collects one dict per applied batch with the route and the
     rewrite-volume evidence (buckets/groups/files/rows touched vs
     total). The bucket->file grouping is re-resolved from the LOG on
@@ -283,7 +292,10 @@ def make_routed_cdc_sink(
                 cur = spark.read.parquet(*merge_files)
                 old_k = cur.select(
                     F.col(key_col).alias("_k"),
-                    *[F.col(c).alias(f"_old_{c}") for c in add_cols],
+                    *[
+                        F.col(c).alias(f"_old_{c}")
+                        for c in (*add_cols, *carry_cols)
+                    ],
                 )
                 # eqNullSafe: a NULL merge key is ONE key (matching the
                 # batch aggregate's null group), not a row that dodges
@@ -299,9 +311,14 @@ def make_routed_cdc_sink(
                         ).alias(c)
                         for c in add_cols
                     ],
+                    # carried attributes: incoming wins, stored survives
+                    *[
+                        F.coalesce(c, f"_old_{c}").alias(c)
+                        for c in carry_cols
+                    ],
                 )
             else:
-                merged = inc.select(key_col, *add_cols)
+                merged = inc.select(key_col, *add_cols, *carry_cols)
             merged = merged.withColumn(
                 "bucket", bucket_expr(key_col, n_buckets)
             ).withColumn(
@@ -376,6 +393,7 @@ def make_partitioned_cdc_sink(
     *,
     key_col: str,
     add_cols: tuple[str, ...],
+    carry_cols: tuple[str, ...] = (),
     n_buckets: int = 256,
     metrics: list | None = None,
 ):
@@ -389,6 +407,7 @@ def make_partitioned_cdc_sink(
         increments_fn,
         key_col=key_col,
         add_cols=add_cols,
+        carry_cols=carry_cols,
         n_buckets=n_buckets,
         metrics=metrics,
         full_rewrite_fraction=None,

@@ -113,3 +113,87 @@ def test_stage_boundaries_are_versioned_bucketed_tables(
     assert build_daily_summary(
         tl.read_snapshot(spark, orders_dir)
     ).count() == 3
+
+
+def test_incremental_pipeline_matches_single_session(
+    spark, tmp_path, candy_paths
+):
+    """Two-hop IVM over the stage tables equals the all-at-once batch
+    pipeline on the reference's own dataset — every output, including
+    allocation (sequential greedy over the carried stock remainder ==
+    the batch's global ordered pass) and the per-day summary
+    (signed-folded from the rollup's change feed)."""
+    from candy_store_etl_spark.plans.candy_colocated import (
+        run_pipeline_incremental,
+    )
+    from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+    from candy_store_etl_spark.sources.candy import read_products
+
+    products = read_products(
+        spark, os.path.join(REF_DATA, "products.csv")
+    )
+    got = run_pipeline_incremental(
+        spark, candy_paths, products, str(tmp_path / "ivm")
+    )
+    want = run_pipeline(spark, candy_paths, products)
+    orders = {
+        "order_line_items": ("order_id", "product_id"),
+        "products_updated": ("product_id",),
+        "orders": ("order_id",),
+        "daily_summary": ("date",),
+        "sales_profit_forecast": ("date",),
+    }
+    for name, oc in orders.items():
+        g, w = got[name], want[name]
+        assert g.columns == w.columns, name
+        gr, wr = _rows(g, *oc), _rows(w, *oc)
+        assert len(gr) == len(wr), name
+        for grow, wrow in zip(gr, wr):
+            for gv, wv in zip(grow, wrow):
+                if isinstance(gv, float):
+                    assert abs(gv - wv) < 1e-6, (name, grow, wrow)
+                else:
+                    assert gv == wv, (name, grow, wrow)
+
+
+def test_incremental_pipeline_extends_without_reprocessing(
+    spark, tmp_path, candy_paths
+):
+    """Day N+1 arrives: the maintenance chain appends ONE line-items
+    version and merges one batch per hop — the earlier days' stage
+    files are untouched inodes, and the result equals the batch
+    pipeline over all N+1 days."""
+    from candy_store_etl_spark.plans.candy_colocated import (
+        run_pipeline_incremental,
+    )
+    from candy_store_etl_spark.plans.candy_pipeline import run_pipeline
+    from candy_store_etl_spark.sources.candy import read_products
+
+    products = read_products(
+        spark, os.path.join(REF_DATA, "products.csv")
+    )
+    work = str(tmp_path / "ivm")
+    run_pipeline_incremental(spark, candy_paths[:3], products, work)
+    li = os.path.join(work, "line_items_tl")
+    assert tl.current_version(li) == 2  # one append per day
+    before = {
+        p: os.stat(p).st_ino for p in tl.snapshot_files(li)
+    }
+    got = run_pipeline_incremental(
+        spark, candy_paths[:4], products, work
+    )
+    # the three earlier days' files are the SAME inodes — history was
+    # never rewritten, only extended
+    after = {p: os.stat(p).st_ino for p in tl.snapshot_files(li)}
+    assert all(after[p] == i for p, i in before.items())
+    assert tl.current_version(li) == 3
+    want = run_pipeline(spark, candy_paths[:4], products)
+    g = [tuple(r) for r in got["daily_summary"].collect()]
+    w = [tuple(r) for r in want["daily_summary"].collect()]
+    assert len(g) == len(w) == 4
+    for grow, wrow in zip(g, w):
+        for gv, wv in zip(grow, wrow):
+            if isinstance(gv, float):
+                assert abs(gv - wv) < 1e-6
+            else:
+                assert gv == wv
