@@ -150,56 +150,56 @@ def run_pipeline_tablelog(
     }
 
 
-def run_pipeline_incremental(
+def _ivm_dirs(workdir: str) -> tuple[str, str, str, str]:
+    return (
+        os.path.join(workdir, "line_items_tl"),
+        os.path.join(workdir, "usage_tl"),
+        os.path.join(workdir, "orders_rollup_tl"),
+        os.path.join(workdir, "daily_tl"),
+    )
+
+
+def ingest_days(
     spark: SparkSession,
-    transaction_paths: list[str],
+    day_paths: list[str],
     products: DataFrame,
     workdir: str,
     *,
     n_buckets: int = 16,
-) -> dict[str, DataFrame]:
-    """The candy pipeline as INCREMENTAL VIEW MAINTENANCE — the true
-    at-scale answer to the reference's per-day driver loop
-    (`data_processor.py:172`): each day's transactions APPEND to the
-    line-items stage table, whose change feed maintains the orders
-    rollup, whose own change feed maintains the daily summary —
-    maintenance cost at every hop is proportional to the DAY'S DELTA,
-    never a stage rescan, so day 1000 costs what day 10 did.
-
-    The chain (all table-log tables under ``workdir``):
-
-    - ``line_items_tl`` — append-only history, bucketed on order_id,
-      each row carrying the header attributes (order_datetime,
-      customer_id) and the precomputed profit term: the
-      denormalization that keeps the downstream hops join-free.
-    - ``usage_tl`` — per-product allocated quantity, maintained from
-      the line-items feed: the next day's greedy allocation reads
-      REMAINING stock from it (stock minus merged usage) instead of
-      re-aggregating history. Greedy allocation is sequential by
-      construction, so day-at-a-time allocation against the carried
-      remainder equals the batch pipeline's global
-      (day, row, item)-ordered pass exactly.
-    - ``orders_rollup_tl`` — per-order amount/items/profit, maintained
-      from the line-items feed by the routed CDC sink
-      (``carry_cols`` rides the order's datetime and customer).
-    - ``daily_tl`` — per-date orders/sales/profit, maintained from the
-      ROLLUP table's change feed with signed folding (an updated
-      order's old row nets out, cdf_matview_chain's telescoping).
-
-    Every maintained table is versioned: a crashed day replays
-    idempotently (the CDC ledger), and yesterday's warehouse is one
-    ``version=`` away. Outputs match ``run_pipeline``'s five (parity
-    pinned in tests over the reference's own dataset)."""
-    li_dir = os.path.join(workdir, "line_items_tl")
-    usage_dir = os.path.join(workdir, "usage_tl")
-    rollup_dir = os.path.join(workdir, "orders_rollup_tl")
-    daily_dir = os.path.join(workdir, "daily_tl")
+    tag: str | None = None,
+) -> bool:
+    """Ingest ONE increment — one or more day files as a single batch
+    (multi-day batches keep the greedy allocation's global (day, row,
+    item) order via ``load_daily_transactions``'s day_idx) — then
+    drain the maintenance chain: the line-items change feed maintains
+    the orders rollup and the product usage, the rollup's own feed
+    maintains the daily summary. Idempotent: the increment's ``tag``
+    (default: the day file's name) rides the append commit's meta as
+    the ingest ledger; an already-ingested tag returns False without
+    touching anything. This is the unit the marginal-day scaling
+    measurement times — everything it does is proportional to the
+    increment, never to history."""
+    li_dir, usage_dir, rollup_dir, daily_dir = _ivm_dirs(workdir)
 
     from ..sources import table_log_source
     from ..streaming.cdc import make_routed_cdc_sink
     from ..streaming.events import run_stream_foreach_batch
 
     table_log_source.register(spark)
+    if tag is None:
+        if len(day_paths) != 1:
+            raise ValueError("multi-day increments need an explicit tag")
+        tag = os.path.basename(day_paths[0])
+    ingested = {
+        (e.get("meta") or {}).get("day")
+        for e in (
+            tl.log_entries(li_dir)
+            if tl.current_version(li_dir) is not None
+            else []
+        )
+    }
+    if tag in ingested:
+        return False
 
     def _sign():
         return F.when(
@@ -259,77 +259,66 @@ def run_pipeline_incremental(
         n_buckets=n_buckets,
     )
 
-    def _feed(path: str):
-        return (
-            spark.readStream.format("table_log")
-            .option("path", path)
-            .option("changeFeed", "true")
-            .load()
-        )
-
     def _drain(src_dir: str, sink, ckpt: str) -> None:
         run_stream_foreach_batch(
-            _feed(src_dir), sink, checkpoint_dir=os.path.join(workdir, ckpt)
+            spark.readStream.format("table_log")
+            .option("path", src_dir)
+            .option("changeFeed", "true")
+            .load(),
+            sink,
+            checkpoint_dir=os.path.join(workdir, ckpt),
         )
 
-    # the DAY LEDGER is the line-items log itself: each day's append
-    # commits its file name in meta, so re-invoking over the same
-    # workdir with an extended path list ingests only the new days
-    # (the maintenance hops are already idempotent via the CDC batch
-    # ledger + stream checkpoints)
-    ingested = {
-        (e.get("meta") or {}).get("day")
-        for e in (
-            tl.log_entries(li_dir)
-            if tl.current_version(li_dir) is not None
-            else []
-        )
-    }
-    for day_path in transaction_paths:
-        day = os.path.basename(day_path)
-        if day in ingested:
-            continue
-        txns = load_daily_transactions(spark, [day_path]).transform(
-            tracked_cache
-        )
-        # remaining stock = catalog stock minus MERGED usage: the one
-        # carried state the sequential greedy allocation needs (per
-        # product — dimension-sized, never the line-item history)
-        if tl.current_version(usage_dir) is not None:
-            usage = tl.read_snapshot(spark, usage_dir)
-            day_products = (
-                products.join(F.broadcast(usage), "product_id", "left")
-                .withColumn(
-                    "stock",
-                    (
-                        F.col("stock") - F.coalesce("used_total", F.lit(0))
-                    ).cast("int"),
-                )
-                .drop("used_total")
+    txns = load_daily_transactions(spark, day_paths).transform(
+        tracked_cache
+    )
+    # remaining stock = catalog stock minus MERGED usage: the one
+    # carried state the sequential greedy allocation needs (per
+    # product — dimension-sized, never the line-item history)
+    if tl.current_version(usage_dir) is not None:
+        usage = tl.read_snapshot(spark, usage_dir)
+        day_products = (
+            products.join(F.broadcast(usage), "product_id", "left")
+            .withColumn(
+                "stock",
+                (
+                    F.col("stock") - F.coalesce("used_total", F.lit(0))
+                ).cast("int"),
             )
-        else:
-            day_products = products
-        li_day = line_items_with_profit_term(
-            build_line_items(txns, day_products)
-        ).join(F.broadcast(dedup_headers(txns)), "order_id")
-        write_bucketed(
-            li_day,
-            li_dir,
-            key_col="order_id",
-            n_buckets=n_buckets,
-            mode=(
-                "append" if tl.current_version(li_dir) is not None
-                else "overwrite"
-            ),
-            extra_meta={"day": day},
+            .drop("used_total")
         )
-        # drain the chain: line-items feed -> rollup + usage, then the
-        # rollup's OWN feed -> daily. Checkpoints persist in workdir,
-        # so each drain processes exactly the new commits.
-        _drain(li_dir, sink_orders, "ckpt_orders")
-        _drain(li_dir, sink_usage, "ckpt_usage")
-        _drain(rollup_dir, sink_daily, "ckpt_daily")
+    else:
+        day_products = products
+    li_day = line_items_with_profit_term(
+        build_line_items(txns, day_products)
+    ).join(F.broadcast(dedup_headers(txns)), "order_id")
+    write_bucketed(
+        li_day,
+        li_dir,
+        key_col="order_id",
+        n_buckets=n_buckets,
+        mode=(
+            "append" if tl.current_version(li_dir) is not None
+            else "overwrite"
+        ),
+        extra_meta={"day": tag},
+    )
+    # drain the chain: line-items feed -> rollup + usage, then the
+    # rollup's OWN feed -> daily. Checkpoints persist in workdir,
+    # so each drain processes exactly the new commits.
+    _drain(li_dir, sink_orders, "ckpt_orders")
+    _drain(li_dir, sink_usage, "ckpt_usage")
+    _drain(rollup_dir, sink_daily, "ckpt_daily")
+    return True
 
+
+def read_pipeline_outputs(
+    spark: SparkSession, workdir: str, products: DataFrame
+) -> dict[str, DataFrame]:
+    """The five reference outputs, read from the maintained tables'
+    current snapshots (no recomputation — the maintenance already
+    paid it)."""
+    li_dir, _, rollup_dir, daily_dir = _ivm_dirs(workdir)
     line_items = tl.read_snapshot(spark, li_dir)
     rollup = tl.read_snapshot(spark, rollup_dir)
     orders_full = rollup.select(
@@ -360,3 +349,52 @@ def run_pipeline_incremental(
         "daily_summary": daily,
         "sales_profit_forecast": build_forecast(daily),
     }
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    transaction_paths: list[str],
+    products: DataFrame,
+    workdir: str,
+    *,
+    n_buckets: int = 16,
+) -> dict[str, DataFrame]:
+    """The candy pipeline as INCREMENTAL VIEW MAINTENANCE — the true
+    at-scale answer to the reference's per-day driver loop
+    (`data_processor.py:172`): each day's transactions APPEND to the
+    line-items stage table, whose change feed maintains the orders
+    rollup, whose own change feed maintains the daily summary —
+    maintenance cost at every hop is proportional to the DAY'S DELTA,
+    never a stage rescan, so day 1000 costs what day 10 did.
+
+    The chain (all table-log tables under ``workdir``):
+
+    - ``line_items_tl`` — append-only history, bucketed on order_id,
+      each row carrying the header attributes (order_datetime,
+      customer_id) and the precomputed profit term: the
+      denormalization that keeps the downstream hops join-free.
+    - ``usage_tl`` — per-product allocated quantity, maintained from
+      the line-items feed: the next day's greedy allocation reads
+      REMAINING stock from it (stock minus merged usage) instead of
+      re-aggregating history. Greedy allocation is sequential by
+      construction, so day-at-a-time allocation against the carried
+      remainder equals the batch pipeline's global
+      (day, row, item)-ordered pass exactly.
+    - ``orders_rollup_tl`` — per-order amount/items/profit, maintained
+      from the line-items feed by the routed CDC sink
+      (``carry_cols`` rides the order's datetime and customer).
+    - ``daily_tl`` — per-date orders/sales/profit, maintained from the
+      ROLLUP table's change feed with signed folding (an updated
+      order's old row nets out, cdf_matview_chain's telescoping).
+
+    Every maintained table is versioned: a crashed day replays
+    idempotently (the CDC ledger), and yesterday's warehouse is one
+    ``version=`` away. Re-invoking over the same workdir with an
+    extended path list ingests only the new days (the append commit's
+    meta is the day ledger). Outputs match ``run_pipeline``'s five
+    (parity pinned in tests over the reference's own dataset)."""
+    for day_path in transaction_paths:
+        ingest_days(
+            spark, [day_path], products, workdir, n_buckets=n_buckets
+        )
+    return read_pipeline_outputs(spark, workdir, products)
