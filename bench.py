@@ -85,6 +85,12 @@ HEADLINE = [
     # the 128-file scratch table, built once content-keyed)
     "colocated_rollup_join",
     "serve_probe_small",
+    # round-11 additions: the join face of the serving front door —
+    # the broadcast regime (dim-sized side, one JVM stage) and the
+    # colocated regime (both sides big, zero-exchange SPJ) over the
+    # same content-keyed scratch pair
+    "serve_join_broadcast",
+    "serve_join_colocated",
 ]
 
 

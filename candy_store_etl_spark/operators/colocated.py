@@ -1595,6 +1595,11 @@ def serve_join(
     requires the keys to BE the bucket keys). All metadata — specs,
     schemas, file lists, byte sizes — resolves once, at each side's
     current version."""
+    if how not in ("inner", "left", "full", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how={how!r}: the serving join surface is inner/left/full/"
+            "left_semi/left_anti (colocated_bucket_join's contract)"
+        )
     lv = tl.current_version(left_dir)
     rv = tl.current_version(right_dir)
     ls = bucket_spec(left_dir, version=lv)

@@ -110,9 +110,23 @@ def main() -> None:
         "--copies", type=int, default=10,
         help="replication factor (10 -> sf1, 100 -> sf10)",
     )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset to generate (default: all) — the "
+        "sf100 third-decade run only needs the tables its 3 queries "
+        "scan, not 17 GB of everything",
+    )
+    ap.add_argument(
+        "--plain-docs", action="store_true",
+        help="skip the per-copy word shuffle for documents (REPLICAS "
+        "BECOME NEAR-DUPLICATES: only valid for workloads that never "
+        "run shingle-based dedup over this dataset; the shuffle is "
+        "Python-side and dominates generation at 1000 copies)",
+    )
     args = ap.parse_args()
     copies = args.copies
     strides = _strides()
+    only = set(args.tables.split(",")) if args.tables else None
 
     for table in [
         "region",
@@ -126,6 +140,8 @@ def main() -> None:
         "documents",
         "embeddings",
     ]:
+        if only is not None and table not in only:
+            continue
         src = os.path.join(SRC, f"{table}.parquet")
         dst_dir = os.path.join(args.out, f"{table}.parquet")
         if os.path.isdir(dst_dir):
@@ -146,7 +162,12 @@ def main() -> None:
                     stride = strides[plan[name]]
                     np_col = arr.to_numpy() + k * stride
                     cols[name] = pa.array(np_col, type=arr.type)
-                elif table == "documents" and name == "text" and k > 0:
+                elif (
+                    table == "documents"
+                    and name == "text"
+                    and k > 0
+                    and not args.plain_docs
+                ):
                     ids = base.column("doc_id").to_numpy()
                     cols[name] = pa.array(
                         _shuffle_words(arr.to_numpy(), ids, k), type=arr.type

@@ -1,0 +1,127 @@
+"""Third decade for the flat-curve serving/SPJ claims: sf10 -> sf100.
+
+The round-9 scaling table shows the co-located/serving family nearly
+flat across sf0.1 -> sf1 -> sf10 (0.9-1.9x per decade) — the
+zero-exchange / bucket-pruned shape. Two decades support the claim;
+this script buys a THIRD for the 3 cheapest flat-curve queries
+(verdict item #5): ``colocated_customer_join`` (bucket-aligned SPJ),
+``serve_probe_small`` (keyset serving probe), and
+``colocated_anti_join_decontaminate`` (bucketed anti-join), over an
+sf100-equivalent derived by ``gen_scale_data.py --copies 1000
+--tables region,nation,customer,orders,lineitem,documents
+--plain-docs`` (only the tables these queries scan; no word shuffle —
+no shingle workload runs here).
+
+Methodology matches scaling_curve.py: quiet box, per-SF untimed warm
+pass (which also absorbs the one-time scratch-fixture build), then
+best-of-N; sf10 is RE-measured in the same session so the decade
+ratio never mixes machine-days. Appends/replaces the
+"## sf100 third decade" section of SCALING.md and prints one JSON
+line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.dirname(__file__))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+from candy_store_etl_spark.caching import release_caches  # noqa: E402
+from candy_store_etl_spark.plans import query_map  # noqa: E402
+from candy_store_etl_spark.session import build_session  # noqa: E402
+
+QUERIES = [
+    "colocated_customer_join",
+    "serve_probe_small",
+    "colocated_anti_join_decontaminate",
+]
+SF10 = "/root/repo/.scale/sf10"
+SF100 = "/root/repo/.scale/sf100"
+HEADER = "## sf100 third decade"
+
+
+def best_of(spark, fn, sf_dir: str, trials: int) -> float:
+    best = float("inf")
+    for i in range(trials + 1):  # +1 untimed warm (absorbs fixture build)
+        release_caches()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if i > 0:
+            best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+    args = ap.parse_args()
+    for d in (SF10, SF100):
+        if not os.path.isdir(d):
+            raise SystemExit(f"{d} missing — generate it first")
+
+    from bench import _wait_for_quiet
+
+    ambient = _wait_for_quiet()
+    spark = build_session("sf100-decade", cpus=args.cpus)
+    qmap = query_map()
+    results = {}
+    for name in QUERIES:
+        t10 = best_of(spark, qmap[name], SF10, args.trials)
+        t100 = best_of(spark, qmap[name], SF100, args.trials)
+        ratio = t100 / t10 if t10 > 0 else float("inf")
+        results[name] = {
+            "sf10_s": round(t10, 3),
+            "sf100_s": round(t100, 3),
+            "x_decade": round(ratio, 2),
+        }
+        print(name, results[name], flush=True)
+
+    md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    with open(md_path) as f:
+        existing = f.read()
+    existing = re.sub(
+        rf"{re.escape(HEADER)}.*?(?=\n## |\Z)", "", existing, flags=re.S
+    ).rstrip() + "\n"
+    lines = [
+        existing,
+        f"\n{HEADER}\n",
+        "\nThe flat-curve claims held two decades (sf0.1->1->10); this "
+        "buys the third for the 3 cheapest flat rows over an "
+        "sf100-equivalent (1000x the driver's bench SF; lineitem 600M "
+        "rows). Same warm best-of-N methodology, sf10 re-measured in "
+        f"the SAME session (ambient {ambient:.2f}); fixture builds "
+        "excluded via the warm pass.\n",
+        "\n| query | sf10 (s) | sf100 (s) | x(sf10->100) |\n"
+        "|---|---|---|---|\n",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['sf10_s']} | {r['sf100_s']} "
+            f"| {r['x_decade']} |\n"
+        )
+    lines.append(
+        "\nA near-flat third decade is what bucket pruning promises: "
+        "probe-proportional work against layout metadata, with data "
+        "volume only entering through the touched buckets' file "
+        "sizes.\n"
+    )
+    with open(md_path, "w") as f:
+        f.writelines(lines)
+    print(json.dumps({"metric": "sf100_decade", **results,
+                      "ambient_load_1m": round(ambient, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
