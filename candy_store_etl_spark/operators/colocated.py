@@ -1176,6 +1176,8 @@ def colocated_bucket_join(
     max_task_rows: int | None = None,
     left_range: tuple[str, object, object] | None = None,
     right_range: tuple[str, object, object] | None = None,
+    left_version: int | None = None,
+    right_version: int | None = None,
 ) -> DataFrame:
     """Join two bucketed table-log tables on their committed bucket
     keys with zero shuffle of table data. ``how`` covers the full
@@ -1221,11 +1223,19 @@ def colocated_bucket_join(
     outer join, left rows whose matches were filtered out null-fill
     — exactly as if the right table had been filtered first)."""
     # the ENTIRE plan — specs, groupings, file lists, stats, schemas —
-    # resolves at these two versions, read once here: a commit landing
-    # mid-plan (compaction on the live CDC warehouse, a concurrent
-    # append) cannot mix snapshots
-    lv = tl.current_version(left_dir)
-    rv = tl.current_version(right_dir)
+    # resolves at these two versions, read once here (or PASSED in by
+    # a router like serve_join that already resolved them, so its
+    # decision and the executed join can never straddle a commit): a
+    # commit landing mid-plan (compaction on the live CDC warehouse, a
+    # concurrent append) cannot mix snapshots
+    lv = (
+        tl.current_version(left_dir) if left_version is None
+        else left_version
+    )
+    rv = (
+        tl.current_version(right_dir) if right_version is None
+        else right_version
+    )
     ls = bucket_spec(left_dir, version=lv)
     tasks = colocated_plan(
         left_dir, right_dir, how, left_version=lv, right_version=rv
@@ -1655,7 +1665,19 @@ def serve_join(
         info["broadcast_side"] = bcast
     elif colocatable:
         info["route"] = "colocated"
-        return colocated_bucket_join(spark, left_dir, right_dir, how), info
+        # pass the pinned versions through: the route decision and the
+        # executed join must describe the SAME snapshots
+        return (
+            colocated_bucket_join(
+                spark,
+                left_dir,
+                right_dir,
+                how,
+                left_version=lv,
+                right_version=rv,
+            ),
+            info,
+        )
     else:
         info["route"] = "shuffle"
 

@@ -154,9 +154,31 @@ def _ivm_dirs(workdir: str) -> tuple[str, str, str, str]:
     return (
         os.path.join(workdir, "line_items_tl"),
         os.path.join(workdir, "usage_tl"),
-        os.path.join(workdir, "orders_rollup_tl"),
+        os.path.join(workdir, "orders_tl"),
         os.path.join(workdir, "daily_tl"),
     )
+
+
+#: (table_dir, meta key) -> (newest version folded, tags seen). The
+#: ingest/append ledgers only ever ASK "is this tag committed?"; the
+#: cache makes repeated asks read only the commits SINCE the last ask
+#: — O(delta) per ingest, where a per-call log_entries walk would go
+#: quadratic over a 1000-day run (the exact curve the table-log
+#: checkpoints exist to kill). A fresh process pays one full walk.
+_META_TAG_CACHE: dict[tuple[str, str], tuple[int, set]] = {}
+
+
+def _meta_tags(table_dir: str, key: str) -> set:
+    latest = tl.current_version(table_dir)
+    if latest is None:
+        return set()
+    seen_v, tags = _META_TAG_CACHE.get((table_dir, key), (-1, set()))
+    for v in range(seen_v + 1, latest + 1):
+        t = (tl._read_entry(table_dir, v).get("meta") or {}).get(key)
+        if t is not None:
+            tags.add(t)
+    _META_TAG_CACHE[(table_dir, key)] = (latest, tags)
+    return tags
 
 
 def ingest_days(
@@ -171,15 +193,35 @@ def ingest_days(
     """Ingest ONE increment — one or more day files as a single batch
     (multi-day batches keep the greedy allocation's global (day, row,
     item) order via ``load_daily_transactions``'s day_idx) — then
-    drain the maintenance chain: the line-items change feed maintains
-    the orders rollup and the product usage, the rollup's own feed
-    maintains the daily summary. Idempotent: the increment's ``tag``
-    (default: the day file's name) rides the append commit's meta as
-    the ingest ledger; an already-ingested tag returns False without
-    touching anything. This is the unit the marginal-day scaling
-    measurement times — everything it does is proportional to the
-    increment, never to history."""
-    li_dir, usage_dir, rollup_dir, daily_dir = _ivm_dirs(workdir)
+    drain the maintenance chain. This is the unit the marginal-day
+    scaling measurement times; its cost is structurally proportional
+    to the increment, never to history, because of how each hop is
+    maintained:
+
+    - the ORDERS view is INSERT-ONLY: this data model's orders are
+      day-scoped (the reference ingests one collection per day;
+      transaction ids never recur), so a batch's order rows are new
+      keys and the consumer APPENDS them as new bucketed files —
+      history is never read or rewritten. A keyed MERGE here would be
+      O(history) per day: a saturating day hashes orders into every
+      bucket group, so the merge would rewrite the whole accumulated
+      rollup (and its change feed would re-fold it downstream). The
+      consumer raises on any non-insert change row — a restatement of
+      the line-items stage needs a rebuild, not silent merging.
+    - the USAGE and DAILY views are CDC merges, but their state is
+      DIMENSION-sized (products; distinct dates), so the merge
+      rewrite is bounded by the view's own small size, not by fact
+      history.
+
+    Crash repair: the drains run FIRST (catch-up) as well as after
+    the append — a prior ingest that died between its append and its
+    drains is repaired before the allocation reads the usage
+    snapshot, and every layer is idempotent (stream checkpoints, the
+    CDC batch ledger, the append ledger in commit meta). Idempotent
+    ingest: the increment's ``tag`` (default: the day file's name)
+    rides the append commit's meta; an already-ingested tag returns
+    False after the catch-up drains."""
+    li_dir, usage_dir, orders_dir, daily_dir = _ivm_dirs(workdir)
 
     from ..sources import table_log_source
     from ..streaming.cdc import make_routed_cdc_sink
@@ -190,30 +232,43 @@ def ingest_days(
         if len(day_paths) != 1:
             raise ValueError("multi-day increments need an explicit tag")
         tag = os.path.basename(day_paths[0])
-    ingested = {
-        (e.get("meta") or {}).get("day")
-        for e in (
-            tl.log_entries(li_dir)
-            if tl.current_version(li_dir) is not None
-            else []
-        )
-    }
-    if tag in ingested:
-        return False
 
     def _sign():
         return F.when(
             F.col("_change_type") == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
 
-    def _inc_orders(batch_df: DataFrame) -> DataFrame:
-        s = _sign()
-        return batch_df.groupBy("order_id").agg(
-            F.sum(s * F.col("line_total")).alias("amount_raw"),
-            F.sum(s).alias("num_items"),
-            F.sum(s * F.col("profit_term")).alias("order_profit"),
+    def append_orders(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _meta_tags(orders_dir, "cdc_batch"):
+            return  # replayed epoch: the committed append IS the marker
+        # the guard scans only the BATCH's files (day-sized), never
+        # the table
+        if batch_df.filter(
+            F.col("_change_type") != "insert"
+        ).limit(1).count():
+            raise ValueError(
+                "orders view is insert-only: the line-items stage must "
+                "stay append-only (a restatement needs a downstream "
+                "rebuild, not a silent merge)"
+            )
+        rows = batch_df.groupBy("order_id").agg(
+            F.sum("line_total").alias("amount_raw"),
+            F.count(F.lit(1)).alias("num_items"),
+            F.sum("profit_term").alias("order_profit"),
             F.max("order_datetime").alias("order_datetime"),
             F.max("customer_id").alias("customer_id"),
+        )
+        write_bucketed(
+            rows,
+            orders_dir,
+            key_col="order_id",
+            n_buckets=n_buckets,
+            mode=(
+                "append"
+                if tl.current_version(orders_dir) is not None
+                else "overwrite"
+            ),
+            extra_meta={"cdc_batch": batch_id},
         )
 
     def _inc_usage(batch_df: DataFrame) -> DataFrame:
@@ -222,6 +277,9 @@ def ingest_days(
         )
 
     def _inc_daily(batch_df: DataFrame) -> DataFrame:
+        # signed folding over the orders feed: inserts-only in normal
+        # operation (each order folds exactly ONCE, so no repeated
+        # float +x/-x residue can accumulate), signed for robustness
         s = _sign()
         return (
             batch_df.withColumn(
@@ -236,14 +294,6 @@ def ingest_days(
             )
         )
 
-    sink_orders = make_routed_cdc_sink(
-        rollup_dir,
-        _inc_orders,
-        key_col="order_id",
-        add_cols=("amount_raw", "num_items", "order_profit"),
-        carry_cols=("order_datetime", "customer_id"),
-        n_buckets=n_buckets,
-    )
     sink_usage = make_routed_cdc_sink(
         usage_dir,
         _inc_usage,
@@ -268,6 +318,23 @@ def ingest_days(
             sink,
             checkpoint_dir=os.path.join(workdir, ckpt),
         )
+
+    def _drain_all() -> None:
+        # line-items feed -> orders (insert-only append) + usage;
+        # the ORDERS feed -> daily. Checkpoints persist in workdir, so
+        # each drain processes exactly the not-yet-consumed commits.
+        if tl.current_version(li_dir) is not None:
+            _drain(li_dir, append_orders, "ckpt_orders")
+            _drain(li_dir, sink_usage, "ckpt_usage")
+        if tl.current_version(orders_dir) is not None:
+            _drain(orders_dir, sink_daily, "ckpt_daily")
+
+    # catch-up BEFORE the ledger check and the usage read: repairs a
+    # prior ingest that crashed between append and drains (cheap when
+    # clean — the streams see zero new commits)
+    _drain_all()
+    if tag in _meta_tags(li_dir, "day"):
+        return False
 
     txns = load_daily_transactions(spark, day_paths).transform(
         tracked_cache
@@ -303,12 +370,7 @@ def ingest_days(
         ),
         extra_meta={"day": tag},
     )
-    # drain the chain: line-items feed -> rollup + usage, then the
-    # rollup's OWN feed -> daily. Checkpoints persist in workdir,
-    # so each drain processes exactly the new commits.
-    _drain(li_dir, sink_orders, "ckpt_orders")
-    _drain(li_dir, sink_usage, "ckpt_usage")
-    _drain(rollup_dir, sink_daily, "ckpt_daily")
+    _drain_all()
     return True
 
 
@@ -318,10 +380,10 @@ def read_pipeline_outputs(
     """The five reference outputs, read from the maintained tables'
     current snapshots (no recomputation — the maintenance already
     paid it)."""
-    li_dir, _, rollup_dir, daily_dir = _ivm_dirs(workdir)
+    li_dir, _, orders_dir, daily_dir = _ivm_dirs(workdir)
     line_items = tl.read_snapshot(spark, li_dir)
-    rollup = tl.read_snapshot(spark, rollup_dir)
-    orders_full = rollup.select(
+    orders_tbl = tl.read_snapshot(spark, orders_dir)
+    orders_full = orders_tbl.select(
         "order_id",
         "order_datetime",
         "customer_id",
@@ -363,7 +425,7 @@ def run_pipeline_incremental(
     at-scale answer to the reference's per-day driver loop
     (`data_processor.py:172`): each day's transactions APPEND to the
     line-items stage table, whose change feed maintains the orders
-    rollup, whose own change feed maintains the daily summary —
+    view, whose own change feed maintains the daily summary —
     maintenance cost at every hop is proportional to the DAY'S DELTA,
     never a stage rescan, so day 1000 costs what day 10 did.
 
@@ -380,12 +442,17 @@ def run_pipeline_incremental(
       construction, so day-at-a-time allocation against the carried
       remainder equals the batch pipeline's global
       (day, row, item)-ordered pass exactly.
-    - ``orders_rollup_tl`` — per-order amount/items/profit, maintained
-      from the line-items feed by the routed CDC sink
-      (``carry_cols`` rides the order's datetime and customer).
+    - ``orders_tl`` — per-order amount/items/profit (+ the carried
+      datetime/customer), maintained from the line-items feed as an
+      INSERT-ONLY view: orders are day-scoped in this data model, so
+      each batch's order rows are new keys, appended as new bucketed
+      files — never merged, never rewriting history (see
+      ``ingest_days`` for why a keyed merge here would be O(history)
+      per day).
     - ``daily_tl`` — per-date orders/sales/profit, maintained from the
-      ROLLUP table's change feed with signed folding (an updated
-      order's old row nets out, cdf_matview_chain's telescoping).
+      ORDERS table's change feed with signed folding (dimension-sized
+      state, so its CDC merge is bounded by the view, not by fact
+      history — cdf_matview_chain's telescoping).
 
     Every maintained table is versioned: a crashed day replays
     idempotently (the CDC ledger), and yesterday's warehouse is one

@@ -163,7 +163,7 @@ stats AS (
 """
 
 
-def _join_rollup(spark, df, info, *extra) -> DataFrame:
+def _join_rollup(df, info, *extra) -> DataFrame:
     """Roll a serve_join result up with the route as a literal column
     — the regime-query shape shared with the serve() rows."""
     return df.agg(
@@ -179,6 +179,7 @@ def _join_rollup(spark, df, info, *extra) -> DataFrame:
     oracle=f"""
     WITH {_SQL_STATS_CTE}
     SELECT 'broadcast' AS route,
+           'right' AS broadcast_side,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(spend_cents) AS BIGINT) AS spend_cents,
            CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
@@ -204,9 +205,15 @@ def serve_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "order_stats"),
         os.path.join(root, "cust_dim"),
     )
-    assert info["broadcast_side"] == "right"
-    return _join_rollup(
-        spark, df, info, F.countDistinct("mktsegment").alias("n_segments")
+    # WHICH side broadcasts is part of the contract (broadcasting the
+    # fact side would be route='broadcast' with the wrong plan), so it
+    # is a hash-checked output column, not an assert
+    return df.agg(
+        F.lit(info["route"]).alias("route"),
+        F.lit(info["broadcast_side"]).alias("broadcast_side"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("spend_cents").alias("spend_cents"),
+        F.countDistinct("mktsegment").alias("n_segments"),
     )
 
 
@@ -241,7 +248,7 @@ def serve_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_bytes=0,
     )
     return _join_rollup(
-        spark, df, info, F.countDistinct("mktsegment").alias("n_segments")
+        df, info, F.countDistinct("mktsegment").alias("n_segments")
     )
 
 
@@ -343,11 +350,15 @@ def serve_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by signed folding (an updated order's old row nets out — order "
     "counts stay exact even when an order's lines straddle batches). "
     "The final monthly view must equal the oracle's zero-hop "
-    "recomputation over the raw relations. Maintenance cost at every "
-    "hop is proportional to the batch delta, never a stage rescan — "
-    "the reference's per-day driver loop "
-    "(/root/reference/src/data_processor.py:172) re-reads and "
-    "re-aggregates history instead.",
+    "recomputation over the raw relations. This is the GENERAL "
+    "merge-based chain — correct under key updates, with per-batch "
+    "rewrite cost governed by the coverage router (these saturating "
+    "quarter-batches full-rewrite the rollup by design); the "
+    "flat-marginal-cost claim belongs to the candy pipeline's "
+    "INSERT-ONLY orders hop (plans/candy_colocated.ingest_days, "
+    "measured by scripts/ivm_marginal_day.py). The reference's "
+    "per-day driver loop (/root/reference/src/data_processor.py:172) "
+    "re-reads and re-aggregates history for every day either way.",
     tags=("warehouse", "table-format", "streaming", "cdc", "ivm"),
 )
 def incremental_daily_sales_ivm(

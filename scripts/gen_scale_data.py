@@ -126,7 +126,15 @@ def main() -> None:
     args = ap.parse_args()
     copies = args.copies
     strides = _strides()
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
     only = set(args.tables.split(",")) if args.tables else None
+    if only is not None and only - known:
+        # fail fast: a typo'd table name silently generating nothing
+        # wastes a multi-hour sf100 run
+        raise SystemExit(f"--tables: unknown {sorted(only - known)}")
 
     for table in [
         "region",

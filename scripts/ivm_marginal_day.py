@@ -61,6 +61,11 @@ def measure(spark, data_dir: str, timed_days: int) -> dict:
         if f.startswith("transactions_")
     )
     k = timed_days + 1  # +1 untimed warm day
+    if len(paths) <= k:
+        raise SystemExit(
+            f"{data_dir}: {len(paths)} day files cannot seed history "
+            f"and still time {timed_days}+1 marginal days"
+        )
     workdir = tempfile.mkdtemp(prefix="ivm_marginal_")
     try:
         t0 = time.perf_counter()
