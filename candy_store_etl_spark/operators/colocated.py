@@ -153,8 +153,16 @@ def write_bucketed(
         else None
     )
     # extra_meta rides the same commit (e.g. an ingest ledger tag a
-    # caller uses for append idempotence); the bucket spec always wins
-    # on key collision
+    # caller uses for append idempotence); layout-authoritative keys
+    # are reserved — "bucket" always wins on collision, and
+    # "buckets_per_file" is refused outright (readers resolve the
+    # grouping from it, and this writer stages ONE file per bucket)
+    if extra_meta and "buckets_per_file" in extra_meta:
+        raise ValueError(
+            "extra_meta key 'buckets_per_file' is reserved for "
+            "layout resolution — write_bucketed stages per-bucket "
+            "files and must not declare a coarser grouping"
+        )
     meta = {**(extra_meta or {}), "bucket": declared}
     if mode == "overwrite":
         return tl.commit(

@@ -173,6 +173,11 @@ def _meta_tags(table_dir: str, key: str) -> set:
     if latest is None:
         return set()
     seen_v, tags = _META_TAG_CACHE.get((table_dir, key), (-1, set()))
+    if seen_v > latest:
+        # the table was rebuilt at the same path (version regressed):
+        # the cached tags belong to a dead incarnation — a stale ledger
+        # here would silently skip real ingests/appends
+        seen_v, tags = -1, set()
     for v in range(seen_v + 1, latest + 1):
         t = (tl._read_entry(table_dir, v).get("meta") or {}).get(key)
         if t is not None:
@@ -224,7 +229,7 @@ def ingest_days(
     li_dir, usage_dir, orders_dir, daily_dir = _ivm_dirs(workdir)
 
     from ..sources import table_log_source
-    from ..streaming.cdc import make_routed_cdc_sink
+    from ..streaming.cdc import change_sign, make_routed_cdc_sink
     from ..streaming.events import run_stream_foreach_batch
 
     table_log_source.register(spark)
@@ -233,10 +238,7 @@ def ingest_days(
             raise ValueError("multi-day increments need an explicit tag")
         tag = os.path.basename(day_paths[0])
 
-    def _sign():
-        return F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
+    _sign = change_sign
 
     def append_orders(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in _meta_tags(orders_dir, "cdc_batch"):

@@ -854,10 +854,7 @@ def cdf_matview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         tl.compact(spark, b)
         tl.append(docs.filter(F.col("doc_id") % 5 == 0), b)
 
-        def sign():
-            return F.when(
-                F.col("_change_type") == "insert", F.lit(1)
-            ).otherwise(F.lit(-1))
+        from ..streaming.cdc import change_sign as sign
 
         def inc1(batch_df: DataFrame) -> DataFrame:
             return batch_df.groupBy("source").agg(

@@ -34,7 +34,8 @@ from .registry import register
 _CDC_ROUTER_ORACLE = """
 WITH all_rows AS (
   SELECT user_id, value FROM events WHERE event_id % 3 = 0
-  UNION ALL SELECT user_id, value FROM events WHERE user_id % 500 = 1
+  UNION ALL SELECT user_id, value FROM events
+    WHERE user_id = (SELECT MIN(user_id) FROM events)
   UNION ALL SELECT user_id, value FROM events
 ),
 tot AS (
@@ -80,7 +81,7 @@ def cdc_routed_sink_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.cdc import make_routed_cdc_sink, read_warehouse
 
     src = os.path.join(sf_dir, "events.parquet")
-    key = content_fingerprint(src, extra="cdc-router-v1")
+    key = content_fingerprint(src, extra="cdc-router-v2")
     root = os.path.join(tempfile.gettempdir(), f"csetl_cdcrt_{key}")
     w = os.path.join(root, "warehouse")
 
@@ -110,7 +111,13 @@ def cdc_routed_sink_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
             bulk_files=8,
         )
         sink(events.filter(F.col("event_id") % 3 == 0), 0)  # seed
-        sink(events.filter(F.col("user_id") % 500 == 1), 1)  # trickle
+        # trickle = exactly ONE key at every SF (a modulus predicate
+        # here would grow its key count with scale and flip the route
+        # past the 0.3 crossover around sf1 — the fixture must pin the
+        # regime, not sample it); the 1-row min() collect is probe-key
+        # sized
+        min_uid = events.agg(F.min("user_id")).first()[0]
+        sink(events.filter(F.col("user_id") == min_uid), 1)  # trickle
         sink(events, 2)  # saturating: every key
 
     ensure_scratch(root, _build, _intact)
@@ -208,11 +215,10 @@ def serve_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHICH side broadcasts is part of the contract (broadcasting the
     # fact side would be route='broadcast' with the wrong plan), so it
     # is a hash-checked output column, not an assert
-    return df.agg(
-        F.lit(info["route"]).alias("route"),
+    return _join_rollup(
+        df,
+        info,
         F.lit(info["broadcast_side"]).alias("broadcast_side"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("spend_cents").alias("spend_cents"),
         F.countDistinct("mktsegment").alias("n_segments"),
     )
 
@@ -408,10 +414,7 @@ def incremental_daily_sales_ivm(
             .join(F.broadcast(months), "okey")
         )
 
-        def _sign():
-            return F.when(
-                F.col("_change_type") == "insert", F.lit(1)
-            ).otherwise(F.lit(-1))
+        from ..streaming.cdc import change_sign as _sign
 
         def inc_rollup(batch_df: DataFrame) -> DataFrame:
             s = _sign()

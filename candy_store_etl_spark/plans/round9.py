@@ -916,9 +916,9 @@ def cdf_materialized_view_maintenance(
         tl.append(docs.filter(F.col("doc_id") % 5 == 0), b)
 
         def increments(batch_df: DataFrame) -> DataFrame:
-            sign = F.when(
-                F.col("_change_type") == "insert", F.lit(1)
-            ).otherwise(F.lit(-1))
+            from ..streaming.cdc import change_sign
+
+            sign = change_sign()
             return batch_df.groupBy("source").agg(
                 F.sum(sign).alias("n_docs"),
                 F.sum(sign * F.col("n_chars")).alias("chars"),

@@ -60,8 +60,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import table_log as tl
+from ..sources.table_log_source import CHANGE_TYPE_COL
 
 _GROUP_RE = re.compile(r"b(\d{5})-")
+
+
+def change_sign():
+    """THE sign convention of the change-feed contract: +1 for an
+    insert row, -1 for a delete row, so maintained views fold
+    ``sum(change_sign() * x)`` and restatements telescope. Every
+    signed-folding consumer must use this helper — if the feed ever
+    grows more change types (e.g. update pre/post images), this is
+    the single place the convention changes."""
+    return F.when(
+        F.col(CHANGE_TYPE_COL) == "insert", F.lit(1)
+    ).otherwise(F.lit(-1))
 
 
 def bucket_expr(key_col: str, n_buckets: int):
