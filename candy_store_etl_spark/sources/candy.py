@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     ArrayType,
     DecimalType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -28,7 +29,11 @@ from pyspark.sql.types import (
 
 TRANSACTIONS_SCHEMA = StructType(
     [
-        StructField("transaction_id", IntegerType(), False),
+        # LONG, not int: transaction ids are unbounded at scale — the
+        # 1000-day replica dataset already exceeds 2^31 (int32 parsing
+        # silently NULLed every id past copy ~21, collapsing 1000 days
+        # of orders to 220 — found by the IVM marginal-day run)
+        StructField("transaction_id", LongType(), False),
         StructField("customer_id", IntegerType(), True),
         # ISO-8601 string with microseconds in the wire format; parsed
         # to TimestampType at the edge, formatted back on write.

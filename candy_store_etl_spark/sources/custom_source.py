@@ -38,7 +38,7 @@ from pyspark.sql.datasource import (
 )
 
 TRANSACTIONS_DDL = (
-    "transaction_id int, customer_id int, timestamp string, "
+    "transaction_id long, customer_id int, timestamp string, "
     "items array<struct<product_id: int, product_name: string, qty: int>>, "
     "day string"
 )
