@@ -31,9 +31,13 @@ def main() -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # scale dirs (scripts/gen_scale_data.py) hold directory datasets
+    suffix = "/*.parquet" if os.path.isdir(
+        os.path.join(sf, "region.parquet")
+    ) else ""
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet{suffix}')"
         )
     bad = []
     for name in names:
