@@ -64,6 +64,12 @@ HEADLINE = [
     # the serve() keyset regime (bucket-pruned JVM scan + isin)
     "colocated_rollup_join",
     "serve_probe_small",
+    # round-11: the join face of the serving router — the broadcast
+    # regime (the plan to review is one BroadcastHashJoin stage, no
+    # fact exchange) and the colocated regime (zero-exchange SPJ
+    # chosen by layout)
+    "serve_join_broadcast",
+    "serve_join_colocated",
 ]
 
 
