@@ -491,3 +491,41 @@ def test_custom_stream_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     assert sorted(
         r["transaction_id"] for r in spark.read.json(out).collect()
     ) == [1, 2, 3]
+
+
+def test_transaction_ids_survive_past_int32(spark, tmp_path):
+    """Ids are unbounded at scale: the 1000-day replica dataset's id
+    offsets pass 2^31 around copy 21, and an int-typed schema NULLs
+    every later id under permissive parsing (found when the IVM
+    marginal-day run's daily view collapsed from 1000 days to 220).
+    Both readers must carry long ids losslessly."""
+    import json
+
+    from candy_store_etl_spark.sources.candy import read_transactions
+
+    big = 9_942_219_278  # a real copy-99 id from the scaled dataset
+    rows = [
+        {
+            "transaction_id": big,
+            "customer_id": 1,
+            "timestamp": "2026-10-27T10:00:00.000000",
+            "items": [{"product_id": 1, "product_name": "x", "qty": 2}],
+        }
+    ]
+    p = tmp_path / "transactions_20261027.json"
+    p.write_text(json.dumps(rows))
+    got = read_transactions(spark, str(p)).collect()
+    assert got[0]["transaction_id"] == big
+
+    from candy_store_etl_spark.sources.custom_source import (
+        CandyTransactionsDataSource,
+    )
+
+    spark.dataSource.register(CandyTransactionsDataSource)
+    got2 = (
+        spark.read.format("candy_transactions")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    )
+    assert got2[0]["transaction_id"] == big
