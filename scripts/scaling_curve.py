@@ -159,7 +159,18 @@ def main() -> None:
                 f"--only: not curve queries: {unknown} "
                 f"(choose from {sorted(known)})"
             )
-        if not have_sf10:
+        candy_rows = {
+            "candy_pipeline_5_outputs",
+            "candy_pipeline_tablelog_outputs",
+        }
+        # the candy rows scale by DAYS over the candy_sf dirs; their
+        # third column needs candy_sf10, not the TPC-H sf10
+        if set(args.only) & candy_rows and not os.path.isdir(CANDY_SF10):
+            raise SystemExit(
+                "--only on a candy row needs the candy_sf10 directory "
+                "(scripts/gen_candy_scale.py --copies 100)"
+            )
+        if set(args.only) - candy_rows and not have_sf10:
             raise SystemExit(
                 "--only needs the sf10 directory: a fresh-session "
                 "re-measure exists to confirm or refute the SECOND "
