@@ -631,3 +631,111 @@ def simhash_neardup_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def maintain_neardup_index(
+    spark,
+    batch_docs: DataFrame,
+    index_dir: str,
+    *,
+    batch_tag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> bool:
+    """Append-only MAINTAINED MinHash-LSH index over a growing corpus
+    — the incremental form of ``minhash_dedup_pairs``: signatures are
+    computed once per document EVER, and each increment pays only its
+    own signature pass plus bucket-collision joins, never a re-shingle
+    or re-band of history (the reference recomputes everything per
+    run; ``lsh_probe_pairs`` probes but persists nothing).
+
+    Three versioned table-log tables under ``index_dir``:
+
+    - ``signatures`` — (id, signature): one row per document ever
+    - ``buckets`` — (id, band, bucket): the persisted LSH index; at
+      scale this is the relation a deployment partitions by
+      (band, bucket) so increments prune to colliding buckets
+    - ``pairs`` — (id_a, id_b, est_jaccard, found_in_batch):
+      ``id_a < id_b``; each qualifying pair appended exactly once, in
+      the increment its LATER member arrives (new-vs-history and
+      new-vs-new candidates both come from the batch's buckets probing
+      the union index, so the union over increments equals the
+      from-scratch pair set — banding is static per document).
+
+    Uses the PORTABLE (md5) tier so the maintained result is
+    value-checkable against the same DuckDB oracle as the from-scratch
+    query. Idempotent and crash-repairing: each table's append commit
+    carries op ``neardup-batch-<tag>``, checked PER TABLE — a crash
+    between the three appends re-runs the batch and re-appends only
+    the tables that missed it (multi-table atomicity is a table-log
+    non-goal; per-table ledgers close the gap for this chain).
+    Returns False when every table already has the tag.
+    """
+    import os
+
+    from ..sources import table_log as tl
+
+    op = f"neardup-batch-{batch_tag}"
+    sig_dir = os.path.join(index_dir, "signatures")
+    bkt_dir = os.path.join(index_dir, "buckets")
+    pairs_dir = os.path.join(index_dir, "pairs")
+
+    def _applied(d: str) -> bool:
+        return any(e["op"] == op for e in tl.log_entries(d))
+
+    todo = {d: not _applied(d) for d in (pairs_dir, bkt_dir, sig_dir)}
+    if not any(todo.values()):
+        return False
+
+    sigs_b = minhash_signatures_portable(
+        batch_docs, id_col, text_col, num_perm=num_perm
+    ).transform(tracked_cache)
+    buckets_b = _band_buckets_portable(
+        sigs_b, num_perm=num_perm, bands=bands
+    ).transform(tracked_cache)
+
+    if todo[pairs_dir]:
+        have_old = tl.current_version(bkt_dir) is not None
+        # probe side = the BATCH's buckets; build side = history ∪
+        # batch (history buckets may already contain this batch's rows
+        # after a crash-rerun — the pair-level distinct absorbs them)
+        all_bkts = (
+            tl.read_snapshot(spark, bkt_dir).unionByName(buckets_b)
+            if have_old
+            else buckets_b
+        )
+        a, b = buckets_b.alias("a"), all_bkts.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .distinct()
+        )
+        sigs_all = (
+            tl.read_snapshot(spark, sig_dir)
+            .select(F.col("id"), F.col("signature"))
+            .unionByName(sigs_b)
+            if tl.current_version(sig_dir) is not None
+            else sigs_b
+        )
+        pairs_b = (
+            minhash_similarity(cands, sigs_all)
+            .filter(F.col("est_jaccard") >= threshold)
+            .withColumn("found_in_batch", F.lit(batch_tag))
+        )
+        tl.append(pairs_b, pairs_dir, op=op)
+    if todo[bkt_dir]:
+        tl.append(buckets_b, bkt_dir, op=op)
+    if todo[sig_dir]:
+        tl.append(sigs_b, sig_dir, op=op)
+    return True

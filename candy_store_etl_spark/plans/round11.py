@@ -481,3 +481,106 @@ def incremental_daily_sales_ivm(
         .select("month", "n_orders", "sales_cents")
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained near-dup index: signatures computed once per doc EVER
+# ---------------------------------------------------------------------------
+
+def _maintained_neardup_oracle() -> str:
+    from .vectors import minhash_portable_ctes
+
+    # GREATEST(batch(id_a), batch(id_b)) replays the maintained
+    # index's discovery rule: a pair lands in the increment its LATER
+    # member arrives — so the oracle checks not just the final pair
+    # set but that every pair was discovered in the RIGHT increment
+    return f"""
+    WITH {minhash_portable_ctes(64, 16)},
+    bat AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '4' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '5' AND '9' THEN 1
+                  ELSE 2 END AS b
+      FROM documents
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           CAST(GREATEST(ba.b, bb.b) AS BIGINT) AS found_in_batch
+    FROM est e
+    JOIN bat ba ON e.id_a = ba.doc_id
+    JOIN bat bb ON e.id_b = bb.doc_id
+    WHERE e.est_jaccard >= 0.4
+    """
+
+
+@register(
+    "incremental_neardup_index_maintained",
+    oracle=_maintained_neardup_oracle(),
+    doc="MAINTAINED MinHash-LSH near-dup index "
+    "(operators/dedup.maintain_neardup_index): the corpus arrives in "
+    "three increments (md5-nibble split of doc_id), each paying only "
+    "its own signature pass + bucket-collision joins against the "
+    "persisted (signatures, buckets, pairs) table-log tables — "
+    "history is never re-shingled or re-banded (the probe query "
+    "incremental_neardup_probe_lsh recomputes BOTH sides per call; "
+    "the reference recomputes everything per run). The oracle replays "
+    "the full from-scratch portable pipeline AND the discovery rule: "
+    "each pair must carry the increment of its later-arriving member, "
+    "so a maintenance path that dropped, duplicated, or mis-timed a "
+    "pair fails the hash. Pair set provably equals from-scratch "
+    "because banding is static per document: every qualifying pair's "
+    "bucket collision exists the moment its second member's buckets "
+    "are probed against the union index.",
+    tags=("text", "dedup", "minhash", "incremental", "table_log",
+          "portable"),
+)
+def incremental_neardup_index_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import maintain_neardup_index
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    batch_of = (
+        F.when(nib.between("0", "4"), 0)
+        .when(nib.between("5", "9"), 1)
+        .otherwise(2)
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="neardup-maintained-v1")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_ndix_{key}")
+    index = os.path.join(root, "index")
+
+    def _intact(d: str) -> bool:
+        ix = os.path.join(d, "index")
+        for t in ("signatures", "buckets", "pairs"):
+            td = os.path.join(ix, t)
+            if tl.current_version(td) != 2:  # one append per batch
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        for b in range(3):
+            maintain_neardup_index(
+                spark,
+                docs.filter(batch_of == b),
+                os.path.join(stage, "index"),
+                batch_tag=str(b),
+            )
+
+    ensure_scratch(root, _build, _intact)
+    return (
+        tl.read_snapshot(spark, os.path.join(index, "pairs"))
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.col("found_in_batch").cast("long").alias("found_in_batch"),
+        )
+        .orderBy("id_a", "id_b")
+    )

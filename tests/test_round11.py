@@ -293,3 +293,49 @@ def test_write_bucketed_refuses_reserved_layout_meta_key(
         )
     # nothing committed
     assert tl.current_version(t) is None
+
+
+def test_maintained_neardup_index_equals_from_scratch(spark, tmp_path):
+    """The maintained index's union-over-increments pair set must equal
+    the from-scratch portable pairs on the same corpus, each increment
+    must be idempotent, and a re-ingest of an applied tag is a no-op."""
+    from candy_store_etl_spark.operators.dedup import (
+        maintain_neardup_index,
+        minhash_dedup_pairs,
+    )
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ix = str(tmp_path / "ix")
+    import pyspark.sql.functions as F
+
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == r).transform(lambda d: d)
+        for r in range(3)
+    ]
+    for r, part in enumerate(parts):
+        assert maintain_neardup_index(
+            spark, part, ix, batch_tag=f"b{r}"
+        ) is True
+    # re-ingest: every table already carries the tag
+    assert maintain_neardup_index(
+        spark, parts[1], ix, batch_tag="b1"
+    ) is False
+
+    maintained = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in tl.read_snapshot(spark, os.path.join(ix, "pairs")).collect()
+    )
+    scratch = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", num_perm=64, bands=16,
+            threshold=0.4, method="portable",
+        ).collect()
+    )
+    assert maintained == scratch and len(maintained) > 0
+    # signatures accumulated once per doc ever
+    n_sigs = tl.read_snapshot(
+        spark, os.path.join(ix, "signatures")
+    ).count()
+    assert n_sigs == docs.count()
