@@ -1,0 +1,135 @@
+"""Marginal-increment cost of the maintained near-dup index.
+
+The claim (`operators/dedup.maintain_neardup_index`): ingesting a
+fixed-size document batch costs the batch's signature pass plus
+bucket-collision joins — NOT a re-shingle/re-band of history. This
+script measures exactly that: the same ~500-doc batch ingested on top
+of an empty index, a 5k-doc index (sf0.1) and a 50k-doc index (sf1).
+Flat-ish seconds per batch across two decades of history is the
+claim, measured (the bucket probe's build side grows with history, so
+a mild rise is honest; a re-signature path would scale ~linearly).
+
+Methodology matches ivm_marginal_day.py: quiet box, one untimed warm
+batch per history size, min over the timed batches reported. Writes/
+replaces the "## Maintained near-dup index: marginal increment"
+section of SCALING.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from candy_store_etl_spark.caching import release_caches  # noqa: E402
+from candy_store_etl_spark.session import build_session  # noqa: E402
+
+HISTORIES = [
+    ("0", None),
+    ("5k", "/root/testdata/sf0.1"),
+    ("50k", "/root/repo/.scale/sf1"),
+]
+BATCH_SRC = "/root/testdata/sf0.01"  # ~500 docs per batch
+HEADER = "## Maintained near-dup index: marginal increment"
+
+
+def _docs(spark, sf_dir):
+    from candy_store_etl_spark.sources.tpch import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
+    from candy_store_etl_spark.operators.dedup import maintain_neardup_index
+
+    ix = tempfile.mkdtemp(prefix="ndix_marginal_")
+    try:
+        seeded = 0
+        if seed_dir is not None:
+            seed = _docs(spark, seed_dir)
+            seeded = seed.count()
+            maintain_neardup_index(spark, seed, ix, batch_tag="seed")
+        batch = _docs(spark, BATCH_SRC)
+        n_batch = batch.count()
+        samples = []
+        for i in range(timed_batches + 1):  # +1 untimed warm batch
+            b = batch.withColumn(
+                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
+            )
+            release_caches()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            maintain_neardup_index(spark, b, ix, batch_tag=f"b{i}")
+            dt = time.perf_counter() - t0
+            if i > 0:
+                samples.append(round(dt, 3))
+        return {
+            "history_docs": seeded,
+            "batch_docs": n_batch,
+            "batch_seconds_min": min(samples),
+            "batch_seconds": samples,
+        }
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
+def main() -> None:
+    from bench import _wait_for_quiet
+
+    ambient = _wait_for_quiet()
+    spark = build_session(
+        "neardup-increment",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for label, d in HISTORIES:
+        if d is not None and not os.path.isdir(d):
+            continue
+        results[label] = measure(spark, d)
+        print(label, results[label], flush=True)
+
+    md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    with open(md_path) as f:
+        existing = f.read()
+    existing = re.sub(
+        rf"{re.escape(HEADER)}.*?(?=\n## |\Z)", "", existing, flags=re.S
+    ).rstrip() + "\n"
+    lines = [
+        existing,
+        f"\n{HEADER}\n",
+        "\nThe maintained index's claim, measured: ingest the same "
+        "~500-doc batch on top of H documents of already-indexed "
+        "history (`operators/dedup.maintain_neardup_index` — portable "
+        "signatures for the BATCH only + bucket-collision joins "
+        "against the persisted index). One untimed warm batch per "
+        f"history size; min of 3 timed batches (ambient load "
+        f"{ambient:.2f}). A re-signature path would scale with H; the "
+        "maintained path pays the batch plus the (history-sized but "
+        "join-pruned) bucket probe.\n",
+        "\n| history (docs) | batch (docs) | batch ingest (s, min) | "
+        "samples (s) |\n|---|---|---|---|\n",
+    ]
+    for label, r in results.items():
+        lines.append(
+            f"| {r['history_docs']} | {r['batch_docs']} "
+            f"| {r['batch_seconds_min']} "
+            f"| {', '.join(str(s) for s in r['batch_seconds'])} |\n"
+        )
+    with open(md_path, "w") as f:
+        f.writelines(lines)
+    print(json.dumps({"metric": "neardup_marginal_batch", **results,
+                      "ambient_load_1m": round(ambient, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
