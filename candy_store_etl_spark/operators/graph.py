@@ -271,3 +271,138 @@ def pagerank_integer(
             .alias("rank_micro"),
         )
     return ranks
+
+
+def maintain_components(
+    spark,
+    pairs_dir: str,
+    clusters_dir: str,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_buckets: int = 64,
+) -> int:
+    """Incrementally maintained connected components over an
+    APPEND-ONLY pairs table (``operators/dedup.maintain_neardup_index``
+    writes one): drain each not-yet-applied pairs VERSION as one edge
+    batch and merge components without ever re-running propagation
+    over the full edge history.
+
+    Per increment, with A = the maintained (node, label) assignment:
+
+    1. rep(n) = A.label(n), or n itself for first-seen nodes — two
+       batch-sized probe joins against A, never a scan-rewrite;
+    2. propagate min-labels over the REP graph (one node per touched
+       component — propagation cost scales with the increment's
+       component merges, not the corpus);
+    3. upsert ONLY the changed assignments: members of components
+       whose label changed (a label-pruned join against A) plus the
+       batch's first-seen nodes — merged into the bucketed clusters
+       table by the coverage-routed CDC sink, so the rewrite volume
+       is proportional to touched keys.
+
+    Invariant: A maps every edge-touched node to the min doc id of its
+    component over all edges applied so far — each rep's label is
+    already its component's min, so the merged group's min over rep
+    labels equals the min over all members. Idempotent: the batch id
+    IS the pairs version, recorded in the sink's applied ledger.
+    Returns the number of pair versions applied."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scoped_cache
+    from ..sources import table_log as tl
+    from ..streaming.cdc import applied_batches, make_routed_cdc_sink
+
+    latest = tl.current_version(pairs_dir)
+    if latest is None:
+        return 0
+    done = applied_batches(clusters_dir)
+    todo = [v for v in range(latest + 1) if v not in done]
+    if not todo:
+        return 0
+
+    sink = make_routed_cdc_sink(
+        clusters_dir,
+        lambda batch_df: batch_df,  # assignments are already per-key
+        key_col="node",
+        add_cols=(),
+        carry_cols=("label",),  # new label wins; absent keys keep theirs
+        n_buckets=n_buckets,
+    )
+
+    applied = 0
+    for v in todo:
+        edges = (
+            tl.read_version_delta(spark, pairs_dir, v)
+            .select(
+                F.col(id_a).cast("long").alias("src"),
+                F.col(id_b).cast("long").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        have_a = tl.current_version(clusters_dir) is not None
+        if have_a:
+            a_tbl = tl.read_snapshot(spark, clusters_dir).select(
+                "node", "label"
+            )
+
+            def _rep(col):
+                side = a_tbl.select(
+                    F.col("node").alias(col),
+                    F.col("label").alias(f"_rep_{col}"),
+                )
+                return side
+
+            edges = (
+                edges.join(_rep("src"), "src", "left")
+                .join(_rep("dst"), "dst", "left")
+                .select(
+                    F.coalesce("_rep_src", "src").alias("src"),
+                    F.coalesce("_rep_dst", "dst").alias("dst"),
+                )
+            )
+        with scoped_cache(edges) as rep_edges:
+            if rep_edges.isEmpty():
+                # still mark the version applied: an empty batch
+                # through the sink commits the ledger row
+                sink(
+                    spark.createDataFrame([], "node long, label long"), v
+                )
+                applied += 1
+                continue
+            comp = connected_components(rep_edges).withColumnRenamed(
+                "component", "new_label"
+            )
+            changed_reps = comp.filter(F.col("node") != F.col("new_label"))
+            # batch nodes take their rep's (possibly merged) label
+            batch_nodes = (
+                rep_edges.select(F.col("src").alias("rep"))
+                .union(rep_edges.select(F.col("dst").alias("rep")))
+                .distinct()
+                .join(comp, F.col("rep") == comp["node"], "left")
+                .select(
+                    F.col("rep").alias("node"),
+                    F.coalesce("new_label", "rep").alias("label"),
+                )
+            )
+            if have_a:
+                # members of merged components — pruned by label, so
+                # only touched components' rows are rewritten
+                moved_members = a_tbl.join(
+                    changed_reps,
+                    a_tbl["label"] == changed_reps["node"],
+                ).select(a_tbl["node"], F.col("new_label").alias("label"))
+                updates = moved_members.unionByName(batch_nodes)
+            else:
+                updates = batch_nodes
+            # reps are label values, not necessarily member nodes of
+            # this batch: a rep row (rep -> merged label) is itself a
+            # valid assignment (labels are doc ids and every label is
+            # a member of its own component)
+            sink(
+                updates.groupBy("node").agg(F.min("label").alias("label")),
+                v,
+            )
+        applied += 1
+    return applied

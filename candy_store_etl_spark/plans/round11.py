@@ -584,3 +584,97 @@ def incremental_neardup_index_maintained(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _maintained_clusters_oracle() -> str:
+    from .vectors import minhash_portable_ctes
+
+    # reachability restricted to EDGE-TOUCHED nodes: the maintained
+    # table assigns labels only to documents that appear in some pair
+    # (singletons are the reader's coalesce, as in component_labels)
+    return f"""
+    WITH RECURSIVE {minhash_portable_ctes(64, 16)},
+    p AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.4
+    ),
+    alledges AS (
+      SELECT src AS a, dst AS b FROM p
+      UNION ALL SELECT dst, src FROM p
+    ),
+    en AS (SELECT DISTINCT a AS node FROM alledges),
+    reach(node, comp) AS (
+      SELECT node, node FROM en
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN alledges e ON e.a = r.node
+    )
+    SELECT node, CAST(MIN(comp) AS BIGINT) AS label
+    FROM reach GROUP BY node
+    """
+
+
+@register(
+    "neardup_clusters_maintained",
+    oracle=_maintained_clusters_oracle(),
+    doc="Incrementally MAINTAINED near-dup clusters "
+    "(operators/graph.maintain_components) over the maintained pairs "
+    "table: each pairs version drains as one edge batch, component "
+    "merges run over the REP graph (one node per touched component — "
+    "propagation cost scales with the increment's merges, never the "
+    "edge history), and only CHANGED assignments are upserted through "
+    "the coverage-routed CDC sink. The corpus arrives in three "
+    "increments, so cross-increment merges actually happen (a batch-2 "
+    "doc can join two batch-0 components into one); the oracle closes "
+    "the full from-scratch portable edge set with recursive-CTE "
+    "reachability — a wrong rep-graph merge, a missed member update, "
+    "or a dropped first-seen node all fail the hash.",
+    tags=("text", "dedup", "graph", "incremental", "table_log",
+          "portable"),
+)
+def neardup_clusters_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import maintain_neardup_index
+    from ..operators.graph import maintain_components
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    batch_of = (
+        F.when(nib.between("0", "4"), 0)
+        .when(nib.between("5", "9"), 1)
+        .otherwise(2)
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="neardup-clusters-v1")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_ndcl_{key}")
+
+    def _intact(d: str) -> bool:
+        for t, v in (("index/pairs", 2), ("clusters", 2)):
+            td = os.path.join(d, t)
+            if tl.current_version(td) != v:
+                return False
+            if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
+                return False
+        return True
+
+    def _build(stage: str) -> None:
+        ix = os.path.join(stage, "index")
+        cl = os.path.join(stage, "clusters")
+        for b in range(3):
+            maintain_neardup_index(
+                spark, docs.filter(batch_of == b), ix, batch_tag=str(b)
+            )
+            # drain the new pairs version(s) into the assignment —
+            # maintenance interleaves with ingestion, as a real
+            # pipeline's would
+            maintain_components(
+                spark, os.path.join(ix, "pairs"), cl
+            )
+
+    ensure_scratch(root, _build, _intact)
+    return (
+        tl.read_snapshot(spark, os.path.join(root, "clusters"))
+        .select("node", "label")
+        .orderBy("node")
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 # property-flag oracled twins in plans/round10.py carry the checks),
 # so every window row can hash-green.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW this round (6) — the two regime routers and the
+    # (a) NEW this round (7) — the two regime routers and the
     # IVM capstone, each verified at sf0.001/sf0.01/sf0.1 (the
     # routed-CDC row additionally at sf1, where the pre-review
     # fixture would have flipped regimes)
@@ -39,6 +39,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "serve_join_shuffle",
     "incremental_daily_sales_ivm",
     "incremental_neardup_index_maintained",
+    "neardup_clusters_maintained",
     # (b) strict oldest-evidence re-confirmation: the ENTIRE
     # remaining round-5 cohort (40, from scripts/window_backlog.py
     # --- after this round no query carries evidence older than
@@ -83,12 +84,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_jaccard_pairs",
     "top_orders_per_customer",
     "variant_props_extract",
-    # (c) the round-6 cohort begins, alphabetical (4 of 45;
+    # (c) the round-6 cohort begins, alphabetical (3 of 45;
     # the rest are the round-12 backlog head)
     "above_avg_balance_customers",
     "approx_distinct_users",
     "brand_price_geomean",
-    "buyers_except",
     )
 
 

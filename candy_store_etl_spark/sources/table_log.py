@@ -551,6 +551,31 @@ def read_snapshot(
     return reader.parquet(*files)
 
 
+def read_version_delta(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Rows ADDED at exactly ``version`` — the commit's add-list
+    planned under that snapshot's committed schema. The batch twin of
+    the streaming change feed's insert rows for APPEND-ONLY tables
+    (an overwrite/compact also lists adds, but those re-add surviving
+    rows; consumers of restating tables should read the change feed,
+    which carries delete rows too)."""
+    entry = _read_entry(table_dir, version)
+    files = [os.path.join(table_dir, n) for n in entry.get("add", [])]
+    if not files:
+        schema = snapshot_schema(table_dir, version=version)
+        if schema is None:
+            raise ValueError(
+                f"version {version} of {table_dir} added no files and "
+                "the snapshot has no committed schema to shape an "
+                "empty delta"
+            )
+        return spark.createDataFrame([], schema)
+    schema = snapshot_schema(table_dir, version=version)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*files)
+
+
 def _stage_dataframe(
     df: DataFrame, table_dir: str, version_hint: int
 ) -> list[str]:

@@ -339,3 +339,37 @@ def test_maintained_neardup_index_equals_from_scratch(spark, tmp_path):
         spark, os.path.join(ix, "signatures")
     ).count()
     assert n_sigs == docs.count()
+
+
+def test_maintain_components_merges_across_increments(spark, tmp_path):
+    """The rep-graph merge must handle the hard case: a later edge
+    joining two components that were DISJOINT when first labeled —
+    every member of both components moves to the merged min, first-seen
+    nodes get rows, and an already-drained version is never replayed."""
+    from candy_store_etl_spark.operators.graph import maintain_components
+
+    pairs = str(tmp_path / "pairs")
+    cl = str(tmp_path / "clusters")
+
+    def _edges(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    tl.append(_edges([(1, 2), (5, 6)]), pairs)
+    assert maintain_components(spark, pairs, cl) == 1
+    a = {r.node: r.label for r in tl.read_snapshot(spark, cl).collect()}
+    assert a == {1: 1, 2: 1, 5: 5, 6: 5}
+
+    # the merge edge touches NEITHER component's min directly
+    tl.append(_edges([(2, 6), (10, 11)]), pairs)
+    assert maintain_components(spark, pairs, cl) == 1
+    a = {r.node: r.label for r in tl.read_snapshot(spark, cl).collect()}
+    assert a == {1: 1, 2: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+    # nothing new: the ledger short-circuits
+    assert maintain_components(spark, pairs, cl) == 0
+    # chain merge within ONE increment: two edges joining three
+    # components transitively
+    tl.append(_edges([(11, 20), (20, 5)]), pairs)
+    assert maintain_components(spark, pairs, cl) == 1
+    a = {r.node: r.label for r in tl.read_snapshot(spark, cl).collect()}
+    assert set(a.values()) == {1} and a[20] == 1 and a[10] == 1
