@@ -49,17 +49,22 @@ def _docs(spark, sf_dir):
 
 def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
     from candy_store_etl_spark.operators.dedup import maintain_neardup_index
+    from candy_store_etl_spark.operators.graph import maintain_components
 
-    ix = tempfile.mkdtemp(prefix="ndix_marginal_")
+    root = tempfile.mkdtemp(prefix="ndix_marginal_")
+    ix = os.path.join(root, "index")
+    cl = os.path.join(root, "clusters")
+    pairs = os.path.join(ix, "pairs")
     try:
         seeded = 0
         if seed_dir is not None:
             seed = _docs(spark, seed_dir)
             seeded = seed.count()
             maintain_neardup_index(spark, seed, ix, batch_tag="seed")
+            maintain_components(spark, pairs, cl)
         batch = _docs(spark, BATCH_SRC)
         n_batch = batch.count()
-        samples = []
+        samples, cl_samples = [], []
         for i in range(timed_batches + 1):  # +1 untimed warm batch
             b = batch.withColumn(
                 "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
@@ -69,16 +74,22 @@ def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
             t0 = time.perf_counter()
             maintain_neardup_index(spark, b, ix, batch_tag=f"b{i}")
             dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            maintain_components(spark, pairs, cl)
+            dt_cl = time.perf_counter() - t0
             if i > 0:
                 samples.append(round(dt, 3))
+                cl_samples.append(round(dt_cl, 3))
         return {
             "history_docs": seeded,
             "batch_docs": n_batch,
             "batch_seconds_min": min(samples),
             "batch_seconds": samples,
+            "clusters_seconds_min": min(cl_samples),
+            "clusters_seconds": cl_samples,
         }
     finally:
-        shutil.rmtree(ix, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -114,15 +125,19 @@ def main() -> None:
         f"history size; min of 3 timed batches (ambient load "
         f"{ambient:.2f}). A re-signature path would scale with H; the "
         "maintained path pays the batch plus the (history-sized but "
-        "join-pruned) bucket probe.\n",
-        "\n| history (docs) | batch (docs) | batch ingest (s, min) | "
-        "samples (s) |\n|---|---|---|---|\n",
+        "join-pruned) bucket probe. The clusters column drains the "
+        "batch's new pairs into the maintained assignment "
+        "(operators/graph.maintain_components) — rep-graph merges + "
+        "label-pruned member updates, also batch-proportional.\n",
+        "\n| history (docs) | batch (docs) | index ingest (s, min) | "
+        "samples (s) | clusters drain (s, min) |\n|---|---|---|---|---|\n",
     ]
     for label, r in results.items():
         lines.append(
             f"| {r['history_docs']} | {r['batch_docs']} "
             f"| {r['batch_seconds_min']} "
-            f"| {', '.join(str(s) for s in r['batch_seconds'])} |\n"
+            f"| {', '.join(str(s) for s in r['batch_seconds'])} "
+            f"| {r['clusters_seconds_min']} |\n"
         )
     with open(md_path, "w") as f:
         f.writelines(lines)
