@@ -633,6 +633,30 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+#: (table_dir) -> (newest version folded, op tags seen). Repeated
+#: ledger asks read only the commits SINCE the last ask — O(delta)
+#: per ingest where a per-call log_entries walk would go quadratic
+#: over the index's lifetime (the same pattern, and the same
+#: version-regression guard, as candy_colocated._meta_tags).
+_OP_LEDGER_CACHE: dict[str, tuple[int, set]] = {}
+
+
+def _op_ledger(table_dir: str) -> set:
+    from ..sources import table_log as tl
+
+    latest = tl.current_version(table_dir)
+    if latest is None:
+        return set()
+    seen_v, ops = _OP_LEDGER_CACHE.get(table_dir, (-1, set()))
+    if seen_v > latest:
+        # same-path rebuild: the cached ops belong to a dead incarnation
+        seen_v, ops = -1, set()
+    for v in range(seen_v + 1, latest + 1):
+        ops.add(tl._read_entry(table_dir, v).get("op"))
+    _OP_LEDGER_CACHE[table_dir] = (latest, ops)
+    return ops
+
+
 def maintain_neardup_index(
     spark,
     batch_docs: DataFrame,
@@ -683,12 +707,17 @@ def maintain_neardup_index(
     bkt_dir = os.path.join(index_dir, "buckets")
     pairs_dir = os.path.join(index_dir, "pairs")
 
-    def _applied(d: str) -> bool:
-        return any(e["op"] == op for e in tl.log_entries(d))
-
-    todo = {d: not _applied(d) for d in (pairs_dir, bkt_dir, sig_dir)}
+    todo = {d: op not in _op_ledger(d) for d in (pairs_dir, bkt_dir, sig_dir)}
     if not any(todo.values()):
         return False
+
+    def _readable(d: str) -> bool:
+        # file presence, not version presence: an empty-batch append
+        # can leave a versioned but file-less table, and read_snapshot
+        # raises on those
+        return tl.current_version(d) is not None and bool(
+            tl.snapshot_files(d)
+        )
 
     sigs_b = minhash_signatures_portable(
         batch_docs, id_col, text_col, num_perm=num_perm
@@ -697,14 +726,26 @@ def maintain_neardup_index(
         sigs_b, num_perm=num_perm, bands=bands
     ).transform(tracked_cache)
 
+    # append order is sigs -> buckets -> PAIRS LAST: whichever batch
+    # runs its pair step later sees the other's committed buckets, so
+    # an interleaved crash-rerun can never LOSE a cross-batch pair
+    # (pairs-first would: a batch ingested between another's pairs
+    # append and its buckets append probes an index missing those
+    # docs). The anti-join below removes the duplicates this ordering
+    # can re-discover.
+    if todo[sig_dir]:
+        tl.append(sigs_b, sig_dir, op=op)
+    if todo[bkt_dir]:
+        tl.append(buckets_b, bkt_dir, op=op)
     if todo[pairs_dir]:
-        have_old = tl.current_version(bkt_dir) is not None
-        # probe side = the BATCH's buckets; build side = history ∪
-        # batch (history buckets may already contain this batch's rows
-        # after a crash-rerun — the pair-level distinct absorbs them)
+        # probe side = the BATCH's buckets; build side = the committed
+        # snapshot, which ALREADY includes this batch (appended above)
+        # — unioning the batch relation again would duplicate rows,
+        # and duplicate signature rows MULTIPLY pair rows through the
+        # similarity join
         all_bkts = (
-            tl.read_snapshot(spark, bkt_dir).unionByName(buckets_b)
-            if have_old
+            tl.read_snapshot(spark, bkt_dir)
+            if _readable(bkt_dir)
             else buckets_b
         )
         a, b = buckets_b.alias("a"), all_bkts.alias("b")
@@ -722,10 +763,10 @@ def maintain_neardup_index(
             .distinct()
         )
         sigs_all = (
-            tl.read_snapshot(spark, sig_dir)
-            .select(F.col("id"), F.col("signature"))
-            .unionByName(sigs_b)
-            if tl.current_version(sig_dir) is not None
+            tl.read_snapshot(spark, sig_dir).select(
+                F.col("id"), F.col("signature")
+            )
+            if _readable(sig_dir)
             else sigs_b
         )
         pairs_b = (
@@ -733,9 +774,17 @@ def maintain_neardup_index(
             .filter(F.col("est_jaccard") >= threshold)
             .withColumn("found_in_batch", F.lit(batch_tag))
         )
+        if _readable(pairs_dir):
+            # a crashed batch's rerun may re-discover pairs another
+            # batch already appended while probing the full index —
+            # exactly-once is enforced at the PAIR level, not the
+            # batch level. (In that rerun case the pair carries the
+            # RE-RUNNING batch's tag — discovery provenance is
+            # best-effort under crash interleaving; the pair set
+            # itself is exact.)
+            seen = tl.read_snapshot(spark, pairs_dir).select(
+                "id_a", "id_b"
+            )
+            pairs_b = pairs_b.join(seen, ["id_a", "id_b"], "left_anti")
         tl.append(pairs_b, pairs_dir, op=op)
-    if todo[bkt_dir]:
-        tl.append(buckets_b, bkt_dir, op=op)
-    if todo[sig_dir]:
-        tl.append(sigs_b, sig_dir, op=op)
     return True

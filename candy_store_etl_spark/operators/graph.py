@@ -341,7 +341,13 @@ def maintain_components(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        have_a = tl.current_version(clusters_dir) is not None
+        # file presence, not version presence: an all-empty drain
+        # history leaves a versioned but FILE-LESS clusters table
+        # (ledger-only commits), and read_snapshot raises on those
+        have_a = (
+            tl.current_version(clusters_dir) is not None
+            and bool(tl.snapshot_files(clusters_dir))
+        )
         if have_a:
             a_tbl = tl.read_snapshot(spark, clusters_dir).select(
                 "node", "label"

@@ -487,6 +487,26 @@ def incremental_daily_sales_ivm(
 # Maintained near-dup index: signatures computed once per doc EVER
 # ---------------------------------------------------------------------------
 
+#: The increment-assignment rule, ONCE, in both languages: documents
+#: arrive in three md5-nibble increments, and the Spark expression and
+#: the oracle's SQL CASE must stay in lockstep or pair provenance
+#: mismatches masquerade as maintenance bugs.
+_NDSPLIT_SQL = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '4' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '5' AND '9' THEN 1
+                  ELSE 2 END"""
+
+
+def _increment_of():
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(nib.between("0", "4"), 0)
+        .when(nib.between("5", "9"), 1)
+        .otherwise(2)
+    )
+
+
 def _maintained_neardup_oracle() -> str:
     from .vectors import minhash_portable_ctes
 
@@ -497,13 +517,7 @@ def _maintained_neardup_oracle() -> str:
     return f"""
     WITH {minhash_portable_ctes(64, 16)},
     bat AS (
-      SELECT doc_id,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                       BETWEEN '0' AND '4' THEN 0
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                       BETWEEN '5' AND '9' THEN 1
-                  ELSE 2 END AS b
-      FROM documents
+      SELECT doc_id, {_NDSPLIT_SQL} AS b FROM documents
     )
     SELECT e.id_a, e.id_b, e.est_jaccard,
            CAST(GREATEST(ba.b, bb.b) AS BIGINT) AS found_in_batch
@@ -542,15 +556,10 @@ def incremental_neardup_index_maintained(
     from ..sources.scratch import content_fingerprint, ensure_scratch
 
     docs = load_table(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    batch_of = (
-        F.when(nib.between("0", "4"), 0)
-        .when(nib.between("5", "9"), 1)
-        .otherwise(2)
-    )
+    batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-maintained-v1")
+    key = content_fingerprint(src, extra="neardup-maintained-v3")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndix_{key}")
     index = os.path.join(root, "index")
 
@@ -638,15 +647,10 @@ def neardup_clusters_maintained(
     from ..sources.scratch import content_fingerprint, ensure_scratch
 
     docs = load_table(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    batch_of = (
-        F.when(nib.between("0", "4"), 0)
-        .when(nib.between("5", "9"), 1)
-        .otherwise(2)
-    )
+    batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-clusters-v1")
+    key = content_fingerprint(src, extra="neardup-clusters-v3")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndcl_{key}")
 
     def _intact(d: str) -> bool:

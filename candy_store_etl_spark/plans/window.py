@@ -18,12 +18,13 @@ safe across refactors.
 
 from __future__ import annotations
 
-# Round-10/11 window. Judge directives applied: (1) NEW seats capped
-# at 5 (the round's complete new surface — two regime routers + the
-# IVM capstone) so 45 slots go to STRICT oldest-evidence
+# Round-10/11 window. Judge directives applied: (1) NEW seats held to
+# 7, inside the 5-10 cap (the round's complete new surface — two
+# regime routers, the IVM capstone, and the maintained dedup chain's
+# index + clusters), so 43 slots go to STRICT oldest-evidence
 # re-confirmation: the ENTIRE remaining round-5 cohort (40, computed
 # by scripts/window_backlog.py from the cross-round CORRECTNESS
-# union) plus the first 5 of the round-6 cohort (alphabetical) —
+# union) plus the first 3 of the round-6 cohort (alphabetical) —
 # after this round no query carries driver evidence older than
 # round 6; (2) the 7 rows-only tiers stay unseated (their
 # property-flag oracled twins in plans/round10.py carry the checks),

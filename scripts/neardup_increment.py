@@ -66,9 +66,32 @@ def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
         n_batch = batch.count()
         samples, cl_samples = [], []
         for i in range(timed_batches + 1):  # +1 untimed warm batch
+            # deterministic per-batch WORD SHUFFLE (sort words by
+            # md5(word || batch)): without it every timed batch is an
+            # exact near-duplicate of the warm batch and all earlier
+            # ones, so pair volume grows with i and later samples time
+            # work a real fixed-size increment would not do
+            words = F.split(F.col("text"), r"\s+")
+            shuffled = F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            words,
+                            lambda w: F.struct(
+                                F.md5(
+                                    F.concat(w, F.lit(f"b{i}"))
+                                ).alias("k"),
+                                w.alias("w"),
+                            ),
+                        )
+                    ),
+                    lambda st: st.getField("w"),
+                ),
+                " ",
+            )
             b = batch.withColumn(
                 "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
-            )
+            ).withColumn("text", shuffled)
             release_caches()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
