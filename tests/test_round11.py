@@ -373,3 +373,61 @@ def test_maintain_components_merges_across_increments(spark, tmp_path):
     assert maintain_components(spark, pairs, cl) == 1
     a = {r.node: r.label for r in tl.read_snapshot(spark, cl).collect()}
     assert set(a.values()) == {1} and a[20] == 1 and a[10] == 1
+
+
+def test_maintained_index_crash_interleave_loses_no_pairs(
+    spark, tmp_path
+):
+    """The review-found hazard: batch T1 crashes after its signature
+    and bucket appends but before its pairs step; batch T2 ingests in
+    between. T1's rerun must discover the T1-vs-T2 pairs (its probe
+    sees T2's committed buckets), and pairs already appended must not
+    duplicate — exactly-once at the PAIR level."""
+    from candy_store_etl_spark.operators.dedup import (
+        _band_buckets_portable,
+        maintain_neardup_index,
+        minhash_dedup_pairs,
+        minhash_signatures_portable,
+    )
+
+    ix = str(tmp_path / "ix")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text + " lambda")], "doc_id long, text string"
+    )
+    t2_docs = spark.createDataFrame(
+        [(3, text), (4, "unrelated words only here nothing shared x y")],
+        "doc_id long, text string",
+    )
+
+    # simulate T1 dying between its buckets append and its pairs step:
+    # commit sigs+buckets under T1's op tag, leave pairs untagged
+    sigs = minhash_signatures_portable(docs, "doc_id", "text", num_perm=64)
+    tl.append(sigs, os.path.join(ix, "signatures"), op="neardup-batch-t1")
+    tl.append(
+        _band_buckets_portable(sigs, num_perm=64, bands=16),
+        os.path.join(ix, "buckets"),
+        op="neardup-batch-t1",
+    )
+
+    # T2 ingests fully while T1 is crashed: its probe sees T1's
+    # committed buckets, so cross-batch pairs land here
+    assert maintain_neardup_index(spark, t2_docs, ix, batch_tag="t2")
+    # T1 reruns: pairs step runs (tag missing there), sigs/buckets skip
+    assert maintain_neardup_index(spark, docs, ix, batch_tag="t1")
+
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in tl.read_snapshot(
+            spark, os.path.join(ix, "pairs")
+        ).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            docs.unionByName(t2_docs), "doc_id", "text",
+            num_perm=64, bands=16, threshold=0.4, method="portable",
+        ).collect()
+    )
+    assert got == want  # equality implies both no-loss AND no-dup
+    assert (1, 3) in got  # the cross-batch near-dup pair specifically
