@@ -24,7 +24,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import shutil
 import sys
 import tempfile
@@ -118,13 +117,11 @@ def main() -> None:
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(md_path) as f:
         existing = f.read()
-    # idempotent: replace the section if present (it sits at the end,
-    # after the streaming table)
-    existing = re.sub(
-        rf"{re.escape(HEADER)}.*?(?=\n## |\Z)", "", existing, flags=re.S
-    ).rstrip() + "\n"
+    # idempotent, section-scoped replace shared with every other
+    # SCALING regenerator (bench.splice_section) — preserves all other
+    # sections AND their order
+    from bench import splice_section
     lines = [
-        existing,
         f"\n{HEADER}\n",
         "\nThe incremental pipeline's claim, measured: ingest ONE new "
         "day on top of H days of maintained history "
@@ -150,7 +147,7 @@ def main() -> None:
         "delta at every hop.\n"
     )
     with open(md_path, "w") as f:
-        f.writelines(lines)
+        f.write(splice_section(existing, f"\n{HEADER}\n", "".join(lines)))
     print(json.dumps({"metric": "ivm_marginal_day", **results,
                       "ambient_load_1m": round(ambient, 2)}))
     spark.stop()

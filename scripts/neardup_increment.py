@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import sys
 import tempfile
@@ -134,11 +133,11 @@ def main() -> None:
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(md_path) as f:
         existing = f.read()
-    existing = re.sub(
-        rf"{re.escape(HEADER)}.*?(?=\n## |\Z)", "", existing, flags=re.S
-    ).rstrip() + "\n"
+    # idempotent, section-scoped replace shared with every other
+    # SCALING regenerator (bench.splice_section) — preserves all other
+    # sections AND their order
+    from bench import splice_section
     lines = [
-        existing,
         f"\n{HEADER}\n",
         "\nThe maintained index's claim, measured: ingest the same "
         "~500-doc batch on top of H documents of already-indexed "
@@ -163,7 +162,7 @@ def main() -> None:
             f"| {r['clusters_seconds_min']} |\n"
         )
     with open(md_path, "w") as f:
-        f.writelines(lines)
+        f.write(splice_section(existing, f"\n{HEADER}\n", "".join(lines)))
     print(json.dumps({"metric": "neardup_marginal_batch", **results,
                       "ambient_load_1m": round(ambient, 2)}))
     spark.stop()

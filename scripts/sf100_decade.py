@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 import time
 
@@ -90,11 +89,11 @@ def main() -> None:
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(md_path) as f:
         existing = f.read()
-    existing = re.sub(
-        rf"{re.escape(HEADER)}.*?(?=\n## |\Z)", "", existing, flags=re.S
-    ).rstrip() + "\n"
+    # idempotent, section-scoped replace shared with every other
+    # SCALING regenerator (bench.splice_section) — preserves all other
+    # sections AND their order
+    from bench import splice_section
     lines = [
-        existing,
         f"\n{HEADER}\n",
         "\nThe flat-curve claims held two decades (sf0.1->1->10); this "
         "buys the third for the 3 cheapest flat rows over an "
@@ -117,7 +116,7 @@ def main() -> None:
         "sizes.\n"
     )
     with open(md_path, "w") as f:
-        f.writelines(lines)
+        f.write(splice_section(existing, f"\n{HEADER}\n", "".join(lines)))
     print(json.dumps({"metric": "sf100_decade", **results,
                       "ambient_load_1m": round(ambient, 2)}))
     spark.stop()

@@ -31,6 +31,7 @@ Usage: python scripts/streaming_throughput.py [--sf-dir .scale/sf1]
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
 import shutil
@@ -548,17 +549,14 @@ def main() -> None:
     }
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
-    # idempotent append: a re-run REPLACES the streaming section
-    # instead of stacking a second copy under the curve tables; ONE
-    # header definition shared with scaling_curve.py's preservation
+    # idempotent rewrite: a re-run REPLACES only the streaming section,
+    # scoped to the next "## " header (the truncate-to-EOF form this
+    # replaces clobbered every section written after it — it destroyed
+    # the sf100 third-decade table once); ONE header definition shared
+    # with scaling_curve.py's preservation. The section body is built
+    # in a buffer and spliced in place so section ORDER is preserved.
     from bench import SCALING_STREAM_HEADER as header
-    with open(md_path) as f:
-        existing = f.read()
-    cut = existing.find(header)
-    if cut != -1:
-        with open(md_path, "w") as f:
-            f.write(existing[:cut])
-    with open(md_path, "a") as f:
+    with io.StringIO() as f:
         f.write(
             header + "\n"
             f"Feeds from `{args.sf_dir}` staged as {N_FILES} files → "
@@ -686,6 +684,12 @@ def main() -> None:
                 "bulk sink's economics where the pure partitioned "
                 "form lost 20x.\n"
             )
+        section = f.getvalue()
+    from bench import splice_section
+    with open(md_path) as f:
+        existing = f.read()
+    with open(md_path, "w") as f:
+        f.write(splice_section(existing, header, section))
     print(json.dumps({"metric": "streaming_throughput", **results,
                       "ambient_load_1m": round(ambient, 2)}))
     spark.stop()
