@@ -633,12 +633,12 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-#: (table_dir) -> (newest version folded, op tags seen). Repeated
-#: ledger asks read only the commits SINCE the last ask — O(delta)
-#: per ingest where a per-call log_entries walk would go quadratic
-#: over the index's lifetime (the same pattern, and the same
-#: version-regression guard, as candy_colocated._meta_tags).
-_OP_LEDGER_CACHE: dict[str, tuple[int, set]] = {}
+#: (table_dir) -> (newest version folded, that version's full commit
+#: entry, op tags seen). Repeated ledger asks read only the commits
+#: SINCE the last ask — O(delta) per ingest where a per-call
+#: log_entries walk would go quadratic over the index's lifetime (the
+#: same pattern as candy_colocated._meta_tags).
+_OP_LEDGER_CACHE: dict[str, tuple[int, dict, set]] = {}
 
 
 def _op_ledger(table_dir: str) -> set:
@@ -646,14 +646,32 @@ def _op_ledger(table_dir: str) -> set:
 
     latest = tl.current_version(table_dir)
     if latest is None:
+        # table gone (or rebuilt and not yet at v0): any cached ledger
+        # describes a dead incarnation
+        _OP_LEDGER_CACHE.pop(table_dir, None)
         return set()
-    seen_v, ops = _OP_LEDGER_CACHE.get(table_dir, (-1, set()))
+    seen_v, head, ops = _OP_LEDGER_CACHE.get(table_dir, (-1, {}, set()))
     if seen_v > latest:
-        # same-path rebuild: the cached ops belong to a dead incarnation
-        seen_v, ops = -1, set()
+        # same-path rebuild landing LOWER: cached ops are dead
+        seen_v, head, ops = -1, {}, set()
+    elif seen_v >= 0:
+        # same-path rebuild landing at an EQUAL-OR-HIGHER version (e.g.
+        # ensure_scratch swapping a fully built table over a corrupt
+        # survivor) would otherwise serve a dead incarnation's ledger
+        # and silently skip a real ingest — re-validate the cached head
+        # ENTRY (not just its op: add-lists carry per-attempt unique
+        # file names, so distinct incarnations can't collide) against
+        # what is on disk at that version before trusting the cache
+        try:
+            on_disk = tl._read_entry(table_dir, seen_v)
+        except (OSError, ValueError):
+            on_disk = None
+        if on_disk != head:
+            seen_v, head, ops = -1, {}, set()
     for v in range(seen_v + 1, latest + 1):
-        ops.add(tl._read_entry(table_dir, v).get("op"))
-    _OP_LEDGER_CACHE[table_dir] = (latest, ops)
+        head = tl._read_entry(table_dir, v)
+        ops.add(head.get("op"))
+    _OP_LEDGER_CACHE[table_dir] = (latest, head, ops)
     return ops
 
 
@@ -697,6 +715,16 @@ def maintain_neardup_index(
     the tables that missed it (multi-table atomicity is a table-log
     non-goal; per-table ledgers close the gap for this chain).
     Returns False when every table already has the tag.
+
+    Concurrent ingests are safe at the PAIR level: the pairs append is
+    pinned to the snapshot version its anti-join read, so two live
+    batches racing on the pairs table surface as
+    ``ConcurrentCommitError`` and the loser re-derives — duplicate
+    pair rows cannot land. Re-ingesting an already-indexed document id
+    under a NEW ``batch_tag`` raises ``ValueError`` before anything is
+    appended (duplicate signature rows would multiply pair rows
+    through the similarity join); a crash rerun must reuse the
+    original tag, which makes completed tables no-ops.
     """
     import os
 
@@ -725,6 +753,29 @@ def maintain_neardup_index(
     buckets_b = _band_buckets_portable(
         sigs_b, num_perm=num_perm, bands=bands
     ).transform(tracked_cache)
+
+    if todo[sig_dir] and _readable(sig_dir):
+        # fail LOUDLY on re-ingest of already-indexed ids under a NEW
+        # batch_tag: duplicate signature rows would multiply pair rows
+        # through the similarity join, corrupting the index with no
+        # error. Only a FRESH signature append can collide — a crash
+        # rerun of this batch has todo[sig_dir] False (its op tag is
+        # already in the ledger) and never reaches this check.
+        clash = (
+            tl.read_snapshot(spark, sig_dir)
+            .select("id")
+            .join(F.broadcast(sigs_b.select("id")), "id", "semi")
+            .take(1)
+        )
+        if clash:
+            raise ValueError(
+                f"maintain_neardup_index: batch '{batch_tag}' contains "
+                f"document id {clash[0][0]!r} already present in "
+                f"{sig_dir} — re-ingesting an indexed document would "
+                "duplicate its signature and multiply pair rows. "
+                "Ingest only new documents (a crash rerun must reuse "
+                "the original batch_tag)."
+            )
 
     # append order is sigs -> buckets -> PAIRS LAST: whichever batch
     # runs its pair step later sees the other's committed buckets, so
@@ -769,22 +820,42 @@ def maintain_neardup_index(
             if _readable(sig_dir)
             else sigs_b
         )
-        pairs_b = (
+        pairs_new = (
             minhash_similarity(cands, sigs_all)
             .filter(F.col("est_jaccard") >= threshold)
             .withColumn("found_in_batch", F.lit(batch_tag))
         )
-        if _readable(pairs_dir):
-            # a crashed batch's rerun may re-discover pairs another
-            # batch already appended while probing the full index —
-            # exactly-once is enforced at the PAIR level, not the
-            # batch level. (In that rerun case the pair carries the
-            # RE-RUNNING batch's tag — discovery provenance is
-            # best-effort under crash interleaving; the pair set
-            # itself is exact.)
-            seen = tl.read_snapshot(spark, pairs_dir).select(
-                "id_a", "id_b"
-            )
-            pairs_b = pairs_b.join(seen, ["id_a", "id_b"], "left_anti")
-        tl.append(pairs_b, pairs_dir, op=op)
+        # pair-level exactly-once: anti-join against the pairs snapshot
+        # the append is PINNED to (base_version). A concurrent ingest
+        # appending pairs between this read and the commit raises
+        # ConcurrentCommitError and the anti-join re-derives against
+        # the refreshed snapshot — without the pin, two live batches
+        # could each read a snapshot missing the other's cross-batch
+        # pairs and both append them (the crash-RERUN interleaving was
+        # already covered; this closes the concurrent-WRITER one).
+        for attempt in range(5):
+            base_v = tl.current_version(pairs_dir)
+            pairs_b = pairs_new
+            if base_v is not None and bool(
+                tl.snapshot_files(pairs_dir, version=base_v)
+            ):
+                # a crashed batch's rerun may re-discover pairs another
+                # batch already appended while probing the full index —
+                # exactly-once is enforced at the PAIR level, not the
+                # batch level. (In that rerun case the pair carries the
+                # RE-RUNNING batch's tag — discovery provenance is
+                # best-effort under crash interleaving; the pair set
+                # itself is exact.)
+                seen = tl.read_snapshot(
+                    spark, pairs_dir, version=base_v
+                ).select("id_a", "id_b")
+                pairs_b = pairs_new.join(
+                    seen, ["id_a", "id_b"], "left_anti"
+                )
+            try:
+                tl.append(pairs_b, pairs_dir, op=op, base_version=base_v)
+                break
+            except tl.ConcurrentCommitError:
+                if attempt == 4:
+                    raise
     return True

@@ -603,7 +603,7 @@ def _stage_dataframe(
 
 def append(
     df: DataFrame, table_dir: str, *, stats_cols: list[str] = (),
-    op: str = "append",
+    op: str = "append", base_version: int | None | object = _UNPINNED,
 ) -> int:
     """Append df as a new version (data files immutable, commit
     atomic). ``stats_cols`` embeds per-file [min, max] column stats in
@@ -611,7 +611,16 @@ def append(
     ``read_snapshot_pruned`` can plan from the log alone. ``op``
     customizes the commit's operation tag — sinks use it as an
     idempotence ledger (e.g. ``refresh-batch-N``), the same pattern as
-    the CDC sink's ``cdc-batch-N``."""
+    the CDC sink's ``cdc-batch-N``.
+
+    ``base_version`` (default unpinned) PINS the commit to land at
+    exactly ``base_version + 1`` — for appends whose CONTENT was
+    derived from a snapshot read (e.g. an anti-join against the
+    current rows): a concurrent commit landing after that read raises
+    ``ConcurrentCommitError`` so the caller re-derives, instead of the
+    stale append being silently built over. A pinned append that loses
+    the race leaves its staged data files unreferenced; ``vacuum``
+    sweeps them."""
     os.makedirs(table_dir, exist_ok=True)
     latest = current_version(table_dir)
     hint = 0 if latest is None else latest + 1
@@ -638,6 +647,9 @@ def append(
         )
         return {"add": names, "op": op, "stats": stats, "schema": new_schema}
 
+    if base_version is not _UNPINNED:
+        return commit(table_dir, **derive(base_version),
+                      base_version=base_version)
     return commit_with_retry(table_dir, derive)
 
 

@@ -431,3 +431,67 @@ def test_maintained_index_crash_interleave_loses_no_pairs(
     )
     assert got == want  # equality implies both no-loss AND no-dup
     assert (1, 3) in got  # the cross-batch near-dup pair specifically
+
+
+def test_op_ledger_invalidates_on_same_path_rebuild(spark, tmp_path):
+    """Advisory: a table rebuilt at the SAME path landing at an
+    equal-or-higher version with different ops must not be served a
+    dead incarnation's ledger (the old cache only guarded version
+    REGRESSION) — that would make maintain_neardup_index silently skip
+    a real ingest."""
+    import shutil
+
+    from candy_store_etl_spark.operators.dedup import _op_ledger
+
+    t = str(tmp_path / "t")
+    df = spark.range(3).selectExpr("id")
+    tl.append(df, t, op="x0")
+    tl.append(df, t, op="x1")
+    assert _op_ledger(t) == {"x0", "x1"}
+
+    # rebuild at the same path, SAME version count, different ops
+    shutil.rmtree(t)
+    tl.append(df, t, op="y0")
+    tl.append(df, t, op="y1")
+    assert _op_ledger(t) == {"y0", "y1"}
+
+    # rebuild landing HIGHER than the cached head
+    shutil.rmtree(t)
+    for i in range(3):
+        tl.append(df, t, op=f"z{i}")
+    assert _op_ledger(t) == {"z0", "z1", "z2"}
+
+    # table deleted entirely: empty ledger, cache dropped
+    shutil.rmtree(t)
+    assert _op_ledger(t) == set()
+
+
+def test_maintained_index_rejects_foreign_id_reingest(spark, tmp_path):
+    """Advisory: re-ingesting already-indexed doc ids under a NEW
+    batch_tag must fail loudly — duplicate signature rows would
+    multiply pair rows through the similarity join with no error. A
+    crash rerun under the ORIGINAL tag stays a no-op."""
+    import pytest
+
+    from candy_store_etl_spark.operators.dedup import (
+        maintain_neardup_index,
+    )
+
+    ix = str(tmp_path / "ix")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    assert maintain_neardup_index(spark, docs, ix, batch_tag="b0")
+    # same ids, new tag: loud failure naming the clash
+    with pytest.raises(ValueError, match="already present"):
+        maintain_neardup_index(
+            spark, docs.limit(1), ix, batch_tag="b1"
+        )
+    # original tag: idempotent no-op, no error
+    assert maintain_neardup_index(spark, docs, ix, batch_tag="b0") is False
+    # genuinely new ids under the new tag still ingest
+    more = spark.createDataFrame(
+        [(3, "iota kappa lambda mu")], "doc_id long, text string"
+    )
+    assert maintain_neardup_index(spark, more, ix, batch_tag="b1")

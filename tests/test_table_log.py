@@ -922,3 +922,32 @@ def test_multiprocess_commit_storm(tmp_path):
     # the final snapshot resolves under the evolved schema
     schema = tl.snapshot_schema(table)
     assert [f.name for f in schema.fields] == ["k", "a", "b"]
+
+
+def test_pinned_append_detects_concurrent_commit(spark, table):
+    """append(base_version=...) is the check-and-set form for appends
+    whose CONTENT was derived from a snapshot read (e.g. the neardup
+    pairs anti-join): a commit landing after that read must surface as
+    ConcurrentCommitError, never be silently built over."""
+    df = spark.range(2).selectExpr("id")
+    tl.append(df, table, op="seed")
+    base = tl.current_version(table)
+
+    # no interleaving: the pinned append lands at base + 1
+    v = tl.append(df, table, op="pinned-ok", base_version=base)
+    assert v == base + 1
+
+    # a concurrent writer takes the next version between the caller's
+    # snapshot read (base2) and its pinned append
+    base2 = tl.current_version(table)
+    tl.append(df, table, op="interloper")
+    with pytest.raises(tl.ConcurrentCommitError):
+        tl.append(df, table, op="stale", base_version=base2)
+    # the loser's staged files are unreferenced and vacuum-sweepable;
+    # the table still resolves and the interloper's rows are intact
+    assert tl.current_version(table) == base2 + 1
+    assert tl.read_snapshot(spark, table).count() == 6
+
+    # pin-to-empty: base_version=None lands v0 on a fresh table
+    fresh = table + "_fresh"
+    assert tl.append(df, fresh, op="first", base_version=None) == 0
