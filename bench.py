@@ -22,6 +22,11 @@ from candy_store_etl_spark.caching import release_caches  # noqa: E402
 from candy_store_etl_spark.plans import query_map  # noqa: E402
 from candy_store_etl_spark.session import build_session  # noqa: E402
 
+# foreign cpu-seconds during a run above which flagged deltas need an
+# attribution (an interleaved A/B) before being read as regressions —
+# ~3+ foreign core-seconds visibly moves 1-3 s query timings here
+_AMBIENT_CPU_MATERIAL = 10.0
+
 # the SCALING.md section owned by scripts/streaming_throughput.py —
 # ONE definition, imported by both it (to replace its own section
 # idempotently) and scripts/scaling_curve.py (to preserve it across
@@ -350,7 +355,9 @@ def main() -> None:
         # cpu-seconds burned by OTHER processes during the run —
         # catches work that STARTED mid-measurement (the pollution
         # class the pre-run gate cannot see); ~0 certifies clean
-        "ambient_cpu_sec_during_run": round(ambient_cpu(), 1),
+        "ambient_cpu_sec_during_run": (ambient_cpu_now := round(
+            ambient_cpu(), 1
+        )),
     }
     delta = _delta_report(timings)
     if delta is not None:
@@ -367,6 +374,23 @@ def main() -> None:
             "flagged": delta["flagged"],
             "full": "BENCH_DELTAS.json",
         }
+        # Machine-readable attribution (round-10 verdict, wrong #3):
+        # BENCH_r10 shipped with 124 cpu-s of foreign load and 31/34
+        # queries flagged; the pinned-commit A/B that settled it as
+        # machine-day lived only in NOTES prose. When flags coincide
+        # with MATERIAL ambient load, the artifact must carry its own
+        # attribution: SPARK_GRAFT_BENCH_CONTEXT (set after an
+        # interleaved pinned-commit A/B names method + verdict) or an
+        # explicit unattributed marker telling the reader to re-run on
+        # a quiet box instead of believing the deltas.
+        if delta["flagged"] and ambient_cpu_now > _AMBIENT_CPU_MATERIAL:
+            ctx = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT")
+            out["context"] = (ctx or (
+                f"UNATTRIBUTED: {len(delta['flagged'])} flagged deltas "
+                f"under {ambient_cpu_now:.0f} ambient cpu-s of foreign "
+                "load — re-run on a quiet box or A/B before reading "
+                "them as code regressions"
+            ))[:240]
     line = json.dumps(out)
     if len(line) > 1900:  # belt-and-braces: never exceed the tail buffer
         out.pop("deltas_vs_prev", None)
