@@ -784,6 +784,88 @@ def serve(
     return out, info
 
 
+def serve_range(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo,
+    hi,
+    *,
+    version: int | None = None,
+    coverage_threshold: float = 0.5,
+) -> tuple[DataFrame, dict]:
+    """The RANGE face of the serving front door — the probe shape the
+    bucket layout CANNOT serve (hash bucketing scatters ranges), so
+    the decision input is per-file column STATS committed in the log,
+    not the bucket spec. Same contract as ``serve()``: returns
+    ``(rows, info)`` with the decision (``route``) and the pruning
+    evidence (``files_scanned``/``files_total``/``stats_coverage``)
+    in ``info``; the rows are identical whichever route runs.
+
+    Routes, decided from log metadata alone (no data or footer I/O):
+
+    - ``stats-pruned`` — at least ``coverage_threshold`` of the
+      snapshot's non-empty files carry committed [min, max] for
+      ``column`` (append/compact with ``stats_cols`` record them):
+      plan the scan from the log via ``read_snapshot_pruned`` — files
+      whose range cannot intersect [lo, hi] are never opened. On a
+      range-clustered layout (``compact(sort_by=column)``, the
+      OPTIMIZE-ZORDER pass) this reads O(matching files), the shape
+      that stays flat at 100 TB.
+    - ``full-scan`` — stats absent or too sparse to prune: the pruned
+      planner would keep (nearly) every file anyway, so take the one
+      pushdown snapshot scan. Parquet row-group stats still prune
+      INSIDE the scan; the route records that the table log could not
+      help. Low coverage is the layout's signal to run
+      ``compact(sort_by=column, stats_cols=[column])`` maintenance.
+
+    All resolution is pinned to one ``version`` (default: current,
+    read once here), like every other serving face."""
+    if version is None:
+        version = tl.current_version(table_dir)
+    files = tl.snapshot_files(table_dir, version=version)
+    stats = tl.snapshot_file_stats(table_dir, version=version)
+    nonempty = [
+        p
+        for p in files
+        if stats.get(os.path.basename(p), {}).get("rows") != 0
+    ]
+    covered = [
+        p
+        for p in nonempty
+        if column in stats.get(os.path.basename(p), {}).get("cols", {})
+    ]
+    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    info: dict = {
+        "files_total": len(files),
+        "stats_coverage": round(coverage, 3),
+    }
+    if not files:
+        # an empty snapshot is a legitimate all-miss, same as serve()
+        schema = tl.snapshot_schema(table_dir, version=version)
+        if schema is None:
+            raise ValueError(
+                f"{table_dir} is empty with no committed schema — "
+                "nothing to shape the result"
+            )
+        info["route"] = "full-scan"
+        info["files_scanned"] = 0
+        return spark.createDataFrame([], schema), info
+    if coverage >= coverage_threshold:
+        df, kept, total = tl.read_snapshot_pruned(
+            spark, table_dir, column, lo, hi, version=version
+        )
+        info["route"] = "stats-pruned"
+        info["files_scanned"] = kept
+        return df, info
+    info["route"] = "full-scan"
+    info["files_scanned"] = len(files)
+    df = tl.read_snapshot(spark, table_dir, version=version).filter(
+        (F.col(column) >= lo) & (F.col(column) <= hi)
+    )
+    return df, info
+
+
 def _agg_out_fields(
     schema, key: str, aggs: list[tuple[str, str, str]]
 ) -> list:

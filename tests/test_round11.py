@@ -495,3 +495,74 @@ def test_maintained_index_rejects_foreign_id_reingest(spark, tmp_path):
         [(3, "iota kappa lambda mu")], "doc_id long, text string"
     )
     assert maintain_neardup_index(spark, more, ix, batch_tag="b1")
+
+
+def test_serve_range_routes_by_stats_coverage(spark, tmp_path):
+    """The range face's regime contract: full committed stats ->
+    stats-pruned (strictly fewer files opened), zero stats ->
+    full-scan, partial coverage at the threshold -> pruned and still
+    LOSSLESS (uncovered files are kept). Rows identical on every
+    route."""
+    from candy_store_etl_spark.operators.colocated import serve_range
+
+    df = spark.range(600).selectExpr("id AS k", "id * 2 AS v")
+
+    # full coverage: compact range-clusters + commits stats
+    t1 = str(tmp_path / "clustered")
+    tl.append(df, t1)
+    tl.compact(spark, t1, target_files=6, sort_by="k", stats_cols=["k"])
+    out, info = serve_range(spark, t1, "k", 100, 140)
+    assert info["route"] == "stats-pruned"
+    assert info["stats_coverage"] == 1.0
+    assert info["files_scanned"] < info["files_total"]  # plan audit
+    want = sorted((r.k, r.v) for r in df.filter(
+        (df.k >= 100) & (df.k <= 140)).collect())
+    assert sorted((r.k, r.v) for r in out.collect()) == want
+
+    # zero coverage: plain append, no stats -> full-scan, same rows
+    t2 = str(tmp_path / "plain")
+    tl.append(df, t2)
+    out, info = serve_range(spark, t2, "k", 100, 140)
+    assert info["route"] == "full-scan"
+    assert info["stats_coverage"] == 0.0
+    assert info["files_scanned"] == info["files_total"]
+    assert sorted((r.k, r.v) for r in out.collect()) == want
+
+    # partial coverage at the 0.5 threshold: one stats-bearing append
+    # + one stats-less append -> pruned route, uncovered files KEPT
+    t3 = str(tmp_path / "mixed")
+    half1 = df.filter(df.k < 300).repartitionByRange(3, "k")
+    half2 = df.filter(df.k >= 300).coalesce(3)
+    tl.append(half1, t3, stats_cols=["k"])
+    tl.append(half2, t3)
+    out, info = serve_range(spark, t3, "k", 100, 140)
+    assert info["route"] == "stats-pruned"
+    assert 0 < info["stats_coverage"] < 1
+    # lossless despite half the files having no stats: range lives in
+    # the covered half, but the uncovered files must still be scanned
+    # (no committed range proves them out)
+    assert sorted((r.k, r.v) for r in out.collect()) == want
+    assert info["files_scanned"] < info["files_total"]
+
+    # below threshold: 1 covered file of 4 -> full-scan
+    t4 = str(tmp_path / "sparse")
+    tl.append(df.limit(10).coalesce(1), t4, stats_cols=["k"])
+    tl.append(df.coalesce(3), t4)
+    out, info = serve_range(spark, t4, "k", 100, 140)
+    assert info["route"] == "full-scan"
+    assert info["stats_coverage"] == 0.25
+
+
+def test_serve_range_empty_snapshot(spark, tmp_path):
+    from candy_store_etl_spark.operators.colocated import serve_range
+
+    t = str(tmp_path / "empty")
+    tl.append(
+        spark.createDataFrame([], "k long, v long").limit(0), t
+    )
+    out, info = serve_range(spark, t, "k", 0, 10)
+    # an empty append still stages one empty part file; the route is
+    # full-scan (no stats) and the result is empty with the committed
+    # schema either way
+    assert info["route"] == "full-scan"
+    assert out.count() == 0 and out.columns == ["k", "v"]
