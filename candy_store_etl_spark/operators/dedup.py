@@ -694,7 +694,10 @@ def maintain_neardup_index(
     or re-band of history (the reference recomputes everything per
     run; ``lsh_probe_pairs`` probes but persists nothing).
 
-    Three versioned table-log tables under ``index_dir``:
+    Three versioned table-log tables under ``index_dir``, published
+    through ONE cross-table MANIFEST (``index_dir/manifest`` — a
+    data-file-less table log whose commits pin the member tables'
+    versions; ``sources/table_log.manifest_publish``):
 
     - ``signatures`` — (id, signature): one row per document ever
     - ``buckets`` — (id, band, bucket): the persisted LSH index; at
@@ -702,50 +705,52 @@ def maintain_neardup_index(
       (band, bucket) so increments prune to colliding buckets
     - ``pairs`` — (id_a, id_b, est_jaccard, found_in_batch):
       ``id_a < id_b``; each qualifying pair appended exactly once, in
-      the increment its LATER member arrives (new-vs-history and
-      new-vs-new candidates both come from the batch's buckets probing
-      the union index, so the union over increments equals the
-      from-scratch pair set — banding is static per document).
+      the increment its manifest-LATER member arrives (new-vs-history
+      and new-vs-new candidates both come from the batch's buckets
+      probing the published index ∪ the batch, so the union over
+      increments equals the from-scratch pair set — banding is static
+      per document).
 
     Uses the PORTABLE (md5) tier so the maintained result is
     value-checkable against the same DuckDB oracle as the from-scratch
-    query. Idempotent and crash-repairing: each table's append commit
-    carries op ``neardup-batch-<tag>``, checked PER TABLE — a crash
-    between the three appends re-runs the batch and re-appends only
-    the tables that missed it (multi-table atomicity is a table-log
-    non-goal; per-table ledgers close the gap for this chain).
-    Returns False when every table already has the tag.
+    query.
 
-    Concurrent ingests are safe at the PAIR level: the pairs append is
-    pinned to the snapshot version its anti-join read, so two live
-    batches racing on the pairs table surface as
-    ``ConcurrentCommitError`` and the loser re-derives — duplicate
-    pair rows cannot land. Re-ingesting an already-indexed document id
-    under a NEW ``batch_tag`` raises ``ValueError`` before anything is
-    appended (duplicate signature rows would multiply pair rows
-    through the similarity join); a crash rerun must reuse the
-    original tag, which makes completed tables no-ops.
+    Atomicity, idempotence, concurrency — all carried by the manifest
+    (this replaces round 10's per-table op ledgers, the sigs→buckets→
+    pairs-last append ordering rule, and the pair-level anti-join,
+    whose crash-interleave reasoning took three review passes to get
+    right):
+
+    - the batch's three appends create UNPUBLISHED versions; chain
+      readers (``read_neardup_index``) resolve through the manifest's
+      published version lists, so a crash anywhere before the publish
+      leaves danglers no reader ever sees, and the batch simply
+      reruns whole (its op tag never reached the manifest — the ONE
+      idempotence ledger). Returns False when the manifest already
+      carries the tag.
+    - the publish is PINNED to the manifest version the derivation
+      read: two LIVE concurrent batches race on the manifest, the
+      loser gets ``ConcurrentCommitError`` and re-derives against the
+      refreshed corpus (which now includes the winner's docs) — every
+      cross pair is discovered by exactly one publisher, no loss, no
+      duplicates, by construction rather than by anti-join.
+    - re-ingesting an already-published document id under a NEW
+      ``batch_tag`` raises ``ValueError`` before anything lands
+      (duplicate signature rows would multiply pair rows through the
+      similarity join); a crash rerun must reuse the original tag.
     """
     import os
 
     from ..sources import table_log as tl
 
     op = f"neardup-batch-{batch_tag}"
+    man_dir = os.path.join(index_dir, "manifest")
     sig_dir = os.path.join(index_dir, "signatures")
     bkt_dir = os.path.join(index_dir, "buckets")
     pairs_dir = os.path.join(index_dir, "pairs")
 
-    todo = {d: op not in _op_ledger(d) for d in (pairs_dir, bkt_dir, sig_dir)}
-    if not any(todo.values()):
+    if op in _op_ledger(man_dir):
         return False
-
-    def _readable(d: str) -> bool:
-        # file presence, not version presence: an empty-batch append
-        # can leave a versioned but file-less table, and read_snapshot
-        # raises on those
-        return tl.current_version(d) is not None and bool(
-            tl.snapshot_files(d)
-        )
 
     sigs_b = minhash_signatures_portable(
         batch_docs, id_col, text_col, num_perm=num_perm
@@ -754,51 +759,43 @@ def maintain_neardup_index(
         sigs_b, num_perm=num_perm, bands=bands
     ).transform(tracked_cache)
 
-    if todo[sig_dir] and _readable(sig_dir):
-        # fail LOUDLY on re-ingest of already-indexed ids under a NEW
-        # batch_tag: duplicate signature rows would multiply pair rows
-        # through the similarity join, corrupting the index with no
-        # error. Only a FRESH signature append can collide — a crash
-        # rerun of this batch has todo[sig_dir] False (its op tag is
-        # already in the ledger) and never reaches this check.
-        clash = (
-            tl.read_snapshot(spark, sig_dir)
-            .select("id")
-            .join(F.broadcast(sigs_b.select("id")), "id", "semi")
-            .take(1)
-        )
-        if clash:
-            raise ValueError(
-                f"maintain_neardup_index: batch '{batch_tag}' contains "
-                f"document id {clash[0][0]!r} already present in "
-                f"{sig_dir} — re-ingesting an indexed document would "
-                "duplicate its signature and multiply pair rows. "
-                "Ingest only new documents (a crash rerun must reuse "
-                "the original batch_tag)."
+    for attempt in range(5):
+        base = tl.current_version(man_dir)
+        pub = tl.manifest_published(man_dir, upto=base)
+        sig_vs = pub.get("signatures", [])
+        if sig_vs:
+            sigs_hist = tl.read_published(spark, sig_dir, sig_vs)
+            # fail LOUDLY on re-ingest of already-published ids under
+            # a new batch_tag — a crash rerun of THIS batch never gets
+            # here with published duplicates (its tag short-circuits
+            # above), so any overlap is a genuinely foreign re-ingest
+            clash = (
+                sigs_hist.select("id")
+                .join(F.broadcast(sigs_b.select("id")), "id", "semi")
+                .take(1)
             )
-
-    # append order is sigs -> buckets -> PAIRS LAST: whichever batch
-    # runs its pair step later sees the other's committed buckets, so
-    # an interleaved crash-rerun can never LOSE a cross-batch pair
-    # (pairs-first would: a batch ingested between another's pairs
-    # append and its buckets append probes an index missing those
-    # docs). The anti-join below removes the duplicates this ordering
-    # can re-discover.
-    if todo[sig_dir]:
-        tl.append(sigs_b, sig_dir, op=op)
-    if todo[bkt_dir]:
-        tl.append(buckets_b, bkt_dir, op=op)
-    if todo[pairs_dir]:
-        # probe side = the BATCH's buckets; build side = the committed
-        # snapshot, which ALREADY includes this batch (appended above)
-        # — unioning the batch relation again would duplicate rows,
-        # and duplicate signature rows MULTIPLY pair rows through the
-        # similarity join
-        all_bkts = (
-            tl.read_snapshot(spark, bkt_dir)
-            if _readable(bkt_dir)
-            else buckets_b
-        )
+            if clash:
+                raise ValueError(
+                    f"maintain_neardup_index: batch '{batch_tag}' "
+                    f"contains document id {clash[0][0]!r} already "
+                    f"published in {sig_dir} — re-ingesting an indexed "
+                    "document would duplicate its signature and "
+                    "multiply pair rows. Ingest only new documents (a "
+                    "crash rerun must reuse the original batch_tag)."
+                )
+            sigs_all = sigs_hist.select("id", "signature").unionByName(
+                sigs_b.select("id", "signature")
+            )
+            all_bkts = tl.read_published(
+                spark, bkt_dir, pub.get("buckets", [])
+            ).unionByName(buckets_b)
+        else:
+            sigs_all = sigs_b
+            all_bkts = buckets_b
+        # probe side = the BATCH's buckets; build side = the PUBLISHED
+        # index plus the batch itself (new-vs-history and new-vs-new
+        # in one join); at scale the build side partitions by
+        # (band, bucket) so the probe prunes to colliding buckets
         a, b = buckets_b.alias("a"), all_bkts.alias("b")
         cands = (
             a.join(
@@ -813,49 +810,44 @@ def maintain_neardup_index(
             )
             .distinct()
         )
-        sigs_all = (
-            tl.read_snapshot(spark, sig_dir).select(
-                F.col("id"), F.col("signature")
-            )
-            if _readable(sig_dir)
-            else sigs_b
-        )
-        pairs_new = (
+        pairs_b = (
             minhash_similarity(cands, sigs_all)
             .filter(F.col("est_jaccard") >= threshold)
             .withColumn("found_in_batch", F.lit(batch_tag))
         )
-        # pair-level exactly-once: anti-join against the pairs snapshot
-        # the append is PINNED to (base_version). A concurrent ingest
-        # appending pairs between this read and the commit raises
-        # ConcurrentCommitError and the anti-join re-derives against
-        # the refreshed snapshot — without the pin, two live batches
-        # could each read a snapshot missing the other's cross-batch
-        # pairs and both append them (the crash-RERUN interleaving was
-        # already covered; this closes the concurrent-WRITER one).
-        for attempt in range(5):
-            base_v = tl.current_version(pairs_dir)
-            pairs_b = pairs_new
-            if base_v is not None and bool(
-                tl.snapshot_files(pairs_dir, version=base_v)
-            ):
-                # a crashed batch's rerun may re-discover pairs another
-                # batch already appended while probing the full index —
-                # exactly-once is enforced at the PAIR level, not the
-                # batch level. (In that rerun case the pair carries the
-                # RE-RUNNING batch's tag — discovery provenance is
-                # best-effort under crash interleaving; the pair set
-                # itself is exact.)
-                seen = tl.read_snapshot(
-                    spark, pairs_dir, version=base_v
-                ).select("id_a", "id_b")
-                pairs_b = pairs_new.join(
-                    seen, ["id_a", "id_b"], "left_anti"
-                )
-            try:
-                tl.append(pairs_b, pairs_dir, op=op, base_version=base_v)
-                break
-            except tl.ConcurrentCommitError:
-                if attempt == 4:
-                    raise
-    return True
+        versions = {
+            "signatures": tl.append(sigs_b, sig_dir, op=op),
+            "buckets": tl.append(buckets_b, bkt_dir, op=op),
+            "pairs": tl.append(pairs_b, pairs_dir, op=op),
+        }
+        try:
+            tl.manifest_publish(man_dir, versions, op=op, base_version=base)
+            return True
+        except tl.ConcurrentCommitError:
+            # another batch published while this one derived: its docs
+            # are now corpus — re-derive so the cross pairs land here
+            # (this attempt's three appends dangle, unreferenced by
+            # any manifest entry and invisible to chain readers)
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
+
+
+def read_neardup_index(spark, index_dir: str, table: str):
+    """The PUBLISHED rows of one maintained-index member table — the
+    chain's read path: resolves ``table`` ('signatures' | 'buckets' |
+    'pairs') through the manifest, so versions a crashed or racing
+    batch appended but never published are invisible. Returns None
+    when the manifest has published nothing for the table (an
+    unseeded chain)."""
+    import os
+
+    from ..sources import table_log as tl
+
+    pub = tl.manifest_published(os.path.join(index_dir, "manifest"))
+    versions = pub.get(table, [])
+    if not versions:
+        return None
+    return tl.read_published(
+        spark, os.path.join(index_dir, table), versions
+    )

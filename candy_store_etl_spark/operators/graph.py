@@ -281,6 +281,7 @@ def maintain_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     n_buckets: int = 64,
+    versions: list[int] | None = None,
 ) -> int:
     """Incrementally maintained connected components over an
     APPEND-ONLY pairs table (``operators/dedup.maintain_neardup_index``
@@ -317,7 +318,16 @@ def maintain_components(
     if latest is None:
         return 0
     done = applied_batches(clusters_dir)
-    todo = [v for v in range(latest + 1) if v not in done]
+    # ``versions`` restricts the drain to a PUBLISHED list (the
+    # maintained index's manifest — ``manifest_published(...)["pairs"]``):
+    # a pairs version a crashed or racing ingest appended but never
+    # published must not leak into the assignment. Default (None)
+    # drains every version, the right behavior for a pairs table
+    # without a manifest.
+    candidates = (
+        sorted(versions) if versions is not None else range(latest + 1)
+    )
+    todo = [v for v in candidates if v not in done]
     if not todo:
         return 0
 

@@ -559,15 +559,19 @@ def incremental_neardup_index_maintained(
     batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-maintained-v3")
+    key = content_fingerprint(src, extra="neardup-maintained-v4")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndix_{key}")
     index = os.path.join(root, "index")
 
     def _intact(d: str) -> bool:
         ix = os.path.join(d, "index")
+        # the manifest is the source of truth: three published batches
+        if tl.current_version(os.path.join(ix, "manifest")) != 2:
+            return False
+        pub = tl.manifest_published(os.path.join(ix, "manifest"))
         for t in ("signatures", "buckets", "pairs"):
             td = os.path.join(ix, t)
-            if tl.current_version(td) != 2:  # one append per batch
+            if sorted(pub.get(t, [])) != [0, 1, 2]:
                 return False
             if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
                 return False
@@ -583,8 +587,13 @@ def incremental_neardup_index_maintained(
             )
 
     ensure_scratch(root, _build, _intact)
+    # the chain's read path: resolve pairs through the MANIFEST, so a
+    # version a crashed/racing ingest appended but never published
+    # could never leak into the result
+    from ..operators.dedup import read_neardup_index
+
     return (
-        tl.read_snapshot(spark, os.path.join(index, "pairs"))
+        read_neardup_index(spark, index, "pairs")
         .select(
             "id_a",
             "id_b",
@@ -650,17 +659,21 @@ def neardup_clusters_maintained(
     batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-clusters-v3")
+    key = content_fingerprint(src, extra="neardup-clusters-v4")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndcl_{key}")
 
     def _intact(d: str) -> bool:
-        for t, v in (("index/pairs", 2), ("clusters", 2)):
+        for t, v in (("index/manifest", 2), ("clusters", 2)):
             td = os.path.join(d, t)
             if tl.current_version(td) != v:
                 return False
-            if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
-                return False
-        return True
+        td = os.path.join(d, "index", "pairs")
+        if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
+            return False
+        return all(
+            os.path.exists(p)
+            for p in tl.snapshot_files(os.path.join(d, "clusters"))
+        )
 
     def _build(stage: str) -> None:
         ix = os.path.join(stage, "index")
@@ -671,9 +684,15 @@ def neardup_clusters_maintained(
             )
             # drain the new pairs version(s) into the assignment —
             # maintenance interleaves with ingestion, as a real
-            # pipeline's would
+            # pipeline's would; only MANIFEST-published versions drain
+            # (an unpublished dangler must never reach the assignment)
             maintain_components(
-                spark, os.path.join(ix, "pairs"), cl
+                spark,
+                os.path.join(ix, "pairs"),
+                cl,
+                versions=tl.manifest_published(
+                    os.path.join(ix, "manifest")
+                ).get("pairs", []),
             )
 
     ensure_scratch(root, _build, _intact)

@@ -1112,3 +1112,98 @@ def vacuum(
             continue  # the owning writer finished/cleaned it
         deleted.append(os.path.basename(p))
     return sorted(deleted)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table MANIFEST commits: one atomic pointer over several tables
+# ---------------------------------------------------------------------------
+#
+# A maintained CHAIN (the near-dup index's signatures/buckets/pairs,
+# an IVM pipeline's views) writes several tables per logical batch;
+# per-table commits are atomic but the TRIO is not, which forced the
+# chain's crash-interleave reasoning (append ordering rules, pair-
+# level anti-joins, per-table op ledgers — three review passes' worth
+# in round 10). A manifest deletes that reasoning class: each logical
+# batch appends its member tables (those versions stay UNPUBLISHED),
+# then publishes ONE manifest commit — a data-file-less entry in an
+# ordinary table log, so it inherits the write-then-hardlink atomic
+# publication, optimistic pinning, and checkpointing for free —
+# recording exactly which version each member table gained. Chain
+# readers resolve through the manifest (`read_published`): the union
+# of add-file sets of PUBLISHED versions only. A crash after any
+# member append but before the publish leaves dangling versions that
+# no manifest entry references — provably invisible to chain readers;
+# the batch reruns whole (its op tag never reached the manifest) and
+# the danglers stay orphaned (table-level vacuum keeps them, as they
+# are live in table snapshots — the documented cost of danglers being
+# harmless rather than collected).
+
+
+def manifest_publish(
+    manifest_dir: str,
+    tables: dict[str, int],
+    *,
+    op: str,
+    base_version: int | None,
+) -> int:
+    """Atomically publish one logical batch across ``tables`` (member
+    table name -> the version that table gained for this batch). The
+    commit is PINNED to ``base_version`` (the manifest version the
+    batch's derivation read): a concurrent batch publishing first
+    raises ``ConcurrentCommitError`` and the caller re-derives against
+    the refreshed manifest — the cross-table check-and-set."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    return commit(
+        manifest_dir,
+        add=[],
+        op=op,
+        meta={"tables": dict(tables)},
+        base_version=base_version,
+    )
+
+
+def manifest_published(
+    manifest_dir: str, *, upto: int | None = None
+) -> dict[str, list[int]]:
+    """Member table name -> ordered list of that table's PUBLISHED
+    versions, folded over manifest entries ``<= upto`` (None = all).
+    The version lists drive ``read_published``; a version a crashed
+    batch appended but never published appears in no list."""
+    out: dict[str, list[int]] = {}
+    if current_version(manifest_dir) is None:
+        return out
+    for entry in log_entries(manifest_dir, upto=upto):
+        for name, v in (entry.get("meta") or {}).get("tables", {}).items():
+            out.setdefault(name, []).append(v)
+    return out
+
+
+def read_published(
+    spark: SparkSession, table_dir: str, versions: list[int]
+) -> DataFrame:
+    """The PUBLISHED rows of an append-only member table: the union of
+    the add-file sets of exactly ``versions`` (a manifest's list for
+    this table), planned under the newest listed version's committed
+    schema. Files a dangling (unpublished) version added are never
+    read. One parquet scan over the unioned file list — pruning and
+    pushdown behave like any other scan."""
+    if not versions:
+        raise ValueError(
+            f"read_published({table_dir}): empty version list — guard "
+            "at the call site (an unseeded chain has nothing to read)"
+        )
+    files: list[str] = []
+    for v in sorted(versions):
+        entry = _read_entry(table_dir, v)
+        files.extend(os.path.join(table_dir, n) for n in entry["add"])
+    newest = max(versions)
+    schema = snapshot_schema(table_dir, version=newest)
+    if not files:
+        if schema is None:
+            raise ValueError(
+                f"published versions of {table_dir} added no files and "
+                "carry no committed schema to shape an empty result"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*files)

@@ -50,17 +50,27 @@ def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
     from candy_store_etl_spark.operators.dedup import maintain_neardup_index
     from candy_store_etl_spark.operators.graph import maintain_components
 
+    from candy_store_etl_spark.sources import table_log as tl
+
     root = tempfile.mkdtemp(prefix="ndix_marginal_")
     ix = os.path.join(root, "index")
     cl = os.path.join(root, "clusters")
     pairs = os.path.join(ix, "pairs")
+    man = os.path.join(ix, "manifest")
+
+    def drain():
+        # only MANIFEST-published pairs versions reach the assignment
+        return maintain_components(
+            spark, pairs, cl,
+            versions=tl.manifest_published(man).get("pairs", []),
+        )
     try:
         seeded = 0
         if seed_dir is not None:
             seed = _docs(spark, seed_dir)
             seeded = seed.count()
             maintain_neardup_index(spark, seed, ix, batch_tag="seed")
-            maintain_components(spark, pairs, cl)
+            drain()
         batch = _docs(spark, BATCH_SRC)
         n_batch = batch.count()
         samples, cl_samples = [], []
@@ -97,7 +107,7 @@ def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
             maintain_neardup_index(spark, b, ix, batch_tag=f"b{i}")
             dt = time.perf_counter() - t0
             t0 = time.perf_counter()
-            maintain_components(spark, pairs, cl)
+            drain()
             dt_cl = time.perf_counter() - t0
             if i > 0:
                 samples.append(round(dt, 3))

@@ -484,7 +484,7 @@ def test_maintained_index_rejects_foreign_id_reingest(spark, tmp_path):
     )
     assert maintain_neardup_index(spark, docs, ix, batch_tag="b0")
     # same ids, new tag: loud failure naming the clash
-    with pytest.raises(ValueError, match="already present"):
+    with pytest.raises(ValueError, match="already published"):
         maintain_neardup_index(
             spark, docs.limit(1), ix, batch_tag="b1"
         )
@@ -566,3 +566,111 @@ def test_serve_range_empty_snapshot(spark, tmp_path):
     # schema either way
     assert info["route"] == "full-scan"
     assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_manifest_crash_danglers_invisible_to_published_reads(
+    spark, tmp_path
+):
+    """The manifest's whole point: a batch that appended ALL THREE
+    member tables but died before its manifest publish leaves dangling
+    versions that no chain reader sees — the rerun republishes whole
+    and the published pair set equals from-scratch, while the raw pairs
+    SNAPSHOT visibly carries the dangling duplicate (proving the
+    manifest, not luck, provides the isolation)."""
+    from candy_store_etl_spark.operators.dedup import (
+        _band_buckets_portable,
+        maintain_neardup_index,
+        minhash_dedup_pairs,
+        minhash_signatures_portable,
+        minhash_similarity,
+        read_neardup_index,
+    )
+    import pyspark.sql.functions as F
+
+    ix = str(tmp_path / "ix")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = spark.createDataFrame(
+        [(1, text), (2, text + " lambda")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, text)], "doc_id long, text string"
+    )
+    assert maintain_neardup_index(spark, b0, ix, batch_tag="b0")
+
+    # simulate b1 dying AFTER its three appends, BEFORE the publish:
+    # replicate the internal appends with b1's op tag, no manifest
+    sigs = minhash_signatures_portable(b1, "doc_id", "text", num_perm=64)
+    bkts = _band_buckets_portable(sigs, num_perm=64, bands=16)
+    pub = tl.manifest_published(os.path.join(ix, "manifest"))
+    all_b = tl.read_published(
+        spark, os.path.join(ix, "buckets"), pub["buckets"]
+    ).unionByName(bkts)
+    a, b = bkts.alias("a"), all_b.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least("a.id", "b.id").alias("id_a"),
+        F.greatest("a.id", "b.id").alias("id_b"),
+    ).distinct()
+    sigs_all = tl.read_published(
+        spark, os.path.join(ix, "signatures"), pub["signatures"]
+    ).unionByName(sigs)
+    dangling_pairs = minhash_similarity(cands, sigs_all).filter(
+        F.col("est_jaccard") >= 0.4
+    ).withColumn("found_in_batch", F.lit("b1"))
+    op = "neardup-batch-b1"
+    tl.append(sigs, os.path.join(ix, "signatures"), op=op)
+    tl.append(bkts, os.path.join(ix, "buckets"), op=op)
+    tl.append(dangling_pairs, os.path.join(ix, "pairs"), op=op)
+    # ...crash here: no manifest publish.
+
+    # published reads see b0's state only — the dangler is invisible
+    assert read_neardup_index(spark, ix, "signatures").count() == 2
+    pub_pairs_before = read_neardup_index(spark, ix, "pairs").count()
+
+    # the rerun republishes WHOLE (its tag never reached the manifest)
+    assert maintain_neardup_index(spark, b1, ix, batch_tag="b1") is True
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in read_neardup_index(spark, ix, "pairs").collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            b0.unionByName(b1), "doc_id", "text",
+            num_perm=64, bands=16, threshold=0.4, method="portable",
+        ).collect()
+    )
+    assert got == want and (1, 3) in got
+    assert pub_pairs_before < len(got)
+    # the raw snapshot DOES carry the dangling duplicate pair rows —
+    # the manifest is what keeps them out of the published read
+    raw = tl.read_snapshot(
+        spark, os.path.join(ix, "pairs")
+    ).count()
+    assert raw > len(got)
+    # idempotent rerun: the manifest ledger short-circuits
+    assert maintain_neardup_index(spark, b1, ix, batch_tag="b1") is False
+    # and the clusters drain, restricted to published versions, never
+    # applies the dangling pairs version
+    from candy_store_etl_spark.operators.graph import maintain_components
+
+    cl = str(tmp_path / "cl")
+    pubv = tl.manifest_published(os.path.join(ix, "manifest"))["pairs"]
+    danglers = [
+        v
+        for v in range(tl.current_version(os.path.join(ix, "pairs")) + 1)
+        if v not in pubv
+    ]
+    assert danglers  # the crash left at least one
+    maintain_components(
+        spark, os.path.join(ix, "pairs"), cl, versions=pubv
+    )
+    labels = {
+        r.node: r.label
+        for r in tl.read_snapshot(spark, cl).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}

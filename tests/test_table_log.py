@@ -951,3 +951,32 @@ def test_pinned_append_detects_concurrent_commit(spark, table):
     # pin-to-empty: base_version=None lands v0 on a fresh table
     fresh = table + "_fresh"
     assert tl.append(df, fresh, op="first", base_version=None) == 0
+
+
+def test_manifest_publish_published_and_read(spark, table, tmp_path):
+    """Cross-table manifest basics: published version lists fold over
+    entries, read_published unions exactly the listed versions' files,
+    and a stale-pinned publish raises instead of building over."""
+    man = str(tmp_path / "man")
+    t_a = table
+    df = spark.range(3).selectExpr("id AS k")
+    va0 = tl.append(df, t_a, op="x")
+    assert tl.manifest_published(man) == {}
+    tl.manifest_publish(man, {"a": va0}, op="batch-0", base_version=None)
+    va1 = tl.append(df.selectExpr("k + 10 AS k"), t_a, op="x")
+    dangling = tl.append(df.selectExpr("k + 99 AS k"), t_a, op="x")
+    tl.manifest_publish(man, {"a": va1}, op="batch-1", base_version=0)
+    pub = tl.manifest_published(man)
+    assert pub == {"a": [va0, va1]}
+    got = sorted(r.k for r in tl.read_published(spark, t_a, pub["a"]).collect())
+    assert got == [0, 1, 2, 10, 11, 12]  # the dangling +99 rows unseen
+    assert dangling not in pub["a"]
+    # upto pins history
+    assert tl.manifest_published(man, upto=0) == {"a": [va0]}
+    # stale pin: another publish took version 2's slot
+    tl.manifest_publish(man, {"a": dangling}, op="batch-2", base_version=1)
+    with pytest.raises(tl.ConcurrentCommitError):
+        tl.manifest_publish(man, {"a": va1}, op="late", base_version=1)
+    # empty version list refuses loudly
+    with pytest.raises(ValueError):
+        tl.read_published(spark, t_a, [])
