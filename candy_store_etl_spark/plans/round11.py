@@ -819,3 +819,138 @@ def serve_range_fullscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_scratch(root, _build, _intact)
     df, info = serve_range(spark, t, "doc_id", 10, 40)
     return _range_rollup(df, info)
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis re-fine: the routed CDC sink's coarsening is a round trip
+# ---------------------------------------------------------------------------
+
+_CDC_REFINE_ORACLE = """
+WITH all_rows AS (
+  SELECT user_id, value FROM events WHERE event_id % 3 = 0
+  UNION ALL SELECT user_id, value FROM events
+  UNION ALL SELECT user_id, value FROM events
+    WHERE user_id = (SELECT MIN(user_id) FROM events)
+  UNION ALL SELECT user_id, value FROM events
+    WHERE user_id = (SELECT MAX(user_id) FROM events)
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) AS BIGINT) AS total_events,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM all_rows
+)
+SELECT b.batch_id, b.route, TRUE AS refined,
+       t.n_keys, t.total_events, t.total_cents
+FROM (VALUES (CAST(0 AS BIGINT), 'partitioned'),
+             (CAST(1 AS BIGINT), 'full-rewrite'),
+             (CAST(2 AS BIGINT), 'partitioned'),
+             (CAST(3 AS BIGINT), 'refine')) b(batch_id, route)
+CROSS JOIN tot t
+ORDER BY b.batch_id
+"""
+
+
+@register(
+    "cdc_refine_roundtrip",
+    oracle=_CDC_REFINE_ORACLE,
+    doc="The routed CDC sink's coarsening round trip (hysteresis "
+    "re-fine): a saturating batch FULL-REWRITES at bulk grouping, and "
+    "after refine_after=2 consecutive trickle-shaped (partitioned-"
+    "routed) batches over that coarsened layout, the second one "
+    "executes as route REFINE — the same whole-snapshot merge laid "
+    "back out at 1 bucket/file in the same atomic commit, the sink "
+    "running its own compact_warehouse(bpf=1) exactly when its route "
+    "history proves the regime shifted back (closing round-10 "
+    "SCALING.md's documented residual: a permanent return to trickle "
+    "paid ~1/bulk_files of the table per touched group until MANUAL "
+    "maintenance). All four routes are read back from the COMMITTED "
+    "log (a whole-table rewrite records its new grouping in meta — "
+    "bulk for full-rewrite, 1 for refine), the restored fine layout "
+    "is the hash-checked refined column, and the merged totals are "
+    "recomputed by the oracle from the four raw input slices.",
+    tags=("streaming", "cdc", "warehouse", "router", "table-format"),
+)
+def cdc_refine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+    from ..streaming.cdc import make_routed_cdc_sink, read_warehouse
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = content_fingerprint(src, extra="cdc-refine-v1")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_cdcrf_{key}")
+    w = os.path.join(root, "warehouse")
+
+    def _intact(d: str) -> bool:
+        t = os.path.join(d, "warehouse")
+        if tl.current_version(t) != 3:
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(t))
+
+    def _build(stage: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+
+        def inc(batch_df: DataFrame) -> DataFrame:
+            return batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("cents"),
+            )
+
+        sink = make_routed_cdc_sink(
+            os.path.join(stage, "warehouse"),
+            inc,
+            key_col="user_id",
+            add_cols=("n_events", "cents"),
+            n_buckets=64,
+            bulk_files=8,
+            refine_after=2,
+        )
+        sink(events.filter(F.col("event_id") % 3 == 0), 0)  # seed
+        sink(events, 1)  # saturating: coarsens to bulk grouping
+        # two single-key trickles: 1 of 8 bulk files is far under the
+        # crossover at every SF, so both route partitioned — and the
+        # second one trips the refine_after=2 hysteresis
+        lo, hi = events.agg(
+            F.min("user_id"), F.max("user_id")
+        ).first()
+        sink(events.filter(F.col("user_id") == lo), 2)
+        sink(events.filter(F.col("user_id") == hi), 3)
+
+    ensure_scratch(root, _build, _intact)
+    routes = []
+    for e in tl.log_entries(w):
+        if e["op"].startswith("cdc-batch-"):
+            bid = int(e["op"].rsplit("-", 1)[1])
+            bpf = (e.get("meta") or {}).get("buckets_per_file")
+            routes.append(
+                (
+                    bid,
+                    "partitioned"
+                    if bpf is None
+                    else ("refine" if bpf == 1 else "full-rewrite"),
+                )
+            )
+    route_df = spark.createDataFrame(
+        sorted(routes), "batch_id long, route string"
+    )
+    totals = read_warehouse(spark, w).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+    refined = tl.layout_buckets_per_file(w) == 1
+    return (
+        route_df.crossJoin(totals)
+        .withColumn("refined", F.lit(refined))
+        .select(
+            "batch_id",
+            "route",
+            "refined",
+            "n_keys",
+            "total_events",
+            "total_cents",
+        )
+        .orderBy("batch_id")
+    )

@@ -163,6 +163,7 @@ def make_routed_cdc_sink(
     metrics: list | None = None,
     full_rewrite_fraction: float | None = FULL_REWRITE_FILE_FRACTION,
     bulk_files: int = 32,
+    refine_after: int | None = 3,
 ):
     """foreachBatch sink MERGE-upserting additive per-key aggregates
     into a bucketed table-log warehouse, ROUTING each batch between
@@ -185,11 +186,22 @@ def make_routed_cdc_sink(
 
     The routing signal is exact, not predicted-from-K: the touched
     group set is already collected (metadata-sized) for file
-    selection, so the router compares real file counts. A
-    subsequent trickle batch over the coarsened layout pays ~1/
-    ``bulk_files`` of the table per touched group — re-fine with
-    ``compact_warehouse(buckets_per_file=1)`` when the regime shift
-    is permanent (maintenance policy, not per-batch routing).
+    selection, so the router compares real file counts.
+
+    The coarsening is NOT a one-way door: a trickle batch over the
+    coarsened layout pays ~1/``bulk_files`` of the table per touched
+    group, so after ``refine_after`` CONSECUTIVE partitioned-routed
+    batches over a coarsened layout (the hysteresis evidence that the
+    regime shift back to trickle is real, not one quiet batch), the
+    next such batch executes as route ``refine``: the same whole-
+    snapshot merge as a full rewrite, laid back out at FINE grouping
+    (1 bucket/file) in the same atomic commit — one table rewrite
+    that restores trickle economics for every batch after it, the
+    ``compact_warehouse(buckets_per_file=1)`` maintenance pass run by
+    the sink itself exactly when its own route history proves it
+    pays. A saturating batch resets the streak (the bulk layout is
+    still right there); ``refine_after=None`` disables re-fining
+    (regime shifts handled manually).
 
     ``increments_fn(batch_df) -> DataFrame`` must return one row per
     ``key_col`` with the additive ``add_cols``; the merge is
@@ -222,6 +234,7 @@ def make_routed_cdc_sink(
     # foreign commits.
     applied: set[int] | None = None
     bpf: int = 1
+    part_streak: int = 0  # consecutive partitioned batches over bpf>1
     last_v: int | None | object = object()  # sentinel: never seen
     # the warehouse IS a bucketed table: publish its bucket spec and
     # schema through the log (once each) so batch consumers can plan
@@ -232,7 +245,7 @@ def make_routed_cdc_sink(
         from ..caching import scoped_cache
         from ..operators.colocated import bucket_spec
 
-        nonlocal applied, bpf, last_v, need_meta, need_schema
+        nonlocal applied, bpf, part_streak, last_v, need_meta, need_schema
         base_v = tl.current_version(table_dir)
         if applied is None:
             applied = applied_batches(table_dir)
@@ -292,12 +305,29 @@ def make_routed_cdc_sink(
                     and frac >= full_rewrite_fraction
                 ):
                     route = "full-rewrite"
+            # hysteresis re-fine: enough CONSECUTIVE trickle-shaped
+            # batches over a coarsened layout prove the regime shifted
+            # back — this batch pays one whole-table rewrite at fine
+            # grouping so every batch after it gets trickle economics
+            if route == "full-rewrite":
+                part_streak = 0
+            elif bpf > 1 and refine_after is not None and live:
+                part_streak += 1
+                if part_streak >= refine_after:
+                    route = "refine"
+                    part_streak = 0
             if route == "full-rewrite":
                 # merge against the WHOLE snapshot, rewrite everything
                 # at bulk-write grouping; the new grouping rides the
                 # commit's meta so the log resolves it atomically
                 merge_files = live
                 out_bpf = max(1, -(-n_buckets // bulk_files))
+            elif route == "refine":
+                # same whole-snapshot merge, laid back out FINE — the
+                # sink running its own compact_warehouse(bpf=1) inside
+                # the batch's atomic commit
+                merge_files = live
+                out_bpf = 1
             else:
                 merge_files = old_touched
                 out_bpf = bpf
@@ -340,11 +370,11 @@ def make_routed_cdc_sink(
             names = _stage_groups_into_table(
                 merged, table_dir, f"c{batch_id}"
             )
-        removed = merge_files if route == "full-rewrite" else old_touched
-        if route == "full-rewrite":
-            # a full rewrite is self-describing: it re-publishes the
-            # spec and records the coarsened grouping the new files
-            # were laid out under
+        removed = merge_files if route != "partitioned" else old_touched
+        if route in ("full-rewrite", "refine"):
+            # a whole-table rewrite is self-describing: it re-publishes
+            # the spec and records the grouping the new files were laid
+            # out under (bulk for full-rewrite, 1 for refine)
             meta = dict(meta or {})
             meta.setdefault("bucket", {"key": key_col, "n": int(n_buckets)})
             meta["buckets_per_file"] = int(out_bpf)
@@ -424,6 +454,10 @@ def make_partitioned_cdc_sink(
         n_buckets=n_buckets,
         metrics=metrics,
         full_rewrite_fraction=None,
+        # no routing, no self-coarsening — and no self-REFINING either:
+        # a manually compacted layout under this sink is an operator
+        # decision the sink must not silently undo
+        refine_after=None,
     )
 
 

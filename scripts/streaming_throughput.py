@@ -233,7 +233,8 @@ def _run_merge_upsert(spark, stage_dir: str) -> dict:
 
 
 def _run_merge_upsert_partitioned(
-    spark, sf_dir: str, *, saturating: bool = False, routed: bool = False
+    spark, sf_dir: str, *, saturating: bool = False, routed: bool = False,
+    roundtrip: bool = False,
 ) -> dict:
     """The round-6 verdict's directive #3: the CDC warehouse sink with
     rewrite volume proportional to TOUCHED KEYS, not table size
@@ -273,7 +274,25 @@ def _run_merge_upsert_partitioned(
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id", "value"
     )
-    if saturating:
+    if roundtrip:
+        # trickle -> saturated -> trickle: seed, 2 trickles at fine
+        # grouping, one saturating batch (coarsens via full-rewrite),
+        # then 5 trickles — with refine_after=3 the THIRD one executes
+        # as route 'refine' and the last two measure recovered trickle
+        # economics over the re-fined layout
+        slices = (
+            [ev.filter(F.col("user_id") % 1000 < 989)]
+            + [
+                ev.filter(F.col("user_id") % 1000 == 989 + i)
+                for i in range(2)
+            ]
+            + [ev]
+            + [
+                ev.filter(F.col("user_id") % 1000 == 991 + i)
+                for i in range(5)
+            ]
+        )
+    elif saturating:
         # 12 equal-volume batches, each touching ~1/12 of the keys
         slices = [
             ev.filter(F.col("user_id") % 12 == i) for i in range(12)
@@ -304,7 +323,9 @@ def _run_merge_upsert_partitioned(
             ).alias("cents"),
         )
 
+    routed = routed or roundtrip  # a roundtrip only exists for the router
     make_sink = make_routed_cdc_sink if routed else make_partitioned_cdc_sink
+    sink_kw = {"refine_after": 3} if roundtrip else {}
     sink = make_sink(
         table,
         increments,
@@ -312,6 +333,7 @@ def _run_merge_upsert_partitioned(
         add_cols=("n_events", "cents"),
         n_buckets=1024,
         metrics=metrics,
+        **sink_kw,
     )
     ckpt = os.path.join(workdir, "ckpt")
     q = (
@@ -345,7 +367,14 @@ def _run_merge_upsert_partitioned(
     # that is every batch but the seed (full-rewrite fractions are
     # 1.0/1.0 by construction); for the saturating feed every batch
     # after the cold first one is a steady CDC batch
-    if saturating:
+    if roundtrip:
+        md = {m["batch_id"]: m for m in metrics}
+        assert md[3]["route"] == "full-rewrite", md[3]["route"]
+        assert md[6]["route"] == "refine", md[6]["route"]
+        # the generic trickle columns report the POST-REFINE trickles —
+        # the round trip's recovered economics
+        trickles = [md[7], md[8]]
+    elif saturating:
         trickles = metrics[1:]
     else:
         trickles = [m for m in metrics if m["touched_buckets"] < 512]
@@ -385,6 +414,18 @@ def _run_merge_upsert_partitioned(
             for r in sorted({m["route"] for m in metrics})
         }
         out["files_final"] = len(tl.snapshot_files(table))
+    if roundtrip:
+        def _ff(ms):
+            return round(
+                sum(m["files_rewritten"] / m["files_total"] for m in ms)
+                / max(len(ms), 1),
+                4,
+            )
+
+        out["trickle_frac_fine_pre"] = _ff([md[1], md[2]])
+        out["trickle_frac_coarse"] = _ff([md[4], md[5]])
+        out["trickle_frac_fine_post"] = _ff(trickles)
+        out["files_after_coarsen"] = md[4]["files_total"]
     if saturating or routed:
         shutil.rmtree(workdir, ignore_errors=True)
         return out
@@ -532,6 +573,11 @@ def main() -> None:
         "streaming_cdc_merge_routed_saturated": (
             _run_merge_upsert_partitioned(
                 spark, args.sf_dir, saturating=True, routed=True
+            )
+        ),
+        "streaming_cdc_merge_roundtrip": (
+            _run_merge_upsert_partitioned(
+                spark, args.sf_dir, roundtrip=True
             )
         ),
         "streaming_stateful_allocation": _run(
@@ -683,6 +729,27 @@ def main() -> None:
                 f"({rs['files_final']} files final), recovering the "
                 "bulk sink's economics where the pure partitioned "
                 "form lost 20x.\n"
+            )
+        rr = results.get("streaming_cdc_merge_roundtrip", {})
+        if rr:
+            f.write(
+                "\nThe coarsening is a ROUND TRIP (refine_after=3 "
+                "hysteresis): trickles over the fine layout rewrote "
+                f"{rr['trickle_frac_fine_pre']:.2%} of files; a "
+                "saturating batch full-rewrote the table down to "
+                f"{rr['files_after_coarsen']} bulk files, where the "
+                "same trickles cost "
+                f"{rr['trickle_frac_coarse']:.2%} of files each; after "
+                "3 consecutive partitioned-routed batches over that "
+                "coarsened layout the sink re-fined ITSELF (route "
+                f"'refine' — one whole-table rewrite back to 1 "
+                f"bucket/file inside the batch's atomic commit; "
+                f"routes {rr['routes']}, {rr['files_final']} files "
+                "final) — and the post-refine trickles rewrite "
+                f"{rr['trickle_frac_fine_post']:.2%} of files, "
+                "recovering fine-layout economics with no manual "
+                "compact_warehouse. The round trip's table row "
+                "reports the post-refine trickles.\n"
             )
         section = f.getvalue()
     from bench import splice_section

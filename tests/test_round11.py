@@ -674,3 +674,67 @@ def test_manifest_crash_danglers_invisible_to_published_reads(
         for r in tl.read_snapshot(spark, cl).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_routed_cdc_sink_refines_after_trickle_streak(spark, tmp_path):
+    """Hysteresis re-fine: after refine_after consecutive partitioned
+    batches over a coarsened layout, the next one executes as route
+    'refine' — whole-snapshot merge laid back out at 1 bucket/file in
+    the same atomic commit — and subsequent trickles recover fine-
+    grained rewrite volume. A saturating batch resets the streak."""
+    from candy_store_etl_spark.streaming.cdc import read_warehouse
+
+    table = str(tmp_path / "w")
+    metrics = []
+    sink = _routed_sink(table, metrics, bulk_files=8, refine_after=2)
+    batches = [
+        [(u, 1.0) for u in range(200)],  # 0 seed
+        [(u, 0.5) for u in range(200)],  # 1 saturate -> full-rewrite
+        [(7, 2.0)],                      # 2 trickle (streak 1)
+        [(9, 3.0)],                      # 3 trickle (streak 2 -> refine)
+        [(11, 4.0)],                     # 4 trickle over FINE layout
+    ]
+    for i, rows in enumerate(batches):
+        sink(_cdc_events(spark, rows), i)
+    assert [m["route"] for m in metrics] == [
+        "partitioned", "full-rewrite", "partitioned", "refine",
+        "partitioned",
+    ]
+    # the refine landed the fine grouping in the log
+    assert tl.layout_buckets_per_file(table) == 1
+    # trickle economics recovered: batch 4 rewrote exactly one
+    # one-bucket file out of the refined table's many
+    assert metrics[4]["files_rewritten"] == 1
+    assert metrics[4]["files_total"] > 8
+    # a replayed refine epoch is a no-op (the commit is the marker)
+    v = tl.current_version(table)
+    sink(_cdc_events(spark, batches[3]), 3)
+    assert tl.current_version(table) == v
+    # values converge to the one-shot aggregate
+    all_rows = [r for b in batches for r in b]
+    got = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in read_warehouse(spark, table).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.cents)
+        for r in _cdc_increments(_cdc_events(spark, all_rows)).collect()
+    )
+    assert got == want
+
+    # streak RESET: saturate between trickles -> no refine at 2 apart
+    table2 = str(tmp_path / "w2")
+    m2 = []
+    sink2 = _routed_sink(table2, m2, bulk_files=8, refine_after=2)
+    for i, rows in enumerate([
+        [(u, 1.0) for u in range(200)],  # seed
+        [(u, 0.5) for u in range(200)],  # full-rewrite
+        [(7, 2.0)],                      # streak 1
+        [(u, 0.25) for u in range(200)], # full-rewrite: resets
+        [(9, 3.0)],                      # streak 1 again — no refine
+    ]):
+        sink2(_cdc_events(spark, rows), i)
+    assert [m["route"] for m in m2] == [
+        "partitioned", "full-rewrite", "partitioned", "full-rewrite",
+        "partitioned",
+    ]
