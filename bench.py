@@ -118,6 +118,13 @@ HEADLINE = [
     # same content-keyed scratch pair
     "serve_join_broadcast",
     "serve_join_colocated",
+    # round-12 additions (driver round 11): the range face of the
+    # serving front door (stats-pruned route over the range-clustered
+    # scratch table) and the CDC coarsen->refine roundtrip (4-batch
+    # warehouse built once content-keyed; timed passes measure the
+    # log-resolved route readback + merged-totals aggregate)
+    "serve_range_pruned",
+    "cdc_refine_roundtrip",
 ]
 
 

@@ -761,6 +761,13 @@ def maintain_neardup_index(
 
     for attempt in range(5):
         base = tl.current_version(man_dir)
+        # re-check the ledger against the refreshed manifest: two
+        # concurrent ingests of the SAME tag (a crashed batch racing
+        # its own retry) both pass the pre-loop check, but the loser
+        # of the publish race must see the winner's tag here and
+        # no-op rather than publish the batch twice
+        if op in _op_ledger(man_dir):
+            return False
         pub = tl.manifest_published(man_dir, upto=base)
         sig_vs = pub.get("signatures", [])
         if sig_vs:

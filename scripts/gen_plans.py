@@ -58,6 +58,11 @@ HEADLINE = [
     "colocated_skew_split_join",
     "colocated_anti_join_decontaminate",
     "colocated_pruned_range_join",
+    # driver-round-11 additions: the range face of the serving front
+    # door (stats-pruned scan planned from the log) and the CDC
+    # coarsen->refine roundtrip's readback
+    "serve_range_pruned",
+    "cdc_refine_roundtrip",
     "colocated_left_star_join",
     # round-10: the fused rollup+join (the plan to review is ONE task
     # wave doing agg+join with only the metadata routing exchange) and

@@ -279,18 +279,26 @@ def _run_merge_upsert_partitioned(
         # grouping, one saturating batch (coarsens via full-rewrite),
         # then 5 trickles — with refine_after=3 the THIRD one executes
         # as route 'refine' and the last two measure recovered trickle
-        # economics over the re-fined layout
+        # economics over the re-fined layout. Trickles are SINGLE-KEY
+        # batches (7 probe keys, a metadata-sized collect): a ~100-key
+        # %1000 slice is trickle-shaped on the fine 1024-file layout
+        # but SATURATES the ~32-file coarse one (100 keys cover every
+        # group), so the router would keep full-rewriting — correctly —
+        # and the hysteresis would never be exercised
+        keys = [
+            r[0]
+            for r in ev.select("user_id")
+            .distinct()
+            .orderBy("user_id")
+            .limit(7)
+            .collect()
+        ]
         slices = (
-            [ev.filter(F.col("user_id") % 1000 < 989)]
-            + [
-                ev.filter(F.col("user_id") % 1000 == 989 + i)
-                for i in range(2)
-            ]
+            [ev.filter(~F.col("user_id").isin(keys))]
+            + [ev.filter(F.col("user_id") == keys[0])]
+            + [ev.filter(F.col("user_id") == keys[1])]
             + [ev]
-            + [
-                ev.filter(F.col("user_id") % 1000 == 991 + i)
-                for i in range(5)
-            ]
+            + [ev.filter(F.col("user_id") == k) for k in keys[2:]]
         )
     elif saturating:
         # 12 equal-volume batches, each touching ~1/12 of the keys
