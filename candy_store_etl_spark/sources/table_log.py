@@ -1162,6 +1162,16 @@ def manifest_publish(
     )
 
 
+#: (manifest_dir) -> (newest version folded, that version's full
+#: commit entry, {version: tables meta}). Repeated asks read only the
+#: commits SINCE the last ask — O(delta) per ingest where a full
+#: log_entries walk would go quadratic over the chain's lifetime (the
+#: same pattern, and the same head-ENTRY identity validation against
+#: same-path rebuilds, as operators/dedup._op_ledger; entry add-lists
+#: and uuid'd part names make entry equality an identity check).
+_MANIFEST_CACHE: dict[str, tuple[int, dict, dict[int, dict]]] = {}
+
+
 def manifest_published(
     manifest_dir: str, *, upto: int | None = None
 ) -> dict[str, list[int]]:
@@ -1169,12 +1179,32 @@ def manifest_published(
     versions, folded over manifest entries ``<= upto`` (None = all).
     The version lists drive ``read_published``; a version a crashed
     batch appended but never published appears in no list."""
+    latest = current_version(manifest_dir)
+    if latest is None:
+        _MANIFEST_CACHE.pop(manifest_dir, None)
+        return {}
+    seen_v, head, per_v = _MANIFEST_CACHE.get(manifest_dir, (-1, {}, {}))
+    if seen_v > latest:
+        seen_v, head, per_v = -1, {}, {}
+    elif seen_v >= 0:
+        try:
+            on_disk = _read_entry(manifest_dir, seen_v)
+        except (OSError, ValueError):
+            on_disk = None
+        if on_disk != head:
+            seen_v, head, per_v = -1, {}, {}
+    per_v = dict(per_v)
+    for v in range(seen_v + 1, latest + 1):
+        head = _read_entry(manifest_dir, v)
+        per_v[v] = (head.get("meta") or {}).get("tables", {})
+    _MANIFEST_CACHE[manifest_dir] = (latest, head, per_v)
+    upto_v = latest if upto is None else upto
     out: dict[str, list[int]] = {}
-    if current_version(manifest_dir) is None:
-        return out
-    for entry in log_entries(manifest_dir, upto=upto):
-        for name, v in (entry.get("meta") or {}).get("tables", {}).items():
-            out.setdefault(name, []).append(v)
+    for v in sorted(per_v):
+        if v > upto_v:
+            break
+        for name, tv in per_v[v].items():
+            out.setdefault(name, []).append(tv)
     return out
 
 

@@ -980,3 +980,35 @@ def test_manifest_publish_published_and_read(spark, table, tmp_path):
     # empty version list refuses loudly
     with pytest.raises(ValueError):
         tl.read_published(spark, t_a, [])
+
+
+def test_manifest_published_cache_survives_same_path_rebuild(
+    spark, table, tmp_path
+):
+    """manifest_published folds O(delta) through an in-process cache;
+    a manifest rebuilt at the same path (equal-or-higher version,
+    different entries) must invalidate it — the head-ENTRY identity
+    validation, same contract as the dedup op-ledger cache."""
+    import shutil
+
+    man = str(tmp_path / "man")
+    tl.manifest_publish(man, {"a": 0}, op="b0", base_version=None)
+    tl.manifest_publish(man, {"a": 1}, op="b1", base_version=0)
+    assert tl.manifest_published(man) == {"a": [0, 1]}
+
+    # same-path rebuild at the SAME version count, different content
+    shutil.rmtree(man)
+    tl.manifest_publish(man, {"x": 5}, op="c0", base_version=None)
+    tl.manifest_publish(man, {"x": 7}, op="c1", base_version=0)
+    assert tl.manifest_published(man) == {"x": [5, 7]}
+    # and upto still pins history through the cache
+    assert tl.manifest_published(man, upto=0) == {"x": [5]}
+
+    # rebuild landing LOWER
+    shutil.rmtree(man)
+    tl.manifest_publish(man, {"y": 9}, op="d0", base_version=None)
+    assert tl.manifest_published(man) == {"y": [9]}
+
+    # manifest deleted entirely
+    shutil.rmtree(man)
+    assert tl.manifest_published(man) == {}
