@@ -45,10 +45,17 @@ def splice_section(existing: str, header: str, section: str) -> str:
     the sf100 third-decade table once (round-10 verdict, wrong #1)."""
     import re as _re
 
-    if not section.startswith(header.lstrip("\n")) and not section.startswith(
-        header
-    ):
-        raise ValueError("section must begin with its header")
+    # the section must begin with the EXACT header, leading newline
+    # included: accepting a lstripped variant would let the replace
+    # path consume the on-disk header's separating "\n" and glue the
+    # previous section's last line to "## ..." — corrupting the file
+    # so no future splice of that section matches (the same
+    # destruction class this helper exists to close)
+    if not section.startswith(header):
+        raise ValueError(
+            "section must begin with its exact header (including any "
+            "leading newline)"
+        )
     pattern = _re.escape(header) + r".*?(?=\n## |\Z)"
     if _re.search(pattern, existing, flags=_re.S):
         return _re.sub(

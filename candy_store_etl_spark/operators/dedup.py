@@ -633,12 +633,17 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-#: (table_dir) -> (newest version folded, that version's full commit
-#: entry, op tags seen). Repeated ledger asks read only the commits
-#: SINCE the last ask — O(delta) per ingest where a per-call
-#: log_entries walk would go quadratic over the index's lifetime (the
-#: same pattern as candy_colocated._meta_tags).
-_OP_LEDGER_CACHE: dict[str, tuple[int, dict, set]] = {}
+#: (table_dir) -> (incarnation identity, newest version folded, op
+#: tags seen). Repeated ledger asks read only the commits SINCE the
+#: last ask — O(delta) per ingest where a per-call log_entries walk
+#: would go quadratic over the index's lifetime (the same pattern as
+#: candy_colocated._meta_tags). Validity is keyed on the v0
+#: INCARNATION identity (table_log.incarnation_identity): a same-path
+#: rebuild — at ANY version, even replaying entries byte-identical to
+#: the old ones (a manifest entry is file-less, so entry content
+#: cannot distinguish incarnations) — must not serve the dead
+#: incarnation's ledger and silently skip a real ingest.
+_OP_LEDGER_CACHE: dict[str, tuple[tuple, int, set]] = {}
 
 
 def _op_ledger(table_dir: str) -> set:
@@ -650,28 +655,15 @@ def _op_ledger(table_dir: str) -> set:
         # describes a dead incarnation
         _OP_LEDGER_CACHE.pop(table_dir, None)
         return set()
-    seen_v, head, ops = _OP_LEDGER_CACHE.get(table_dir, (-1, {}, set()))
-    if seen_v > latest:
-        # same-path rebuild landing LOWER: cached ops are dead
-        seen_v, head, ops = -1, {}, set()
-    elif seen_v >= 0:
-        # same-path rebuild landing at an EQUAL-OR-HIGHER version (e.g.
-        # ensure_scratch swapping a fully built table over a corrupt
-        # survivor) would otherwise serve a dead incarnation's ledger
-        # and silently skip a real ingest — re-validate the cached head
-        # ENTRY (not just its op: add-lists carry per-attempt unique
-        # file names, so distinct incarnations can't collide) against
-        # what is on disk at that version before trusting the cache
-        try:
-            on_disk = tl._read_entry(table_dir, seen_v)
-        except (OSError, ValueError):
-            on_disk = None
-        if on_disk != head:
-            seen_v, head, ops = -1, {}, set()
+    ident = tl.incarnation_identity(table_dir)
+    seen_ident, seen_v, ops = _OP_LEDGER_CACHE.get(
+        table_dir, (None, -1, set())
+    )
+    if seen_ident != ident or seen_v > latest:
+        seen_v, ops = -1, set()
     for v in range(seen_v + 1, latest + 1):
-        head = tl._read_entry(table_dir, v)
-        ops.add(head.get("op"))
-    _OP_LEDGER_CACHE[table_dir] = (latest, head, ops)
+        ops.add(tl._read_entry(table_dir, v).get("op"))
+    _OP_LEDGER_CACHE[table_dir] = (ident, latest, ops)
     return ops
 
 
@@ -759,6 +751,7 @@ def maintain_neardup_index(
         sigs_b, num_perm=num_perm, bands=bands
     ).transform(tracked_cache)
 
+    appended: dict[str, int] | None = None  # sigs/buckets land once
     for attempt in range(5):
         base = tl.current_version(man_dir)
         # re-check the ledger against the refreshed manifest: two
@@ -822,9 +815,17 @@ def maintain_neardup_index(
             .filter(F.col("est_jaccard") >= threshold)
             .withColumn("found_in_batch", F.lit(batch_tag))
         )
+        if appended is None:
+            # signatures and buckets are derivation-INDEPENDENT (pure
+            # functions of the batch), so they append exactly once —
+            # only the pairs relation depends on the manifest snapshot
+            # and must re-derive per publish attempt
+            appended = {
+                "signatures": tl.append(sigs_b, sig_dir, op=op),
+                "buckets": tl.append(buckets_b, bkt_dir, op=op),
+            }
         versions = {
-            "signatures": tl.append(sigs_b, sig_dir, op=op),
-            "buckets": tl.append(buckets_b, bkt_dir, op=op),
+            **appended,
             "pairs": tl.append(pairs_b, pairs_dir, op=op),
         }
         try:
@@ -833,7 +834,7 @@ def maintain_neardup_index(
         except tl.ConcurrentCommitError:
             # another batch published while this one derived: its docs
             # are now corpus — re-derive so the cross pairs land here
-            # (this attempt's three appends dangle, unreferenced by
+            # (this attempt's pairs append dangles, unreferenced by
             # any manifest entry and invisible to chain readers)
             if attempt == 4:
                 raise

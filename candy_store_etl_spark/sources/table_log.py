@@ -1162,14 +1162,31 @@ def manifest_publish(
     )
 
 
-#: (manifest_dir) -> (newest version folded, that version's full
-#: commit entry, {version: tables meta}). Repeated asks read only the
-#: commits SINCE the last ask — O(delta) per ingest where a full
-#: log_entries walk would go quadratic over the chain's lifetime (the
-#: same pattern, and the same head-ENTRY identity validation against
-#: same-path rebuilds, as operators/dedup._op_ledger; entry add-lists
-#: and uuid'd part names make entry equality an identity check).
-_MANIFEST_CACHE: dict[str, tuple[int, dict, dict[int, dict]]] = {}
+def incarnation_identity(table_dir: str) -> tuple | None:
+    """A table-log INCARNATION identity: the stat triple (inode,
+    mtime_ns, size) of the v0 commit file, which every same-path
+    rebuild rewrites. In-process incremental caches over a log
+    (``manifest_published``, ``operators/dedup._op_ledger``) must key
+    their validity on this, NOT on entry content: commit entries are
+    not unique across incarnations (a manifest entry is data-file-less
+    — op + member version ints only — and even a data table's entry
+    can be an empty ledger-only commit), so a rebuild replaying the
+    same tags produces byte-identical entries while publishing
+    entirely different history. None = no v0 commit exists."""
+    try:
+        st = os.stat(_version_path(table_dir, 0))
+    except OSError:
+        return None
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+#: (manifest_dir) -> (incarnation identity, newest version folded,
+#: {version: tables meta}). Repeated asks read only the commits SINCE
+#: the last ask — O(delta) per ingest where a full log_entries walk
+#: would go quadratic over the chain's lifetime. Validity is keyed on
+#: the v0 INCARNATION identity (see incarnation_identity: entry
+#: content cannot distinguish incarnations of a file-less log).
+_MANIFEST_CACHE: dict[str, tuple[tuple, int, dict[int, dict]]] = {}
 
 
 def manifest_published(
@@ -1183,21 +1200,17 @@ def manifest_published(
     if latest is None:
         _MANIFEST_CACHE.pop(manifest_dir, None)
         return {}
-    seen_v, head, per_v = _MANIFEST_CACHE.get(manifest_dir, (-1, {}, {}))
-    if seen_v > latest:
-        seen_v, head, per_v = -1, {}, {}
-    elif seen_v >= 0:
-        try:
-            on_disk = _read_entry(manifest_dir, seen_v)
-        except (OSError, ValueError):
-            on_disk = None
-        if on_disk != head:
-            seen_v, head, per_v = -1, {}, {}
+    ident = incarnation_identity(manifest_dir)
+    seen_ident, seen_v, per_v = _MANIFEST_CACHE.get(
+        manifest_dir, (None, -1, {})
+    )
+    if seen_ident != ident or seen_v > latest:
+        seen_v, per_v = -1, {}
     per_v = dict(per_v)
     for v in range(seen_v + 1, latest + 1):
-        head = _read_entry(manifest_dir, v)
-        per_v[v] = (head.get("meta") or {}).get("tables", {})
-    _MANIFEST_CACHE[manifest_dir] = (latest, head, per_v)
+        entry = _read_entry(manifest_dir, v)
+        per_v[v] = (entry.get("meta") or {}).get("tables", {})
+    _MANIFEST_CACHE[manifest_dir] = (ident, latest, per_v)
     upto_v = latest if upto is None else upto
     out: dict[str, list[int]] = {}
     for v in sorted(per_v):

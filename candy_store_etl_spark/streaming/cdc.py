@@ -190,16 +190,17 @@ def make_routed_cdc_sink(
 
     The coarsening is NOT a one-way door: a trickle batch over the
     coarsened layout pays ~1/``bulk_files`` of the table per touched
-    group, so after ``refine_after`` CONSECUTIVE partitioned-routed
-    batches over a coarsened layout (the hysteresis evidence that the
-    regime shift back to trickle is real, not one quiet batch), the
-    next such batch executes as route ``refine``: the same whole-
-    snapshot merge as a full rewrite, laid back out at FINE grouping
-    (1 bucket/file) in the same atomic commit — one table rewrite
-    that restores trickle economics for every batch after it, the
-    ``compact_warehouse(buckets_per_file=1)`` maintenance pass run by
-    the sink itself exactly when its own route history proves it
-    pays. A saturating batch resets the streak (the bulk layout is
+    group, so the ``refine_after``-th CONSECUTIVE trickle-shaped
+    batch over a coarsened layout (i.e. after ``refine_after - 1``
+    completed partitioned merges — the hysteresis evidence that the
+    regime shift back to trickle is real, not one quiet batch)
+    executes as route ``refine`` instead of partitioned: the same
+    whole-snapshot merge as a full rewrite, laid back out at FINE
+    grouping (1 bucket/file) in the same atomic commit — one table
+    rewrite that restores trickle economics for every batch after it,
+    the ``compact_warehouse(buckets_per_file=1)`` maintenance pass
+    run by the sink itself exactly when its own route history proves
+    it pays. A saturating batch resets the streak (the bulk layout is
     still right there); ``refine_after=None`` disables re-fining
     (regime shifts handled manually).
 

@@ -378,11 +378,16 @@ def test_maintain_components_merges_across_increments(spark, tmp_path):
 def test_maintained_index_crash_interleave_loses_no_pairs(
     spark, tmp_path
 ):
-    """The review-found hazard: batch T1 crashes after its signature
-    and bucket appends but before its pairs step; batch T2 ingests in
-    between. T1's rerun must discover the T1-vs-T2 pairs (its probe
-    sees T2's committed buckets), and pairs already appended must not
-    duplicate — exactly-once at the PAIR level."""
+    """Round-10's crash-interleave hazard, replayed against the
+    MANIFEST protocol: batch T1 dies after appending signatures and
+    buckets (tagged, but never manifest-published — danglers), batch
+    T2 ingests fully in between, then T1 reruns. Under the manifest
+    design the planted tagged appends are IGNORED (per-table op tags
+    are no longer a ledger): T1's rerun re-appends everything and
+    publishes whole, T2's probe saw only published state, and the
+    final pair set equals from-scratch — no loss, no duplicates —
+    even though the raw signatures snapshot carries T1's dangling
+    duplicate rows that only manifest-routed readers avoid."""
     from candy_store_etl_spark.operators.dedup import (
         _band_buckets_portable,
         maintain_neardup_index,
@@ -400,8 +405,9 @@ def test_maintained_index_crash_interleave_loses_no_pairs(
         "doc_id long, text string",
     )
 
-    # simulate T1 dying between its buckets append and its pairs step:
-    # commit sigs+buckets under T1's op tag, leave pairs untagged
+    # simulate T1 dying after its sigs+buckets appends, before its
+    # manifest publish: the tagged appends are DANGLERS — no manifest
+    # entry references them, so no chain reader or rerun consults them
     sigs = minhash_signatures_portable(docs, "doc_id", "text", num_perm=64)
     tl.append(sigs, os.path.join(ix, "signatures"), op="neardup-batch-t1")
     tl.append(
@@ -410,10 +416,12 @@ def test_maintained_index_crash_interleave_loses_no_pairs(
         op="neardup-batch-t1",
     )
 
-    # T2 ingests fully while T1 is crashed: its probe sees T1's
-    # committed buckets, so cross-batch pairs land here
+    # T2 ingests fully while T1 is crashed: its probe sees only
+    # PUBLISHED state (nothing of T1's), so no cross pairs land yet
     assert maintain_neardup_index(spark, t2_docs, ix, batch_tag="t2")
-    # T1 reruns: pairs step runs (tag missing there), sigs/buckets skip
+    # T1 reruns WHOLE (its tag never reached the manifest): fresh
+    # sigs/buckets/pairs appends + one publish; the cross T1-vs-T2
+    # pairs land here, discovered against T2's published buckets
     assert maintain_neardup_index(spark, docs, ix, batch_tag="t1")
 
     got = sorted(
@@ -738,3 +746,26 @@ def test_routed_cdc_sink_refines_after_trickle_streak(spark, tmp_path):
         "partitioned", "full-rewrite", "partitioned", "full-rewrite",
         "partitioned",
     ]
+
+
+def test_op_ledger_catches_byte_identical_head_rebuild(spark, tmp_path):
+    """Companion to the manifest-cache repro: the op ledger over a
+    file-less manifest log must not trust a rebuild whose final entry
+    is byte-identical (same tag, same member-version ints) — the v0
+    stat identity, not entry content, distinguishes incarnations. A
+    stale ledger here makes maintain_neardup_index silently skip a
+    real ingest."""
+    import shutil
+
+    from candy_store_etl_spark.operators.dedup import _op_ledger
+
+    man = str(tmp_path / "man")
+    tl.manifest_publish(man, {"pairs": 0}, op="A", base_version=None)
+    tl.manifest_publish(man, {"pairs": 1}, op="C", base_version=0)
+    assert _op_ledger(man) == {"A", "C"}
+    shutil.rmtree(man)
+    tl.manifest_publish(man, {"pairs": 0}, op="B", base_version=None)
+    tl.manifest_publish(man, {"pairs": 1}, op="C", base_version=0)
+    # head entry (op C, pairs: 1) is byte-identical across
+    # incarnations; the ledger must reflect the NEW one
+    assert _op_ledger(man) == {"B", "C"}

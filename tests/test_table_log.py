@@ -1012,3 +1012,26 @@ def test_manifest_published_cache_survives_same_path_rebuild(
     # manifest deleted entirely
     shutil.rmtree(man)
     assert tl.manifest_published(man) == {}
+
+
+def test_manifest_cache_catches_byte_identical_head_rebuild(
+    spark, tmp_path
+):
+    """The review-confirmed defect the stat-identity fix closes:
+    manifest entries are data-file-less (op + member version ints), so
+    a same-path rebuild can replay a HEAD entry byte-identical to the
+    dead incarnation's while publishing different history — entry
+    equality cannot distinguish incarnations; the v0 commit file's
+    stat identity can."""
+    import shutil
+
+    man = str(tmp_path / "man")
+    tl.manifest_publish(man, {"pairs": 0}, op="b0", base_version=None)
+    tl.manifest_publish(man, {"pairs": 1}, op="b1", base_version=0)
+    assert tl.manifest_published(man) == {"pairs": [0, 1]}
+    shutil.rmtree(man)
+    # new incarnation: DIFFERENT v0, byte-identical v1 (same op, same
+    # member version int)
+    tl.manifest_publish(man, {"pairs": 7}, op="b0x", base_version=None)
+    tl.manifest_publish(man, {"pairs": 1}, op="b1", base_version=0)
+    assert tl.manifest_published(man) == {"pairs": [7, 1]}
