@@ -406,7 +406,17 @@ def main() -> None:
                 "them as code regressions"
             ))[:240]
     line = json.dumps(out)
-    if len(line) > 1900:  # belt-and-braces: never exceed the tail buffer
+    if len(line) > 1900 and "deltas_vs_prev" in out:
+        # belt-and-braces: never exceed the driver's ~2k tail buffer.
+        # Degrade the flag list to its count (full list stays in the
+        # sidecar) before dropping the delta summary entirely — a
+        # 30+-query flag list alone can blow the budget, and losing
+        # the "something flagged" signal is worse than losing names.
+        out["deltas_vs_prev"]["flagged"] = len(
+            out["deltas_vs_prev"]["flagged"]
+        )
+        line = json.dumps(out)
+    if len(line) > 1900:
         out.pop("deltas_vs_prev", None)
         line = json.dumps(out)
     print(line)
