@@ -375,6 +375,26 @@ def main() -> None:
     }
     delta = _delta_report(timings)
     if delta is not None:
+        # Machine-readable attribution (round-10 verdict, wrong #3):
+        # BENCH_r10 shipped with 124 cpu-s of foreign load and 31/34
+        # queries flagged; the pinned-commit A/B that settled it as
+        # machine-day lived only in NOTES prose. When flags coincide
+        # with MATERIAL ambient load, the artifact must carry its own
+        # attribution: SPARK_GRAFT_BENCH_CONTEXT (set after an
+        # interleaved pinned-commit A/B names method + verdict) or an
+        # explicit unattributed marker telling the reader to re-run on
+        # a quiet box instead of believing the deltas. Computed BEFORE
+        # the sidecar write so the FULL artifact — the one the printed
+        # line points readers at, and the one that survives the
+        # line-length fallbacks below — carries the attribution too.
+        if delta["flagged"] and ambient_cpu_now > _AMBIENT_CPU_MATERIAL:
+            ctx = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT")
+            out["context"] = (ctx or (
+                f"UNATTRIBUTED: {len(delta['flagged'])} flagged deltas "
+                f"under {ambient_cpu_now:.0f} ambient cpu-s of foreign "
+                "load — re-run on a quiet box or A/B before reading "
+                "them as code regressions"
+            ))[:240]
         # The driver keeps only the last ~2000 chars of stdout and
         # parses the final line as JSON; the full delta blob pushed the
         # line past that buffer in rounds 6-7 (BENCH_r06/r07 recorded
@@ -388,23 +408,6 @@ def main() -> None:
             "flagged": delta["flagged"],
             "full": "BENCH_DELTAS.json",
         }
-        # Machine-readable attribution (round-10 verdict, wrong #3):
-        # BENCH_r10 shipped with 124 cpu-s of foreign load and 31/34
-        # queries flagged; the pinned-commit A/B that settled it as
-        # machine-day lived only in NOTES prose. When flags coincide
-        # with MATERIAL ambient load, the artifact must carry its own
-        # attribution: SPARK_GRAFT_BENCH_CONTEXT (set after an
-        # interleaved pinned-commit A/B names method + verdict) or an
-        # explicit unattributed marker telling the reader to re-run on
-        # a quiet box instead of believing the deltas.
-        if delta["flagged"] and ambient_cpu_now > _AMBIENT_CPU_MATERIAL:
-            ctx = os.environ.get("SPARK_GRAFT_BENCH_CONTEXT")
-            out["context"] = (ctx or (
-                f"UNATTRIBUTED: {len(delta['flagged'])} flagged deltas "
-                f"under {ambient_cpu_now:.0f} ambient cpu-s of foreign "
-                "load — re-run on a quiet box or A/B before reading "
-                "them as code regressions"
-            ))[:240]
     line = json.dumps(out)
     if len(line) > 1900 and "deltas_vs_prev" in out:
         # belt-and-braces: never exceed the driver's ~2k tail buffer.

@@ -823,8 +823,13 @@ def serve_range(
     read once here), like every other serving face."""
     if version is None:
         version = tl.current_version(table_dir)
+    # ONE metadata resolve for the whole call: the same
+    # (files, stats, schema) triple drives the coverage decision here
+    # AND (passed through) the pruned reader — the serving path must
+    # not pay the checkpoint-load + tail-replay twice per probe
     files = tl.snapshot_files(table_dir, version=version)
     stats = tl.snapshot_file_stats(table_dir, version=version)
+    schema = tl.snapshot_schema(table_dir, version=version)
     nonempty = [
         p
         for p in files
@@ -842,7 +847,6 @@ def serve_range(
     }
     if not files:
         # an empty snapshot is a legitimate all-miss, same as serve()
-        schema = tl.snapshot_schema(table_dir, version=version)
         if schema is None:
             raise ValueError(
                 f"{table_dir} is empty with no committed schema — "
@@ -853,14 +857,16 @@ def serve_range(
         return spark.createDataFrame([], schema), info
     if coverage >= coverage_threshold:
         df, kept, total = tl.read_snapshot_pruned(
-            spark, table_dir, column, lo, hi, version=version
+            spark, table_dir, column, lo, hi, version=version,
+            _resolved=(files, stats, schema),
         )
         info["route"] = "stats-pruned"
         info["files_scanned"] = kept
         return df, info
     info["route"] = "full-scan"
     info["files_scanned"] = len(files)
-    df = tl.read_snapshot(spark, table_dir, version=version).filter(
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(*files).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )
     return df, info

@@ -744,6 +744,32 @@ def maintain_neardup_index(
     if op in _op_ledger(man_dir):
         return False
 
+    if tl.current_version(man_dir) is None:
+        # The manifest is born BEFORE the chain's first appends (an
+        # empty 'manifest-init' commit), so its absence over populated
+        # member tables is unambiguous: a PRE-MANIFEST (or foreign)
+        # index, whose history this protocol cannot see. Proceeding
+        # would treat the corpus as empty — cross pairs against all
+        # existing documents silently never discovered, the clash
+        # guard blind. Fail loudly instead. (A crash between init and
+        # the first publish leaves the manifest present and the rerun
+        # repairs normally; only a truly manifest-less populated chain
+        # lands here.)
+        for d in (sig_dir, bkt_dir, pairs_dir):
+            if tl.current_version(d) is not None:
+                raise ValueError(
+                    f"maintain_neardup_index: {d} is populated but "
+                    f"{man_dir} has no manifest — this index predates "
+                    "(or was built outside) the manifest protocol, and "
+                    "its history would be silently ignored. Rebuild "
+                    "the index from the raw documents, or drop the "
+                    "member tables."
+                )
+        try:
+            tl.commit(man_dir, op="manifest-init", base_version=None)
+        except tl.ConcurrentCommitError:
+            pass  # a racing first ingest init'd it — same outcome
+
     sigs_b = minhash_signatures_portable(
         batch_docs, id_col, text_col, num_perm=num_perm
     ).transform(tracked_cache)

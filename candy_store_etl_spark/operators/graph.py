@@ -338,6 +338,13 @@ def maintain_components(
         add_cols=(),
         carry_cols=("label",),  # new label wins; absent keys keep theirs
         n_buckets=n_buckets,
+        # no self-refining: this function's contract is upsert volume
+        # proportional to the increment's touched keys, and a refine
+        # would pay a whole-table rewrite inside what the caller
+        # (e.g. scripts/neardup_increment.py's marginal-cost claim)
+        # believes is a batch-proportional drain; layout maintenance
+        # for the clusters table is the operator's call
+        refine_after=None,
     )
 
     applied = 0

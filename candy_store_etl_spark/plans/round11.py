@@ -559,21 +559,25 @@ def incremental_neardup_index_maintained(
     batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-maintained-v4")
+    key = content_fingerprint(src, extra="neardup-maintained-v5")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndix_{key}")
     index = os.path.join(root, "index")
 
     def _intact(d: str) -> bool:
         ix = os.path.join(d, "index")
-        # the manifest is the source of truth: three published batches
-        if tl.current_version(os.path.join(ix, "manifest")) != 2:
+        # manifest = init commit + three published batches
+        if tl.current_version(os.path.join(ix, "manifest")) != 3:
             return False
         pub = tl.manifest_published(os.path.join(ix, "manifest"))
         for t in ("signatures", "buckets", "pairs"):
             td = os.path.join(ix, t)
+            if tl.current_version(td) is None:
+                return False  # a /tmp cleaner removed the member log
             if sorted(pub.get(t, [])) != [0, 1, 2]:
                 return False
-            if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
+            files = tl.snapshot_files(td)
+            # non-vacuous: every batch appends rows to every member
+            if not files or not all(os.path.exists(p) for p in files):
                 return False
         return True
 
@@ -659,21 +663,22 @@ def neardup_clusters_maintained(
     batch_of = _increment_of()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = content_fingerprint(src, extra="neardup-clusters-v4")
+    key = content_fingerprint(src, extra="neardup-clusters-v5")
     root = os.path.join(tempfile.gettempdir(), f"csetl_ndcl_{key}")
 
     def _intact(d: str) -> bool:
-        for t, v in (("index/manifest", 2), ("clusters", 2)):
+        for t, v in (("index/manifest", 3), ("clusters", 2)):
             td = os.path.join(d, t)
             if tl.current_version(td) != v:
                 return False
-        td = os.path.join(d, "index", "pairs")
-        if not all(os.path.exists(p) for p in tl.snapshot_files(td)):
-            return False
-        return all(
-            os.path.exists(p)
-            for p in tl.snapshot_files(os.path.join(d, "clusters"))
-        )
+        for t in ("index/pairs", "clusters"):
+            td = os.path.join(d, t)
+            if tl.current_version(td) is None:
+                return False  # a /tmp cleaner removed the member log
+            files = tl.snapshot_files(td)
+            if not files or not all(os.path.exists(p) for p in files):
+                return False
+        return True
 
     def _build(stage: str) -> None:
         ix = os.path.join(stage, "index")

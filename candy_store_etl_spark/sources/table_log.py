@@ -987,6 +987,7 @@ def read_snapshot_pruned(
     hi,
     *,
     version: int | None = None,
+    _resolved: tuple | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Range scan of a snapshot planned FROM THE LOG: files whose
     committed [min, max] for ``column`` cannot intersect [lo, hi] are
@@ -994,23 +995,31 @@ def read_snapshot_pruned(
     collected once at commit). Lossless: files without committed
     stats for the column are kept, and the residual filter always
     applies, so the result equals the plain filtered snapshot scan
-    exactly. Returns (df, files_kept, files_total)."""
+    exactly. Returns (df, files_kept, files_total).
+
+    ``_resolved`` — an already-resolved (files, stats, schema) triple
+    for the SAME version, so a caller that consulted the log for its
+    own routing (serve_range reads stats coverage) doesn't pay the
+    checkpoint-load + tail-replay twice on the serving path."""
     from pyspark.sql import functions as F
 
-    files = snapshot_files(table_dir, version=version)
+    if _resolved is not None:
+        files, stats, schema = _resolved
+    else:
+        files = snapshot_files(table_dir, version=version)
+        stats = snapshot_file_stats(table_dir, version=version)
+        # plan under the COMMITTED snapshot schema exactly like
+        # read_snapshot: after an additive evolution the kept files may
+        # predate a column, and letting Spark sample a footer would
+        # make evolved columns silently vanish from the pruned result —
+        # the "equals the plain filtered snapshot scan" contract breaks
+        schema = snapshot_schema(table_dir, version=version)
     if not files:
         # mirror read_snapshot's explicit error rather than letting a
         # zero-path parquet read raise something unrelated
         raise ValueError(
             f"snapshot {version!r} of {table_dir} has no data files"
         )
-    stats = snapshot_file_stats(table_dir, version=version)
-    # plan under the COMMITTED snapshot schema exactly like
-    # read_snapshot: after an additive evolution the kept files may
-    # predate a column, and letting Spark sample a footer would make
-    # evolved columns silently vanish from the pruned result — the
-    # "equals the plain filtered snapshot scan" contract would break
-    schema = snapshot_schema(table_dir, version=version)
     reader = spark.read if schema is None else spark.read.schema(schema)
     kept = []
     for p in files:
@@ -1213,10 +1222,18 @@ def manifest_published(
     _MANIFEST_CACHE[manifest_dir] = (ident, latest, per_v)
     upto_v = latest if upto is None else upto
     out: dict[str, list[int]] = {}
+    seen: dict[str, set] = {}
     for v in sorted(per_v):
         if v > upto_v:
             break
         for name, tv in per_v[v].items():
+            # a batch with no delta for one member may legally re-pin
+            # that member's current version; de-duplicate here so
+            # read_published never scans (and double-counts) the same
+            # version's files twice
+            if tv in seen.setdefault(name, set()):
+                continue
+            seen[name].add(tv)
             out.setdefault(name, []).append(tv)
     return out
 

@@ -256,6 +256,13 @@ def make_routed_cdc_sink(
                 need_schema = tl.snapshot_schema(table_dir) is None
         elif base_v != last_v:
             bpf = layout_buckets_per_file(table_dir)
+            # a FOREIGN commit (e.g. a deliberate manual
+            # compact_warehouse) starts a new layout epoch: hysteresis
+            # evidence gathered under the old layout must not count
+            # toward re-fining the new one — without this reset, one
+            # trickle after a minutes-old manual coarsening could pay
+            # a whole-table refine and silently undo it
+            part_streak = 0
         last_v = base_v
         meta = (
             {"bucket": {"key": key_col, "n": int(n_buckets)}}

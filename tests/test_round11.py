@@ -407,7 +407,13 @@ def test_maintained_index_crash_interleave_loses_no_pairs(
 
     # simulate T1 dying after its sigs+buckets appends, before its
     # manifest publish: the tagged appends are DANGLERS — no manifest
-    # entry references them, so no chain reader or rerun consults them
+    # entry references them, so no chain reader or rerun consults
+    # them. A real crash state always has the manifest-init commit
+    # (it is born BEFORE the chain's first appends), so the
+    # simulation creates it too — without it the appends would trip
+    # the pre-manifest legacy-index guard, by design
+    tl.commit(os.path.join(ix, "manifest"), op="manifest-init",
+              base_version=None)
     sigs = minhash_signatures_portable(docs, "doc_id", "text", num_perm=64)
     tl.append(sigs, os.path.join(ix, "signatures"), op="neardup-batch-t1")
     tl.append(
@@ -769,3 +775,80 @@ def test_op_ledger_catches_byte_identical_head_rebuild(spark, tmp_path):
     # head entry (op C, pairs: 1) is byte-identical across
     # incarnations; the ledger must reflect the NEW one
     assert _op_ledger(man) == {"B", "C"}
+
+
+def test_maintain_index_rejects_pre_manifest_tables(spark, tmp_path):
+    """A populated member table with NO manifest is a pre-manifest (or
+    foreign) index whose history the protocol cannot see — proceeding
+    would silently treat the corpus as empty. Must fail loudly; a
+    normal chain (manifest init born before the first appends) is
+    unaffected."""
+    from candy_store_etl_spark.operators.dedup import (
+        maintain_neardup_index,
+    )
+
+    ix = str(tmp_path / "legacy")
+    # a round-10-style index: member table exists, no manifest
+    tl.append(
+        spark.createDataFrame(
+            [(1, "sig")], "id long, signature string"
+        ),
+        os.path.join(ix, "signatures"),
+        op="neardup-batch-old",
+    )
+    docs = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="predates"):
+        maintain_neardup_index(spark, docs, ix, batch_tag="new")
+    # fresh chain: init + publish works, manifest carries the init op
+    ix2 = str(tmp_path / "fresh")
+    assert maintain_neardup_index(spark, docs, ix2, batch_tag="b0")
+    ops = {
+        e["op"]
+        for e in tl.log_entries(os.path.join(ix2, "manifest"))
+    }
+    assert ops == {"manifest-init", "neardup-batch-b0"}
+
+
+def test_manifest_republished_version_dedupes(spark, tmp_path):
+    """A batch with no delta for one member may re-pin that member's
+    current version; read_published must not scan (and double-count)
+    the same version's files twice."""
+    man = str(tmp_path / "man")
+    t = str(tmp_path / "t")
+    v0 = tl.append(spark.range(3).selectExpr("id AS k"), t)
+    tl.manifest_publish(man, {"t": v0}, op="b0", base_version=None)
+    tl.manifest_publish(man, {"t": v0}, op="b1", base_version=0)  # re-pin
+    pub = tl.manifest_published(man)
+    assert pub == {"t": [v0]}
+    rows = tl.read_published(spark, t, pub["t"]).count()
+    assert rows == 3  # not 6
+
+
+def test_refine_streak_resets_on_foreign_commit(spark, tmp_path):
+    """A foreign commit (a deliberate manual compact_warehouse) starts
+    a new layout epoch: hysteresis evidence from the old layout must
+    not count, or one trickle after the manual coarsening would pay a
+    whole-table refine and silently undo it."""
+    from candy_store_etl_spark.streaming.cdc import compact_warehouse
+
+    table = str(tmp_path / "w")
+    metrics = []
+    sink = _routed_sink(table, metrics, bulk_files=8, refine_after=2)
+    sink(_cdc_events(spark, [(u, 1.0) for u in range(200)]), 0)  # seed
+    sink(_cdc_events(spark, [(u, 0.5) for u in range(200)]), 1)  # coarsen
+    sink(_cdc_events(spark, [(7, 2.0)]), 2)  # trickle: streak 1
+    # operator coarsens MANUALLY mid-stream (foreign commit)
+    compact_warehouse(
+        spark, table, key_col="user_id", n_buckets=32, buckets_per_file=4
+    )
+    # next trickle would have tripped refine_after=2 without the reset
+    sink(_cdc_events(spark, [(9, 3.0)]), 3)
+    assert metrics[3]["route"] == "partitioned"
+    assert tl.layout_buckets_per_file(table) == 4  # manual layout kept
+    # with the streak restarted under the new epoch, refine needs two
+    # MORE consecutive trickles
+    sink(_cdc_events(spark, [(11, 4.0)]), 4)
+    assert metrics[4]["route"] == "refine"
+    assert tl.layout_buckets_per_file(table) == 1
