@@ -727,8 +727,9 @@ def serve(
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
-    schema = tl.snapshot_schema(table_dir, version=version)
-    files = tl.snapshot_files(table_dir, version=version)
+    # one resolve for the (files, schema) pair (stats unused here);
+    # bucket_spec/layout_buckets_per_file walk only layout entries
+    files, _, schema = tl.snapshot_resolved(table_dir, version=version)
     if schema is None:
         raise ValueError(
             f"{table_dir} has no committed schema — the stored probe "
@@ -793,6 +794,7 @@ def serve_range(
     *,
     version: int | None = None,
     coverage_threshold: float = 0.5,
+    record_routes: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The RANGE face of the serving front door — the probe shape the
     bucket layout CANNOT serve (hash bucketing scatters ranges), so
@@ -823,13 +825,12 @@ def serve_range(
     read once here), like every other serving face."""
     if version is None:
         version = tl.current_version(table_dir)
-    # ONE metadata resolve for the whole call: the same
-    # (files, stats, schema) triple drives the coverage decision here
-    # AND (passed through) the pruned reader — the serving path must
-    # not pay the checkpoint-load + tail-replay twice per probe
-    files = tl.snapshot_files(table_dir, version=version)
-    stats = tl.snapshot_file_stats(table_dir, version=version)
-    schema = tl.snapshot_schema(table_dir, version=version)
+    # ONE metadata resolve for the whole call (snapshot_resolved: a
+    # single checkpoint-load + tail-replay): the same (files, stats,
+    # schema) triple drives the coverage decision here AND (passed
+    # through) the pruned reader — chaining the three per-field
+    # accessors would pay the resolve three times per probe
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
     nonempty = [
         p
         for p in files
@@ -862,14 +863,266 @@ def serve_range(
         )
         info["route"] = "stats-pruned"
         info["files_scanned"] = kept
+        if record_routes:
+            _record_range_route(
+                table_dir, column, "stats-pruned", version
+            )
         return df, info
     info["route"] = "full-scan"
     info["files_scanned"] = len(files)
+    # the committed route ledger + hysteresis: low coverage stops
+    # being a docstring aside ("the signal to run compact") and
+    # becomes an actionable, polled hint once the workload has paid
+    # the full scan MAINTENANCE_FULL_SCAN_STREAK probes in a row
+    if record_routes:
+        _record_range_route(table_dir, column, "full-scan", version)
+        hint = maintenance_due(
+            table_dir, column, coverage_threshold=coverage_threshold
+        )
+        if hint["due"]:
+            info["maintenance_hint"] = hint["fix"]
     reader = spark.read if schema is None else spark.read.schema(schema)
     df = reader.parquet(*files).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )
     return df, info
+
+
+#: consecutive full-scan-routed range probes on one column before the
+#: serving layer flags the layout for maintenance — the same
+#: hysteresis shape as the CDC sink's refine_after: one cold probe is
+#: noise, a STREAK is the workload telling us the layout is wrong
+MAINTENANCE_FULL_SCAN_STREAK = 3
+
+#: bound on the ledger walk when computing a streak: the streak
+#: saturates at MAINTENANCE_FULL_SCAN_STREAK, so entries beyond a
+#: small window can never change the answer — the walk is O(window),
+#: never O(serving history)
+_LEDGER_WALK_WINDOW = 64
+
+
+def _serving_ledger_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_serving_log")
+
+
+def _record_range_route(
+    table_dir: str, column: str, route: str, version: int | None
+) -> None:
+    """Append one meta-only entry to the table's SERVING LEDGER — a
+    side table-log (``_serving_log/`` inside the table dir, no data
+    files) recording which route each range probe took, the
+    hysteresis evidence ``maintenance_due`` folds. A separate log so
+    serving reads never contend with the table's own writers on the
+    main log's optimistic concurrency."""
+    ledger = _serving_ledger_dir(table_dir)
+
+    def derive(base: int | None) -> dict:
+        return {
+            "add": [],
+            "op": "serve-route",
+            "meta": {
+                "column": column,
+                "route": route,
+                "layout_version": version,
+            },
+        }
+
+    tl.commit_with_retry(ledger, derive)
+
+
+def _route_streak(table_dir: str, column: str) -> int:
+    """Trailing consecutive ``full-scan`` routes for ``column`` in the
+    serving ledger (a ``stats-pruned`` entry for the SAME column
+    resets it; other columns' probes are transparent). Walks newest-
+    first and stops at the streak target or the walk window — O(1) in
+    serving history."""
+    ledger = _serving_ledger_dir(table_dir)
+    latest = tl.current_version(ledger)
+    if latest is None:
+        return 0
+    streak = 0
+    lo = max(0, latest - _LEDGER_WALK_WINDOW)
+    for v in range(latest, lo - 1, -1):
+        entry = tl._read_entry(ledger, v)
+        if entry.get("op") != "serve-route":
+            continue
+        meta = entry.get("meta") or {}
+        if meta.get("column") != column:
+            continue
+        if meta.get("route") != "full-scan":
+            break
+        streak += 1
+        if streak >= MAINTENANCE_FULL_SCAN_STREAK:
+            break
+    return streak
+
+
+def maintenance_due(
+    table_dir: str,
+    column: str,
+    *,
+    coverage_threshold: float = 0.5,
+    streak: int = MAINTENANCE_FULL_SCAN_STREAK,
+) -> dict:
+    """The ACTIONABLE side of serve_range's ``full-scan`` route: True
+    when the serving ledger shows ``streak`` consecutive full-scan-
+    routed range probes on ``column`` AND the current snapshot's
+    committed-stats coverage for it is still below
+    ``coverage_threshold`` — i.e. the workload keeps paying for a
+    layout the log cannot prune, and nobody has fixed it yet. Running
+    ``compact(table_dir, sort_by=column, stats_cols=[column])``
+    raises the coverage, which clears the hint IMMEDIATELY (no need
+    to wait for the next probe to re-route). Poll this from the
+    orchestration layer the way deployments schedule OPTIMIZE."""
+    files, stats, _ = tl.snapshot_resolved(table_dir)
+    nonempty = [
+        p
+        for p in files
+        if stats.get(os.path.basename(p), {}).get("rows") != 0
+    ]
+    covered = [
+        p
+        for p in nonempty
+        if column in stats.get(os.path.basename(p), {}).get("cols", {})
+    ]
+    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    got = _route_streak(table_dir, column)
+    due = got >= streak and coverage < coverage_threshold
+    return {
+        "due": due,
+        "full_scan_streak": got,
+        "stats_coverage": round(coverage, 3),
+        "fix": (
+            f"compact(table_dir, sort_by={column!r}, "
+            f"stats_cols=[{column!r}])"
+        ),
+    }
+
+
+def serve_range_batch(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    ranges: list[tuple],
+    *,
+    version: int | None = None,
+    coverage_threshold: float = 0.5,
+    record_routes: bool = True,
+) -> tuple[DataFrame, dict]:
+    """N range probes amortized over ONE metadata resolve and ONE
+    scan — the batch face of ``serve_range``, the same amortization
+    ``ann_ivf_index_batch`` applies to IVF probes: per-probe planning
+    cost is what kills a serving tier at high QPS, so a batch of
+    probes must pay the checkpoint-load + tail-replay once, union the
+    per-range kept-file lists from that single resolved stats triple,
+    scan the union once, and tag rows by range id.
+
+    ``ranges`` is a list of (lo, hi); the result carries every base
+    column plus ``range_id`` (the 0-based position in ``ranges``) —
+    a row matching k ranges appears k times, once per matching id
+    (exactly the union of the per-range ``serve_range`` results).
+    The tagging join broadcasts the tiny (range_id, lo, hi) relation
+    against the one scan.
+
+    ``info`` carries the route, ``files_scanned`` (the union's size),
+    ``files_total``, ``stats_coverage``, and
+    ``files_scanned_per_probe_sum`` — what N independent
+    ``serve_range`` calls would have opened in total; the gap between
+    the two is the amortization evidence the regime query
+    hash-checks. Routes mirror ``serve_range``: ``stats-pruned`` when
+    coverage clears the threshold (each range prunes independently,
+    union of survivors scanned once), else ``full-scan``. Each batch
+    records ONE ledger entry per route decision (not N), so the
+    maintenance hysteresis sees batch probes as one workload event."""
+    if not ranges:
+        raise ValueError("serve_range_batch: empty ranges list")
+    if version is None:
+        version = tl.current_version(table_dir)
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
+    nonempty = [
+        p
+        for p in files
+        if stats.get(os.path.basename(p), {}).get("rows") != 0
+    ]
+    covered = [
+        p
+        for p in nonempty
+        if column in stats.get(os.path.basename(p), {}).get("cols", {})
+    ]
+    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    info: dict = {
+        "files_total": len(files),
+        "stats_coverage": round(coverage, 3),
+        "n_ranges": len(ranges),
+    }
+    range_rows = [
+        (i, lo, hi) for i, (lo, hi) in enumerate(ranges)
+    ]
+
+    def _tag(scan: DataFrame) -> DataFrame:
+        rng = spark.createDataFrame(
+            range_rows, ["range_id", "_lo", "_hi"]
+        )
+        return (
+            scan.join(
+                F.broadcast(rng),
+                (F.col(column) >= F.col("_lo"))
+                & (F.col(column) <= F.col("_hi")),
+            )
+            .drop("_lo", "_hi")
+        )
+
+    if not files:
+        if schema is None:
+            raise ValueError(
+                f"{table_dir} is empty with no committed schema — "
+                "nothing to shape the result"
+            )
+        info["route"] = "full-scan"
+        info["files_scanned"] = 0
+        info["files_scanned_per_probe_sum"] = 0
+        from pyspark.sql.types import IntegerType
+
+        empty = spark.createDataFrame([], schema).withColumn(
+            "range_id", F.lit(None).cast(IntegerType())
+        )
+        return empty, info
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    if coverage >= coverage_threshold:
+        union: dict[str, None] = {}
+        per_probe_sum = 0
+        for _, lo, hi in range_rows:
+            for p in files:
+                entry = stats.get(os.path.basename(p), {})
+                if entry.get("rows") == 0:
+                    continue
+                st = entry.get("cols", {}).get(column)
+                if st is None or (st["min"] <= hi and st["max"] >= lo):
+                    union[p] = None
+                    per_probe_sum += 1
+        info["route"] = "stats-pruned"
+        info["files_scanned"] = len(union)
+        info["files_scanned_per_probe_sum"] = per_probe_sum
+        if record_routes:
+            _record_range_route(
+                table_dir, column, "stats-pruned", version
+            )
+        if not union:
+            scan = reader.parquet(files[0]).filter(F.lit(False))
+        else:
+            scan = reader.parquet(*union)
+        return _tag(scan), info
+    info["route"] = "full-scan"
+    info["files_scanned"] = len(files)
+    info["files_scanned_per_probe_sum"] = len(files) * len(ranges)
+    if record_routes:
+        _record_range_route(table_dir, column, "full-scan", version)
+        hint = maintenance_due(
+            table_dir, column, coverage_threshold=coverage_threshold
+        )
+        if hint["due"]:
+            info["maintenance_hint"] = hint["fix"]
+    return _tag(reader.parquet(*files)), info
 
 
 def _agg_out_fields(

@@ -645,6 +645,15 @@ def simhash_neardup_pairs(
 #: incarnation's ledger and silently skip a real ingest.
 _OP_LEDGER_CACHE: dict[str, tuple[tuple, int, set]] = {}
 
+#: maintained-index probe prunes collect the batch's distinct probe
+#: keys (bucket values; candidate-pair ids) to plan the published
+#: read from the commits' per-file stats. Above this many values the
+#: collect is skipped and the read stays unpruned — the saturated
+#: regime, where the probe would touch most files anyway. 100k short
+#: strings ≈ a few MB on the driver: probe-key-sized by the same
+#: standard as the IVF centroids and serve() keysets.
+_PROBE_VALUES_CAP = 100_000
+
 
 def _op_ledger(table_dir: str) -> set:
     from ..sources import table_log as tl
@@ -678,6 +687,7 @@ def maintain_neardup_index(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.4,
+    info: dict | None = None,
 ) -> bool:
     """Append-only MAINTAINED MinHash-LSH index over a growing corpus
     — the incremental form of ``minhash_dedup_pairs``: signatures are
@@ -729,7 +739,26 @@ def maintain_neardup_index(
     - re-ingesting an already-published document id under a NEW
       ``batch_tag`` raises ``ValueError`` before anything lands
       (duplicate signature rows would multiply pair rows through the
-      similarity join); a crash rerun must reuse the original tag.
+      similarity join); a crash rerun must reuse the original tag —
+      and a batch carrying the same id TWICE fails the same way
+      before its first append, independent of history.
+
+    Published-read pruning: each batch's member files are range-
+    clustered (signatures on id, buckets on bucket) with [min, max]
+    committed per file, so the increment's probes plan from the log —
+    the clash guard opens only signature files intersecting the
+    batch's id range, the bucket-collision probe only files whose
+    bucket range meets the batch's bucket set, and the similarity
+    join only signature files holding candidate-pair ids (candidate-
+    sized, never corpus-sized). Pass ``info={}`` to get the pruning
+    evidence back (``*_files_scanned`` / ``*_files_total``; -1 =
+    prune skipped above ``_PROBE_VALUES_CAP``). Pre-pruning chains
+    (no committed stats) stay correct: stats-less files are always
+    kept.
+
+    Danglers (a crashed batch's partial appends, a publish-race
+    loser's stale pairs) are invisible but accrete on disk;
+    ``table_log.manifest_vacuum`` is the reclamation path.
     """
     import os
 
@@ -765,17 +794,67 @@ def maintain_neardup_index(
                     "the index from the raw documents, or drop the "
                     "member tables."
                 )
-        try:
-            tl.commit(man_dir, op="manifest-init", base_version=None)
-        except tl.ConcurrentCommitError:
-            pass  # a racing first ingest init'd it — same outcome
+        # manifest_init embeds a fresh incarnation token in v0 so the
+        # O(delta) caches keyed on incarnation_identity can tell two
+        # same-path rebuilds apart by CONTENT (the stat triple alone
+        # can collide: byte-identical v0s never differ in size, and
+        # inode+mtime reuse is possible on a rapid rebuild)
+        tl.manifest_init(man_dir)
 
     sigs_b = minhash_signatures_portable(
         batch_docs, id_col, text_col, num_perm=num_perm
     ).transform(tracked_cache)
+    # a batch carrying the SAME doc id twice lands duplicate signature
+    # rows that multiply pair rows through the similarity join — the
+    # published-history clash guard below cannot see it (and is
+    # skipped entirely on the chain's first batch), so validate the
+    # batch against ITSELF, independent of history
+    dup = (
+        sigs_b.groupBy("id")
+        .count()
+        .filter(F.col("count") > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            f"maintain_neardup_index: batch '{batch_tag}' contains "
+            f"document id {dup[0][0]!r} more than once — duplicate "
+            "ids multiply pair rows through the similarity join. "
+            "Deduplicate the batch (exact_dedup) before ingesting."
+        )
+    n_docs = sigs_b.count()
     buckets_b = _band_buckets_portable(
         sigs_b, num_perm=num_perm, bands=bands
     ).transform(tracked_cache)
+    # probe keys for the published-index prune: the batch's distinct
+    # bucket values (and, for the clash guard, its id range). Driver-
+    # sized by design ONLY for trickle-to-moderate batches — above the
+    # cap the collect is skipped and the probe reads stay unpruned
+    # (the saturated regime, where the probe touches most files
+    # anyway). Collected ONCE, outside the publish-retry loop.
+    bkt_probe: list | None = None
+    probe_rows = (
+        buckets_b.select("bucket")
+        .distinct()
+        .limit(_PROBE_VALUES_CAP + 1)
+        .collect()
+    )
+    if len(probe_rows) <= _PROBE_VALUES_CAP:
+        bkt_probe = [r[0] for r in probe_rows]
+    del probe_rows
+    id_lo, id_hi = (
+        sigs_b.agg(F.min("id"), F.max("id")).first()
+        if n_docs
+        else (None, None)
+    )
+    # each version's files are range-clustered on the probe column at
+    # write time (and their [min, max] committed via stats_cols) so
+    # read_published_pruned has ranges narrow enough to have teeth —
+    # hash-distributed values sprayed across every file prune nothing
+    sig_files = max(1, min(16, n_docs // 20_000 + 1))
+    bkt_files = max(1, min(32, n_docs * bands // 100_000 + 1))
+    sigs_w = sigs_b.repartitionByRange(sig_files, "id")
+    buckets_w = buckets_b.repartitionByRange(bkt_files, "bucket")
 
     appended: dict[str, int] | None = None  # sigs/buckets land once
     for attempt in range(5):
@@ -789,14 +868,24 @@ def maintain_neardup_index(
             return False
         pub = tl.manifest_published(man_dir, upto=base)
         sig_vs = pub.get("signatures", [])
-        if sig_vs:
-            sigs_hist = tl.read_published(spark, sig_dir, sig_vs)
+        if sig_vs and n_docs:
             # fail LOUDLY on re-ingest of already-published ids under
             # a new batch_tag — a crash rerun of THIS batch never gets
             # here with published duplicates (its tag short-circuits
-            # above), so any overlap is a genuinely foreign re-ingest
+            # above), so any overlap is a genuinely foreign re-ingest.
+            # The history read is PRUNED to the batch's id range from
+            # the commits' per-file stats: any clash id lies inside
+            # [id_lo, id_hi] by definition, so files outside it can
+            # never witness one — with monotonic-ish ingest ids this
+            # opens O(1) files instead of the corpus
+            clash_hist, ck, ct = tl.read_published_pruned(
+                spark, sig_dir, sig_vs, "id", lo=id_lo, hi=id_hi
+            )
+            if info is not None:
+                info["clash_sig_files_scanned"] = ck
+                info["sig_files_total"] = ct
             clash = (
-                sigs_hist.select("id")
+                clash_hist.select("id")
                 .join(F.broadcast(sigs_b.select("id")), "id", "semi")
                 .take(1)
             )
@@ -809,14 +898,26 @@ def maintain_neardup_index(
                     "multiply pair rows. Ingest only new documents (a "
                     "crash rerun must reuse the original batch_tag)."
                 )
-            sigs_all = sigs_hist.select("id", "signature").unionByName(
-                sigs_b.select("id", "signature")
-            )
-            all_bkts = tl.read_published(
-                spark, bkt_dir, pub.get("buckets", [])
-            ).unionByName(buckets_b)
+            # the bucket-collision probe only needs history rows whose
+            # bucket VALUE appears in the batch — prune the published
+            # read to the batch's bucket set (superset per kept file;
+            # the equi-join is the residual). Unpruned above the
+            # probe-cap (saturated batches touch most files anyway).
+            bkt_vs = pub.get("buckets", [])
+            if bkt_probe is not None:
+                hist_bkts, bk, bt = tl.read_published_pruned(
+                    spark, bkt_dir, bkt_vs, "bucket", values=bkt_probe
+                )
+            else:
+                hist_bkts = tl.read_published(spark, bkt_dir, bkt_vs)
+                bk = bt = -1
+            if info is not None:
+                info["bkt_files_scanned"] = bk
+                info["bkt_files_total"] = bt
+            all_bkts = hist_bkts.unionByName(buckets_b)
+            have_hist = True
         else:
-            sigs_all = sigs_b
+            have_hist = False
             all_bkts = buckets_b
         # probe side = the BATCH's buckets; build side = the PUBLISHED
         # index plus the batch itself (new-vs-history and new-vs-new
@@ -835,7 +936,35 @@ def maintain_neardup_index(
                 F.greatest("a.id", "b.id").alias("id_b"),
             )
             .distinct()
+            .transform(tracked_cache)  # reused: id collect + similarity
         )
+        if have_hist:
+            # the similarity join needs history signatures ONLY for
+            # ids that appear in a candidate pair (bucket-mates of the
+            # batch) — a candidate-sized set, NOT the corpus. Prune
+            # the published signatures read to those ids; above the
+            # cap fall back to the full published read
+            cand_ids = (
+                cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct()
+                .limit(_PROBE_VALUES_CAP + 1)
+                .collect()
+            )
+            if len(cand_ids) <= _PROBE_VALUES_CAP:
+                sigs_hist, sk, st = tl.read_published_pruned(
+                    spark, sig_dir, sig_vs, "id",
+                    values=[r[0] for r in cand_ids],
+                )
+            else:
+                sigs_hist, sk = tl.read_published(spark, sig_dir, sig_vs), -1
+            if info is not None:
+                info["sim_sig_files_scanned"] = sk
+            sigs_all = sigs_hist.select("id", "signature").unionByName(
+                sigs_b.select("id", "signature")
+            )
+        else:
+            sigs_all = sigs_b
         pairs_b = (
             minhash_similarity(cands, sigs_all)
             .filter(F.col("est_jaccard") >= threshold)
@@ -847,8 +976,12 @@ def maintain_neardup_index(
             # only the pairs relation depends on the manifest snapshot
             # and must re-derive per publish attempt
             appended = {
-                "signatures": tl.append(sigs_b, sig_dir, op=op),
-                "buckets": tl.append(buckets_b, bkt_dir, op=op),
+                "signatures": tl.append(
+                    sigs_w, sig_dir, op=op, stats_cols=["id"]
+                ),
+                "buckets": tl.append(
+                    buckets_w, bkt_dir, op=op, stats_cols=["bucket"]
+                ),
             }
         versions = {
             **appended,

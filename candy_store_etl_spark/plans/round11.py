@@ -780,7 +780,10 @@ def serve_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ensure_scratch(root, _build, _intact)
-    df, info = serve_range(spark, t, "doc_id", 10, 40)
+    # record_routes=False: regime fixtures are SHARED scratch and must
+    # stay byte-stable across runs — the ledger belongs to real serving
+    # tables, not to a route-decision oracle
+    df, info = serve_range(spark, t, "doc_id", 10, 40, record_routes=False)
     return _range_rollup(df, info)
 
 
@@ -822,7 +825,10 @@ def serve_range_fullscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ensure_scratch(root, _build, _intact)
-    df, info = serve_range(spark, t, "doc_id", 10, 40)
+    # record_routes=False: regime fixtures are SHARED scratch and must
+    # stay byte-stable across runs — the ledger belongs to real serving
+    # tables, not to a route-decision oracle
+    df, info = serve_range(spark, t, "doc_id", 10, 40, record_routes=False)
     return _range_rollup(df, info)
 
 

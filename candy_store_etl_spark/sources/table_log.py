@@ -979,6 +979,30 @@ def snapshot_file_stats(
     return {n: stats[n] for n in live if n in stats}
 
 
+def snapshot_resolved(
+    table_dir: str, *, version: int | None = None
+) -> tuple[list[str], dict[str, dict], object]:
+    """ONE log resolution returning the (files, stats, schema) triple
+    every serving-path router needs — sorted absolute file paths,
+    name -> stats entry for the live files, and the committed schema
+    as a ``StructType`` (or None). Callers that previously chained
+    ``snapshot_files`` + ``snapshot_file_stats`` + ``snapshot_schema``
+    paid the checkpoint-load + tail-replay THREE times per probe; this
+    pays it once and the triple feeds straight into
+    ``read_snapshot_pruned(_resolved=...)``."""
+    from pyspark.sql.types import StructType
+
+    live, stats, schema, _, _ = _resolve_snapshot(table_dir, version)
+    files = sorted(os.path.join(table_dir, f) for f in live)
+    return (
+        files,
+        {n: stats[n] for n in live if n in stats},
+        None
+        if schema is None
+        else StructType.fromJson(json.loads(schema)),
+    )
+
+
 def read_snapshot_pruned(
     spark: SparkSession,
     table_dir: str,
@@ -1173,20 +1197,60 @@ def manifest_publish(
 
 def incarnation_identity(table_dir: str) -> tuple | None:
     """A table-log INCARNATION identity: the stat triple (inode,
-    mtime_ns, size) of the v0 commit file, which every same-path
-    rebuild rewrites. In-process incremental caches over a log
-    (``manifest_published``, ``operators/dedup._op_ledger``) must key
-    their validity on this, NOT on entry content: commit entries are
-    not unique across incarnations (a manifest entry is data-file-less
-    — op + member version ints only — and even a data table's entry
-    can be an empty ledger-only commit), so a rebuild replaying the
-    same tags produces byte-identical entries while publishing
-    entirely different history. None = no v0 commit exists."""
+    mtime_ns, size) of the v0 commit file PLUS a digest of its bytes.
+    In-process incremental caches over a log (``manifest_published``,
+    ``operators/dedup._op_ledger``) must key their validity on this,
+    NOT on entry content alone: commit entries are not unique across
+    incarnations (a manifest entry is data-file-less — op + member
+    version ints only — and even a data table's entry can be an empty
+    ledger-only commit), so a rebuild replaying the same tags produces
+    byte-identical entries while publishing entirely different
+    history. The stat triple alone is ALSO insufficient for file-less
+    logs: a byte-identical v0 never differs in size, and inode reuse
+    plus coarse kernel timestamp granularity can collide a rapid
+    same-path rebuild — so writers that create cache-keyed logs embed
+    a fresh random token in the v0 commit (``manifest_init``) and the
+    digest here picks it up. Reading v0 per ask is cheap: it is one
+    tiny JSON that never changes within an incarnation. None = no v0
+    commit exists."""
+    import hashlib
+
+    path = _version_path(table_dir, 0)
     try:
-        st = os.stat(_version_path(table_dir, 0))
+        st = os.stat(path)
+        with open(path, "rb") as f:
+            payload = f.read()
     except OSError:
         return None
-    return (st.st_ino, st.st_mtime_ns, st.st_size)
+    return (
+        st.st_ino,
+        st.st_mtime_ns,
+        st.st_size,
+        hashlib.sha1(payload).hexdigest(),
+    )
+
+
+def manifest_init(manifest_dir: str) -> None:
+    """Create a manifest's v0 commit if absent — with a fresh random
+    ``incarnation`` token in the entry meta, so two incarnations of
+    the same manifest path are NEVER byte-identical and
+    ``incarnation_identity`` distinguishes them by content, not just
+    by inode/mtime (see its docstring for why the stat triple alone
+    can collide on a file-less log). Racing initializers are fine:
+    exactly one v0 wins, both proceed against it."""
+    import uuid
+
+    if current_version(manifest_dir) is not None:
+        return
+    try:
+        commit(
+            manifest_dir,
+            op="manifest-init",
+            base_version=None,
+            meta={"incarnation": uuid.uuid4().hex},
+        )
+    except ConcurrentCommitError:
+        pass  # a racing initializer won — same outcome
 
 
 #: (manifest_dir) -> (incarnation identity, newest version folded,
@@ -1267,3 +1331,175 @@ def read_published(
         return spark.createDataFrame([], schema)
     reader = spark.read if schema is None else spark.read.schema(schema)
     return reader.parquet(*files)
+
+
+def read_published_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    versions: list[int],
+    column: str,
+    *,
+    values: list | None = None,
+    lo=None,
+    hi=None,
+) -> tuple[DataFrame, int, int]:
+    """``read_published`` planned from the per-version COMMITTED file
+    stats (``append(..., stats_cols=[column])`` records them): a file
+    whose committed [min, max] for ``column`` cannot contain any probe
+    value is never opened. Two probe shapes:
+
+    - ``values=[...]`` — an equality-probe set (e.g. the batch's
+      distinct LSH buckets, a candidate set's partner ids): a file is
+      kept iff some probe value falls inside its [min, max] (binary
+      search over the sorted probe list). The result is a file-pruned
+      SUPERSET of the matching published rows — kept files carry all
+      their rows; the caller's own join/filter is the residual. That
+      is exactly the contract an equi-join probe needs (pruning may
+      only ever ADD non-matching rows, never drop matches).
+    - ``lo=..., hi=...`` — a range probe: files kept on interval
+      overlap and the residual ``column BETWEEN lo AND hi`` applied,
+      so the result EQUALS ``read_published(...).filter(range)``
+      exactly (``read_snapshot_pruned``'s lossless contract).
+
+    Files without committed stats for ``column`` are always kept
+    (lossless), committed-empty files always skipped. Returns
+    ``(df, files_kept, files_total)``. The prune only has teeth when
+    the writer range-clustered each version's files on ``column``
+    (sort/repartitionByRange before ``append``) — hash-distributed
+    values spread every file across the whole key space and nothing
+    prunes; the maintained near-dup chain clusters its members for
+    exactly this reason."""
+    import bisect
+
+    if not versions:
+        raise ValueError(
+            f"read_published_pruned({table_dir}): empty version list — "
+            "guard at the call site (an unseeded chain has nothing to "
+            "read)"
+        )
+    if (values is None) == (lo is None and hi is None):
+        raise ValueError("pass exactly one of values= or lo=/hi=")
+    probe = sorted(set(values)) if values is not None else None
+
+    def _keep(entry: dict) -> bool:
+        if entry.get("rows") == 0:
+            return False
+        st = entry.get("cols", {}).get(column)
+        if st is None:
+            return True  # no committed stats: lossless keep
+        if probe is not None:
+            # any probe value inside [min, max]? bisect the sorted
+            # probe list for the first value >= min, keep if it also
+            # <= max — O(log |probe|) per file
+            i = bisect.bisect_left(probe, st["min"])
+            return i < len(probe) and probe[i] <= st["max"]
+        return st["min"] <= hi and st["max"] >= lo
+
+    files: list[str] = []
+    kept: list[str] = []
+    newest = max(versions)
+    for v in sorted(versions):
+        entry = _read_entry(table_dir, v)
+        stats = entry.get("stats") or {}
+        for n in entry["add"]:
+            p = os.path.join(table_dir, n)
+            files.append(p)
+            if _keep(stats.get(n, {})):
+                kept.append(p)
+    schema = snapshot_schema(table_dir, version=newest)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    if not kept:
+        if files:
+            # ONE file supplies the scan; the always-false filter
+            # keeps the result an (empty) subset of the published rows
+            from pyspark.sql import functions as F
+
+            return (
+                reader.parquet(files[0]).filter(F.lit(False)),
+                0,
+                len(files),
+            )
+        if schema is None:
+            raise ValueError(
+                f"published versions of {table_dir} added no files "
+                "and carry no committed schema to shape an empty "
+                "result"
+            )
+        return spark.createDataFrame([], schema), 0, 0
+    df = reader.parquet(*kept)
+    if probe is None:
+        from pyspark.sql import functions as F
+
+        df = df.filter((F.col(column) >= lo) & (F.col(column) <= hi))
+    return df, len(kept), len(files)
+
+
+def manifest_vacuum(
+    manifest_dir: str,
+    tables: dict[str, str],
+    *,
+    grace_seconds: float = VACUUM_GRACE_SECONDS,
+) -> dict[str, list[str]]:
+    """Collect the DANGLERS a manifest-published chain accretes: member
+    -table versions that added data files but are referenced by NO
+    manifest entry — a crashed batch's partial appends, or the losing
+    side of a publish race (its re-derived pairs land under a new
+    version; the stale one dangles forever). Danglers are invisible to
+    chain readers (``read_published`` resolves through the manifest)
+    but LIVE in the member tables' own snapshots, so plain ``vacuum``
+    never reclaims them — unbounded orphan growth under crash/retry
+    churn without this sweep.
+
+    For each member table (name -> dir): any version whose commit adds
+    files, is absent from the manifest's published list for that name,
+    and whose commit entry is older than ``grace_seconds`` (an
+    IN-FLIGHT batch's appends are unpublished too — the grace window
+    is what keeps this sweep safe to run concurrently with live
+    ingests) gets its files removed from the member snapshot in one
+    commit, then physically deleted via ``vacuum`` retained from that
+    commit. Layout-only entries (``dataChange: false``) are never
+    swept. Returns member name -> deleted file names. Call it the way
+    deployments schedule OPTIMIZE: periodically, or after a burst of
+    ``ConcurrentCommitError`` retries."""
+    pub = manifest_published(manifest_dir)
+    now = time.time()
+    out: dict[str, list[str]] = {}
+    for name, table_dir in tables.items():
+        published = set(pub.get(name, []))
+        dangling_files: list[str] = []
+        for entry in log_entries(table_dir):
+            v = entry["version"]
+            if v in published or not entry["add"]:
+                continue
+            if entry.get("dataChange") is False:
+                continue
+            try:
+                age = now - os.stat(_version_path(table_dir, v)).st_mtime
+            except OSError:
+                continue
+            if age < grace_seconds:
+                continue  # presumed in-flight: not yet published
+            dangling_files.extend(entry["add"])
+        if not dangling_files:
+            out[name] = []
+            continue
+        # one commit logically removes the danglers from the member
+        # snapshot (published versions' files all stay live), then the
+        # ordinary vacuum — retained from this commit so the dangler
+        # files stop being "live in an older snapshot" — reclaims them
+        live = {
+            os.path.basename(p) for p in snapshot_files(table_dir)
+        }
+        swept = commit(
+            table_dir,
+            remove=[n for n in dangling_files if n in live],
+            op="manifest-vacuum",
+            data_change=False,
+        )
+        deleted = vacuum(
+            table_dir,
+            retain_from_version=swept,
+            grace_seconds=grace_seconds,
+        )
+        out[name] = deleted
+    return out
