@@ -801,16 +801,15 @@ def maintain_neardup_index(
         # inode+mtime reuse is possible on a rapid rebuild)
         tl.manifest_init(man_dir)
 
-    sigs_b = minhash_signatures_portable(
-        batch_docs, id_col, text_col, num_perm=num_perm
-    ).transform(tracked_cache)
-    # a batch carrying the SAME doc id twice lands duplicate signature
-    # rows that multiply pair rows through the similarity join — the
-    # published-history clash guard below cannot see it (and is
+    # a batch carrying the SAME doc id twice must fail BEFORE anything
+    # lands: the signature pass groupBy(id)-collapses the duplicates,
+    # silently MERGING two documents' shingle sets into one bogus
+    # signature — corrupted similarity estimates rather than a loud
+    # error. The published-history clash guard cannot see it (and is
     # skipped entirely on the chain's first batch), so validate the
-    # batch against ITSELF, independent of history
+    # batch against ITSELF, on the raw rows, independent of history
     dup = (
-        sigs_b.groupBy("id")
+        batch_docs.groupBy(F.col(id_col))
         .count()
         .filter(F.col("count") > 1)
         .take(1)
@@ -818,10 +817,14 @@ def maintain_neardup_index(
     if dup:
         raise ValueError(
             f"maintain_neardup_index: batch '{batch_tag}' contains "
-            f"document id {dup[0][0]!r} more than once — duplicate "
-            "ids multiply pair rows through the similarity join. "
-            "Deduplicate the batch (exact_dedup) before ingesting."
+            f"document id {dup[0][0]!r} more than once — the signature "
+            "pass would silently merge the duplicates' shingles into "
+            "one corrupted signature. Deduplicate the batch "
+            "(exact_dedup) before ingesting."
         )
+    sigs_b = minhash_signatures_portable(
+        batch_docs, id_col, text_col, num_perm=num_perm
+    ).transform(tracked_cache)
     n_docs = sigs_b.count()
     buckets_b = _band_buckets_portable(
         sigs_b, num_perm=num_perm, bands=bands
