@@ -1,0 +1,235 @@
+"""Round-12 queries: the BATCH face of range serving (N probes
+amortized over one metadata resolve + one scan) and the stats-coverage
+maintenance loop made actionable (route-ledger hysteresis ->
+maintenance_due -> compact -> cleared), as oracled regime rows.
+
+Same router-oracle design rule as rounds 10/11 (``plans/round10.py``):
+fixtures pin each regime deep inside its region so the route is
+deterministic, the route/evidence flags are hash-checked output
+columns, and the VALUES next to them are recomputed by the oracle from
+the raw relations — a router that picks the wrong strategy, or a
+strategy that returns wrong rows, fails the same gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table_log as tl
+from ..sources.tpch import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# serve_range_batch: N range probes, ONE resolve, ONE union scan
+# ---------------------------------------------------------------------------
+
+#: all three ranges are non-empty at every driver SF (documents ids
+#: start at 0 and sf0.001 already has >45 docs), and the first two
+#: OVERLAP IN FILES on the 6-file clustered layout at every SF — the
+#: condition under which the batch face's union scan provably opens
+#: fewer files than three independent probes would
+_BATCH_RANGES = [(5, 20), (10, 30), (35, 45)]
+
+_BATCH_ORACLE = """
+SELECT CAST(r.range_id AS BIGINT) AS range_id,
+       'stats-pruned' AS route,
+       TRUE AS amortized,
+       TRUE AS pruned,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(d.doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(d.doc_id) AS BIGINT) AS max_id
+FROM (VALUES (0, 5, 20), (1, 10, 30), (2, 35, 45)) r(range_id, lo, hi)
+JOIN documents d ON d.doc_id BETWEEN r.lo AND r.hi
+GROUP BY r.range_id
+ORDER BY range_id
+"""
+
+
+@register(
+    "serve_range_batch_amortized",
+    oracle=_BATCH_ORACLE,
+    doc="serve_range_batch() over the range-clustered serving table: "
+    "three range probes pay ONE checkpoint-load + tail-replay and ONE "
+    "union scan (rows tagged by range_id through a broadcast range "
+    "join) instead of three resolves + three scans — the same "
+    "amortization ann_ivf_index_batch applies to IVF probes, and the "
+    "shape that matters at serving QPS. Hash-checked evidence columns: "
+    "route (stats-pruned — every live file carries committed [min, "
+    "max]), amortized (union files_scanned STRICTLY below the sum of "
+    "per-probe kept lists — the first two ranges share a file by "
+    "construction), pruned (union still below the live total). The "
+    "per-range aggregates are recomputed by the oracle from the raw "
+    "table via the same VALUES ranges, so a mis-tagged or lossy union "
+    "fails the gate.",
+    tags=("table_log", "serving", "router", "pruning", "batch"),
+)
+def serve_range_batch_amortized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import serve_range_batch
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    # same fixture recipe as serve_range_pruned (round 11) but its own
+    # scratch key: regime fixtures stay independently reclaimable
+    key = content_fingerprint(src, extra="serverange-sorted")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_srvrngb_{key}")
+    t = os.path.join(root, "docs")
+
+    def _intact(d: str) -> bool:
+        td = os.path.join(d, "docs")
+        if tl.current_version(td) != 1:  # v0 append + v1 compact
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(td))
+
+    def _build(stage: str) -> None:
+        td = os.path.join(stage, "docs")
+        tl.append(load_table(spark, sf_dir, "documents"), td)
+        tl.compact(
+            spark, td, target_files=6, sort_by="doc_id",
+            stats_cols=["doc_id"],
+        )
+
+    ensure_scratch(root, _build, _intact)
+    # record_routes=False: shared regime fixture stays byte-stable
+    df, info = serve_range_batch(
+        spark, t, "doc_id", _BATCH_RANGES, record_routes=False
+    )
+    return (
+        df.groupBy("range_id")
+        .agg(
+            F.lit(info["route"]).alias("route"),
+            F.lit(
+                info["files_scanned"]
+                < info["files_scanned_per_probe_sum"]
+            ).alias("amortized"),
+            F.lit(info["files_scanned"] < info["files_total"]).alias(
+                "pruned"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(
+            "range_id", "route", "amortized", "pruned",
+            "n_docs", "total_chars", "min_id", "max_id",
+        )
+        .orderBy("range_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The maintenance loop as a round trip: streak -> hint -> compact -> cleared
+# ---------------------------------------------------------------------------
+
+_MAINT_ORACLE = """
+WITH probe AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents WHERE doc_id BETWEEN 10 AND 40
+),
+full_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+)
+SELECT p.phase, p.route, p.due, p.streak, a.n_docs, a.total_chars
+FROM (VALUES
+        (CAST(1 AS BIGINT), 'full-scan',    FALSE, CAST(1 AS BIGINT), 'probe'),
+        (CAST(2 AS BIGINT), 'full-scan',    FALSE, CAST(2 AS BIGINT), 'probe'),
+        (CAST(3 AS BIGINT), 'full-scan',    TRUE,  CAST(3 AS BIGINT), 'probe'),
+        (CAST(4 AS BIGINT), 'maintenance',  FALSE, CAST(3 AS BIGINT), 'full'),
+        (CAST(5 AS BIGINT), 'stats-pruned', FALSE, CAST(0 AS BIGINT), 'probe')
+     ) p(phase, route, due, streak, agg_src)
+JOIN (
+  SELECT 'probe' AS agg_src, n_docs, total_chars FROM probe
+  UNION ALL
+  SELECT 'full', n_docs, total_chars FROM full_t
+) a USING (agg_src)
+ORDER BY p.phase
+"""
+
+
+@register(
+    "serve_range_maintenance_roundtrip",
+    oracle=_MAINT_ORACLE,
+    doc="The stats-coverage maintenance loop, closed and hash-checked "
+    "end-to-end: a stats-less table serves three identical range "
+    "probes, each FULL-SCAN-routed and recorded in the table's serving "
+    "ledger (a side table-log — reads never contend with the table's "
+    "writers); after the third, maintenance_due() trips (streak 3 AND "
+    "coverage still below threshold) and the probe's own info carries "
+    "the compact(sort_by, stats_cols) prescription. Phase 4 runs "
+    "exactly that compact: the hint clears IMMEDIATELY (coverage now "
+    "1.0 — no waiting for the next probe), verified against the FULL "
+    "table's aggregates. Phase 5 re-probes: route stats-pruned, ledger "
+    "streak reset to 0. Every phase row carries the route, the due "
+    "flag, the ledger streak, and aggregates the oracle recomputes "
+    "from the raw relation. The ephemeral per-run table makes the "
+    "ledger history deterministic at every SF and every rerun.",
+    tags=("table_log", "serving", "maintenance", "router"),
+)
+def serve_range_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import maintenance_due, serve_range
+
+    root = tempfile.mkdtemp(prefix="csetl_srvmnt_")
+    t = os.path.join(root, "docs")
+    rows = []
+    try:
+        tl.append(load_table(spark, sf_dir, "documents"), t)  # no stats
+        for phase in (1, 2, 3):
+            df, info = serve_range(spark, t, "doc_id", 10, 40)
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("c"),
+            ).first()
+            due = maintenance_due(t, "doc_id")
+            rows.append((
+                phase, info["route"], due["due"],
+                due["full_scan_streak"], agg["n"], agg["c"],
+            ))
+        # phase 3's own serving info must carry the prescription
+        assert "compact" in info.get("maintenance_hint", ""), info
+        tl.compact(
+            spark, t, target_files=6, sort_by="doc_id",
+            stats_cols=["doc_id"],
+        )
+        due = maintenance_due(t, "doc_id")
+        full = (
+            tl.read_snapshot(spark, t)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("c"),
+            )
+            .first()
+        )
+        rows.append((
+            4, "maintenance", due["due"], due["full_scan_streak"],
+            full["n"], full["c"],
+        ))
+        df, info = serve_range(spark, t, "doc_id", 10, 40)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("c"),
+        ).first()
+        due = maintenance_due(t, "doc_id")
+        rows.append((
+            5, info["route"], due["due"], due["full_scan_streak"],
+            agg["n"], agg["c"],
+        ))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "phase long, route string, due boolean, streak long, "
+        "n_docs long, total_chars long",
+    ).orderBy("phase")

@@ -120,7 +120,8 @@ def ensure_loaded() -> None:
     from . import round8  # noqa: F401  # new in round 8
     from . import round9  # noqa: F401
     from . import round10  # noqa: F401
-    from . import round11  # noqa: F401  # newest round's additions
+    from . import round11  # noqa: F401
+    from . import round12  # noqa: F401  # newest round's additions
 
     from .registry import QUERIES
 
