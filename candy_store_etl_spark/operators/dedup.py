@@ -834,22 +834,32 @@ def maintain_neardup_index(
     # sized by design ONLY for trickle-to-moderate batches — above the
     # cap the collect is skipped and the probe reads stay unpruned
     # (the saturated regime, where the probe touches most files
-    # anyway). Collected ONCE, outside the publish-retry loop.
-    bkt_probe: list | None = None
-    probe_rows = (
-        buckets_b.select("bucket")
-        .distinct()
-        .limit(_PROBE_VALUES_CAP + 1)
-        .collect()
-    )
-    if len(probe_rows) <= _PROBE_VALUES_CAP:
-        bkt_probe = [r[0] for r in probe_rows]
-    del probe_rows
-    id_lo, id_hi = (
-        sigs_b.agg(F.min("id"), F.max("id")).first()
-        if n_docs
-        else (None, None)
-    )
+    # anyway). Memoized, computed only when published history exists —
+    # a chain's SEED batch (no history, often its largest) must not
+    # pay a probe-key collect it can never use.
+    _probe_memo: dict = {}
+
+    def _bkt_probe() -> list | None:
+        if "bkt" not in _probe_memo:
+            rows = (
+                buckets_b.select("bucket")
+                .distinct()
+                .limit(_PROBE_VALUES_CAP + 1)
+                .collect()
+            )
+            _probe_memo["bkt"] = (
+                [r[0] for r in rows]
+                if len(rows) <= _PROBE_VALUES_CAP
+                else None
+            )
+        return _probe_memo["bkt"]
+
+    def _id_range() -> tuple:
+        if "ids" not in _probe_memo:
+            _probe_memo["ids"] = tuple(
+                sigs_b.agg(F.min("id"), F.max("id")).first()
+            )
+        return _probe_memo["ids"]
     # each version's files are range-clustered on the probe column at
     # write time (and their [min, max] committed via stats_cols) so
     # read_published_pruned has ranges narrow enough to have teeth —
@@ -881,6 +891,7 @@ def maintain_neardup_index(
             # [id_lo, id_hi] by definition, so files outside it can
             # never witness one — with monotonic-ish ingest ids this
             # opens O(1) files instead of the corpus
+            id_lo, id_hi = _id_range()
             clash_hist, ck, ct = tl.read_published_pruned(
                 spark, sig_dir, sig_vs, "id", lo=id_lo, hi=id_hi
             )
@@ -907,6 +918,7 @@ def maintain_neardup_index(
             # the equi-join is the residual). Unpruned above the
             # probe-cap (saturated batches touch most files anyway).
             bkt_vs = pub.get("buckets", [])
+            bkt_probe = _bkt_probe()
             if bkt_probe is not None:
                 hist_bkts, bk, bt = tl.read_published_pruned(
                     spark, bkt_dir, bkt_vs, "bucket", values=bkt_probe
