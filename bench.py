@@ -132,6 +132,13 @@ HEADLINE = [
     # log-resolved route readback + merged-totals aggregate)
     "serve_range_pruned",
     "cdc_refine_roundtrip",
+    # round-13 additions (driver round 12): the BATCH face of range
+    # serving (3 probes amortized over one resolve + one union scan
+    # on the shared range-clustered scratch table) — the maintenance
+    # roundtrip query is deliberately NOT benched: it builds and
+    # compacts an ephemeral table per run, so its time measures
+    # fixture construction, not a serving-path query
+    "serve_range_batch_amortized",
 ]
 
 

