@@ -182,7 +182,10 @@ def main() -> None:
         "against the persisted index, pruned to the batch's probe "
         "keys via the commits' per-file stats). One untimed session "
         "warm-up index plus one untimed warm batch per "
-        f"history size; min of 3 timed batches (ambient load "
+        f"history size, each row measured in its OWN Spark session "
+        "(a long-lived session accumulates state that inflates late "
+        "rows; see NOTES round-12 forensics); min of 3 timed batches "
+        "(ambient load "
         f"{ambient:.2f}). A re-signature path would scale with H; the "
         "maintained path pays the batch plus the (history-sized but "
         "join-pruned) bucket probe. The clusters column drains the "

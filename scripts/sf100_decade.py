@@ -72,7 +72,21 @@ def main() -> None:
     from bench import _wait_for_quiet
 
     ambient = _wait_for_quiet()
-    spark = build_session("sf100-decade", cpus=args.cpus)
+    spark = build_session(
+        "sf100-decade",
+        cpus=args.cpus,
+        # the sf100 fixture build (bucketing 600M lineitem rows in one
+        # local JVM) can stall >120 s in a full GC; the default RPC ask
+        # timeout then tears down the scheduler endpoint mid-write
+        # (observed: RpcEndpointNotFoundException after "Cannot receive
+        # any reply in 120 seconds"). Longer timeouts are the correct
+        # posture for a deliberately memory-saturating offline build.
+        extra_conf={
+            "spark.network.timeout": "600s",
+            "spark.rpc.askTimeout": "600s",
+            "spark.executor.heartbeatInterval": "60s",
+        },
+    )
     qmap = query_map()
     results = {}
     for name in QUERIES:
