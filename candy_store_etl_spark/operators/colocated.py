@@ -1021,8 +1021,12 @@ def serve_range_batch(
     column plus ``range_id`` (the 0-based position in ``ranges``) —
     a row matching k ranges appears k times, once per matching id
     (exactly the union of the per-range ``serve_range`` results).
-    The tagging join broadcasts the tiny (range_id, lo, hi) relation
-    against the one scan.
+    Tagging is an EXPLODE of the literal (range_id, lo, hi) struct
+    array followed by the containment filter — no join operator at
+    all, so the whole scan+tag stays inside one WholeStageCodegen
+    span (a broadcast join here would plan as BroadcastNestedLoopJoin,
+    which the plan audit bans for good reason; the explode has the
+    same rows x N cost with none of the exchange).
 
     ``info`` carries the route, ``files_scanned`` (the union's size),
     ``files_total``, ``stats_coverage``, and
@@ -1060,16 +1064,22 @@ def serve_range_batch(
     ]
 
     def _tag(scan: DataFrame) -> DataFrame:
-        rng = spark.createDataFrame(
-            range_rows, ["range_id", "_lo", "_hi"]
-        )
-        return (
-            scan.join(
-                F.broadcast(rng),
-                (F.col(column) >= F.col("_lo"))
-                & (F.col(column) <= F.col("_hi")),
+        rng = F.array(*[
+            F.struct(
+                F.lit(i).cast("long").alias("range_id"),
+                F.lit(lo).alias("_lo"),
+                F.lit(hi).alias("_hi"),
             )
-            .drop("_lo", "_hi")
+            for i, lo, hi in range_rows
+        ])
+        return (
+            scan.select("*", F.explode(rng).alias("_r"))
+            .filter(
+                (F.col(column) >= F.col("_r._lo"))
+                & (F.col(column) <= F.col("_r._hi"))
+            )
+            .withColumn("range_id", F.col("_r.range_id"))
+            .drop("_r")
         )
 
     if not files:
@@ -1081,10 +1091,10 @@ def serve_range_batch(
         info["route"] = "full-scan"
         info["files_scanned"] = 0
         info["files_scanned_per_probe_sum"] = 0
-        from pyspark.sql.types import IntegerType
+        from pyspark.sql.types import LongType
 
         empty = spark.createDataFrame([], schema).withColumn(
-            "range_id", F.lit(None).cast(IntegerType())
+            "range_id", F.lit(None).cast(LongType())
         )
         return empty, info
     reader = spark.read if schema is None else spark.read.schema(schema)
