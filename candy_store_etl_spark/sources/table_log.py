@@ -1434,6 +1434,56 @@ def read_published_pruned(
     return df, len(kept), len(files)
 
 
+def dangling_report(
+    manifest_dir: str,
+    tables: dict[str, str],
+) -> dict[str, dict]:
+    """The POLLABLE side of ``manifest_vacuum`` — the same role
+    ``maintenance_due`` plays for ``compact``: per member table, how
+    many versions (and data files, and bytes still on disk) are
+    referenced by NO manifest entry, so orchestration can decide when
+    the sweep is worth scheduling instead of running it blind. Ages
+    are not consulted here (this is a report, not a sweep) — a version
+    younger than the vacuum grace window shows up too, flagged via
+    ``youngest_age_s`` so the caller can tell in-flight work from true
+    orphans."""
+    pub = manifest_published(manifest_dir)
+    now = time.time()
+    out: dict[str, dict] = {}
+    for name, table_dir in tables.items():
+        published = set(pub.get(name, []))
+        versions = files = size = 0
+        youngest: float | None = None
+        for entry in log_entries(table_dir):
+            v = entry["version"]
+            if v in published or not entry["add"]:
+                continue
+            if entry.get("dataChange") is False:
+                continue
+            versions += 1
+            try:
+                age = now - os.stat(_version_path(table_dir, v)).st_mtime
+                youngest = age if youngest is None else min(youngest, age)
+            except OSError:
+                pass
+            for n in entry["add"]:
+                p = os.path.join(table_dir, n)
+                try:
+                    size += os.path.getsize(p)
+                    files += 1
+                except OSError:
+                    pass  # already vacuumed
+        out[name] = {
+            "dangling_versions": versions,
+            "dangling_files_on_disk": files,
+            "dangling_bytes": size,
+            "youngest_age_s": (
+                None if youngest is None else round(youngest, 1)
+            ),
+        }
+    return out
+
+
 def manifest_vacuum(
     manifest_dir: str,
     tables: dict[str, str],

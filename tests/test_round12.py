@@ -147,6 +147,35 @@ def test_read_published_pruned_keeps_statless_files(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_dangling_report_counts_then_clears(spark, tmp_path):
+    """dangling_report is the pollable side of manifest_vacuum (the
+    maintenance_due pattern): it counts unpublished versions/files/
+    bytes per member and flags their age; the sweep zeroes it."""
+    root = str(tmp_path)
+    man = os.path.join(root, "manifest")
+    member = os.path.join(root, "sigs")
+    tl.manifest_init(man)
+    v = tl.append(spark.createDataFrame([(1,)], "k long"), member, op="b0")
+    tl.manifest_publish(
+        man, {"sigs": v}, op="b0", base_version=tl.current_version(man)
+    )
+    rep = tl.dangling_report(man, {"sigs": member})
+    assert rep["sigs"]["dangling_versions"] == 0
+    tl.append(spark.createDataFrame([(2,)], "k long"), member, op="b1")
+    rep = tl.dangling_report(man, {"sigs": member})
+    assert rep["sigs"]["dangling_versions"] == 1
+    assert rep["sigs"]["dangling_files_on_disk"] >= 1
+    assert rep["sigs"]["dangling_bytes"] > 0
+    assert rep["sigs"]["youngest_age_s"] is not None
+    assert rep["sigs"]["youngest_age_s"] < 60  # in-flight-aged
+    tl.manifest_vacuum(man, {"sigs": member}, grace_seconds=0.0)
+    rep = tl.dangling_report(man, {"sigs": member})
+    # the swept version's files are gone from disk; its entry remains
+    # in the log but holds no reclaimable bytes
+    assert rep["sigs"]["dangling_files_on_disk"] == 0
+    assert rep["sigs"]["dangling_bytes"] == 0
+
+
 def test_manifest_vacuum_sweeps_danglers_only(spark, tmp_path):
     root = str(tmp_path)
     man = os.path.join(root, "manifest")
