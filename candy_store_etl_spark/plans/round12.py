@@ -233,3 +233,113 @@ def serve_range_maintenance_roundtrip(
         "phase long, route string, due boolean, streak long, "
         "n_docs long, total_chars long",
     ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Manifest checkpointing: cold chain resolve is O(tail), hash-checked
+# ---------------------------------------------------------------------------
+
+#: 12 publishes + the init commit = manifest v12; the auto-checkpoint
+#: rides at v10, so a cold resolve seeds there and replays exactly 2
+#: tail entries — deterministic at every SF (the batch COUNT is fixed;
+#: only the rows per batch scale)
+_CKPT_ORACLE = """
+SELECT TRUE  AS checkpoint_seeded,
+       CAST(10 AS BIGINT) AS checkpoint_version,
+       CAST(2  AS BIGINT) AS entries_replayed,
+       CAST(13 AS BIGINT) AS versions_total,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT)   AS min_id,
+       CAST(MAX(doc_id) AS BIGINT)   AS max_id
+FROM documents
+"""
+
+
+@register(
+    "manifest_checkpoint_resolve",
+    oracle=_CKPT_ORACLE,
+    doc="Cold-start manifest resolution through the checkpoint fold: "
+    "a 12-batch published chain (one member table, batches sliced by "
+    "doc_id % 12, one manifest publish each) is resolved by a fresh "
+    "process via manifest_resolve_info — seeding from the newest "
+    "fold-carrying checkpoint (auto-ridden at manifest v10) and "
+    "replaying ONLY the 2 tail entries instead of all 13. Both "
+    "resolve-cost facts are hash-checked literals (checkpoint_version "
+    "= 10, entries_replayed = 2 < versions_total = 13). The fixture "
+    "also appends a 13th member version that NO manifest entry "
+    "references (a crashed batch's dangler): read_published over the "
+    "checkpoint-seeded lists must reproduce the documents table "
+    "EXACTLY — the oracle recomputes n_docs/total_chars/min/max from "
+    "the raw relation, so a fold that loses a published version OR "
+    "lets the dangler leak double-counts rows and fails the gate. At "
+    "100 TB this is the difference between a chain whose resolve cost "
+    "is O(publishes ever) and one that stays O(checkpoint interval) "
+    "after years of ingest.",
+    tags=("table_log", "manifest", "checkpoint", "incremental"),
+)
+def manifest_checkpoint_resolve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="manifest-ckpt-v1")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_manckpt_{key}")
+    man = os.path.join(root, "manifest")
+    member = os.path.join(root, "docs")
+
+    def _intact(d: str) -> bool:
+        # manifest: init + 12 publishes; member: 12 published appends
+        # + 1 dangler — and the dangler must still be UNPUBLISHED
+        if tl.current_version(os.path.join(d, "manifest")) != 12:
+            return False
+        if tl.current_version(os.path.join(d, "docs")) != 12:
+            return False
+        pub = tl.manifest_published(os.path.join(d, "manifest"))
+        if sorted(pub.get("docs", [])) != list(range(12)):
+            return False
+        return all(
+            os.path.exists(p)
+            for p in tl.snapshot_files(os.path.join(d, "docs"))
+        )
+
+    def _build(stage: str) -> None:
+        m = os.path.join(stage, "manifest")
+        t = os.path.join(stage, "docs")
+        docs = load_table(spark, sf_dir, "documents")
+        tl.manifest_init(m)
+        for i in range(12):
+            v = tl.append(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(12)) == i), t
+            )
+            tl.manifest_publish(
+                m, {"docs": v}, op=f"batch-{i}",
+                base_version=tl.current_version(m),
+            )
+        # the dangler: a crashed batch's member append that never
+        # reached the manifest — must stay invisible to chain readers
+        tl.append(docs.filter(F.col("doc_id") < 1_000_000), t)
+
+    ensure_scratch(root, _build, _intact)
+    info = tl.manifest_resolve_info(man)
+    pub = tl.manifest_published(man)
+    df = tl.read_published(spark, member, pub["docs"])
+    return df.agg(
+        F.lit(info["checkpoint_version"] is not None).alias(
+            "checkpoint_seeded"
+        ),
+        F.lit(info["checkpoint_version"]).cast("long").alias(
+            "checkpoint_version"
+        ),
+        F.lit(info["entries_replayed"]).cast("long").alias(
+            "entries_replayed"
+        ),
+        F.lit(info["versions_total"]).cast("long").alias(
+            "versions_total"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

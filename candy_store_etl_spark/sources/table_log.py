@@ -369,6 +369,18 @@ def checkpoint(table_dir: str, *, version: int | None = None) -> int:
         "applied_batches": sorted(
             applied_batch_ids(table_dir, upto=version)
         ),
+        # the MANIFEST fold (empty {} for ordinary data tables): which
+        # member-table versions each manifest entry <= this version
+        # published, deduplicated in publication order. Folding it here
+        # is what makes a COLD manifest resolve O(tail commits) — a
+        # fresh process otherwise replays every publish entry since v0,
+        # exactly the curve data-table checkpoints kill for snapshots
+        # (see manifest_published / _published_seed). Seeded from the
+        # previous published-carrying checkpoint, so writing a
+        # checkpoint is itself O(interval), never O(history).
+        "published": _fold_published_tail(
+            table_dir, *_published_seed(table_dir, version), version
+        )[1],
     }
     if schema is not None:
         entry["schema"] = schema
@@ -1253,13 +1265,78 @@ def manifest_init(manifest_dir: str) -> None:
         pass  # a racing initializer won — same outcome
 
 
-#: (manifest_dir) -> (incarnation identity, newest version folded,
-#: {version: tables meta}). Repeated asks read only the commits SINCE
-#: the last ask — O(delta) per ingest where a full log_entries walk
-#: would go quadratic over the chain's lifetime. Validity is keyed on
-#: the v0 INCARNATION identity (see incarnation_identity: entry
-#: content cannot distinguish incarnations of a file-less log).
-_MANIFEST_CACHE: dict[str, tuple[tuple, int, dict[int, dict]]] = {}
+def _published_seed(
+    table_dir: str, version: int
+) -> tuple[int, dict[str, list[int]]]:
+    """(base version, folded published lists) from the newest
+    checkpoint at-or-before ``version`` that carries the ``published``
+    fold; ``(-1, {})`` when none does. Checkpoints written before the
+    fold existed are skipped in favor of an older fold-carrying one
+    (correct either way — a miss just means a longer entry replay
+    until the next checkpoint rides)."""
+    ckpt = _latest_checkpoint_at_or_before(table_dir, version)
+    while ckpt is not None:
+        try:
+            with open(_checkpoint_path(table_dir, ckpt)) as f:
+                entry = json.load(f)
+        except (OSError, ValueError):
+            break
+        pub = entry.get("published")
+        if pub is not None:
+            return ckpt, {k: list(v) for k, v in pub.items()}
+        older = [
+            v
+            for p in glob.glob(
+                os.path.join(_log_dir(table_dir), "*.checkpoint.json")
+            )
+            if (v := int(os.path.basename(p).split(".")[0])) < ckpt
+        ]
+        ckpt = max(older) if older else None
+    return -1, {}
+
+
+def _fold_published_tail(
+    table_dir: str,
+    base_v: int,
+    base: dict[str, list[int]],
+    upto_v: int,
+) -> tuple[int, dict[str, list[int]]]:
+    """Fold manifest entries ``(base_v, upto_v]`` on top of the seeded
+    lists. De-duplication spans the boundary: a batch with no delta for
+    one member may legally RE-PIN that member's current version, and a
+    version published below the checkpoint must not reappear when
+    re-pinned above it (read_published would double-count its files).
+    Returns ``(entries replayed, folded lists)``."""
+    out = {k: list(v) for k, v in base.items()}
+    seen = {k: set(v) for k, v in out.items()}
+    replayed = 0
+    for v in range(base_v + 1, upto_v + 1):
+        entry = _read_entry(table_dir, v)
+        replayed += 1
+        for name, tv in ((entry.get("meta") or {}).get(
+            "tables"
+        ) or {}).items():
+            if tv in seen.setdefault(name, set()):
+                continue
+            seen[name].add(tv)
+            out.setdefault(name, []).append(tv)
+    return replayed, out
+
+
+#: (manifest_dir) -> (incarnation identity, base checkpoint version,
+#: folded lists through base, {version > base: tables meta} tail).
+#: Repeated asks read only the commits SINCE the last ask — O(delta)
+#: per ingest where a full log_entries walk would go quadratic over
+#: the chain's lifetime — and a COLD ask seeds from the newest
+#: published-carrying checkpoint instead of replaying from v0. The
+#: cache re-bases onto newer checkpoints as they ride, so the
+#: in-memory tail stays O(CHECKPOINT_INTERVAL + recency) even in a
+#: driver session that lives across thousands of publishes. Validity
+#: is keyed on the v0 INCARNATION identity (see incarnation_identity:
+#: entry content cannot distinguish incarnations of a file-less log).
+_MANIFEST_CACHE: dict[
+    str, tuple[tuple, int, dict[str, list[int]], dict[int, dict]]
+] = {}
 
 
 def manifest_published(
@@ -1268,38 +1345,87 @@ def manifest_published(
     """Member table name -> ordered list of that table's PUBLISHED
     versions, folded over manifest entries ``<= upto`` (None = all).
     The version lists drive ``read_published``; a version a crashed
-    batch appended but never published appears in no list."""
+    batch appended but never published appears in no list.
+
+    Resolution cost: warm asks replay only the entries committed since
+    the previous ask; a cold process seeds from the newest checkpoint
+    carrying the ``published`` fold and replays the tail — never the
+    whole publish history (``manifest_resolve_info`` exposes the
+    replay count so a test can verify, not trust, this). ``upto``
+    below the cache's checkpoint base falls back to a direct entry
+    replay — time travel below a checkpoint is exact, just unindexed,
+    same as snapshot reads."""
     latest = current_version(manifest_dir)
     if latest is None:
         _MANIFEST_CACHE.pop(manifest_dir, None)
         return {}
     ident = incarnation_identity(manifest_dir)
-    seen_ident, seen_v, per_v = _MANIFEST_CACHE.get(
-        manifest_dir, (None, -1, {})
-    )
-    if seen_ident != ident or seen_v > latest:
-        seen_v, per_v = -1, {}
-    per_v = dict(per_v)
-    for v in range(seen_v + 1, latest + 1):
+    cached = _MANIFEST_CACHE.get(manifest_dir)
+    if cached is not None:
+        seen_ident, base_v, base, tail = cached
+        folded_v = max(tail, default=base_v)
+        if seen_ident != ident or folded_v > latest:
+            cached = None  # new incarnation, or the log regressed
+    if cached is None:
+        base_v, base = _published_seed(manifest_dir, latest)
+        tail = {}
+        folded_v = base_v
+    for v in range(folded_v + 1, latest + 1):
         entry = _read_entry(manifest_dir, v)
-        per_v[v] = (entry.get("meta") or {}).get("tables", {})
-    _MANIFEST_CACHE[manifest_dir] = (ident, latest, per_v)
+        tail[v] = (entry.get("meta") or {}).get("tables", {})
+    # re-base once the tail outgrows a checkpoint interval and a newer
+    # fold-carrying checkpoint exists (another process's checkpoint is
+    # equally valid — the fold is deterministic from the entries)
+    if latest - base_v > 2 * CHECKPOINT_INTERVAL:
+        new_base_v, new_base = _published_seed(manifest_dir, latest)
+        if new_base_v > base_v:
+            base_v, base = new_base_v, new_base
+            tail = {v: t for v, t in tail.items() if v > base_v}
+    _MANIFEST_CACHE[manifest_dir] = (ident, base_v, base, tail)
     upto_v = latest if upto is None else upto
-    out: dict[str, list[int]] = {}
-    seen: dict[str, set] = {}
-    for v in sorted(per_v):
+    if upto_v < base_v:
+        # time travel below the cache's checkpoint base: direct replay
+        return _fold_published_tail(manifest_dir, -1, {}, upto_v)[1]
+    out = {k: list(v) for k, v in base.items()}
+    seen = {k: set(v) for k, v in out.items()}
+    for v in sorted(tail):
         if v > upto_v:
             break
-        for name, tv in per_v[v].items():
-            # a batch with no delta for one member may legally re-pin
-            # that member's current version; de-duplicate here so
-            # read_published never scans (and double-counts) the same
-            # version's files twice
+        for name, tv in tail[v].items():
             if tv in seen.setdefault(name, set()):
                 continue
             seen[name].add(tv)
             out.setdefault(name, []).append(tv)
     return out
+
+
+def manifest_resolve_info(manifest_dir: str) -> dict:
+    """Observable COLD-resolve cost for the manifest's published state
+    — the manifest twin of ``snapshot_replay_info``: what a fresh
+    process pays to answer ``manifest_published``, ignoring the
+    in-process cache. Lets a test (or a registered query's evidence
+    columns) DISTINGUISH checkpoint-seeded replay from a full v0 walk
+    instead of trusting the docstring."""
+    latest = current_version(manifest_dir)
+    if latest is None:
+        return {
+            "versions_total": 0,
+            "checkpoint_version": None,
+            "entries_replayed": 0,
+            "published_tables": 0,
+            "published_versions": 0,
+        }
+    base_v, base = _published_seed(manifest_dir, latest)
+    replayed, lists = _fold_published_tail(
+        manifest_dir, base_v, base, latest
+    )
+    return {
+        "versions_total": latest + 1,
+        "checkpoint_version": None if base_v < 0 else base_v,
+        "entries_replayed": replayed,
+        "published_tables": len(lists),
+        "published_versions": sum(len(v) for v in lists.values()),
+    }
 
 
 def read_published(

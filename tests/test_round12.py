@@ -558,3 +558,126 @@ def test_ingest_days_crash_between_hops_repairs_on_rerun(
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) == 2
+
+
+# ---------------------------------------------------------------------------
+# Manifest checkpointing: cold resolve is O(tail), not O(publish history)
+# ---------------------------------------------------------------------------
+
+
+def _publish_n(man: str, n: int, *, start: int = 0) -> None:
+    for i in range(start, start + n):
+        tabs = {"a": 100 + i}
+        if i % 3 == 0:
+            tabs["b"] = 200 + i
+        tl.manifest_publish(
+            man, tabs, op=f"batch-{i}",
+            base_version=tl.current_version(man),
+        )
+
+
+def _direct_fold(man: str, upto: int) -> dict[str, list[int]]:
+    """Ground truth: fold every entry 0..upto, no checkpoint, no
+    cache — what read_published must see regardless of resolve path."""
+    return tl._fold_published_tail(man, -1, {}, upto)[1]
+
+
+def test_manifest_cold_resolve_seeds_from_checkpoint(tmp_path):
+    """After enough publishes for an auto-checkpoint to ride, a COLD
+    process resolves the published state by seeding from the newest
+    fold-carrying checkpoint and replaying only the tail entries —
+    manifest_resolve_info is the observable proof (the manifest twin
+    of snapshot_replay_info), and the seeded fold must equal the full
+    v0 replay exactly."""
+    man = str(tmp_path / "manifest")
+    tl.manifest_init(man)
+    _publish_n(man, 25)
+    latest = tl.current_version(man)
+    assert latest == 25  # init + 25 publishes
+    info = tl.manifest_resolve_info(man)
+    # auto-checkpoints ride every CHECKPOINT_INTERVAL commits
+    assert info["checkpoint_version"] == 20
+    assert info["entries_replayed"] == latest - 20
+    assert info["entries_replayed"] < info["versions_total"]
+    tl._MANIFEST_CACHE.clear()
+    assert tl.manifest_published(man) == _direct_fold(man, latest)
+
+
+def test_manifest_repin_across_checkpoint_boundary_not_doubled(
+    tmp_path,
+):
+    """A member version published BELOW the checkpoint then re-pinned
+    ABOVE it must appear once in the published list — a double entry
+    would make read_published scan (and double-count) that version's
+    files. The de-dup has to span the checkpoint seed/tail boundary."""
+    man = str(tmp_path / "manifest")
+    tl.manifest_init(man)
+    _publish_n(man, 12)  # checkpoint rides at v10
+    # v13 re-pins a:103 (published at manifest v4, below the ckpt)
+    tl.manifest_publish(
+        man, {"a": 103}, op="repin",
+        base_version=tl.current_version(man),
+    )
+    tl._MANIFEST_CACHE.clear()
+    pub = tl.manifest_published(man)
+    assert pub["a"].count(103) == 1
+    assert pub == _direct_fold(man, tl.current_version(man))
+
+
+def test_manifest_upto_below_checkpoint_time_travels(tmp_path):
+    """upto below the cache's checkpoint base falls back to a direct
+    entry replay — exact at every version, same contract as snapshot
+    time travel below a checkpoint."""
+    man = str(tmp_path / "manifest")
+    tl.manifest_init(man)
+    _publish_n(man, 25)
+    tl._MANIFEST_CACHE.clear()
+    tl.manifest_published(man)  # cold ask caches base at ckpt v20
+    for upto in (0, 1, 7, 13, 20, 25):
+        assert tl.manifest_published(man, upto=upto) == _direct_fold(
+            man, upto
+        ), upto
+
+
+def test_manifest_cache_rebases_onto_newer_checkpoints(tmp_path):
+    """A long-lived process's cache must not grow O(publish history):
+    once the tail outruns the checkpoint interval the cache re-bases
+    onto the newest fold-carrying checkpoint and drops the covered
+    tail entries."""
+    man = str(tmp_path / "manifest")
+    tl.manifest_init(man)
+    _publish_n(man, 5)
+    tl._MANIFEST_CACHE.clear()
+    tl.manifest_published(man)  # cold with no checkpoint yet: base -1
+    _publish_n(man, 50, start=5)  # checkpoints ride at 10..50
+    got = tl.manifest_published(man)
+    assert got == _direct_fold(man, tl.current_version(man))
+    _, base_v, _, tail = tl._MANIFEST_CACHE[man]
+    assert base_v >= 40
+    assert len(tail) <= 2 * tl.CHECKPOINT_INTERVAL + 1
+
+
+def test_manifest_foldless_checkpoint_falls_back_to_older(tmp_path):
+    """A checkpoint written before the published fold existed (or by
+    a foreign writer) is skipped in favor of an older fold-carrying
+    one; the resolve stays exact either way."""
+    import glob as g
+    import json
+
+    man = str(tmp_path / "manifest")
+    tl.manifest_init(man)
+    _publish_n(man, 55)
+    newest_cp = sorted(
+        g.glob(os.path.join(tl._log_dir(man), "*.checkpoint.json"))
+    )[-1]
+    with open(newest_cp) as f:
+        entry = json.load(f)
+    entry.pop("published")
+    with open(newest_cp, "w") as f:
+        json.dump(entry, f)
+    tl._MANIFEST_CACHE.clear()
+    assert tl.manifest_published(man) == _direct_fold(
+        man, tl.current_version(man)
+    )
+    info = tl.manifest_resolve_info(man)
+    assert info["checkpoint_version"] == 40  # the older carrier
