@@ -1033,3 +1033,84 @@ def read_neardup_index(spark, index_dir: str, table: str):
     return tl.read_published(
         spark, os.path.join(index_dir, table), versions
     )
+
+
+def chain_maintenance_due(
+    index_dir: str,
+    *,
+    grace_seconds: float | None = None,
+    min_bytes: int = 0,
+) -> dict:
+    """The POLLABLE maintenance signal for the maintained chain — the
+    exact role ``operators.colocated.maintenance_due`` plays for
+    ``compact``: orchestration polls this between ingests and runs
+    ``chain_maintenance`` only when it says so, instead of sweeping
+    blind on a timer. Due when ANY member table holds danglers
+    (unpublished data-adding versions — crashed batches, losing sides
+    of publish races) whose OLDEST commit is past the vacuum grace
+    window (younger danglers are presumed in-flight; sweeping them
+    is exactly what the grace window exists to prevent) and whose
+    reclaimable bytes clear ``min_bytes`` (0 = any). Returns
+    ``{"due", "eligible", "tables"}`` with the full per-member
+    ``dangling_report`` so the caller can log WHY."""
+    import os
+
+    from ..sources import table_log as tl
+
+    grace = (
+        tl.VACUUM_GRACE_SECONDS if grace_seconds is None else grace_seconds
+    )
+    man = os.path.join(index_dir, "manifest")
+    tables = {
+        t: os.path.join(index_dir, t)
+        for t in ("signatures", "buckets", "pairs")
+    }
+    report = tl.dangling_report(man, tables)
+    eligible = sorted(
+        name
+        for name, r in report.items()
+        # files on disk, not versions: a previously swept dangler's
+        # log entry remains forever (commit jsons are never deleted)
+        # but holds nothing reclaimable — it must not re-trip the due
+        # signal on every poll
+        if r["dangling_files_on_disk"]
+        and r["oldest_age_s"] is not None
+        and r["oldest_age_s"] >= grace
+        and r["dangling_bytes"] >= min_bytes
+    )
+    return {"due": bool(eligible), "eligible": eligible, "tables": report}
+
+
+def chain_maintenance(
+    index_dir: str,
+    *,
+    grace_seconds: float | None = None,
+    min_bytes: int = 0,
+) -> dict:
+    """Poll-then-sweep for the maintained chain: run
+    ``manifest_vacuum`` over the index's member tables iff
+    ``chain_maintenance_due`` says it pays. The sweep is safe against
+    live ingests by the same grace window the due check used, so
+    orchestration can schedule this exactly like the serving layer's
+    ``maintenance_due -> compact`` loop — periodically, or after a
+    burst of ConcurrentCommitError retries. Returns ``{"ran",
+    "deleted"}`` (member name -> physically deleted file names when it
+    ran)."""
+    import os
+
+    from ..sources import table_log as tl
+
+    due = chain_maintenance_due(
+        index_dir, grace_seconds=grace_seconds, min_bytes=min_bytes
+    )
+    if not due["due"]:
+        return {"ran": False, "deleted": {}}
+    grace = (
+        tl.VACUUM_GRACE_SECONDS if grace_seconds is None else grace_seconds
+    )
+    man = os.path.join(index_dir, "manifest")
+    tables = {
+        t: os.path.join(index_dir, t) for t in due["eligible"]
+    }
+    deleted = tl.manifest_vacuum(man, tables, grace_seconds=grace)
+    return {"ran": True, "deleted": deleted}

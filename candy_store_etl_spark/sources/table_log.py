@@ -1572,7 +1572,9 @@ def dangling_report(
     are not consulted here (this is a report, not a sweep) — a version
     younger than the vacuum grace window shows up too, flagged via
     ``youngest_age_s`` so the caller can tell in-flight work from true
-    orphans."""
+    orphans, and ``oldest_age_s`` is what a due-style scheduler
+    compares against the vacuum grace window (a sweep only collects
+    danglers older than it, so due = oldest past grace)."""
     pub = manifest_published(manifest_dir)
     now = time.time()
     out: dict[str, dict] = {}
@@ -1580,6 +1582,7 @@ def dangling_report(
         published = set(pub.get(name, []))
         versions = files = size = 0
         youngest: float | None = None
+        oldest: float | None = None
         for entry in log_entries(table_dir):
             v = entry["version"]
             if v in published or not entry["add"]:
@@ -1590,6 +1593,7 @@ def dangling_report(
             try:
                 age = now - os.stat(_version_path(table_dir, v)).st_mtime
                 youngest = age if youngest is None else min(youngest, age)
+                oldest = age if oldest is None else max(oldest, age)
             except OSError:
                 pass
             for n in entry["add"]:
@@ -1605,6 +1609,9 @@ def dangling_report(
             "dangling_bytes": size,
             "youngest_age_s": (
                 None if youngest is None else round(youngest, 1)
+            ),
+            "oldest_age_s": (
+                None if oldest is None else round(oldest, 1)
             ),
         }
     return out

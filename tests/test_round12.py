@@ -681,3 +681,69 @@ def test_manifest_foldless_checkpoint_falls_back_to_older(tmp_path):
     )
     info = tl.manifest_resolve_info(man)
     assert info["checkpoint_version"] == 40  # the older carrier
+
+
+# ---------------------------------------------------------------------------
+# Chain maintenance: the dangler sweep wired into the due/sweep pattern
+# ---------------------------------------------------------------------------
+
+
+def test_chain_maintenance_due_then_sweep_then_clear(spark, tmp_path):
+    """The maintained chain's dangler sweep is schedulable the same
+    way compact is: chain_maintenance_due flips only when a dangler's
+    OLDEST commit ages past the grace window, chain_maintenance then
+    reclaims exactly the eligible members' danglers, and the signal
+    clears. A young dangler (an in-flight batch's appends) never trips
+    it."""
+    from candy_store_etl_spark.operators.dedup import (
+        chain_maintenance,
+        chain_maintenance_due,
+    )
+
+    ix = str(tmp_path / "index")
+    man = os.path.join(ix, "manifest")
+    sigs = os.path.join(ix, "signatures")
+    tl.manifest_init(man)
+    v = tl.append(
+        spark.createDataFrame([(1, "a")], "id long, sig string"),
+        sigs,
+        op="b0",
+    )
+    tl.manifest_publish(
+        man, {"signatures": v}, op="b0",
+        base_version=tl.current_version(man),
+    )
+    # a clean chain: nothing due
+    assert chain_maintenance_due(ix)["due"] is False
+
+    # a crashed batch's dangler: appended, never published
+    dv = tl.append(
+        spark.createDataFrame([(2, "b")], "id long, sig string"),
+        sigs,
+        op="b1-crashed",
+    )
+    # young dangler = presumed in-flight: not due under the real grace
+    due = chain_maintenance_due(ix)
+    assert due["due"] is False
+    assert due["tables"]["signatures"]["dangling_versions"] == 1
+    # and the sweep respects the same window: nothing runs
+    assert chain_maintenance(ix)["ran"] is False
+
+    # age the dangler past a tiny grace window
+    past = __import__("time").time() - 120
+    os.utime(
+        os.path.join(sigs, tl.LOG_DIR, f"{dv:08d}.json"), (past, past)
+    )
+    due = chain_maintenance_due(ix, grace_seconds=60)
+    assert due["due"] is True and due["eligible"] == ["signatures"]
+    out = chain_maintenance(ix, grace_seconds=60)
+    assert out["ran"] is True
+    assert len(out["deleted"]["signatures"]) >= 1
+
+    # swept: signal clears, published rows untouched
+    due = chain_maintenance_due(ix, grace_seconds=60)
+    assert due["due"] is False
+    assert due["tables"]["signatures"]["dangling_bytes"] == 0
+    pub = tl.manifest_published(man)
+    got = tl.read_published(spark, sigs, pub["signatures"]).collect()
+    assert [(r["id"], r["sig"]) for r in got] == [(1, "a")]
