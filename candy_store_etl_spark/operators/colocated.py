@@ -694,6 +694,7 @@ def serve(
     version: int | None = None,
     key_col: str | None = None,
     scan_file_threshold: int = SERVE_SCAN_FILE_THRESHOLD,
+    bloom_coverage_threshold: float = 0.5,
 ) -> tuple[DataFrame, dict]:
     """ONE front door over the bucketed-layout serving surface: give
     it a table and a key set, it picks the execution shape the A/B
@@ -708,6 +709,18 @@ def serve(
       a different column, so the layout cannot prune: same one-scan
       shape, distinct label (route is a hash-checked contract column;
       an off-key probe must not masquerade as an unbucketed table).
+    - ``bloom-pruned`` — the layout can't prune (unbucketed, or
+      off-key), but at least ``bloom_coverage_threshold`` of the
+      snapshot's non-empty files carry a committed bloom sketch for
+      the probe column (``append``/``compact`` with ``bloom_cols``):
+      plan the probe from the log via
+      ``read_snapshot_membership_pruned`` — files whose bitmap rules
+      out every probe value are never opened. Coverage-routed exactly
+      like ``serve_range``'s stats decision (no file-count gate: the
+      route is about file I/O at scale, where opening every file of a
+      hash-scattered column is THE cost), and lossless, so the rows
+      are identical whichever route runs. ``info`` carries
+      ``bloom_coverage`` whenever the layout couldn't prune.
     - ``scan-small-table`` — bucketed, but the snapshot holds at most
       ``scan_file_threshold`` files: the measured regime where a
       columnar pushdown scan beats per-probe planning (64-file A/B:
@@ -727,9 +740,10 @@ def serve(
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
-    # one resolve for the (files, schema) pair (stats unused here);
+    # one resolve for the (files, stats, schema) triple (stats feed
+    # the bloom-coverage decision when the layout can't prune);
     # bucket_spec/layout_buckets_per_file walk only layout entries
-    files, _, schema = tl.snapshot_resolved(table_dir, version=version)
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
     if schema is None:
         raise ValueError(
             f"{table_dir} has no committed schema — the stored probe "
@@ -759,6 +773,33 @@ def serve(
     if key is None:
         raise ValueError("unbucketed table: pass key_col=")
     dtype = schema[key].dataType.simpleString()
+    if spec is None:
+        # the layout can't prune this probe — but committed bloom
+        # sketches might. Coverage-routed like serve_range's stats
+        # decision: enough non-empty files carry a sketch for the
+        # probe column, plan from the log; otherwise fall through to
+        # the one-scan routes (and record WHY in bloom_coverage).
+        nonempty = [
+            p
+            for p in files
+            if stats.get(os.path.basename(p), {}).get("rows") != 0
+        ]
+        bloomed = [
+            p
+            for p in nonempty
+            if key
+            in stats.get(os.path.basename(p), {}).get("bloom", {})
+        ]
+        coverage = (len(bloomed) / len(nonempty)) if nonempty else 1.0
+        info["bloom_coverage"] = round(coverage, 3)
+        if coverage >= bloom_coverage_threshold:
+            df, kept, total = tl.read_snapshot_membership_pruned(
+                spark, table_dir, key, keys, version=version,
+                _resolved=(files, stats, schema),
+            )
+            info["route"] = "bloom-pruned"
+            info["files_scanned"] = kept
+            return df, info
     if spec is None or len(files) <= scan_file_threshold:
         info["route"] = scan_route
         info["files_scanned"] = len(files)

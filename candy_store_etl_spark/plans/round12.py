@@ -236,6 +236,120 @@ def serve_range_maintenance_roundtrip(
 
 
 # ---------------------------------------------------------------------------
+# Committed bloom sketches: membership pruning on an unclustered column
+# ---------------------------------------------------------------------------
+
+#: probe sets and their EXPECTED kept-file counts on the 6-slice
+#: layout (slice g = srcN's N % 6): src3 -> slice 3 alone; src5/src8
+#: -> slices 5 and 2; an absent source prunes everything. The counts
+#: are exact, not probabilistic, at these fixture sizes: each file's
+#: bitmap is >= 8192 bits for <= ~900 rows (16 bits/row floor), so a
+#: single-value false positive is ~1e-6 — and the fixture content per
+#: SF is fixed, making the outcome deterministic (verified at sf0.001
+#: /0.01/0.1 when this query landed).
+_BLOOM_PROBES = [
+    (1, ["src3"], 1),
+    (2, ["src5", "src8"], 2),
+    (3, ["src-absent"], 0),
+]
+
+_BLOOM_ORACLE = """
+SELECT p.phase,
+       'bloom-pruned' AS route,
+       CAST(p.files AS BIGINT) AS files_scanned,
+       CAST(6 AS BIGINT) AS files_total,
+       CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS total_chars
+FROM (VALUES
+        (CAST(1 AS BIGINT), ['src3'], 1),
+        (CAST(2 AS BIGINT), ['src5', 'src8'], 2),
+        (CAST(3 AS BIGINT), ['src-absent'], 0)
+     ) p(phase, probes, files)
+LEFT JOIN documents d ON list_contains(p.probes, d.source)
+GROUP BY p.phase, p.files
+ORDER BY p.phase
+"""
+
+
+@register(
+    "serve_point_bloom_pruned",
+    oracle=_BLOOM_ORACLE,
+    doc="serve() routing point probes through COMMITTED BLOOM "
+    "SKETCHES — the pruning class [min, max] stats cannot provide: "
+    "the fixture slices documents into 6 files by source-number % 6 "
+    "and commits ONLY per-file bloom bitmaps for `source` (no range "
+    "stats, no bucket spec — a range test or hash layout has nothing "
+    "to prune with), so the router's bloom-coverage check is the only "
+    "thing standing between a probe and a 6-file scan. Three probes, "
+    "each a hash-checked row: a single present source opens exactly "
+    "its own slice (files_scanned = 1 of 6), a two-source probe "
+    "unions two slices (2 of 6), and an ABSENT source opens nothing "
+    "(0 of 6) — the empty result still shaped by the committed "
+    "schema. n_docs/total_chars are recomputed by the oracle from the "
+    "raw relation per probe set, so a lossy bitmap, a mis-hashed "
+    "probe, or a router that scans anyway all fail the same gate. At "
+    "100 TB this is Delta's bloom-filter-index / Iceberg-puffin role "
+    "carried by the commit entry: equality serving on an unclustered "
+    "column costs O(matching files) + one tiny probe-hash job, with "
+    "planning from log metadata alone (zero index I/O).",
+    tags=("table_log", "serving", "router", "pruning", "bloom"),
+)
+def serve_point_bloom_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import serve
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src, extra="bloom-source-6slice")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_srvblm_{key}")
+    t = os.path.join(root, "docs")
+
+    def _intact(d: str) -> bool:
+        td = os.path.join(d, "docs")
+        if tl.current_version(td) != 5:  # 6 per-slice appends
+            return False
+        stats = tl.snapshot_file_stats(td)
+        if len(stats) != 6 or any(
+            "source" not in e.get("bloom", {}) for e in stats.values()
+        ):
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(td))
+
+    def _build(stage: str) -> None:
+        td = os.path.join(stage, "docs")
+        docs = load_table(spark, sf_dir, "documents")
+        g = F.pmod(
+            F.substring("source", 4, 10).cast("long"), F.lit(6)
+        )
+        for i in range(6):
+            tl.append(
+                docs.where(g == i).coalesce(1),
+                td,
+                bloom_cols=["source"],
+                op=f"slice-{i}",
+            )
+
+    ensure_scratch(root, _build, _intact)
+    rows = []
+    for phase, probes, _ in _BLOOM_PROBES:
+        df, info = serve(spark, t, probes, key_col="source")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+        ).first()
+        rows.append((
+            phase, info["route"], info["files_scanned"],
+            info["files_total"], agg["n"], agg["c"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "phase long, route string, files_scanned long, "
+        "files_total long, n_docs long, total_chars long",
+    ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
 # Manifest checkpointing: cold chain resolve is O(tail), hash-checked
 # ---------------------------------------------------------------------------
 

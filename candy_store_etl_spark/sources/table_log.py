@@ -615,12 +615,17 @@ def _stage_dataframe(
 
 def append(
     df: DataFrame, table_dir: str, *, stats_cols: list[str] = (),
+    bloom_cols: list[str] = (), bloom_bits: int | None = None,
     op: str = "append", base_version: int | None | object = _UNPINNED,
 ) -> int:
     """Append df as a new version (data files immutable, commit
     atomic). ``stats_cols`` embeds per-file [min, max] column stats in
     the commit entry (one footer sweep at write time) so
-    ``read_snapshot_pruned`` can plan from the log alone. ``op``
+    ``read_snapshot_pruned`` can plan from the log alone;
+    ``bloom_cols`` embeds per-file bloom MEMBERSHIP sketches (one
+    distributed column-pruned scan per column at write time) so
+    ``read_snapshot_membership_pruned`` can prune equality probes on
+    columns the layout doesn't cluster. ``op``
     customizes the commit's operation tag — sinks use it as an
     idempotence ledger (e.g. ``refresh-batch-N``), the same pattern as
     the CDC sink's ``cdc-batch-N``.
@@ -644,7 +649,10 @@ def append(
         new_schema,
     )
     names = _stage_dataframe(df, table_dir, hint)
-    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    stats = _merged_file_stats(
+        df.sparkSession, table_dir, names, stats_cols, bloom_cols,
+        bloom_bits,
+    )
 
     def derive(base: int | None) -> dict:
         # the commit carries a schema, so it must be validated against
@@ -665,8 +673,36 @@ def append(
     return commit_with_retry(table_dir, derive)
 
 
+def _merged_file_stats(
+    spark: SparkSession,
+    table_dir: str,
+    names: list[str],
+    stats_cols: list[str],
+    bloom_cols: list[str],
+    bloom_bits: int | None,
+) -> dict | None:
+    """The ONE stats assembly every writer shares: footer [min, max]
+    for ``stats_cols`` plus per-file bloom sketches for ``bloom_cols``,
+    merged into each file's commit-entry stats. The footer sweep runs
+    whenever either kind is requested (per-file row counts size the
+    bloom and power the rows==0 prune)."""
+    if not (stats_cols or bloom_cols):
+        return None
+    stats = _file_stats(table_dir, names, list(stats_cols))
+    if bloom_cols:
+        blooms = _file_blooms(
+            spark, table_dir, names, list(bloom_cols),
+            {n: stats[n]["rows"] for n in names}, bits=bloom_bits,
+        )
+        for n in names:
+            if blooms[n]:
+                stats[n]["bloom"] = blooms[n]
+    return stats
+
+
 def overwrite(
-    df: DataFrame, table_dir: str, *, stats_cols: list[str] = ()
+    df: DataFrame, table_dir: str, *, stats_cols: list[str] = (),
+    bloom_cols: list[str] = (), bloom_bits: int | None = None,
 ) -> int:
     """Replace the table contents in ONE commit: readers see either
     the old snapshot or the new one, never a mix."""
@@ -681,7 +717,10 @@ def overwrite(
         for p in snapshot_files(table_dir, version=latest)
     ] if latest is not None else []
     names = _stage_dataframe(df, table_dir, hint)
-    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    stats = _merged_file_stats(
+        df.sparkSession, table_dir, names, stats_cols, bloom_cols,
+        bloom_bits,
+    )
     # an overwrite REPLACES the contents, so any schema is legal — it
     # becomes the committed schema from this version on (older
     # versions keep theirs for time travel)
@@ -698,6 +737,8 @@ def compact(
     target_files: int = 1,
     sort_by=None,
     stats_cols: list[str] = (),
+    bloom_cols: list[str] = (),
+    bloom_bits: int | None = None,
 ) -> int:
     """Rewrite the CURRENT snapshot into ``target_files`` files and
     commit the swap atomically; prior versions still time-travel.
@@ -708,7 +749,10 @@ def compact(
     decisive (file_index's compaction rule, applied at the commit
     level). With a multi-dimensional Z key, commit ``stats_cols`` for
     the UNDERLYING dimensions: each file's [min, max] narrows on
-    every interleaved dimension at once."""
+    every interleaved dimension at once. ``bloom_cols`` additionally
+    commits per-file membership sketches — the maintenance pass for
+    point-probe columns the sort key does NOT cluster (sorting helps
+    one key family; blooms cover the rest)."""
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
@@ -724,7 +768,9 @@ def compact(
     else:
         df = df.coalesce(target_files)
     names = _stage_dataframe(df, table_dir, latest + 1)
-    stats = _file_stats(table_dir, names, list(stats_cols)) if stats_cols else None
+    stats = _merged_file_stats(
+        spark, table_dir, names, stats_cols, bloom_cols, bloom_bits
+    )
     # pinned like overwrite: the rewrite is a function of the snapshot
     # at ``latest``, so a commit landing mid-compact must win the race
     return commit(
@@ -1073,6 +1119,269 @@ def read_snapshot_pruned(
     df = reader.parquet(*kept).filter(
         (F.col(column) >= lo) & (F.col(column) <= hi)
     )
+    return df, len(kept), len(files)
+
+
+# ---------------------------------------------------------------------------
+# Per-file membership sketches (bloom filters) committed in the log
+# ---------------------------------------------------------------------------
+
+#: bits per stored row when sizing a file's bloom bitmap (rounded up to
+#: a power of two): 16 bits/row with BLOOM_K=5 probes gives a per-file
+#: false-positive rate of ~0.14% — the same 16-bits-per-element house
+#: sizing rule as the decontamination filter (plans/scale_ops.py).
+BLOOM_BITS_PER_ROW = 16
+BLOOM_K = 5
+BLOOM_MIN_BITS = 1 << 13  # 1 KiB bitmap floor (tiny files)
+#: 1 MiB bitmap cap: keeps every commit entry metadata-sized no matter
+#: the file's row count (a 128 MB parquet file of short rows could
+#: otherwise demand a multi-MB bitmap INSIDE the commit json). Past the
+#: cap the false-positive rate degrades gracefully instead of the log
+#: blowing up; deployments with bigger files would move bitmaps to
+#: sidecar index files (Delta stores its bloom indexes exactly so) —
+#: the protocol here keeps them inline because commit entries are the
+#: one artifact every reader already loads.
+BLOOM_MAX_BITS = 1 << 23
+
+
+def _bloom_m_for(rows: int) -> int:
+    m = BLOOM_MIN_BITS
+    while m < BLOOM_BITS_PER_ROW * rows and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _file_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    names: list[str],
+    cols: list[str],
+    rows_by_name: dict[str, int],
+    *,
+    bits: int | None = None,
+    k: int = BLOOM_K,
+) -> dict[str, dict]:
+    """Per-file bloom bitmaps for ``cols`` over freshly staged data
+    files — the write-time cost of membership pruning, paid once per
+    commit like ``_file_stats``'s footer sweep. ONE distributed
+    column-pruned scan per column: each executor hashes its own file's
+    values (``pmod(xxhash64(value, i), m)`` for ``i < k``) and the
+    partial aggregation dedups positions map-side, so at most ``m``
+    distinct positions per file ever cross the shuffle or reach the
+    driver — never the values themselves. Nulls are excluded (an
+    equality probe can't ask for null; hashing it would poison a
+    position). All files in one commit share one ``m`` (sized for the
+    largest file), but ``m``/``k`` are recorded PER FILE so readers
+    probe heterogeneous bitmaps across commits correctly."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table_dir, n) for n in names]
+    m = int(bits) if bits else _bloom_m_for(
+        max(rows_by_name.values(), default=0)
+    )
+    if m & (m - 1):
+        raise ValueError(f"bloom bits must be a power of two, got {m}")
+    out: dict[str, dict] = {n: {} for n in names}
+    reader = spark.read.parquet(*paths)
+    for col in cols:
+        rows = (
+            reader.where(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("_f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col(col), F.lit(i)), F.lit(m)
+                            )
+                            for i in range(k)
+                        ]
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        by_name = {r["_f"].rsplit("/", 1)[-1]: r["_ps"] for r in rows}
+        for n in names:
+            buf = bytearray((m + 7) // 8)
+            for p in by_name.get(n, ()):
+                buf[p >> 3] |= 1 << (p & 7)
+            # a file with no (non-null) rows for col keeps an all-zero
+            # bitmap: every probe prunes it, which is exact
+            out[n][col] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+            }
+    return out
+
+
+def _bloom_hashes(
+    spark: SparkSession, values: list, dtype: str, k: int
+) -> list[list[int]]:
+    """Raw ``xxhash64(value, i)`` for ``i < k`` per probe value, from
+    ONE tiny Spark job over the cast probe relation — the only way to
+    reproduce the executors' write-time hashing bit-exactly (Spark
+    hashes each native type differently, so a Python reimplementation
+    would have to track that contract release by release). The raw
+    hashes are m-independent; callers take ``hash % m`` per FILE
+    against that file's own committed bitmap size. A probe value the
+    stored type cannot represent fails loudly under ANSI cast — the
+    same contract as the keyset/point-lookup probes (a silent drop
+    would return an empty result for what is a caller type error)."""
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(str(v),) for v in values], "v string"
+    ).select(F.col("v").cast(dtype).alias("v"))
+    rows = probe.select(
+        *[F.xxhash64(F.col("v"), F.lit(i)).alias(f"h{i}") for i in range(k)]
+    ).collect()
+    return [[r[f"h{i}"] for i in range(k)] for r in rows]
+
+
+def _bloom_maybe_contains(
+    bloom: dict, hashes: list[list[int]]
+) -> bool:
+    """True iff the committed bitmap cannot RULE OUT every probe value
+    (some value has all k of its positions set). False is definitive:
+    none of the values is in the file."""
+    import base64
+
+    m, k = bloom["m"], bloom["k"]
+    buf = base64.b64decode(bloom["b64"])
+    for hs in hashes:
+        if all(
+            buf[(h % m) >> 3] & (1 << ((h % m) & 7)) for h in hs[:k]
+        ):
+            return True
+    return False
+
+
+def read_snapshot_membership_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    values: list,
+    *,
+    version: int | None = None,
+    _resolved: tuple | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Equality/IN probe of a snapshot planned from the log's committed
+    per-file BLOOM sketches: files whose bitmap proves "none of these
+    values can be here" are never opened. This is the pruning class
+    [min, max] stats cannot provide — on a hash-scattered or
+    unclustered column every file's range spans the whole domain, so a
+    range test keeps everything, while the bloom answers membership
+    directly (the role Delta's bloom-filter index / Iceberg's puffin
+    sketches play, carried here by the commit entry so planning needs
+    zero index I/O). Lossless like ``read_snapshot_pruned``: a file
+    with committed [min, max] for the column must also fail the range
+    test to be pruned, a file with NEITHER kind of stats is kept, and
+    the residual IN filter always applies — the result equals the
+    plain filtered snapshot scan exactly. Returns
+    (df, files_kept, files_total).
+
+    ``_resolved`` — pass an already-resolved (files, stats, schema)
+    triple for the same version so a routing caller (``serve``) pays
+    the checkpoint-load + tail-replay once, not twice."""
+    from pyspark.sql import functions as F
+
+    if not values:
+        raise ValueError("empty probe value set")
+    if any(v is None for v in values):
+        # an equality probe for null is not a thing (SQL: col = NULL
+        # matches nothing), and str(None) would silently probe the
+        # string 'None' on varchar columns
+        raise ValueError("null probe values are not supported")
+    if _resolved is not None:
+        files, stats, schema = _resolved
+    else:
+        files, stats, schema = snapshot_resolved(
+            table_dir, version=version
+        )
+    if not files:
+        raise ValueError(
+            f"snapshot {version!r} of {table_dir} has no data files"
+        )
+    if schema is None:
+        raise ValueError(
+            f"{table_dir} has no committed schema — the stored probe "
+            "type is unknown (same contract as keyset_lookup)"
+        )
+    dtype = schema[column].dataType.simpleString()
+    hashes: list[list[int]] | None = None
+    k_max = max(
+        (
+            stats.get(os.path.basename(p), {})
+            .get("bloom", {})
+            .get(column, {})
+            .get("k", 0)
+            for p in files
+        ),
+        default=0,
+    )
+    if k_max:
+        hashes = _bloom_hashes(spark, values, dtype, k_max)
+    kept = []
+    for p in files:
+        entry = stats.get(os.path.basename(p), {})
+        if entry.get("rows") == 0:
+            continue  # committed-empty: can never contribute rows
+        st = entry.get("cols", {}).get(column)
+        if st is not None:
+            # the range test can only prune when EVERY probe value is
+            # type-comparable to the stored stats (a str probe against
+            # int stats proves nothing — after the residual's cast it
+            # may still match rows, so an incomparable value must keep
+            # the file: losslessness over cleverness)
+            comparable = [
+                v
+                for v in values
+                if isinstance(v, str) == isinstance(st["min"], str)
+            ]
+            if len(comparable) == len(values) and not any(
+                st["min"] <= v <= st["max"] for v in comparable
+            ):
+                continue  # every probe value outside the file's range
+        bloom = entry.get("bloom", {}).get(column)
+        if bloom is not None and (
+            hashes is not None
+            and not _bloom_maybe_contains(bloom, hashes)
+        ):
+            continue  # bitmap rules out every probe value
+        kept.append(p)
+    reader = spark.read.schema(schema)
+    if not kept:
+        # all files pruned: ONE file supplies the rows=0 scan, the
+        # always-false filter keeps the result equal to the full scan
+        base = reader.parquet(files[0]).filter(F.lit(False))
+        return base, 0, len(files)
+    df = reader.parquet(*kept)
+    # size-routed residual, keyset_lookup's rule (shared with
+    # operators.colocated._probe_filter — reimplemented here because
+    # the operator layer imports this module): small sets as cast
+    # literals (pushes to the parquet reader), large sets as a
+    # broadcast semi-join (a K-literal predicate costs Catalyst O(K)
+    # analysis — measured ~3.3 s at K=2000, more than the scan)
+    if len(values) <= 64:
+        df = df.filter(
+            F.col(column).isin([F.lit(v).cast(dtype) for v in values])
+        )
+    else:
+        probe_rel = spark.createDataFrame(
+            [(str(v),) for v in sorted(set(map(str, values)))],
+            "v string",
+        ).select(F.col("v").cast(dtype).alias("v"))
+        df = df.join(
+            F.broadcast(probe_rel),
+            df[column] == probe_rel["v"],
+            "left_semi",
+        )
     return df, len(kept), len(files)
 
 
