@@ -695,6 +695,7 @@ def serve(
     key_col: str | None = None,
     scan_file_threshold: int = SERVE_SCAN_FILE_THRESHOLD,
     bloom_coverage_threshold: float = 0.5,
+    record_routes: bool = True,
 ) -> tuple[DataFrame, dict]:
     """ONE front door over the bucketed-layout serving surface: give
     it a table and a key set, it picks the execution shape the A/B
@@ -736,7 +737,13 @@ def serve(
     ``probe_files`` column pins the one-file point read); as an
     execution shape it is dominated by ``keyset_lookup``, so the
     router never picks it. All resolution is pinned to one
-    ``version`` (default: current, read once here)."""
+    ``version`` (default: current, read once here).
+
+    Every routed probe is recorded in the serving ledger (kind
+    ``point``, ``record_routes=False`` to opt out — e.g. shared
+    fixtures); a streak of unprunable scan routes plus low bloom
+    coverage trips ``membership_maintenance_due`` and surfaces the
+    ``bloom_cols`` prescription in the probe's own ``info``."""
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
@@ -799,13 +806,34 @@ def serve(
             )
             info["route"] = "bloom-pruned"
             info["files_scanned"] = kept
+            if record_routes:
+                _record_range_route(
+                    table_dir, key, "bloom-pruned", version,
+                    kind="point",
+                )
             return df, info
     if spec is None or len(files) <= scan_file_threshold:
         info["route"] = scan_route
         info["files_scanned"] = len(files)
+        if record_routes:
+            _record_range_route(
+                table_dir, key, scan_route, version, kind="point"
+            )
+            if scan_route in _POINT_MISS_ROUTES:
+                # the ledger+coverage hysteresis, serve_range's shape:
+                # a streak of unprunable point probes surfaces the
+                # bloom prescription in the probe's own serving info
+                hint = membership_maintenance_due(
+                    table_dir, key,
+                    coverage_threshold=bloom_coverage_threshold,
+                )
+                if hint["due"]:
+                    info["maintenance_hint"] = hint["fix"]
         scan = spark.read.schema(schema).parquet(*files)
         return _probe_filter(spark, scan, key, dtype, keys), info
     info["route"] = "keyset"
+    if record_routes:
+        _record_range_route(table_dir, key, "keyset", version, kind="point")
     bpf = layout_buckets_per_file(table_dir, version=version)
     by_group: dict[int, list[str]] = defaultdict(list)
     for p in files:
@@ -947,14 +975,21 @@ def _serving_ledger_dir(table_dir: str) -> str:
 
 
 def _record_range_route(
-    table_dir: str, column: str, route: str, version: int | None
+    table_dir: str,
+    column: str,
+    route: str,
+    version: int | None,
+    kind: str = "range",
 ) -> None:
     """Append one meta-only entry to the table's SERVING LEDGER — a
     side table-log (``_serving_log/`` inside the table dir, no data
-    files) recording which route each range probe took, the
-    hysteresis evidence ``maintenance_due`` folds. A separate log so
-    serving reads never contend with the table's own writers on the
-    main log's optimistic concurrency."""
+    files) recording which route each probe took, the hysteresis
+    evidence the maintenance polls fold. ``kind`` separates the two
+    probe families sharing the ledger (``range`` probes, whose fix is
+    ``compact(sort_by, stats_cols)``; ``point`` probes, whose fix is
+    ``bloom_cols``) so one family's misses never trip the other's
+    streak. A separate log so serving reads never contend with the
+    table's own writers on the main log's optimistic concurrency."""
     ledger = _serving_ledger_dir(table_dir)
 
     def derive(base: int | None) -> dict:
@@ -964,6 +999,7 @@ def _record_range_route(
             "meta": {
                 "column": column,
                 "route": route,
+                "kind": kind,
                 "layout_version": version,
             },
         }
@@ -971,12 +1007,19 @@ def _record_range_route(
     tl.commit_with_retry(ledger, derive)
 
 
-def _route_streak(table_dir: str, column: str) -> int:
-    """Trailing consecutive ``full-scan`` routes for ``column`` in the
-    serving ledger (a ``stats-pruned`` entry for the SAME column
-    resets it; other columns' probes are transparent). Walks newest-
-    first and stops at the streak target or the walk window — O(1) in
-    serving history."""
+def _route_streak(
+    table_dir: str,
+    column: str,
+    *,
+    misses: tuple[str, ...] = ("full-scan",),
+    kind: str = "range",
+) -> int:
+    """Trailing consecutive miss-routed probes for ``column`` of the
+    given ``kind`` in the serving ledger (a pruned-route entry for the
+    SAME column+kind resets it; other columns' and the other kind's
+    probes are transparent). Entries written before the ledger carried
+    a ``kind`` are all range probes. Walks newest-first and stops at
+    the streak target or the walk window — O(1) in serving history."""
     ledger = _serving_ledger_dir(table_dir)
     latest = tl.current_version(ledger)
     if latest is None:
@@ -990,7 +1033,9 @@ def _route_streak(table_dir: str, column: str) -> int:
         meta = entry.get("meta") or {}
         if meta.get("column") != column:
             continue
-        if meta.get("route") != "full-scan":
+        if meta.get("kind", "range") != kind:
+            continue
+        if meta.get("route") not in misses:
             break
         streak += 1
         if streak >= MAINTENANCE_FULL_SCAN_STREAK:
@@ -1037,6 +1082,55 @@ def maintenance_due(
             f"compact(table_dir, sort_by={column!r}, "
             f"stats_cols=[{column!r}])"
         ),
+    }
+
+
+#: point-probe routes that mean "the layout could not prune and no
+#: committed sketch stepped in" — the membership analog of the range
+#: face's full-scan
+_POINT_MISS_ROUTES = ("scan-unbucketed", "scan-off-key")
+
+
+def membership_maintenance_due(
+    table_dir: str,
+    column: str,
+    *,
+    coverage_threshold: float = 0.5,
+    streak: int = MAINTENANCE_FULL_SCAN_STREAK,
+) -> dict:
+    """The ACTIONABLE side of serve()'s scan fallbacks for point
+    probes — the membership twin of ``maintenance_due``: True when
+    the serving ledger shows ``streak`` consecutive scan-routed point
+    probes on ``column`` (``scan-unbucketed``/``scan-off-key``, the
+    routes where neither the bucket layout nor a committed bloom could
+    prune) AND the snapshot's bloom-sketch coverage for it is still
+    below ``coverage_threshold``. Running ``compact(table_dir,
+    bloom_cols=[column])`` (or committing future appends with
+    ``bloom_cols``) raises the coverage, which clears the hint
+    IMMEDIATELY. Range misses on the same column never trip this (the
+    ledger records probe kind): their fix is sort+stats, not a
+    sketch."""
+    files, stats, _ = tl.snapshot_resolved(table_dir)
+    nonempty = [
+        p
+        for p in files
+        if stats.get(os.path.basename(p), {}).get("rows") != 0
+    ]
+    bloomed = [
+        p
+        for p in nonempty
+        if column in stats.get(os.path.basename(p), {}).get("bloom", {})
+    ]
+    coverage = (len(bloomed) / len(nonempty)) if nonempty else 1.0
+    got = _route_streak(
+        table_dir, column, misses=_POINT_MISS_ROUTES, kind="point"
+    )
+    due = got >= streak and coverage < coverage_threshold
+    return {
+        "due": due,
+        "scan_streak": got,
+        "bloom_coverage": round(coverage, 3),
+        "fix": f"compact(table_dir, bloom_cols=[{column!r}])",
     }
 
 

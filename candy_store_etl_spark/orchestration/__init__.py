@@ -6,11 +6,19 @@ from .candy_dag import (
     run_stage,
     topological_order,
 )
+from .maintenance import (
+    MaintenanceReport,
+    MaintenanceTarget,
+    maintenance_sweep,
+)
 
 __all__ = [
     "CANDY_DAG_TASKS",
+    "MaintenanceReport",
+    "MaintenanceTarget",
     "StageContext",
     "build_airflow_dag",
+    "maintenance_sweep",
     "run_dag",
     "run_stage",
     "topological_order",

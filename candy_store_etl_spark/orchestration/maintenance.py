@@ -1,0 +1,152 @@
+"""The scheduled maintenance sweep: one poll-then-fix entry point for
+every due/fix loop the engine exposes, so an orchestrator (an Airflow
+task, a cron slot, the loop a deployment already runs OPTIMIZE in)
+calls ONE function instead of tracking three polling protocols:
+
+- range serving (``operators.colocated.maintenance_due``): a streak of
+  full-scan-routed range probes + low [min, max] stats coverage →
+  ``compact(sort_by=col, stats_cols=[col])``;
+- point serving (``operators.colocated.membership_maintenance_due``):
+  a streak of scan-routed point probes + low bloom coverage →
+  ``compact(bloom_cols=[col])``;
+- maintained near-dup chains (``operators.dedup.chain_maintenance``):
+  aged unpublished danglers past the vacuum grace window →
+  ``manifest_vacuum`` over the eligible member tables.
+
+Each loop's DECISION lives with its operator (the ledgers and
+coverage reads are theirs); this module only sequences them, merges
+per-table prescriptions into one rewrite, and reports what it did.
+Everything here is a no-op when nothing is due — safe to run on every
+schedule tick, which is the whole point of the due/fix shape: the
+workload's own route history decides when a rewrite pays, the
+scheduler just has to keep asking.
+
+At 100 TB each fix is one layout rewrite of one table (a compact is a
+single atomic commit; readers at pinned versions are untouched) or a
+metadata-only dangler sweep — the sweep never scans tables that are
+not due.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class MaintenanceTarget:
+    """One serving table the sweep watches: which columns its workload
+    range-probes and point-probes (the ledgers record the actual
+    routes; this only declares what to POLL), and the layout to
+    rewrite into when a fix is due."""
+
+    table_dir: str
+    range_columns: tuple[str, ...] = ()
+    point_columns: tuple[str, ...] = ()
+    target_files: int = 8
+    coverage_threshold: float = 0.5
+
+
+@dataclass
+class MaintenanceReport:
+    """What one sweep saw and did, per table / chain."""
+
+    tables: dict = field(default_factory=dict)
+    chains: dict = field(default_factory=dict)
+
+    @property
+    def acted(self) -> bool:
+        return any(t["action"] for t in self.tables.values()) or any(
+            c["ran"] for c in self.chains.values()
+        )
+
+
+def maintenance_sweep(
+    spark: SparkSession,
+    targets: list[MaintenanceTarget] = (),
+    chain_dirs: list[str] = (),
+    *,
+    dry_run: bool = False,
+) -> MaintenanceReport:
+    """Poll every target's due signals and run exactly the prescribed
+    fixes. Per table, all due prescriptions merge into ONE compact
+    (``sort_by`` the first due range column — a rewrite can only
+    cluster one key family — ``stats_cols`` for every due range
+    column, ``bloom_cols`` for every due point column), so a table
+    whose workload misses on several columns pays a single rewrite
+    per sweep, not one per column. ``dry_run`` reports what WOULD run
+    without touching anything — the orchestration-side preview."""
+    from ..operators.colocated import (
+        maintenance_due,
+        membership_maintenance_due,
+    )
+    from ..operators.dedup import chain_maintenance, chain_maintenance_due
+    from ..sources import table_log as tl
+
+    report = MaintenanceReport()
+    for t in targets:
+        due_range = [
+            c
+            for c in t.range_columns
+            if maintenance_due(
+                t.table_dir, c, coverage_threshold=t.coverage_threshold
+            )["due"]
+        ]
+        due_point = [
+            c
+            for c in t.point_columns
+            if membership_maintenance_due(
+                t.table_dir, c, coverage_threshold=t.coverage_threshold
+            )["due"]
+        ]
+        entry = {
+            "due_range": due_range,
+            "due_point": due_point,
+            "action": None,
+            "cleared": None,
+        }
+        if (due_range or due_point) and not dry_run:
+            version = tl.compact(
+                spark,
+                t.table_dir,
+                target_files=t.target_files,
+                sort_by=due_range[0] if due_range else None,
+                stats_cols=due_range,
+                bloom_cols=due_point,
+            )
+            entry["action"] = f"compact@v{version}"
+            # the due/fix contract: a fix clears its own signal
+            # immediately (coverage is re-read from the new snapshot,
+            # no re-probe needed) — a fix that doesn't is a bug worth
+            # surfacing to the scheduler, not silently re-running
+            entry["cleared"] = not (
+                any(
+                    maintenance_due(
+                        t.table_dir, c,
+                        coverage_threshold=t.coverage_threshold,
+                    )["due"]
+                    for c in due_range
+                )
+                or any(
+                    membership_maintenance_due(
+                        t.table_dir, c,
+                        coverage_threshold=t.coverage_threshold,
+                    )["due"]
+                    for c in due_point
+                )
+            )
+        report.tables[t.table_dir] = entry
+    for d in chain_dirs:
+        if dry_run:
+            due = chain_maintenance_due(d)
+            report.chains[d] = {
+                "ran": False,
+                "due": due["due"],
+                "eligible": due["eligible"],
+            }
+        else:
+            out = chain_maintenance(d)
+            out.setdefault("due", out["ran"])
+            report.chains[d] = out
+    return report

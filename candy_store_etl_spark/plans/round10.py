@@ -432,7 +432,11 @@ def _serve_rollup(spark, table_dir, keys, **kw) -> DataFrame:
     queries share."""
     from ..operators.colocated import serve
 
-    hit, info = serve(spark, table_dir, list(keys), **kw)
+    # record_routes=False: shared regime fixtures stay byte-stable
+    # (same rule as serve_range's regime rows)
+    hit, info = serve(
+        spark, table_dir, list(keys), record_routes=False, **kw
+    )
     return hit.agg(
         F.lit(info["route"]).alias("route"),
         F.lit(info["files_scanned"] < info["files_total"]).alias("pruned"),
@@ -597,7 +601,8 @@ def serve_unbucketed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_scratch(root, _build, _intact)
     keys = [k for k in range(0, 500, 7)]
     hit, info = serve(
-        spark, os.path.join(root, "docs"), keys, key_col="doc_id"
+        spark, os.path.join(root, "docs"), keys, key_col="doc_id",
+        record_routes=False,
     )
     return hit.agg(
         F.lit(info["route"]).alias("route"),

@@ -333,7 +333,10 @@ def serve_point_bloom_pruned(
     ensure_scratch(root, _build, _intact)
     rows = []
     for phase, probes, _ in _BLOOM_PROBES:
-        df, info = serve(spark, t, probes, key_col="source")
+        # record_routes=False: shared regime fixture stays byte-stable
+        df, info = serve(
+            spark, t, probes, key_col="source", record_routes=False
+        )
         agg = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
@@ -346,6 +349,127 @@ def serve_point_bloom_pruned(
         rows,
         "phase long, route string, files_scanned long, "
         "files_total long, n_docs long, total_chars long",
+    ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# The point-probe maintenance loop: scan streak -> bloom_cols -> cleared
+# ---------------------------------------------------------------------------
+
+_PMAINT_ORACLE = """
+WITH probe AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents WHERE source = 'src3'
+),
+full_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+)
+SELECT p.phase, p.route, p.due, p.streak, p.pruned,
+       a.n_docs, a.total_chars
+FROM (VALUES
+        (CAST(1 AS BIGINT), 'scan-unbucketed', FALSE,
+         CAST(1 AS BIGINT), FALSE, 'probe'),
+        (CAST(2 AS BIGINT), 'scan-unbucketed', FALSE,
+         CAST(2 AS BIGINT), FALSE, 'probe'),
+        (CAST(3 AS BIGINT), 'scan-unbucketed', TRUE,
+         CAST(3 AS BIGINT), FALSE, 'probe'),
+        (CAST(4 AS BIGINT), 'maintenance',     FALSE,
+         CAST(3 AS BIGINT), FALSE, 'full'),
+        (CAST(5 AS BIGINT), 'bloom-pruned',    FALSE,
+         CAST(0 AS BIGINT), TRUE,  'probe'),
+        (CAST(6 AS BIGINT), 'bloom-pruned',    FALSE,
+         CAST(0 AS BIGINT), TRUE,  'none')
+     ) p(phase, route, due, streak, pruned, agg_src)
+JOIN (
+  SELECT 'probe' AS agg_src, n_docs, total_chars FROM probe
+  UNION ALL
+  SELECT 'full', n_docs, total_chars FROM full_t
+  UNION ALL
+  SELECT 'none', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+) a USING (agg_src)
+ORDER BY p.phase
+"""
+
+
+@register(
+    "serve_point_maintenance_roundtrip",
+    oracle=_PMAINT_ORACLE,
+    doc="The MEMBERSHIP maintenance loop, closed end-to-end — the "
+    "point-probe twin of serve_range_maintenance_roundtrip: a "
+    "sketch-less table serves three identical source probes, each "
+    "scan-routed (no bucket spec, no bloom — nothing can prune) and "
+    "recorded in the serving ledger under kind=point, so range "
+    "probes on the same column can never trip it; after the third, "
+    "membership_maintenance_due() flips (scan streak 3 AND bloom "
+    "coverage under threshold) and the probe's own info carries the "
+    "bloom_cols prescription. Phase 4 runs exactly that compact "
+    "(sort_by + bloom_cols): the hint clears IMMEDIATELY (coverage "
+    "1.0), verified against the full table's aggregates. Phases 5-6 "
+    "re-probe: a present source routes bloom-pruned with files "
+    "actually pruned, an ABSENT source opens zero files — and the "
+    "ledger streak is reset by the pruned route. Every row carries "
+    "route, due flag, ledger streak, a pruning outcome, and "
+    "aggregates the oracle recomputes from the raw relation. The "
+    "ephemeral per-run table keeps the ledger history deterministic "
+    "at every SF and rerun.",
+    tags=("table_log", "serving", "maintenance", "router", "bloom"),
+)
+def serve_point_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import membership_maintenance_due, serve
+
+    root = tempfile.mkdtemp(prefix="csetl_srvpmnt_")
+    t = os.path.join(root, "docs")
+    rows = []
+
+    def _agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+        ).first()
+
+    try:
+        tl.append(load_table(spark, sf_dir, "documents"), t)  # no sketch
+        for phase in (1, 2, 3):
+            df, info = serve(spark, t, ["src3"], key_col="source")
+            agg = _agg(df)
+            due = membership_maintenance_due(t, "source")
+            rows.append((
+                phase, info["route"], due["due"], due["scan_streak"],
+                info["files_scanned"] < info["files_total"],
+                agg["n"], agg["c"],
+            ))
+        # phase 3's own serving info must carry the prescription
+        assert "bloom_cols" in info.get("maintenance_hint", ""), info
+        tl.compact(
+            spark, t, target_files=6, sort_by="source",
+            bloom_cols=["source"],
+        )
+        due = membership_maintenance_due(t, "source")
+        full = _agg(tl.read_snapshot(spark, t))
+        rows.append((
+            4, "maintenance", due["due"], due["scan_streak"], False,
+            full["n"], full["c"],
+        ))
+        for phase, probe in ((5, "src3"), (6, "src-absent")):
+            df, info = serve(spark, t, [probe], key_col="source")
+            agg = _agg(df)
+            due = membership_maintenance_due(t, "source")
+            rows.append((
+                phase, info["route"], due["due"], due["scan_streak"],
+                info["files_scanned"] < info["files_total"],
+                agg["n"], agg["c"],
+            ))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "phase long, route string, due boolean, streak long, "
+        "pruned boolean, n_docs long, total_chars long",
     ).orderBy("phase")
 
 

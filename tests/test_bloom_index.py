@@ -260,6 +260,56 @@ def test_serve_bloom_route_rows_equal_scan_route(spark, tmp_path):
     )
 
 
+def test_membership_maintenance_streak_hint_and_clear(spark, tmp_path):
+    from candy_store_etl_spark.operators.colocated import (
+        membership_maintenance_due,
+        serve,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(2):
+        tl.append(
+            _mkdocs(
+                spark, [(i * 10 + j, f"t{i}", j) for j in range(5)]
+            ).coalesce(1),
+            t,
+        )
+    for n in (1, 2, 3):
+        df, info = serve(spark, t, ["t1"], key_col="tag")
+        assert info["route"] == "scan-unbucketed"
+        due = membership_maintenance_due(t, "tag")
+        assert due["scan_streak"] == n
+        assert due["due"] is (n >= 3)
+    # the tripping probe's own info carries the prescription
+    assert "bloom_cols" in info["maintenance_hint"]
+    # the fix clears the hint IMMEDIATELY (no waiting for a re-probe)
+    tl.compact(spark, t, target_files=2, bloom_cols=["tag"])
+    due = membership_maintenance_due(t, "tag")
+    assert due["due"] is False
+    assert due["bloom_coverage"] == 1.0
+    # and the next probe routes through the sketch, resetting the streak
+    df, info = serve(spark, t, ["t1"], key_col="tag")
+    assert info["route"] == "bloom-pruned"
+    assert membership_maintenance_due(t, "tag")["scan_streak"] == 0
+
+
+def test_ledger_kind_separation_range_vs_point(spark, tmp_path):
+    from candy_store_etl_spark.operators.colocated import (
+        maintenance_due,
+        membership_maintenance_due,
+        serve_range,
+    )
+
+    t = str(tmp_path / "t")
+    tl.append(_mkdocs(spark, [(i, "x", i) for i in range(9)]), t)
+    # three RANGE misses on column n: the range streak builds, the
+    # point streak must stay untouched (their fixes differ)
+    for _ in range(3):
+        serve_range(spark, t, "n", 0, 2)
+    assert maintenance_due(t, "n")["full_scan_streak"] == 3
+    assert membership_maintenance_due(t, "n")["scan_streak"] == 0
+
+
 def test_bloom_probe_contracts(spark, tmp_path):
     t = str(tmp_path / "t")
     tl.append(
