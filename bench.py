@@ -139,6 +139,15 @@ HEADLINE = [
     # compacts an ephemeral table per run, so its time measures
     # fixture construction, not a serving-path query
     "serve_range_batch_amortized",
+    # the bloom faces of point serving: membership-pruned probes over
+    # the 6-slice sketch-only table, and the in-place-indexed bucketed
+    # secondary-key lookup (both scratch fixtures build once,
+    # content-keyed; timed passes measure probe hashing + pruned
+    # scans). The point-maintenance roundtrip is NOT benched for the
+    # same reason as the range one: it rebuilds an ephemeral table
+    # per run.
+    "serve_point_bloom_pruned",
+    "serve_offkey_bloom_indexed",
 ]
 
 

@@ -1104,9 +1104,13 @@ def membership_maintenance_due(
     probes on ``column`` (``scan-unbucketed``/``scan-off-key``, the
     routes where neither the bucket layout nor a committed bloom could
     prune) AND the snapshot's bloom-sketch coverage for it is still
-    below ``coverage_threshold``. Running ``compact(table_dir,
-    bloom_cols=[column])`` (or committing future appends with
-    ``bloom_cols``) raises the coverage, which clears the hint
+    below ``coverage_threshold``. The prescription is
+    ``add_bloom_index`` — a stats-only commit sketching the EXISTING
+    files in place (one read pass, zero write amplification, and the
+    only fix a bucketed layout can take: a compact would destroy its
+    b#####-file grouping); ``compact(..., bloom_cols=[column])``
+    clears the same signal when a rewrite is happening anyway, as do
+    future appends with ``bloom_cols``. Either way the hint clears
     IMMEDIATELY. Range misses on the same column never trip this (the
     ledger records probe kind): their fix is sort+stats, not a
     sketch."""
@@ -1130,7 +1134,7 @@ def membership_maintenance_due(
         "due": due,
         "scan_streak": got,
         "bloom_coverage": round(coverage, 3),
-        "fix": f"compact(table_dir, bloom_cols=[{column!r}])",
+        "fix": f"add_bloom_index(table_dir, [{column!r}])",
     }
 
 

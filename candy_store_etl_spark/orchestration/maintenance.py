@@ -8,7 +8,8 @@ calls ONE function instead of tracking three polling protocols:
   ``compact(sort_by=col, stats_cols=[col])``;
 - point serving (``operators.colocated.membership_maintenance_due``):
   a streak of scan-routed point probes + low bloom coverage →
-  ``compact(bloom_cols=[col])``;
+  ``add_bloom_index`` (stats-only in-place indexing; rides a compact
+  instead when one is due anyway);
 - maintained near-dup chains (``operators.dedup.chain_maintenance``):
   aged unpublished danglers past the vacuum grace window →
   ``manifest_vacuum`` over the eligible member tables.
@@ -70,13 +71,14 @@ def maintenance_sweep(
     dry_run: bool = False,
 ) -> MaintenanceReport:
     """Poll every target's due signals and run exactly the prescribed
-    fixes. Per table, all due prescriptions merge into ONE compact
-    (``sort_by`` the first due range column — a rewrite can only
-    cluster one key family — ``stats_cols`` for every due range
-    column, ``bloom_cols`` for every due point column), so a table
-    whose workload misses on several columns pays a single rewrite
-    per sweep, not one per column. ``dry_run`` reports what WOULD run
-    without touching anything — the orchestration-side preview."""
+    fixes. Per table, all due prescriptions merge into ONE commit: a
+    due range column forces a rewrite anyway (``sort_by`` the first
+    due range column — a rewrite can only cluster one key family —
+    ``stats_cols`` for every due range column), so due point columns
+    ride it as ``bloom_cols``; with only point columns due, the fix
+    is ``add_bloom_index`` — sketch the existing files in place, no
+    rewrite at all. ``dry_run`` reports what WOULD run without
+    touching anything — the orchestration-side preview."""
     from ..operators.colocated import (
         maintenance_due,
         membership_maintenance_due,
@@ -107,15 +109,26 @@ def maintenance_sweep(
             "cleared": None,
         }
         if (due_range or due_point) and not dry_run:
-            version = tl.compact(
-                spark,
-                t.table_dir,
-                target_files=t.target_files,
-                sort_by=due_range[0] if due_range else None,
-                stats_cols=due_range,
-                bloom_cols=due_point,
-            )
-            entry["action"] = f"compact@v{version}"
+            if due_range:
+                # a rewrite is happening anyway — due point columns
+                # ride it for free
+                version = tl.compact(
+                    spark,
+                    t.table_dir,
+                    target_files=t.target_files,
+                    sort_by=due_range[0],
+                    stats_cols=due_range,
+                    bloom_cols=due_point,
+                )
+                entry["action"] = f"compact@v{version}"
+            else:
+                # membership-only fix: index the existing files in
+                # place (stats-only commit — zero write amplification,
+                # and the only fix a bucketed layout can take)
+                version = tl.add_bloom_index(
+                    spark, t.table_dir, due_point
+                )
+                entry["action"] = f"bloom-index@v{version}"
             # the due/fix contract: a fix clears its own signal
             # immediately (coverage is re-read from the new snapshot,
             # no re-probe needed) — a fix that doesn't is a bug worth

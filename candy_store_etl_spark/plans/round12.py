@@ -353,6 +353,114 @@ def serve_point_bloom_pruned(
 
 
 # ---------------------------------------------------------------------------
+# add_bloom_index: retrofit membership pruning onto a BUCKETED layout
+# ---------------------------------------------------------------------------
+
+_OFFKEY_ORACLE = """
+SELECT p.phase,
+       'bloom-pruned' AS route,
+       TRUE AS pruned,
+       TRUE AS tight,
+       CAST(COUNT(d.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(FLOOR(d.o_totalprice * 100 + 0.5)
+                              AS BIGINT)), 0) AS BIGINT) AS cents
+FROM (VALUES
+        (CAST(1 AS BIGINT), [577]),
+        (CAST(2 AS BIGINT), [33, 901]),
+        (CAST(3 AS BIGINT), [99999999])
+     ) p(phase, probes)
+LEFT JOIN orders d ON list_contains(p.probes, d.o_orderkey)
+GROUP BY p.phase
+ORDER BY p.phase
+"""
+
+
+@register(
+    "serve_offkey_bloom_indexed",
+    oracle=_OFFKEY_ORACLE,
+    doc="add_bloom_index retrofitting membership pruning onto a "
+    "BUCKETED table — the secondary-key lookup a hash layout cannot "
+    "serve: orders bucketed by o_custkey (24 one-bucket files), then "
+    "indexed IN PLACE on o_orderkey by a stats-only commit (add/"
+    "remove empty, dataChange false — zero data rewritten, which is "
+    "the only fix a bucketed layout can take without destroying its "
+    "b#####-file grouping, and the only fix anyone schedules at 100 "
+    "TB). Off-key probes that previously scan-off-key-routed now "
+    "route bloom-pruned: each orderkey lives in exactly its owning "
+    "customer's bucket file, so files_scanned is bounded by the "
+    "PROBE COUNT (hash-checked as tight = files_scanned <= probes "
+    "per phase), never the bucket count — and an absent key opens "
+    "zero files. n_rows/cents recomputed by the oracle from the raw "
+    "relation per probe set. This is Delta's canonical bloom-index "
+    "case (point lookup on a high-cardinality non-partition column) "
+    "expressed through the commit log.",
+    tags=("table_log", "serving", "router", "pruning", "bloom"),
+)
+def serve_offkey_bloom_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.colocated import serve, write_bucketed
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = content_fingerprint(src, extra="bloom-offkey-24b")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_srvobk_{key}")
+    t = os.path.join(root, "orders")
+
+    def _intact(d: str) -> bool:
+        td = os.path.join(d, "orders")
+        if tl.current_version(td) != 1:  # v0 bucketed + v1 index
+            return False
+        stats = tl.snapshot_file_stats(td)
+        if len(stats) != 24 or any(
+            "o_orderkey" not in e.get("bloom", {})
+            for e in stats.values()
+        ):
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(td))
+
+    def _build(stage: str) -> None:
+        td = os.path.join(stage, "orders")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_bucketed(
+            orders, td, key_col="o_custkey", n_buckets=24
+        )
+        tl.add_bloom_index(spark, td, ["o_orderkey"])
+
+    ensure_scratch(root, _build, _intact)
+    rows = []
+    for phase, probes in ((1, [577]), (2, [33, 901]), (3, [99999999])):
+        # record_routes=False: shared regime fixture stays byte-stable
+        df, info = serve(
+            spark, t, probes, key_col="o_orderkey",
+            record_routes=False,
+        )
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")
+                ),
+                F.lit(0),
+            ).alias("c"),
+        ).first()
+        rows.append((
+            phase, info["route"],
+            info["files_scanned"] < info["files_total"],
+            info["files_scanned"] <= len(probes),
+            agg["n"], agg["c"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "phase long, route string, pruned boolean, tight boolean, "
+        "n_rows long, cents long",
+    ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
 # The point-probe maintenance loop: scan streak -> bloom_cols -> cleared
 # ---------------------------------------------------------------------------
 
@@ -444,7 +552,7 @@ def serve_point_maintenance_roundtrip(
                 agg["n"], agg["c"],
             ))
         # phase 3's own serving info must carry the prescription
-        assert "bloom_cols" in info.get("maintenance_hint", ""), info
+        assert "bloom" in info.get("maintenance_hint", ""), info
         tl.compact(
             spark, t, target_files=6, sort_by="source",
             bloom_cols=["source"],

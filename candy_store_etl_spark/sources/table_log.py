@@ -1262,6 +1262,75 @@ def _bloom_maybe_contains(
     return False
 
 
+def add_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    *,
+    bits: int | None = None,
+) -> int:
+    """Commit bloom sketches for the CURRENT snapshot's existing files
+    without rewriting any data — a stats-only layout commit (add/
+    remove empty, ``dataChange: false``), the "CREATE BLOOMFILTER
+    INDEX" shape: one distributed scan per column builds the bitmaps,
+    and the commit entry re-states each live file's stats with the
+    sketches merged in (stats resolution is newest-wins per file, so
+    the restated entry must CARRY the old [min, max] — replacing it
+    with a bloom-only entry would silently un-index range pruning).
+
+    This is what makes membership pruning retrofittable: a BUCKETED
+    table cannot take ``compact(bloom_cols=...)`` (the rewrite would
+    destroy its b#####-file layout and spec), and rewriting 100 TB to
+    gain an index is write amplification nobody schedules — indexing
+    in place costs one read pass and a metadata commit. Optimistic
+    like every writer: the sketch set is computed once for the
+    snapshot read here, and the commit re-derives against the version
+    it lands on (files added meanwhile simply stay sketch-less — the
+    coverage number reports exactly that; files removed meanwhile are
+    dropped from the restated stats). Returns the committed version."""
+    latest = current_version(table_dir)
+    if latest is None:
+        raise ValueError(f"{table_dir} has no committed versions")
+    live, stats, _, _, _ = _resolve_snapshot(table_dir, latest)
+    names = sorted(live)
+    if not names:
+        raise ValueError(f"{table_dir} snapshot has no data files")
+    rows_by_name = {
+        n: stats.get(n, {}).get("rows", 0) for n in names
+    }
+    if not all(rows_by_name.values()):
+        # files committed without stats have no recorded row counts —
+        # take them from the footers (the same one-time sweep
+        # _file_stats pays; an undersized bitmap would quietly raise
+        # the false-positive rate, so guessing is not an option)
+        footer = _file_stats(table_dir, names, [])
+        rows_by_name = {n: footer[n]["rows"] for n in names}
+    blooms = _file_blooms(
+        spark, table_dir, names, list(cols), rows_by_name, bits=bits
+    )
+
+    def derive(base: int | None) -> dict:
+        live_now, stats_now, _, _, _ = _resolve_snapshot(table_dir, base)
+        restated = {}
+        for n in names:
+            if n not in live_now:
+                continue  # removed while we indexed: drop it
+            entry = dict(stats_now.get(n, {}))
+            entry["bloom"] = {
+                **entry.get("bloom", {}),
+                **blooms[n],
+            }
+            restated[n] = entry
+        return {
+            "add": [],
+            "op": "bloom-index",
+            "stats": restated,
+            "data_change": False,
+        }
+
+    return commit_with_retry(table_dir, derive)
+
+
 def read_snapshot_membership_pruned(
     spark: SparkSession,
     table_dir: str,

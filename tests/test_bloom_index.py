@@ -260,6 +260,102 @@ def test_serve_bloom_route_rows_equal_scan_route(spark, tmp_path):
     )
 
 
+def test_add_bloom_index_in_place_no_rewrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i, tag in enumerate(["a", "b", "c"]):
+        tl.append(
+            _mkdocs(
+                spark, [(i * 10 + j, tag, j) for j in range(6)]
+            ).coalesce(1),
+            t,
+            stats_cols=["id"],
+        )
+    files_before = tl.snapshot_files(t)
+    v = tl.add_bloom_index(spark, t, ["tag"])
+    assert v == 3
+    # stats-only: the data files are EXACTLY the ones already there
+    assert tl.snapshot_files(t) == files_before
+    entry = tl._read_entry(t, v)
+    assert entry["add"] == [] and entry["remove"] == []
+    assert entry.get("dataChange") is False
+    # the restated entries CARRY the pre-existing [min, max]: range
+    # pruning must survive the indexing commit
+    df, kept, total = tl.read_snapshot_pruned(spark, t, "id", 0, 5)
+    assert (kept, total) == (1, 3)
+    # and membership pruning now works on the retrofit column
+    kept, total = _probe_equal(spark, t, "tag", ["b"])
+    assert (kept, total) == (1, 3)
+    # time travel below the index commit still reads clean
+    assert tl.read_snapshot(spark, t, version=2).count() == 18
+
+
+def test_add_bloom_index_retrofits_bucketed_offkey_serving(
+    spark, tmp_path
+):
+    from candy_store_etl_spark.operators.colocated import (
+        serve,
+        write_bucketed,
+    )
+
+    t = str(tmp_path / "t")
+    # id is UNIQUE and functionally tied to the bucket key (tenant):
+    # the canonical secondary-key lookup a hash layout cannot serve
+    rows = [
+        (tenant * 100 + j, f"tenant{tenant}", j)
+        for tenant in range(8)
+        for j in range(12)
+    ]
+    write_bucketed(
+        spark.createDataFrame(rows, "id long, tag string, n long"),
+        t,
+        key_col="tag",
+        n_buckets=8,
+    )
+    _, info = serve(spark, t, [307], key_col="id", record_routes=False)
+    assert info["route"] == "scan-off-key"
+    tl.add_bloom_index(spark, t, ["id"])
+    df, info = serve(spark, t, [307], key_col="id", record_routes=False)
+    assert info["route"] == "bloom-pruned"
+    assert info["files_scanned"] == 1
+    assert [r["tag"] for r in df.collect()] == ["tenant3"]
+    # the bucket layout is untouched: on-key probes still plan
+    # against the committed spec
+    df, info = serve(
+        spark, t, ["tenant5"], key_col="tag", record_routes=False
+    )
+    assert info["route"].startswith("scan") or info["route"] == "keyset"
+    assert df.count() == 12
+
+
+def test_sweep_point_only_fix_is_index_not_rewrite(spark, tmp_path):
+    from candy_store_etl_spark.operators.colocated import serve
+    from candy_store_etl_spark.orchestration import (
+        MaintenanceTarget,
+        maintenance_sweep,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(2):
+        tl.append(
+            _mkdocs(
+                spark, [(i * 10 + j, f"t{i}", j) for j in range(5)]
+            ).coalesce(1),
+            t,
+        )
+    for _ in range(3):
+        serve(spark, t, ["t1"], key_col="tag")
+    files_before = tl.snapshot_files(t)
+    rep = maintenance_sweep(
+        spark, [MaintenanceTarget(t, point_columns=("tag",))]
+    )
+    assert rep.tables[t]["action"] == "bloom-index@v2"
+    assert rep.tables[t]["cleared"] is True
+    # membership-only fix never rewrites data
+    assert tl.snapshot_files(t) == files_before
+    _, info = serve(spark, t, ["t1"], key_col="tag")
+    assert info["route"] == "bloom-pruned"
+
+
 def test_membership_maintenance_streak_hint_and_clear(spark, tmp_path):
     from candy_store_etl_spark.operators.colocated import (
         membership_maintenance_due,
@@ -281,7 +377,7 @@ def test_membership_maintenance_streak_hint_and_clear(spark, tmp_path):
         assert due["scan_streak"] == n
         assert due["due"] is (n >= 3)
     # the tripping probe's own info carries the prescription
-    assert "bloom_cols" in info["maintenance_hint"]
+    assert "add_bloom_index" in info["maintenance_hint"]
     # the fix clears the hint IMMEDIATELY (no waiting for a re-probe)
     tl.compact(spark, t, target_files=2, bloom_cols=["tag"])
     due = membership_maintenance_due(t, "tag")
