@@ -662,28 +662,35 @@ SERVE_SCAN_FILE_THRESHOLD = 96
 def _probe_filter(
     spark: SparkSession, scan: DataFrame, key: str, dtype: str, values: list
 ) -> DataFrame:
-    """Size-routed probe residual (keyset_lookup's rule, shared by the
-    scan routes): small sets as an ``isin`` literal predicate — exact
-    cast semantics, pushes to the parquet reader; large sets as a
-    broadcast semi-join against a cast probe relation, because a
-    K-literal predicate costs Catalyst O(K) analysis (measured ~3.3 s
-    at K=2000, more than the scan it plans)."""
-    if len(values) <= 64:
-        # cast each literal to the STORED key type — raw Python values
-        # would let Catalyst resolve the comparison under a different
-        # implicit cast than the keyset route (which casts probes to
-        # dtype), and serve()'s "route is invisible in the answer"
-        # contract must hold across the 64-probe / 96-file boundaries
-        # for string/decimal/float keys too, not just integers
-        return scan.filter(
-            F.col(key).isin([F.lit(v).cast(dtype) for v in values])
-        )
-    probe_rel = spark.createDataFrame(
-        [(str(v),) for v in sorted(set(values))], "v string"
-    ).select(F.col("v").cast(dtype).alias("v"))
-    return scan.join(
-        F.broadcast(probe_rel), scan[key] == probe_rel["v"], "left_semi"
-    )
+    """Size-routed probe residual — delegates to the ONE shared rule
+    (``table_log.probe_residual``; casting each probe to the STORED
+    key type keeps serve()'s "route is invisible in the answer"
+    contract across the 64-probe / 96-file boundaries for string/
+    decimal/float keys too, not just integers)."""
+    return tl.probe_residual(spark, scan, key, dtype, values)
+
+
+def _stats_coverage(
+    files: list[str], stats: dict, column: str, kind: str
+) -> tuple[float, int]:
+    """Fraction of the snapshot's NON-EMPTY files whose commit-entry
+    stats carry ``column`` under ``kind`` ("cols" = [min, max] range
+    stats, "bloom" = membership sketches) — the ONE coverage rule
+    every router and maintenance poll shares (an empty snapshot
+    counts as fully covered: there is nothing to prune). Also returns
+    the non-empty file count so callers can report it."""
+    nonempty = [
+        p
+        for p in files
+        if stats.get(os.path.basename(p), {}).get("rows") != 0
+    ]
+    covered = [
+        p
+        for p in nonempty
+        if column in stats.get(os.path.basename(p), {}).get(kind, {})
+    ]
+    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    return coverage, len(nonempty)
 
 
 def serve(
@@ -786,20 +793,12 @@ def serve(
         # decision: enough non-empty files carry a sketch for the
         # probe column, plan from the log; otherwise fall through to
         # the one-scan routes (and record WHY in bloom_coverage).
-        nonempty = [
-            p
-            for p in files
-            if stats.get(os.path.basename(p), {}).get("rows") != 0
-        ]
-        bloomed = [
-            p
-            for p in nonempty
-            if key
-            in stats.get(os.path.basename(p), {}).get("bloom", {})
-        ]
-        coverage = (len(bloomed) / len(nonempty)) if nonempty else 1.0
+        coverage, _ = _stats_coverage(files, stats, key, "bloom")
         info["bloom_coverage"] = round(coverage, 3)
-        if coverage >= bloom_coverage_threshold:
+        # `keys and`: an empty probe set must stay a well-formed empty
+        # RESULT on every route (the scan's isin([]) contract), never
+        # the membership reader's empty-probe ValueError
+        if keys and coverage >= bloom_coverage_threshold:
             df, kept, total = tl.read_snapshot_membership_pruned(
                 spark, table_dir, key, keys, version=version,
                 _resolved=(files, stats, schema),
@@ -823,9 +822,13 @@ def serve(
                 # the ledger+coverage hysteresis, serve_range's shape:
                 # a streak of unprunable point probes surfaces the
                 # bloom prescription in the probe's own serving info
+                # _resolved: the due poll reuses THIS probe's pinned
+                # snapshot triple instead of paying a second
+                # checkpoint-load + tail-replay per probe
                 hint = membership_maintenance_due(
                     table_dir, key,
                     coverage_threshold=bloom_coverage_threshold,
+                    _resolved=(files, stats),
                 )
                 if hint["due"]:
                     info["maintenance_hint"] = hint["fix"]
@@ -900,17 +903,7 @@ def serve_range(
     # through) the pruned reader — chaining the three per-field
     # accessors would pay the resolve three times per probe
     files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
-    nonempty = [
-        p
-        for p in files
-        if stats.get(os.path.basename(p), {}).get("rows") != 0
-    ]
-    covered = [
-        p
-        for p in nonempty
-        if column in stats.get(os.path.basename(p), {}).get("cols", {})
-    ]
-    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    coverage, _ = _stats_coverage(files, stats, column, "cols")
     info: dict = {
         "files_total": len(files),
         "stats_coverage": round(coverage, 3),
@@ -1061,17 +1054,7 @@ def maintenance_due(
     to wait for the next probe to re-route). Poll this from the
     orchestration layer the way deployments schedule OPTIMIZE."""
     files, stats, _ = tl.snapshot_resolved(table_dir)
-    nonempty = [
-        p
-        for p in files
-        if stats.get(os.path.basename(p), {}).get("rows") != 0
-    ]
-    covered = [
-        p
-        for p in nonempty
-        if column in stats.get(os.path.basename(p), {}).get("cols", {})
-    ]
-    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    coverage, _ = _stats_coverage(files, stats, column, "cols")
     got = _route_streak(table_dir, column)
     due = got >= streak and coverage < coverage_threshold
     return {
@@ -1097,6 +1080,7 @@ def membership_maintenance_due(
     *,
     coverage_threshold: float = 0.5,
     streak: int = MAINTENANCE_FULL_SCAN_STREAK,
+    _resolved: tuple | None = None,
 ) -> dict:
     """The ACTIONABLE side of serve()'s scan fallbacks for point
     probes — the membership twin of ``maintenance_due``: True when
@@ -1113,19 +1097,17 @@ def membership_maintenance_due(
     future appends with ``bloom_cols``. Either way the hint clears
     IMMEDIATELY. Range misses on the same column never trip this (the
     ledger records probe kind): their fix is sort+stats, not a
-    sketch."""
-    files, stats, _ = tl.snapshot_resolved(table_dir)
-    nonempty = [
-        p
-        for p in files
-        if stats.get(os.path.basename(p), {}).get("rows") != 0
-    ]
-    bloomed = [
-        p
-        for p in nonempty
-        if column in stats.get(os.path.basename(p), {}).get("bloom", {})
-    ]
-    coverage = (len(bloomed) / len(nonempty)) if nonempty else 1.0
+    sketch.
+
+    ``_resolved`` — an already-resolved (files, stats, ...) tuple
+    from the caller's own routing (serve() passes its pinned triple),
+    so a hot serving path never pays the checkpoint-load +
+    tail-replay twice per probe just to compute the due signal."""
+    if _resolved is not None:
+        files, stats = _resolved[0], _resolved[1]
+    else:
+        files, stats, _ = tl.snapshot_resolved(table_dir)
+    coverage, _ = _stats_coverage(files, stats, column, "bloom")
     got = _route_streak(
         table_dir, column, misses=_POINT_MISS_ROUTES, kind="point"
     )
@@ -1182,17 +1164,7 @@ def serve_range_batch(
     if version is None:
         version = tl.current_version(table_dir)
     files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
-    nonempty = [
-        p
-        for p in files
-        if stats.get(os.path.basename(p), {}).get("rows") != 0
-    ]
-    covered = [
-        p
-        for p in nonempty
-        if column in stats.get(os.path.basename(p), {}).get("cols", {})
-    ]
-    coverage = (len(covered) / len(nonempty)) if nonempty else 1.0
+    coverage, _ = _stats_coverage(files, stats, column, "cols")
     info: dict = {
         "files_total": len(files),
         "stats_coverage": round(coverage, 3),

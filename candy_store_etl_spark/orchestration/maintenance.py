@@ -108,23 +108,44 @@ def maintenance_sweep(
             "action": None,
             "cleared": None,
         }
+        bucketed = tl.committed_bucket_spec(t.table_dir) is not None
+        if due_range and bucketed:
+            # a plain compact would DESTROY the bucket layout (the
+            # rewrite carries no spec, so every future on-key probe
+            # loses the keyset/colocated routes) — worse than the
+            # full scans the fix would save. Surface it instead of
+            # "fixing" it; re-bucketing with a different clustering
+            # is a human decision, not a sweep's.
+            entry["skipped_range"] = (
+                "bucketed layout: compact would drop the bucket "
+                "spec; re-cluster deliberately or serve ranges off a "
+                "replica"
+            )
+            due_range = []
         if (due_range or due_point) and not dry_run:
             if due_range:
-                # a rewrite is happening anyway — due point columns
-                # ride it for free
+                # a rewrite is happening anyway — commit stats and
+                # sketches for EVERY declared column, not just the
+                # currently-due ones: a rewrite that carried only the
+                # due subset would silently drop the coverage earlier
+                # fixes established and oscillate (fix A undoes fix
+                # B's sketches, B re-trips, repeat)
                 version = tl.compact(
                     spark,
                     t.table_dir,
                     target_files=t.target_files,
                     sort_by=due_range[0],
-                    stats_cols=due_range,
-                    bloom_cols=due_point,
+                    stats_cols=list(t.range_columns),
+                    bloom_cols=list(t.point_columns),
                 )
                 entry["action"] = f"compact@v{version}"
             else:
                 # membership-only fix: index the existing files in
                 # place (stats-only commit — zero write amplification,
-                # and the only fix a bucketed layout can take)
+                # and the only fix a bucketed layout can take). Only
+                # the due columns: add_bloom_index MERGES into each
+                # file's existing sketches, so unlike the compact it
+                # cannot drop earlier fixes.
                 version = tl.add_bloom_index(
                     spark, t.table_dir, due_point
                 )

@@ -36,7 +36,7 @@ from __future__ import annotations
 # rows-only tiers stay unseated (their property-flag oracled twins
 # carry the checks), so every window row can hash-green.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW this round (7), each verified at sf0.001/0.01/0.1
+    # (a) NEW this round (6), each verified at sf0.001/0.01/0.1
     "serve_range_batch_amortized",
     "serve_range_maintenance_roundtrip",
     "manifest_checkpoint_resolve",

@@ -1430,28 +1430,46 @@ def read_snapshot_membership_pruned(
         # always-false filter keeps the result equal to the full scan
         base = reader.parquet(files[0]).filter(F.lit(False))
         return base, 0, len(files)
-    df = reader.parquet(*kept)
-    # size-routed residual, keyset_lookup's rule (shared with
-    # operators.colocated._probe_filter — reimplemented here because
-    # the operator layer imports this module): small sets as cast
-    # literals (pushes to the parquet reader), large sets as a
-    # broadcast semi-join (a K-literal predicate costs Catalyst O(K)
-    # analysis — measured ~3.3 s at K=2000, more than the scan)
+    df = probe_residual(
+        spark, reader.parquet(*kept), column, dtype, values
+    )
+    return df, len(kept), len(files)
+
+
+def probe_residual(
+    spark: SparkSession,
+    df: DataFrame,
+    column: str,
+    dtype: str,
+    values: list,
+) -> DataFrame:
+    """THE size-routed probe residual (keyset_lookup's rule), shared
+    by every equality-probe path — the membership-pruned read here and
+    the serving routes in ``operators.colocated`` (which delegates, so
+    the two can never drift): small sets as ``isin`` literals cast to
+    the STORED type (exact cast semantics, pushes to the parquet
+    reader), large sets as a broadcast semi-join against a cast probe
+    relation, because a K-literal predicate costs Catalyst O(K)
+    analysis (measured ~3.3 s at K=2000 — more than the scan it
+    plans)."""
+    from pyspark.sql import functions as F
+
     if len(values) <= 64:
-        df = df.filter(
+        return df.filter(
             F.col(column).isin([F.lit(v).cast(dtype) for v in values])
         )
-    else:
-        probe_rel = spark.createDataFrame(
-            [(str(v),) for v in sorted(set(map(str, values)))],
-            "v string",
-        ).select(F.col("v").cast(dtype).alias("v"))
-        df = df.join(
-            F.broadcast(probe_rel),
-            df[column] == probe_rel["v"],
-            "left_semi",
-        )
-    return df, len(kept), len(files)
+    # dedupe/sort on the STRING form: probe sets of mixed Python types
+    # (e.g. int and str keys for a string column) must not TypeError
+    # in sorted(); the cast to the stored type normalizes them anyway
+    probe_rel = spark.createDataFrame(
+        [(v,) for v in sorted({str(x) for x in values})],
+        "v string",
+    ).select(F.col("v").cast(dtype).alias("v"))
+    return df.join(
+        F.broadcast(probe_rel),
+        df[column] == probe_rel["v"],
+        "left_semi",
+    )
 
 
 def vacuum(
@@ -1952,7 +1970,13 @@ def dangling_report(
     ``youngest_age_s`` so the caller can tell in-flight work from true
     orphans, and ``oldest_age_s`` is what a due-style scheduler
     compares against the vacuum grace window (a sweep only collects
-    danglers older than it, so due = oldest past grace)."""
+    danglers older than it, so due = oldest past grace). Both ages
+    cover only versions that STILL HOLD files on disk: a previously
+    swept dangler's commit json remains forever (tombstone), and
+    letting its age leak into ``oldest_age_s`` would keep a due-style
+    poll tripping — one old tombstone next to any young in-flight
+    batch would schedule a sweep that reclaims nothing, every tick,
+    until the batch publishes."""
     pub = manifest_published(manifest_dir)
     now = time.time()
     out: dict[str, dict] = {}
@@ -1968,19 +1992,23 @@ def dangling_report(
             if entry.get("dataChange") is False:
                 continue
             versions += 1
+            on_disk = 0
+            for n in entry["add"]:
+                p = os.path.join(table_dir, n)
+                try:
+                    size += os.path.getsize(p)
+                    files += 1
+                    on_disk += 1
+                except OSError:
+                    pass  # already vacuumed
+            if not on_disk:
+                continue  # tombstone: nothing reclaimable, no age
             try:
                 age = now - os.stat(_version_path(table_dir, v)).st_mtime
                 youngest = age if youngest is None else min(youngest, age)
                 oldest = age if oldest is None else max(oldest, age)
             except OSError:
                 pass
-            for n in entry["add"]:
-                p = os.path.join(table_dir, n)
-                try:
-                    size += os.path.getsize(p)
-                    files += 1
-                except OSError:
-                    pass  # already vacuumed
         out[name] = {
             "dangling_versions": versions,
             "dangling_files_on_disk": files,

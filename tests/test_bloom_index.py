@@ -423,3 +423,13 @@ def test_bloom_probe_contracts(spark, tmp_path):
         tl.read_snapshot_membership_pruned(
             spark, t, "id", ["not-a-number"]
         )
+    # self-review regression: an EMPTY probe set through the serving
+    # front door stays a well-formed empty RESULT on a bloom-covered
+    # table (the scan routes' isin([]) contract), never the
+    # membership reader's empty-probe ValueError
+    from candy_store_etl_spark.operators.colocated import serve
+
+    df, info = serve(spark, t, [], key_col="tag", record_routes=False)
+    assert df.count() == 0
+    assert df.columns == ["id", "tag", "n"]
+    assert info["route"] == "scan-unbucketed"

@@ -76,6 +76,79 @@ def test_sweep_merges_fixes_and_clears(spark, tmp_path):
     assert rep.tables[t]["action"] is None
 
 
+def test_sweep_compact_preserves_earlier_point_fix(spark, tmp_path):
+    """Self-review regression: a later range fix must not UNDO an
+    earlier membership fix — the rewrite carries stats/sketches for
+    every DECLARED column, not just the currently-due subset (a
+    due-subset rewrite dropped the tag sketches, tag re-tripped, and
+    the sweep oscillated fix/undo forever)."""
+    from candy_store_etl_spark.operators.colocated import (
+        membership_maintenance_due,
+        serve,
+        serve_range,
+    )
+
+    t = str(tmp_path / "t")
+    tl.append(
+        _mk(spark, [(i, f"t{i % 3}", i) for i in range(30)]), t
+    )
+    target = MaintenanceTarget(
+        t, range_columns=("n",), point_columns=("tag",), target_files=3
+    )
+    # tick 1: only the point column trips -> in-place index
+    for _ in range(3):
+        serve(spark, t, ["t1"], key_col="tag")
+    rep = maintenance_sweep(spark, [target])
+    assert rep.tables[t]["action"].startswith("bloom-index")
+    assert membership_maintenance_due(t, "tag")["bloom_coverage"] == 1.0
+    # tick 2: the range column trips -> compact; tag coverage must
+    # SURVIVE the rewrite
+    for _ in range(3):
+        serve_range(spark, t, "n", 0, 2)
+    rep = maintenance_sweep(spark, [target])
+    assert rep.tables[t]["action"].startswith("compact")
+    assert membership_maintenance_due(t, "tag")["bloom_coverage"] == 1.0
+    _, info = serve(spark, t, ["t1"], key_col="tag")
+    assert info["route"] == "bloom-pruned"
+
+
+def test_sweep_never_compacts_a_bucketed_layout(spark, tmp_path):
+    """Self-review regression: a plain compact drops the committed
+    bucket spec (every future on-key probe would lose the keyset/
+    colocated routes), so a due range fix on a bucketed table is
+    SURFACED, not executed — while point fixes still run (in-place
+    indexing is layout-safe)."""
+    from candy_store_etl_spark.operators.colocated import (
+        serve,
+        serve_range,
+        write_bucketed,
+    )
+
+    t = str(tmp_path / "t")
+    write_bucketed(
+        _mk(spark, [(i, f"t{i % 3}", i) for i in range(40)]),
+        t,
+        key_col="id",
+        n_buckets=4,
+    )
+    for _ in range(3):
+        serve_range(spark, t, "n", 0, 5)
+        serve(spark, t, ["t1"], key_col="tag")
+    spec_before = tl.committed_bucket_spec(t)
+    assert spec_before is not None
+    rep = maintenance_sweep(
+        spark,
+        [MaintenanceTarget(t, range_columns=("n",), point_columns=("tag",))],
+    )
+    entry = rep.tables[t]
+    assert "bucketed layout" in entry["skipped_range"]
+    # the point fix still ran, in place
+    assert entry["action"].startswith("bloom-index")
+    assert tl.committed_bucket_spec(t) == spec_before
+    _, info = serve(spark, t, ["t1"], key_col="tag")
+    assert info["route"] == "bloom-pruned"
+
+
 def test_sweep_runs_chain_vacuum_when_due(spark, tmp_path):
     ix = str(tmp_path / "index")
     man = os.path.join(ix, "manifest")

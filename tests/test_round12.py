@@ -747,3 +747,19 @@ def test_chain_maintenance_due_then_sweep_then_clear(spark, tmp_path):
     pub = tl.manifest_published(man)
     got = tl.read_published(spark, sigs, pub["signatures"]).collect()
     assert [(r["id"], r["sig"]) for r in got] == [(1, "a")]
+
+    # self-review regression: the swept dangler is now a TOMBSTONE
+    # (commit json forever, files gone). A NEW young in-flight batch
+    # must not flip the signal back on — the old tombstone's age must
+    # not stand in for the young dangler's (that combination used to
+    # schedule a sweep that reclaims nothing, every tick, until the
+    # batch published)
+    tl.append(
+        spark.createDataFrame([(3, "c")], "id long, sig string"),
+        sigs,
+        op="b2-inflight",
+    )
+    due = chain_maintenance_due(ix, grace_seconds=60)
+    assert due["tables"]["signatures"]["dangling_files_on_disk"] >= 1
+    assert due["due"] is False  # young files; tombstone contributes no age
+    assert chain_maintenance(ix, grace_seconds=60)["ran"] is False
