@@ -75,6 +75,13 @@ HEADLINE = [
     # chosen by layout)
     "serve_join_broadcast",
     "serve_join_colocated",
+    # round-12: the bloom faces of point serving — the plan to review
+    # is the PRUNED parquet scan (5-6 of N files listed) + the cast
+    # isin residual, with the probe hashing as its own tiny job; the
+    # off-key row additionally proves a bucketed table serving a
+    # secondary key the layout cannot route
+    "serve_point_bloom_pruned",
+    "serve_offkey_bloom_indexed",
 ]
 
 
