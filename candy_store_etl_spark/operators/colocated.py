@@ -751,6 +751,13 @@ def serve(
     fixtures); a streak of unprunable scan routes plus low bloom
     coverage trips ``membership_maintenance_due`` and surfaces the
     ``bloom_cols`` prescription in the probe's own ``info``."""
+    # a None probe matches nothing under SQL equality on EVERY route
+    # (the scan residual's isin(NULL), the keyset hash, the bloom
+    # bitmap) — drop it here so the routes stay interchangeable (the
+    # membership reader rejects None loudly at its own layer, and a
+    # bloom-covered table must not turn a previously-tolerated None
+    # into an exception)
+    keys = [k for k in keys if k is not None]
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
@@ -956,11 +963,14 @@ def serve_range(
 #: noise, a STREAK is the workload telling us the layout is wrong
 MAINTENANCE_FULL_SCAN_STREAK = 3
 
-#: bound on the ledger walk when computing a streak: the streak
-#: saturates at MAINTENANCE_FULL_SCAN_STREAK, so entries beyond a
-#: small window can never change the answer — the walk is O(window),
-#: never O(serving history)
-_LEDGER_WALK_WINDOW = 64
+#: bound on the ledger walk when computing a streak: the walk stops
+#: as soon as it has seen enough MATCHING entries (column + kind) to
+#: decide, and this hard cap on total entries examined keeps it O(1)
+#: in serving history even when the other probe family dominates the
+#: shared ledger. A ledger where matching entries are rarer than
+#: 1-in-(cap/target) can under-count the streak — the documented
+#: trade for never walking unbounded history.
+_LEDGER_WALK_WINDOW = 512
 
 
 def _serving_ledger_dir(table_dir: str) -> str:
@@ -982,7 +992,14 @@ def _record_range_route(
     ``compact(sort_by, stats_cols)``; ``point`` probes, whose fix is
     ``bloom_cols``) so one family's misses never trip the other's
     streak. A separate log so serving reads never contend with the
-    table's own writers on the main log's optimistic concurrency."""
+    table's own writers on the main log's optimistic concurrency.
+
+    BEST-EFFORT by design: the ledger is advisory telemetry for the
+    maintenance hysteresis, and a serve() call is a READ — it must
+    never fail because the ledger could not be written (a read-only
+    mount/snapshot raises OSError from the commit path; a probe burst
+    can exhaust the optimistic retries). A dropped entry at worst
+    delays a maintenance hint by one probe."""
     ledger = _serving_ledger_dir(table_dir)
 
     def derive(base: int | None) -> dict:
@@ -997,7 +1014,10 @@ def _record_range_route(
             },
         }
 
-    tl.commit_with_retry(ledger, derive)
+    try:
+        tl.commit_with_retry(ledger, derive)
+    except (OSError, tl.ConcurrentCommitError):
+        pass
 
 
 def _route_streak(
@@ -1006,13 +1026,17 @@ def _route_streak(
     *,
     misses: tuple[str, ...] = ("full-scan",),
     kind: str = "range",
+    target: int = MAINTENANCE_FULL_SCAN_STREAK,
 ) -> int:
     """Trailing consecutive miss-routed probes for ``column`` of the
     given ``kind`` in the serving ledger (a pruned-route entry for the
     SAME column+kind resets it; other columns' and the other kind's
     probes are transparent). Entries written before the ledger carried
-    a ``kind`` are all range probes. Walks newest-first and stops at
-    the streak target or the walk window — O(1) in serving history."""
+    a ``kind`` are all range probes. Walks newest-first and stops as
+    soon as it can decide — at the CALLER'S ``target`` (a custom
+    ``streak=`` threshold above the default must be reachable, so the
+    saturation point is the caller's, not the module constant's) or
+    the hard walk cap — O(1) in serving history."""
     ledger = _serving_ledger_dir(table_dir)
     latest = tl.current_version(ledger)
     if latest is None:
@@ -1031,7 +1055,7 @@ def _route_streak(
         if meta.get("route") not in misses:
             break
         streak += 1
-        if streak >= MAINTENANCE_FULL_SCAN_STREAK:
+        if streak >= target:
             break
     return streak
 
@@ -1055,7 +1079,7 @@ def maintenance_due(
     orchestration layer the way deployments schedule OPTIMIZE."""
     files, stats, _ = tl.snapshot_resolved(table_dir)
     coverage, _ = _stats_coverage(files, stats, column, "cols")
-    got = _route_streak(table_dir, column)
+    got = _route_streak(table_dir, column, target=streak)
     due = got >= streak and coverage < coverage_threshold
     return {
         "due": due,
@@ -1109,7 +1133,8 @@ def membership_maintenance_due(
         files, stats, _ = tl.snapshot_resolved(table_dir)
     coverage, _ = _stats_coverage(files, stats, column, "bloom")
     got = _route_streak(
-        table_dir, column, misses=_POINT_MISS_ROUTES, kind="point"
+        table_dir, column, misses=_POINT_MISS_ROUTES, kind="point",
+        target=streak,
     )
     due = got >= streak and coverage < coverage_threshold
     return {

@@ -1047,10 +1047,11 @@ def chain_maintenance_due(
     ``chain_maintenance`` only when it says so, instead of sweeping
     blind on a timer. Due when ANY member table holds danglers
     (unpublished data-adding versions — crashed batches, losing sides
-    of publish races) whose OLDEST commit is past the vacuum grace
-    window (younger danglers are presumed in-flight; sweeping them
-    is exactly what the grace window exists to prevent) and whose
-    reclaimable bytes clear ``min_bytes`` (0 = any). Returns
+    of publish races) aged past the vacuum grace window (younger
+    danglers are presumed in-flight; sweeping them is exactly what
+    the grace window exists to prevent) whose SWEEP-ELIGIBLE bytes —
+    only the past-grace subset, never an in-flight batch's — clear
+    ``min_bytes`` (0 = any). Returns
     ``{"due", "eligible", "tables"}`` with the full per-member
     ``dangling_report`` so the caller can log WHY."""
     import os
@@ -1065,18 +1066,18 @@ def chain_maintenance_due(
         t: os.path.join(index_dir, t)
         for t in ("signatures", "buckets", "pairs")
     }
-    report = tl.dangling_report(man, tables)
+    report = tl.dangling_report(man, tables, grace_seconds=grace)
     eligible = sorted(
         name
         for name, r in report.items()
-        # files on disk, not versions: a previously swept dangler's
-        # log entry remains forever (commit jsons are never deleted)
-        # but holds nothing reclaimable — it must not re-trip the due
-        # signal on every poll
-        if r["dangling_files_on_disk"]
-        and r["oldest_age_s"] is not None
-        and r["oldest_age_s"] >= grace
-        and r["dangling_bytes"] >= min_bytes
+        # ELIGIBLE files/bytes, not totals: the totals include young
+        # in-flight batches the sweep will (correctly) refuse to
+        # touch — gating min_bytes on them would fire a sweep that
+        # reclaims ~nothing, every tick, until the batch publishes;
+        # and a previously swept dangler's log entry (tombstone)
+        # holds nothing reclaimable, so it contributes neither
+        if r.get("eligible_files", 0) > 0
+        and r.get("eligible_bytes", 0) >= min_bytes
     )
     return {"due": bool(eligible), "eligible": eligible, "tables": report}
 
@@ -1095,7 +1096,15 @@ def chain_maintenance(
     ``maintenance_due -> compact`` loop — periodically, or after a
     burst of ConcurrentCommitError retries. Returns ``{"ran",
     "deleted"}`` (member name -> physically deleted file names when it
-    ran)."""
+    ran).
+
+    Cost note: the due poll and the sweep each walk the member logs
+    (two metadata passes per acting tick) — deliberate, not an
+    oversight: the sweeper must decide from its OWN fresh view (a
+    publish landing between poll and sweep must be seen), and both
+    walks are metadata-sized with checkpoint-accelerated manifest
+    resolution. Collapsing them would trade crash-safety reasoning
+    for one small metadata read."""
     import os
 
     from ..sources import table_log as tl

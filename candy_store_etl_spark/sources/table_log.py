@@ -651,7 +651,7 @@ def append(
     names = _stage_dataframe(df, table_dir, hint)
     stats = _merged_file_stats(
         df.sparkSession, table_dir, names, stats_cols, bloom_cols,
-        bloom_bits,
+        bloom_bits, schema=df.schema,
     )
 
     def derive(base: int | None) -> dict:
@@ -680,12 +680,15 @@ def _merged_file_stats(
     stats_cols: list[str],
     bloom_cols: list[str],
     bloom_bits: int | None,
+    schema=None,
 ) -> dict | None:
     """The ONE stats assembly every writer shares: footer [min, max]
-    for ``stats_cols`` plus per-file bloom sketches for ``bloom_cols``,
-    merged into each file's commit-entry stats. The footer sweep runs
-    whenever either kind is requested (per-file row counts size the
-    bloom and power the rows==0 prune)."""
+    for ``stats_cols`` plus per-file bloom sketches for ``bloom_cols``
+    (scan planned under ``schema`` — the writer's, so a freshly staged
+    batch never depends on footer sampling), merged into each file's
+    commit-entry stats. The footer sweep runs whenever either kind is
+    requested (per-file row counts size the bloom and power the
+    rows==0 prune)."""
     if not (stats_cols or bloom_cols):
         return None
     stats = _file_stats(table_dir, names, list(stats_cols))
@@ -693,6 +696,7 @@ def _merged_file_stats(
         blooms = _file_blooms(
             spark, table_dir, names, list(bloom_cols),
             {n: stats[n]["rows"] for n in names}, bits=bloom_bits,
+            schema=schema,
         )
         for n in names:
             if blooms[n]:
@@ -719,7 +723,7 @@ def overwrite(
     names = _stage_dataframe(df, table_dir, hint)
     stats = _merged_file_stats(
         df.sparkSession, table_dir, names, stats_cols, bloom_cols,
-        bloom_bits,
+        bloom_bits, schema=df.schema,
     )
     # an overwrite REPLACES the contents, so any schema is legal — it
     # becomes the committed schema from this version on (older
@@ -769,7 +773,8 @@ def compact(
         df = df.coalesce(target_files)
     names = _stage_dataframe(df, table_dir, latest + 1)
     stats = _merged_file_stats(
-        spark, table_dir, names, stats_cols, bloom_cols, bloom_bits
+        spark, table_dir, names, stats_cols, bloom_cols, bloom_bits,
+        schema=df.schema,
     )
     # pinned like overwrite: the rewrite is a function of the snapshot
     # at ``latest``, so a commit landing mid-compact must win the race
@@ -1160,22 +1165,34 @@ def _file_blooms(
     *,
     bits: int | None = None,
     k: int = BLOOM_K,
+    schema=None,
 ) -> dict[str, dict]:
-    """Per-file bloom bitmaps for ``cols`` over freshly staged data
-    files — the write-time cost of membership pruning, paid once per
-    commit like ``_file_stats``'s footer sweep. ONE distributed
-    column-pruned scan per column: each executor hashes its own file's
-    values (``pmod(xxhash64(value, i), m)`` for ``i < k``) and the
-    partial aggregation dedups positions map-side, so at most ``m``
-    distinct positions per file ever cross the shuffle or reach the
-    driver — never the values themselves. Nulls are excluded (an
-    equality probe can't ask for null; hashing it would poison a
-    position). All files in one commit share one ``m`` (sized for the
-    largest file), but ``m``/``k`` are recorded PER FILE so readers
-    probe heterogeneous bitmaps across commits correctly."""
+    """Per-file bloom bitmaps for ``cols`` over data files — the
+    write-time cost of membership pruning, paid once per commit like
+    ``_file_stats``'s footer sweep. ONE distributed column-pruned scan
+    per column: each executor hashes its own file's values
+    (``pmod(xxhash64(value, i), m)`` for ``i < k``), the partial
+    aggregation dedups positions map-side (at most ``m`` distinct
+    positions per file cross the shuffle), and the positions FOLD INTO
+    THE BITMAP EXECUTOR-SIDE (an Arrow-vectorized conversion) so the
+    driver receives ``m/8`` bytes per file, never the position sets —
+    a 2^23-bit cap means <= 1 MiB per file however many rows it holds.
+    Nulls are excluded (an equality probe can't ask for null; hashing
+    it would poison a position). All files in one commit share one
+    ``m`` (sized for the largest file), but ``m``/``k`` are recorded
+    PER FILE so readers probe heterogeneous bitmaps across commits
+    correctly.
+
+    ``schema`` — the COMMITTED (or writer's) schema to plan the scan
+    under: on a schema-evolved table some files predate a column, and
+    letting Spark sample one of those footers would fail to resolve
+    the column nondeterministically (the same rule read_snapshot
+    documents); pre-evolution files null-fill and contribute no
+    positions, which is exact."""
     import base64
 
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     paths = [os.path.join(table_dir, n) for n in names]
     m = int(bits) if bits else _bloom_m_for(
@@ -1183,11 +1200,32 @@ def _file_blooms(
     )
     if m & (m - 1):
         raise ValueError(f"bloom bits must be a power of two, got {m}")
+
+    # types passed explicitly: under `from __future__ import
+    # annotations` a pandas_udf cannot infer them from signatures
+    @pandas_udf("binary")
+    def _to_bitmap(positions):  # pandas Series of int64 lists
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        nbytes = (m + 7) // 8
+        for ps in positions:
+            buf = np.zeros(nbytes, dtype=np.uint8)
+            if ps is not None and len(ps):
+                p = np.asarray(ps, dtype=np.int64)
+                np.bitwise_or.at(
+                    buf, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+            out.append(buf.tobytes())
+        return pd.Series(out)
+
     out: dict[str, dict] = {n: {} for n in names}
-    reader = spark.read.parquet(*paths)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    base = reader.parquet(*paths)
     for col in cols:
         rows = (
-            reader.where(F.col(col).isNotNull())
+            base.where(F.col(col).isNotNull())
             .select(
                 F.input_file_name().alias("_f"),
                 F.explode(
@@ -1203,15 +1241,15 @@ def _file_blooms(
             )
             .groupBy("_f")
             .agg(F.collect_set("_p").alias("_ps"))
+            .select("_f", _to_bitmap("_ps").alias("_bits"))
             .collect()
         )
-        by_name = {r["_f"].rsplit("/", 1)[-1]: r["_ps"] for r in rows}
+        by_name = {r["_f"].rsplit("/", 1)[-1]: r["_bits"] for r in rows}
+        empty = bytes((m + 7) // 8)
         for n in names:
-            buf = bytearray((m + 7) // 8)
-            for p in by_name.get(n, ()):
-                buf[p >> 3] |= 1 << (p & 7)
             # a file with no (non-null) rows for col keeps an all-zero
             # bitmap: every probe prunes it, which is exact
+            buf = by_name.get(n, empty)
             out[n][col] = {
                 "m": m,
                 "k": k,
@@ -1291,7 +1329,7 @@ def add_bloom_index(
     latest = current_version(table_dir)
     if latest is None:
         raise ValueError(f"{table_dir} has no committed versions")
-    live, stats, _, _, _ = _resolve_snapshot(table_dir, latest)
+    live, stats, schema_json, _, _ = _resolve_snapshot(table_dir, latest)
     names = sorted(live)
     if not names:
         raise ValueError(f"{table_dir} snapshot has no data files")
@@ -1305,8 +1343,19 @@ def add_bloom_index(
         # the false-positive rate, so guessing is not an option)
         footer = _file_stats(table_dir, names, [])
         rows_by_name = {n: footer[n]["rows"] for n in names}
+    from pyspark.sql.types import StructType
+
     blooms = _file_blooms(
-        spark, table_dir, names, list(cols), rows_by_name, bits=bits
+        spark, table_dir, names, list(cols), rows_by_name, bits=bits,
+        # plan under the COMMITTED schema: on an evolved table some
+        # files predate the column, and footer sampling would fail to
+        # resolve it nondeterministically (read_snapshot's rule);
+        # pre-evolution files null-fill and contribute no positions
+        schema=(
+            None
+            if schema_json is None
+            else StructType.fromJson(json.loads(schema_json))
+        ),
     )
 
     def derive(base: int | None) -> dict:
@@ -1959,6 +2008,8 @@ def read_published_pruned(
 def dangling_report(
     manifest_dir: str,
     tables: dict[str, str],
+    *,
+    grace_seconds: float | None = None,
 ) -> dict[str, dict]:
     """The POLLABLE side of ``manifest_vacuum`` — the same role
     ``maintenance_due`` plays for ``compact``: per member table, how
@@ -1976,13 +2027,21 @@ def dangling_report(
     letting its age leak into ``oldest_age_s`` would keep a due-style
     poll tripping — one old tombstone next to any young in-flight
     batch would schedule a sweep that reclaims nothing, every tick,
-    until the batch publishes."""
+    until the batch publishes.
+
+    ``grace_seconds`` (optional) additionally splits out
+    ``eligible_files``/``eligible_bytes`` — the subset a sweep run
+    with that grace would ACTUALLY reclaim (versions older than the
+    window). A min-bytes scheduler must gate on these, not on
+    ``dangling_bytes``: the total includes in-grace in-flight batches
+    whose bytes the sweep will refuse to touch."""
     pub = manifest_published(manifest_dir)
     now = time.time()
     out: dict[str, dict] = {}
     for name, table_dir in tables.items():
         published = set(pub.get(name, []))
         versions = files = size = 0
+        efiles = esize = 0
         youngest: float | None = None
         oldest: float | None = None
         for entry in log_entries(table_dir):
@@ -1993,20 +2052,25 @@ def dangling_report(
                 continue
             versions += 1
             on_disk = 0
+            vsize = 0
             for n in entry["add"]:
                 p = os.path.join(table_dir, n)
                 try:
-                    size += os.path.getsize(p)
+                    vsize += os.path.getsize(p)
                     files += 1
                     on_disk += 1
                 except OSError:
                     pass  # already vacuumed
+            size += vsize
             if not on_disk:
                 continue  # tombstone: nothing reclaimable, no age
             try:
                 age = now - os.stat(_version_path(table_dir, v)).st_mtime
                 youngest = age if youngest is None else min(youngest, age)
                 oldest = age if oldest is None else max(oldest, age)
+                if grace_seconds is not None and age >= grace_seconds:
+                    efiles += on_disk
+                    esize += vsize
             except OSError:
                 pass
         out[name] = {
@@ -2020,6 +2084,9 @@ def dangling_report(
                 None if oldest is None else round(oldest, 1)
             ),
         }
+        if grace_seconds is not None:
+            out[name]["eligible_files"] = efiles
+            out[name]["eligible_bytes"] = esize
     return out
 
 

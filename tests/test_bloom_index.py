@@ -433,3 +433,77 @@ def test_bloom_probe_contracts(spark, tmp_path):
     assert df.count() == 0
     assert df.columns == ["id", "tag", "n"]
     assert info["route"] == "scan-unbucketed"
+    # ...and a None AMONG the probes is dropped (matches nothing under
+    # SQL equality) instead of becoming the bloom route's ValueError —
+    # adding an index must never turn a tolerated input into a crash
+    df, info = serve(
+        spark, t, [None, "a"], key_col="tag", record_routes=False
+    )
+    assert info["route"] == "bloom-pruned"
+    assert [r["tag"] for r in df.collect()] == ["a"]
+
+
+def test_bloom_index_on_schema_evolved_table(spark, tmp_path):
+    """Self-review regression: add_bloom_index plans its scan under
+    the COMMITTED schema — on an evolved table some files predate the
+    column, and footer sampling would fail to resolve it
+    nondeterministically. Pre-evolution files null-fill, contribute
+    no positions, and are therefore PRUNED for every probe (exact)."""
+    t = str(tmp_path / "t")
+    tl.append(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1), t
+    )
+    tl.append(
+        spark.createDataFrame(
+            [(3, "x"), (4, "y")], "id long, tag string"
+        ).coalesce(1),
+        t,
+    )
+    tl.add_bloom_index(spark, t, ["tag"])
+    df, kept, total = tl.read_snapshot_membership_pruned(
+        spark, t, "tag", ["x"]
+    )
+    assert total == 2
+    assert kept == 1  # the pre-evolution file can hold no 'x'
+    assert [r["id"] for r in df.collect()] == [3]
+
+
+def test_membership_streak_target_above_default(spark, tmp_path):
+    """Self-review regression: a caller's streak target ABOVE the
+    module default must be reachable — the ledger walk saturates at
+    the caller's target, not the constant (streak=5 used to cap at 3
+    and never fire)."""
+    from candy_store_etl_spark.operators.colocated import (
+        membership_maintenance_due,
+        serve,
+    )
+
+    t = str(tmp_path / "t")
+    tl.append(_mkdocs(spark, [(i, "a", i) for i in range(4)]), t)
+    for n in range(1, 6):
+        serve(spark, t, ["a"], key_col="tag")
+        due = membership_maintenance_due(t, "tag", streak=5)
+        assert due["scan_streak"] == n
+        assert due["due"] is (n >= 5)
+
+
+def test_serve_read_only_table_still_serves(spark, tmp_path):
+    """Self-review regression: the serving ledger is best-effort
+    telemetry — probing a table on a read-only mount (ledger commit
+    raises OSError) must still return rows; a read never fails
+    because advisory state could not be written."""
+    import os as _os
+
+    from candy_store_etl_spark.operators.colocated import serve
+
+    t = str(tmp_path / "t")
+    tl.append(
+        _mkdocs(spark, [(i, "a", i) for i in range(4)]).coalesce(1), t
+    )
+    _os.chmod(t, 0o555)
+    try:
+        df, info = serve(spark, t, ["a"], key_col="tag")
+        assert df.count() == 4
+        assert info["route"] == "scan-unbucketed"
+    finally:
+        _os.chmod(t, 0o755)

@@ -763,3 +763,15 @@ def test_chain_maintenance_due_then_sweep_then_clear(spark, tmp_path):
     assert due["tables"]["signatures"]["dangling_files_on_disk"] >= 1
     assert due["due"] is False  # young files; tombstone contributes no age
     assert chain_maintenance(ix, grace_seconds=60)["ran"] is False
+    # and the min_bytes gate counts only SWEEP-ELIGIBLE bytes: the
+    # young in-flight batch's bytes are in the dangling total but a
+    # sweep would refuse them, so they must not satisfy the floor
+    rep = tl.dangling_report(
+        man, {"signatures": sigs}, grace_seconds=60
+    )
+    assert rep["signatures"]["dangling_bytes"] > 0
+    assert rep["signatures"]["eligible_bytes"] == 0
+    assert (
+        chain_maintenance_due(ix, grace_seconds=60, min_bytes=1)["due"]
+        is False
+    )
