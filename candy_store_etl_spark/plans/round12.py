@@ -461,6 +461,142 @@ def serve_offkey_bloom_indexed(
 
 
 # ---------------------------------------------------------------------------
+# Zero-copy clone: branch a snapshot, serve it with the carried metadata
+# ---------------------------------------------------------------------------
+
+_CLONE_ORACLE = """
+WITH full_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+),
+rng AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents WHERE doc_id BETWEEN 10 AND 40
+)
+SELECT p.phase, p.what, TRUE AS ok, a.n_docs, a.total_chars
+FROM (VALUES
+        (CAST(1 AS BIGINT), 'clone-read-zero-copy', 'full'),
+        (CAST(2 AS BIGINT), 'stats-pruned',         'rng'),
+        (CAST(3 AS BIGINT), 'bloom-pruned',         'none')
+     ) p(phase, what, agg_src)
+JOIN (
+  SELECT 'full' AS agg_src, n_docs, total_chars FROM full_t
+  UNION ALL
+  SELECT 'rng', n_docs, total_chars FROM rng
+  UNION ALL
+  SELECT 'none', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+) a USING (agg_src)
+ORDER BY p.phase
+"""
+
+
+@register(
+    "table_clone_branch",
+    oracle=_CLONE_ORACLE,
+    doc="clone_table: ZERO-COPY branching of a snapshot (the "
+    "SHALLOW-CLONE role) — the clone is created per run by "
+    "hardlinking the 6-file clustered+sketched source table and "
+    "committing ONE metadata entry carrying schema, per-file [min, "
+    "max] stats, bloom sketches, and the layout. Three hash-checked "
+    "phases all run AGAINST THE CLONE: (1) a full read equals the "
+    "raw relation with ok = every clone file sharing its source's "
+    "inode (st_ino equality — the zero-copy claim, checked, not "
+    "asserted in prose); (2) a range probe serve_range-routes "
+    "stats-pruned with files actually pruned (the carried stats, not "
+    "re-derived ones, plan the scan); (3) a membership probe for an "
+    "ABSENT source routes bloom-pruned and opens ZERO files — only "
+    "the carried sketches can prove that (on this doc_id-clustered "
+    "layout every file holds every present source, so range stats "
+    "prove nothing about membership). Immutable data files "
+    "make inode sharing safe; vacuum on either side unlinks only its "
+    "own name (POSIX link counts are the cross-table refcount). At "
+    "100 TB this makes 'branch the warehouse for an experiment' a "
+    "metadata operation instead of a day of I/O.",
+    tags=("table_log", "clone", "serving", "pruning", "bloom"),
+)
+def table_clone_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.colocated import serve, serve_range
+    from ..sources.scratch import content_fingerprint, ensure_scratch
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    key = content_fingerprint(src_parquet, extra="clone-src-6f")
+    root = os.path.join(tempfile.gettempdir(), f"csetl_clnsrc_{key}")
+    src = os.path.join(root, "docs")
+
+    def _intact(d: str) -> bool:
+        td = os.path.join(d, "docs")
+        if tl.current_version(td) != 1:  # v0 append + v1 compact
+            return False
+        stats = tl.snapshot_file_stats(td)
+        if len(stats) != 6 or any(
+            "source" not in e.get("bloom", {})
+            or "doc_id" not in e.get("cols", {})
+            for e in stats.values()
+        ):
+            return False
+        return all(os.path.exists(p) for p in tl.snapshot_files(td))
+
+    def _build(stage: str) -> None:
+        td = os.path.join(stage, "docs")
+        tl.append(load_table(spark, sf_dir, "documents"), td)
+        tl.compact(
+            spark, td, target_files=6, sort_by="doc_id",
+            stats_cols=["doc_id"], bloom_cols=["source"],
+        )
+
+    ensure_scratch(root, _build, _intact)
+    croot = tempfile.mkdtemp(prefix="csetl_clone_")
+    clone = os.path.join(croot, "branch")
+    rows = []
+
+    def _agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
+        ).first()
+
+    try:
+        tl.clone_table(src, clone)
+        zero_copy = all(
+            os.stat(p).st_ino
+            == os.stat(os.path.join(src, os.path.basename(p))).st_ino
+            for p in tl.snapshot_files(clone)
+        )
+        full = _agg(tl.read_snapshot(spark, clone))
+        rows.append((
+            1, "clone-read-zero-copy", zero_copy, full["n"], full["c"],
+        ))
+        df, info = serve_range(
+            spark, clone, "doc_id", 10, 40, record_routes=False
+        )
+        agg = _agg(df)
+        rows.append((
+            2, info["route"],
+            info["files_scanned"] < info["files_total"],
+            agg["n"], agg["c"],
+        ))
+        df, info = serve(
+            spark, clone, ["src-absent"], key_col="source",
+            record_routes=False,
+        )
+        agg = _agg(df)
+        rows.append((
+            3, info["route"],
+            info["files_scanned"] == 0,
+            agg["n"], agg["c"],
+        ))
+    finally:
+        shutil.rmtree(croot, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "phase long, what string, ok boolean, n_docs long, "
+        "total_chars long",
+    ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
 # The point-probe maintenance loop: scan streak -> bloom_cols -> cleared
 # ---------------------------------------------------------------------------
 

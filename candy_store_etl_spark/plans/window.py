@@ -19,30 +19,32 @@ safe across refactors.
 from __future__ import annotations
 
 # Driver-round-12 window. Judge directives applied (round-11 verdict
-# item 2): (1) NEW seats held to 6 — the round's complete new query
+# item 2): (1) NEW seats held to 7 — the round's complete new query
 # surface (the batched range-serving face, the range maintenance-loop
 # roundtrip, the manifest-checkpoint cold-resolve regime row, and the
 # bloom membership family added later in the round: sketch-routed
 # point serving, the in-place-indexed bucketed secondary-key lookup,
-# and the point-probe maintenance roundtrip); (2) 2
+# the point-probe maintenance roundtrip, and the zero-copy clone
+# branch); (2) 2
 # CHANGED-IMPLEMENTATION re-seats: the maintained
 # dedup chain's index + clusters queries, whose member writes are now
 # range-clustered with committed stats and whose probe reads are
 # published-read PRUNED this round — r11 evidence describes the
 # unpruned path; (3) the ENTIRE remaining round-7 cohort (34, from
 # scripts/window_backlog.py) drains — after this round no query
-# carries driver evidence older than round 8; (4) 8 slots backfill
+# carries driver evidence older than round 8; (4) 7 slots backfill
 # the round-8 cohort head (alphabetical: the ANN family). The 7
 # rows-only tiers stay unseated (their property-flag oracled twins
 # carry the checks), so every window row can hash-green.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) NEW this round (6), each verified at sf0.001/0.01/0.1
+    # (a) NEW this round (7), each verified at sf0.001/0.01/0.1
     "serve_range_batch_amortized",
     "serve_range_maintenance_roundtrip",
     "manifest_checkpoint_resolve",
     "serve_point_bloom_pruned",
     "serve_offkey_bloom_indexed",
     "serve_point_maintenance_roundtrip",
+    "table_clone_branch",
     # (b) changed-implementation re-seats (2): pruned-probe maintained
     # chain (clustered member writes + read_published_pruned)
     "incremental_neardup_index_maintained",
@@ -83,7 +85,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "token_array_set_ops",
     "user_first_last_events",
     "user_sessions",
-    # (d) the round-8 cohort begins, alphabetical (8 of 48; the rest
+    # (d) the round-8 cohort begins, alphabetical (7 of 48; the rest
     # are the driver-round-13 backlog head)
     "ann_batch_topk",
     "ann_ivf_index_batch",
@@ -92,7 +94,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_range_search",
     "ann_recall_lsh_directed",
     "ann_recall_lsh_sweep",
-    "ann_recall_probe_sweep",
     )
 
 

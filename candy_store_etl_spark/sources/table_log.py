@@ -784,6 +784,80 @@ def compact(
     )
 
 
+def clone_table(
+    src_dir: str, dst_dir: str, *, version: int | None = None
+) -> int:
+    """ZERO-COPY clone of a snapshot — the SHALLOW-CLONE role cloud
+    table formats play for dev/test branches, expressed through the
+    log: hardlink the live data files into ``dst_dir`` (same names)
+    and commit them as the clone's v0 carrying the source's committed
+    schema, per-file stats AND membership sketches, bucket spec, and
+    buckets-per-file grouping — so every reader and every serving
+    route (keyset, colocated joins, stats/bloom pruning) plans against
+    the clone exactly as it did against the source, at the pinned
+    ``version`` (default latest; time-travel clones are first-class).
+
+    Why this is safe and actually zero-copy:
+    - data files are IMMUTABLE in this format — no writer ever touches
+      bytes in place, so two tables sharing inodes can never observe
+      each other's writes;
+    - the clone's log is independent from v0 on: appends, compacts,
+      overwrites in either table commit only to their own log;
+    - ``vacuum`` in either table merely unlinks ITS name — the inode
+      survives until every table's reference is gone (POSIX link
+      counts are the cross-table refcount, no bookkeeping needed);
+    - a cross-filesystem ``dst_dir`` degrades to a file copy.
+
+    At 100 TB this is the difference between "branch the warehouse
+    for an experiment" being a metadata operation and being a day of
+    I/O. Deliberately NOT carried: the CDC sink's applied-batch
+    ledger (op-name derived) — a clone is an analytics/serving
+    branch; pointing the source's CDC stream at it would need its own
+    consumer contract, so it must start one explicitly. Raises if
+    ``dst_dir`` already has commits (a clone never silently merges
+    into an existing table)."""
+    import shutil
+
+    latest = current_version(src_dir)
+    if latest is None:
+        raise ValueError(f"{src_dir} has no committed versions")
+    pinned = latest if version is None else version
+    live, stats, schema, _, _ = _resolve_snapshot(src_dir, pinned)
+    if current_version(dst_dir) is not None:
+        raise ValueError(
+            f"{dst_dir} already has commits — refusing to clone into "
+            "an existing table"
+        )
+    names = sorted(live)
+    os.makedirs(dst_dir, exist_ok=True)
+    for n in names:
+        s = os.path.join(src_dir, n)
+        d = os.path.join(dst_dir, n)
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            pass  # a crashed prior clone attempt staged it; same bytes
+        except OSError:
+            shutil.copy2(s, d)  # cross-device: fall back to copy
+    _fsync_dir(dst_dir)
+    meta: dict = {"cloned_from": src_dir, "cloned_version": pinned}
+    spec = committed_bucket_spec(src_dir, version=pinned)
+    if spec is not None:
+        meta["bucket"] = spec
+        meta["buckets_per_file"] = layout_buckets_per_file(
+            src_dir, version=pinned
+        )
+    return commit(
+        dst_dir,
+        add=names,
+        op="clone",
+        stats={n: stats[n] for n in names if n in stats},
+        schema=schema,
+        base_version=None,
+        meta=meta,
+    )
+
+
 def set_cdf_consumer_offset(
     table_dir: str, consumer: str, version: int
 ) -> None:
