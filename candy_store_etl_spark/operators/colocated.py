@@ -426,9 +426,11 @@ def buckets_of_values(
     """The bucket each key value lives in, computed with the SAME
     xxhash64 the writer used (evaluated through Spark so the hash is
     the engine's own, with the values cast to the stored key type —
-    xxhash64 is type-sensitive). ONE job for the whole batch — a
-    1-row job per key turns a K-key lookup into K driver round
-    trips; no table I/O either way."""
+    xxhash64 is type-sensitive). ZERO jobs for the whole batch
+    (``tl.inline_probe_rows``: the probe relation is an inline VALUES
+    table the optimizer folds to a driver-answered LocalTableScan) —
+    probe planning costs no cluster round trip; no table I/O either
+    way."""
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
@@ -447,23 +449,14 @@ def buckets_of_values(
             "be trusted; rewrite the table with write_bucketed"
         )
     dtype = schema[spec["key"]].dataType.simpleString()
-    # lit().cast() per value (not createDataFrame, whose type
+    # parameter-bound CAST per value (not createDataFrame, whose type
     # verification REJECTS e.g. an int probe against a double key —
     # the cast coerces exactly as the writer's bucket_expr did)
-    rows = (
-        spark.range(1)
-        .select(
-            F.posexplode(
-                F.array(*[F.lit(v).cast(dtype) for v in values])
-            ).alias("i", "v")
-        )
-        .select(
-            "i",
-            F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
-            .cast("int")
-            .alias("b"),
-        )
-        .collect()
+    rows = tl.inline_probe_rows(
+        spark,
+        values,
+        dtype,
+        f"i, CAST(pmod(xxhash64(v), {int(spec['n'])}) AS INT) AS b",
     )
     out = [0] * len(values)
     for r in rows:
@@ -536,24 +529,28 @@ def keyset_lookup(
     # K=2000 — more than the scan it was planning); large sets
     # transport values as strings and cast data-side instead, which
     # plans in constant time
+    hash_sql = (
+        f"v, CAST(pmod(xxhash64(v), {int(spec['n'])}) AS INT) AS b"
+    )
     if len(values) <= 64:
-        probe = spark.range(1).select(
-            F.explode(
-                F.array(*[F.lit(v).cast(dtype) for v in values])
-            ).alias("v")
-        )
+        # zero-job probe hashing (tl.inline_probe_rows: inline VALUES
+        # folded to a driver-answered LocalTableScan) — coerces every
+        # probe to the stored key type exactly as lit().cast() did
+        rows = tl.inline_probe_rows(spark, values, dtype, hash_sql)
     else:
+        # large sets transport values as strings and cast data-side
+        # (an inline table costs Catalyst O(K) row analysis, the same
+        # plan-size trap as a K-literal isin) — ONE tiny job hashes
+        # AND coerces every probe
         probe = spark.createDataFrame(
             [(str(v),) for v in values], "v string"
         ).select(F.col("v").cast(dtype).alias("v"))
-    # one job hashes AND coerces every probe (collected values come
-    # back as the stored key type)
-    rows = probe.select(
-        "v",
-        F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
-        .cast("int")
-        .alias("b"),
-    ).collect()
+        rows = probe.select(
+            "v",
+            F.pmod(F.xxhash64(F.col("v")), F.lit(spec["n"]))
+            .cast("int")
+            .alias("b"),
+        ).collect()
     coerced: list = []
     touched: set[int] = set()
     for r in rows:
@@ -735,7 +732,7 @@ def serve(
       lookup 0.7-0.9x of the scan), so routing to the lookup here
       would LOSE 10-40%. Same one-scan shape.
     - ``keyset`` — bucketed and many files: ``keyset_lookup``'s
-      one-job probe hashing + bucket-group pruning, the shape that won
+      zero-job probe hashing + bucket-group pruning, the shape that won
       at EVERY probe density at 512 files (8.8x at 5 keys, 1.3x at
       saturation, where it degrades to slightly better than the scan
       instead of losing).

@@ -290,7 +290,8 @@ ORDER BY p.phase
     "probe, or a router that scans anyway all fail the same gate. At "
     "100 TB this is Delta's bloom-filter-index / Iceberg-puffin role "
     "carried by the commit entry: equality serving on an unclustered "
-    "column costs O(matching files) + one tiny probe-hash job, with "
+    "column costs O(matching files) + one driver-folded probe-hash "
+    "evaluation (zero Spark jobs), with "
     "planning from log metadata alone (zero index I/O).",
     tags=("table_log", "serving", "router", "pruning", "bloom"),
 )

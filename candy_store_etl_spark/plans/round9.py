@@ -445,7 +445,8 @@ _KEYSET = tuple(range(1, 3200, 64))  # 50 probe order keys
     WHERE l_orderkey IN ({", ".join(str(k) for k in _KEYSET)})
     """,
     doc="KEYSET lookup — the scalable form of the point read: 50 "
-    "probe keys hashed and type-coerced in ONE job, grouped by the "
+    "probe keys hashed and type-coerced with ZERO jobs (driver-"
+    "folded inline probe relation), grouped by the "
     "bucket group they live in, and served as one task per TOUCHED "
     "group (files + that group's keys), Arrow-side is_in filter — "
     "buckets no key hashes into are never read. point_lookup's "

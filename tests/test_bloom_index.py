@@ -418,8 +418,14 @@ def test_bloom_probe_contracts(spark, tmp_path):
     with pytest.raises(ValueError, match="null probe"):
         tl.read_snapshot_membership_pruned(spark, t, "tag", ["a", None])
     # a probe the stored type can't represent fails LOUDLY (ANSI cast
-    # — the keyset/point-lookup contract), never silently-empty
-    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+    # — the keyset/point-lookup contract), never silently-empty. The
+    # zero-job probe path folds the cast while building the inline
+    # VALUES table, so the loud failure surfaces as
+    # INVALID_INLINE_TABLE wrapping the cast error (previously the
+    # bare CAST_INVALID_INPUT from the probe job)
+    with pytest.raises(
+        Exception, match="CAST_INVALID_INPUT|INVALID_INLINE_TABLE"
+    ):
         tl.read_snapshot_membership_pruned(
             spark, t, "id", ["not-a-number"]
         )
