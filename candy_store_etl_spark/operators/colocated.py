@@ -302,6 +302,30 @@ _ACERO_JOIN = {
 }
 
 
+def _side_meta(table_dir: str, version: int | None) -> dict:
+    """Everything a colocated planner needs from one side, resolved
+    with ONE checkpoint-load + tail-replay (``snapshot_resolved``)
+    plus the two O(distance-to-layout-commit) walks: ``{"version",
+    "spec", "bpf", "files", "stats", "schema"}``. The per-field
+    accessors (``snapshot_schema`` + ``snapshot_files`` +
+    ``snapshot_file_stats``) each replayed the log again — a pair
+    join paid the resolve 4-6x per call, a serve_join route decision
+    another 2x. At warehouse scale the checkpoint is O(live files) of
+    JSON; paying it once per side per plan is the whole point of
+    checkpointing."""
+    if version is None:
+        version = tl.current_version(table_dir)
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
+    return {
+        "version": version,
+        "spec": bucket_spec(table_dir, version=version),
+        "bpf": layout_buckets_per_file(table_dir, version=version),
+        "files": files,
+        "stats": stats,
+        "schema": schema,
+    }
+
+
 def _check_key_types(
     left_dir: str,
     right_dir: str,
@@ -309,15 +333,20 @@ def _check_key_types(
     rkey: str,
     lv: int | None,
     rv: int | None,
+    _schemas: tuple | None = None,
 ) -> None:
     """Equal bucket counts are NOT enough for co-location: xxhash64
     is type-sensitive (int 5 and bigint 5 hash differently), so two
     tables bucketed with the same n on differently-typed keys pass
     the count check while equal key VALUES land in different buckets
     — a silently incomplete join. Compare the committed snapshot
-    schemas' key types and refuse the plan instead."""
-    ls = tl.snapshot_schema(left_dir, version=lv)
-    rs = tl.snapshot_schema(right_dir, version=rv)
+    schemas' key types and refuse the plan instead. ``_schemas``
+    carries already-resolved schemas from a planner that has them."""
+    if _schemas is not None:
+        ls, rs = _schemas
+    else:
+        ls = tl.snapshot_schema(left_dir, version=lv)
+        rs = tl.snapshot_schema(right_dir, version=rv)
     if ls is None or rs is None:
         return  # no committed schema to compare (join will refuse later)
     lt, rt = ls[lkey].dataType, rs[rkey].dataType
@@ -337,6 +366,7 @@ def colocated_plan(
     *,
     left_version: int | None = None,
     right_version: int | None = None,
+    _sides: tuple[dict, dict] | None = None,
 ) -> list[tuple[int, list[str], list[str]]]:
     """Driver-side task plan for the co-located join: one entry per
     aligned bucket group — ``(coarse_group, left_files, right_files)``
@@ -359,34 +389,29 @@ def colocated_plan(
     compaction coarsening the live CDC warehouse mid-plan — can no
     longer land between the bpf read and the file listing and pair
     post-compaction files with a pre-compaction grouping."""
-    lv = (
-        tl.current_version(left_dir)
-        if left_version is None
-        else left_version
-    )
-    rv = (
-        tl.current_version(right_dir)
-        if right_version is None
-        else right_version
-    )
-    specs = []
-    for d, v in ((left_dir, lv), (right_dir, rv)):
-        s = bucket_spec(d, version=v)
-        if s is None:
+    if _sides is not None:
+        lmeta, rmeta = _sides
+    else:
+        lmeta = _side_meta(left_dir, left_version)
+        rmeta = _side_meta(right_dir, right_version)
+    for d, m in ((left_dir, lmeta), (right_dir, rmeta)):
+        if m["spec"] is None:
             raise ValueError(
                 f"{d} has no committed bucket spec — write it with "
                 "write_bucketed (or repartition and use a plain join)"
             )
-        specs.append(s)
-    ls, rs = specs
+    ls, rs = lmeta["spec"], rmeta["spec"]
     if ls["n"] != rs["n"]:
         raise ValueError(
             f"bucket counts differ ({ls['n']} vs {rs['n']}): keys hash "
             "to different buckets, co-location does not hold"
         )
-    _check_key_types(left_dir, right_dir, ls["key"], rs["key"], lv, rv)
-    bpf_l = layout_buckets_per_file(left_dir, version=lv)
-    bpf_r = layout_buckets_per_file(right_dir, version=rv)
+    _check_key_types(
+        left_dir, right_dir, ls["key"], rs["key"],
+        lmeta["version"], rmeta["version"],
+        _schemas=(lmeta["schema"], rmeta["schema"]),
+    )
+    bpf_l, bpf_r = lmeta["bpf"], rmeta["bpf"]
     coarse = max(bpf_l, bpf_r)
     if coarse % bpf_l or coarse % bpf_r:
         raise ValueError(
@@ -394,9 +419,9 @@ def colocated_plan(
             "compact one side to a multiple of the other"
         )
     sides: list[dict[int, list[str]]] = []
-    for d, bpf, v in ((left_dir, bpf_l, lv), (right_dir, bpf_r, rv)):
+    for m, bpf in ((lmeta, bpf_l), (rmeta, bpf_r)):
         per: dict[int, list[str]] = defaultdict(list)
-        for p in tl.snapshot_files(d, version=v):
+        for p in m["files"]:
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
     if how not in _ACERO_JOIN:
@@ -515,12 +540,17 @@ def keyset_lookup(
         spec = bucket_spec(table_dir, version=version)
         if spec is None:
             raise ValueError(f"{table_dir} has no committed bucket spec")
-        schema = tl.snapshot_schema(table_dir, version=version)
+        # ONE checkpoint-load + tail-replay for files + schema (the
+        # separate accessors paid it twice); the two layout walks
+        # (spec above, bpf here) stay O(distance to layout commit)
+        files, _, schema = tl.snapshot_resolved(
+            table_dir, version=version
+        )
         if schema is None:
             raise ValueError("keyset_lookup needs a committed schema")
         bpf = layout_buckets_per_file(table_dir, version=version)
         by_group = defaultdict(list)
-        for p in tl.snapshot_files(table_dir, version=version):
+        for p in files:
             by_group[_group_of_name(p)].append(p)
     key = spec["key"]
     dtype = schema[key].dataType.simpleString()
@@ -612,10 +642,11 @@ def point_lookup(
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
     bpf = layout_buckets_per_file(table_dir, version=version)
-    schema = tl.snapshot_schema(table_dir, version=version)
+    # ONE checkpoint-load + tail-replay for files + schema
+    files, _, schema = tl.snapshot_resolved(table_dir, version=version)
     reader = spark.read if schema is None else spark.read.schema(schema)
     by_group: dict[int, list[str]] = defaultdict(list)
-    for p in tl.snapshot_files(table_dir, version=version):
+    for p in files:
         by_group[_group_of_name(p)].append(p)
     buckets = buckets_of_values(spark, table_dir, values, version=version)
     parts = []
@@ -1313,6 +1344,7 @@ def bucketed_aggregate(
     aggs: list[tuple[str, str, str]],
     *,
     version: int | None = None,
+    _resolved: tuple | None = None,
 ) -> DataFrame:
     """Per-key aggregation WITHOUT an exchange: the table is bucketed
     on the key, so every row of a key lives in one file group — each
@@ -1323,18 +1355,25 @@ def bucketed_aggregate(
     ``[(col, arrow_fn, out_name), ...]`` (e.g. ``("cents", "sum",
     "spend_cents")``). Spec, schema, and file list all resolve at ONE
     version (``version``, default the current version read once here)
-    — a concurrent commit cannot mix snapshots mid-plan."""
+    — a concurrent commit cannot mix snapshots mid-plan.
+
+    ``_resolved`` (internal, passed by ``serve_aggregate``) carries an
+    already-resolved ``(files, schema)`` pair for the same version so
+    the routing caller pays the checkpoint-load + tail-replay once."""
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
     if spec is None:
         raise ValueError(f"{table_dir} has no committed bucket spec")
     key = spec["key"]
-    schema = tl.snapshot_schema(table_dir, version=version)
+    if _resolved is not None:
+        files, schema = _resolved
+    else:
+        files, _, schema = tl.snapshot_resolved(table_dir, version=version)
     if schema is None:
         raise ValueError("bucketed_aggregate needs a committed schema")
     by_group: dict[int, list[str]] = defaultdict(list)
-    for p in tl.snapshot_files(table_dir, version=version):
+    for p in files:
         by_group[_group_of_name(p)].append(p)
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -1408,36 +1447,36 @@ def colocated_multi_join(
     if len(dirs) < 2:
         raise ValueError("colocated_multi_join needs >= 2 tables")
     # one pinned version per table for the whole plan (spec, grouping,
-    # files, schema) — same mid-plan-commit defense as the pair join
-    versions = [tl.current_version(d) for d in dirs]
+    # files, schema) — same mid-plan-commit defense as the pair join,
+    # resolved with ONE checkpoint-load + tail-replay per table
+    # (_side_meta) instead of one per metadata fact
+    metas = [_side_meta(d, None) for d in dirs]
     specs = []
-    for d, v in zip(dirs, versions):
-        s = bucket_spec(d, version=v)
-        if s is None:
+    for d, m in zip(dirs, metas):
+        if m["spec"] is None:
             raise ValueError(f"{d} has no committed bucket spec")
-        specs.append(s)
+        specs.append(m["spec"])
     if len({s["n"] for s in specs}) != 1:
         raise ValueError(
             f"bucket counts differ ({[s['n'] for s in specs]}): keys "
             "hash to different buckets, co-location does not hold"
         )
-    for d, s, v in zip(dirs[1:], specs[1:], versions[1:]):
+    for d, s, m in zip(dirs[1:], specs[1:], metas[1:]):
         _check_key_types(
-            dirs[0], d, specs[0]["key"], s["key"], versions[0], v
+            dirs[0], d, specs[0]["key"], s["key"],
+            metas[0]["version"], m["version"],
+            _schemas=(metas[0]["schema"], m["schema"]),
         )
-    bpfs = [
-        layout_buckets_per_file(d, version=v)
-        for d, v in zip(dirs, versions)
-    ]
+    bpfs = [m["bpf"] for m in metas]
     coarse = max(bpfs)
     if any(coarse % b for b in bpfs):
         raise ValueError(
             f"file groupings {bpfs} do not nest — compact to multiples"
         )
     sides: list[dict[int, list[str]]] = []
-    for d, bpf, v in zip(dirs, bpfs, versions):
+    for m, bpf in zip(metas, bpfs):
         per: dict[int, list[str]] = defaultdict(list)
-        for p in tl.snapshot_files(d, version=v):
+        for p in m["files"]:
             per[_group_of_name(p) * bpf // coarse].append(p)
         sides.append(per)
     if how == "inner":
@@ -1456,9 +1495,7 @@ def colocated_multi_join(
         )
         tasks = [(g, [lf] + list(rest)) for g, lf, rest in split]
 
-    schemas = [
-        tl.snapshot_schema(d, version=v) for d, v in zip(dirs, versions)
-    ]
+    schemas = [m["schema"] for m in metas]
     if any(s is None for s in schemas):
         raise ValueError("every table must carry a committed schema")
     anchor_key = specs[0]["key"]
@@ -1608,6 +1645,7 @@ def prune_tasks_by_left_stats(
     *,
     keep_empty_left: bool = False,
     version: int | None = None,
+    _stats: dict | None = None,
 ) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
     """Drop left files whose committed [min, max] for ``column``
     cannot intersect [lo, hi] from an SPJ task plan — zone-map
@@ -1618,9 +1656,14 @@ def prune_tasks_by_left_stats(
     row filter). A group whose left side prunes to nothing plans no
     task unless ``keep_empty_left`` (full outer must still emit its
     right side). ``version`` pins the stats to the snapshot the task
-    plan was built from. Returns ``(tasks, files_kept,
+    plan was built from; ``_stats`` carries an already-resolved stats
+    map for that version. Returns ``(tasks, files_kept,
     files_total)``."""
-    stats = tl.snapshot_file_stats(left_dir, version=version)
+    stats = (
+        _stats
+        if _stats is not None
+        else tl.snapshot_file_stats(left_dir, version=version)
+    )
     out: list[tuple[int, list[str], list[str]]] = []
     kept_n = total = 0
     for g, lf, rf in tasks:
@@ -1641,13 +1684,18 @@ def prune_tasks_by_right_stats(
     *,
     keep_empty_right: bool = False,
     version: int | None = None,
+    _stats: dict | None = None,
 ) -> tuple[list[tuple[int, list[str], list[str]]], int, int]:
     """The RIGHT-side twin of ``prune_tasks_by_left_stats``
     (filter-then-join semantics on the right input): a group whose
     right side prunes to nothing plans no task unless
     ``keep_empty_right`` (left/anti/full must still emit left
     rows)."""
-    stats = tl.snapshot_file_stats(right_dir, version=version)
+    stats = (
+        _stats
+        if _stats is not None
+        else tl.snapshot_file_stats(right_dir, version=version)
+    )
     out: list[tuple[int, list[str], list[str]]] = []
     kept_n = total = 0
     for g, lf, rf in tasks:
@@ -1670,6 +1718,7 @@ def colocated_bucket_join(
     right_range: tuple[str, object, object] | None = None,
     left_version: int | None = None,
     right_version: int | None = None,
+    _sides: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Join two bucketed table-log tables on their committed bucket
     keys with zero shuffle of table data. ``how`` covers the full
@@ -1720,17 +1769,17 @@ def colocated_bucket_join(
     # decision and the executed join can never straddle a commit): a
     # commit landing mid-plan (compaction on the live CDC warehouse, a
     # concurrent append) cannot mix snapshots
-    lv = (
-        tl.current_version(left_dir) if left_version is None
-        else left_version
+    lmeta = (
+        _sides[0] if _sides is not None
+        else _side_meta(left_dir, left_version)
     )
-    rv = (
-        tl.current_version(right_dir) if right_version is None
-        else right_version
+    rmeta = (
+        _sides[1] if _sides is not None
+        else _side_meta(right_dir, right_version)
     )
-    ls = bucket_spec(left_dir, version=lv)
+    ls, rs = lmeta["spec"], rmeta["spec"]
     tasks = colocated_plan(
-        left_dir, right_dir, how, left_version=lv, right_version=rv
+        left_dir, right_dir, how, _sides=(lmeta, rmeta)
     )
     if left_range is not None:
         tasks, _, _ = prune_tasks_by_left_stats(
@@ -1738,7 +1787,7 @@ def colocated_bucket_join(
             left_dir,
             *left_range,
             keep_empty_left=(how == "full"),
-            version=lv,
+            _stats=lmeta["stats"],
         )
     if right_range is not None:
         tasks, _, _ = prune_tasks_by_right_stats(
@@ -1746,7 +1795,7 @@ def colocated_bucket_join(
             right_dir,
             *right_range,
             keep_empty_right=(how in ("left", "left_anti", "full")),
-            version=rv,
+            _stats=rmeta["stats"],
         )
     if max_task_rows is not None:
         if how == "full":
@@ -1755,10 +1804,8 @@ def colocated_bucket_join(
                 "right-unmatched rows would emit once per chunk"
             )
         tasks = _split_skewed_groups(tasks, max_task_rows)
-    rs = bucket_spec(right_dir, version=rv)
     lkey, rkey = ls["key"], rs["key"]
-    lschema = tl.snapshot_schema(left_dir, version=lv)
-    rschema = tl.snapshot_schema(right_dir, version=rv)
+    lschema, rschema = lmeta["schema"], rmeta["schema"]
     if lschema is None or rschema is None:
         raise ValueError("both tables must carry committed schemas")
     overlap = ({f.name for f in lschema} & {f.name for f in rschema}) - (
@@ -1882,20 +1929,20 @@ def colocated_aggregate_join(
     with one metadata-sized exchange in the whole plan."""
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r} not in ['inner', 'left']")
-    lv = tl.current_version(left_dir)
-    rv = tl.current_version(right_dir)
-    ls = bucket_spec(left_dir, version=lv)
-    rs = bucket_spec(right_dir, version=rv)
+    # ONE resolve + two layout walks per side (_side_meta), shared
+    # with the task planner — the accessor-per-fact form paid the
+    # checkpoint-load + tail-replay 4x per call
+    lmeta = _side_meta(left_dir, None)
+    rmeta = _side_meta(right_dir, None)
+    ls, rs = lmeta["spec"], rmeta["spec"]
     tasks = colocated_plan(
         left_dir,
         right_dir,
         "inner" if how == "inner" else "left",
-        left_version=lv,
-        right_version=rv,
+        _sides=(lmeta, rmeta),
     )
     lkey, rkey = ls["key"], rs["key"]
-    lschema = tl.snapshot_schema(left_dir, version=lv)
-    rschema = tl.snapshot_schema(right_dir, version=rv)
+    lschema, rschema = lmeta["schema"], rmeta["schema"]
     if lschema is None or rschema is None:
         raise ValueError("both tables must carry committed schemas")
     from pyspark.sql.types import StructField, StructType
@@ -2006,18 +2053,24 @@ def serve_aggregate(
     if version is None:
         version = tl.current_version(table_dir)
     spec = bucket_spec(table_dir, version=version)
-    schema = tl.snapshot_schema(table_dir, version=version)
+    # ONE checkpoint-load + tail-replay feeds BOTH routes (the
+    # separate snapshot_schema + snapshot_files accessors paid it
+    # twice per probe; serve()/serve_range's single-resolve
+    # discipline, applied to the aggregate face)
+    files, _, schema = tl.snapshot_resolved(table_dir, version=version)
     if schema is None:
         raise ValueError(f"{table_dir} needs a committed schema")
     info: dict = {}
     if spec is not None and spec["key"] == group_col:
         info["route"] = "bucketed-local"
         return (
-            bucketed_aggregate(spark, table_dir, aggs, version=version),
+            bucketed_aggregate(
+                spark, table_dir, aggs, version=version,
+                _resolved=(files, schema),
+            ),
             info,
         )
     info["route"] = "shuffle-agg"
-    files = tl.snapshot_files(table_dir, version=version)
     if not files:
         from pyspark.sql.types import StructType
 
@@ -2102,12 +2155,17 @@ def serve_join(
             f"how={how!r}: the serving join surface is inner/left/full/"
             "left_semi/left_anti (colocated_bucket_join's contract)"
         )
-    lv = tl.current_version(left_dir)
-    rv = tl.current_version(right_dir)
-    ls = bucket_spec(left_dir, version=lv)
-    rs = bucket_spec(right_dir, version=rv)
-    lschema = tl.snapshot_schema(left_dir, version=lv)
-    rschema = tl.snapshot_schema(right_dir, version=rv)
+    # ONE checkpoint-load + tail-replay per side (_side_meta) feeds
+    # the route decision AND — passed through — the colocated join's
+    # plan, so the decision and the executed join can never straddle
+    # a commit (the separate per-fact accessors paid the resolve 2-4x
+    # per side; serve()/serve_range's single-resolve discipline,
+    # applied to the join face)
+    lmeta = _side_meta(left_dir, None)
+    rmeta = _side_meta(right_dir, None)
+    ls, rs = lmeta["spec"], rmeta["spec"]
+    lfiles, lschema = lmeta["files"], lmeta["schema"]
+    rfiles, rschema = rmeta["files"], rmeta["schema"]
     if lschema is None or rschema is None:
         raise ValueError("both tables must carry committed schemas")
     if on is not None:
@@ -2127,8 +2185,6 @@ def serve_join(
             f"non-key column name overlap {sorted(overlap)}: rename "
             "before joining"
         )
-    lfiles = tl.snapshot_files(left_dir, version=lv)
-    rfiles = tl.snapshot_files(right_dir, version=rv)
     lbytes = sum(os.path.getsize(p) for p in lfiles)
     rbytes = sum(os.path.getsize(p) for p in rfiles)
     info: dict = {
@@ -2157,16 +2213,16 @@ def serve_join(
         info["broadcast_side"] = bcast
     elif colocatable:
         info["route"] = "colocated"
-        # pass the pinned versions through: the route decision and the
-        # executed join must describe the SAME snapshots
+        # pass the resolved sides through: the route decision and the
+        # executed join describe the SAME snapshots, and the join pays
+        # no second resolve
         return (
             colocated_bucket_join(
                 spark,
                 left_dir,
                 right_dir,
                 how,
-                left_version=lv,
-                right_version=rv,
+                _sides=(lmeta, rmeta),
             ),
             info,
         )
