@@ -172,12 +172,20 @@ def _wait_for_quiet(max_wait_s: float = 600.0, target: float = 0.5) -> float:
     return load
 
 
-def _system_busy_jiffies() -> int:
-    """Non-idle jiffies across all cpus since boot (/proc/stat)."""
+def _system_busy_jiffies() -> tuple[int, int]:
+    """(non-idle jiffies, steal jiffies) across all cpus since boot
+    (/proc/stat). Busy includes STEAL (field 8): on a virtualized box
+    the hypervisor descheduling this guest shows up as busy-but-not-
+    ours, which the ambient meter would otherwise attribute to
+    foreign *processes*. Returning steal separately lets the report
+    split "another process burned CPU" (actionable: find and stop
+    it) from "the host throttled us" (actionable: re-run in a
+    quieter window; no local process to blame)."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [int(x) for x in parts[1:]]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - vals[3] - vals[4], steal  # minus idle + iowait
 
 
 def _subtree_cpu_jiffies() -> int:
@@ -212,20 +220,26 @@ def _subtree_cpu_jiffies() -> int:
 
 
 def _ambient_meter():
-    """Start measuring CPU consumed by processes OUTSIDE this bench's
-    subtree; the returned closure yields ambient cpu-seconds burned
-    since the start. The pre-run quiet gate cannot see work that
-    STARTS mid-measurement — this can, and near-zero here certifies a
-    clean run better than any loadavg snapshot."""
-    busy0 = _system_busy_jiffies()
+    """Start measuring CPU consumed OUTSIDE this bench's subtree; the
+    returned closure yields ``(ambient_cpu_sec, steal_cpu_sec)``
+    burned since the start. The pre-run quiet gate cannot see work
+    that STARTS mid-measurement — this can, and near-zero here
+    certifies a clean run better than any loadavg snapshot. Ambient
+    keeps its historical meaning (busy-not-ours, steal INCLUDED, so
+    cross-round files stay comparable); the steal component is
+    reported alongside because on this Firecracker box hypervisor
+    steal is routinely the entire "ambient" figure (round 12: 770-950
+    ambient cpu-s with <2 min of actual foreign-process CPU since
+    boot) — without the split, steal reads as a foreign-load flag
+    nobody can act on."""
+    busy0, steal0 = _system_busy_jiffies()
     mine0 = _subtree_cpu_jiffies()
     hz = os.sysconf("SC_CLK_TCK")
 
-    def finish() -> float:
-        ambient = (_system_busy_jiffies() - busy0) - (
-            _subtree_cpu_jiffies() - mine0
-        )
-        return max(ambient, 0) / hz
+    def finish() -> tuple[float, float]:
+        busy1, steal1 = _system_busy_jiffies()
+        ambient = (busy1 - busy0) - (_subtree_cpu_jiffies() - mine0)
+        return max(ambient, 0) / hz, max(steal1 - steal0, 0) / hz
 
     return finish
 
@@ -382,12 +396,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "ambient_load_1m": round(ambient_load, 2),
-        # cpu-seconds burned by OTHER processes during the run —
-        # catches work that STARTED mid-measurement (the pollution
-        # class the pre-run gate cannot see); ~0 certifies clean
+        # cpu-seconds burned OUTSIDE the bench subtree during the run
+        # — catches work that STARTED mid-measurement (the pollution
+        # class the pre-run gate cannot see); ~0 certifies clean.
+        # steal_cpu_sec is the hypervisor-throttling share of that
+        # figure (see _ambient_meter): ambient ~= steal means no
+        # foreign PROCESS ran — the box was descheduled by its host
         "ambient_cpu_sec_during_run": (ambient_cpu_now := round(
-            ambient_cpu(), 1
+            (ambient_steal := ambient_cpu())[0], 1
         )),
+        "steal_cpu_sec_during_run": round(ambient_steal[1], 1),
     }
     delta = _delta_report(timings)
     if delta is not None:

@@ -154,7 +154,9 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         meter = _ambient_meter()
         results[label] = measure(spark, d, buckets)
-        results[label]["ambient_cpu_sec"] = round(meter(), 1)
+        amb, steal = meter()
+        results[label]["ambient_cpu_sec"] = round(amb, 1)
+        results[label]["steal_cpu_sec"] = round(steal, 1)
         print(label, results[label], flush=True)
         spark.stop()
 

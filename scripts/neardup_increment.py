@@ -162,7 +162,9 @@ def main() -> None:
         # per-row foreign-load attribution: this box takes 100-2000
         # cpu-s ambient bursts mid-run (NOTES rounds 10-12); a rising
         # curve with a rising ambient column is machine, not code
-        results[label]["ambient_cpu_sec"] = round(meter(), 1)
+        amb, steal = meter()
+        results[label]["ambient_cpu_sec"] = round(amb, 1)
+        results[label]["steal_cpu_sec"] = round(steal, 1)
         print(label, results[label], flush=True)
         spark.stop()
 
