@@ -240,6 +240,24 @@ def _pad_table(tbl, schema):
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def _routing_relation(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """The co-located planners' task-routing relation with EXACTLY one
+    row per partition and ZERO exchange: ``parallelize(rows,
+    len(rows))`` slices the driver-built list one row per partition, so
+    the downstream ``mapInArrow`` runs one task per routing row with no
+    shuffle at all. The previous ``createDataFrame(...).
+    repartitionByRange(n, ...)`` form achieved the same spread but paid
+    a range-boundary SAMPLING JOB plus a (tiny) exchange on EVERY
+    execution — pure fixed overhead on the serving path, measured r12
+    at ~100-200 ms per co-located query at sf0.1. Row order is
+    preserved (slice i = row i), which is all the skew-split planner
+    needs; the relation's contents are identical either way."""
+    n = max(len(rows), 1)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 def bucket_spec(
     table_dir: str, *, version: int | None = None
 ) -> dict | None:
@@ -1407,12 +1425,12 @@ def bucketed_aggregate(
                 if got.num_rows:
                     yield from got.select(out_cols).cast(target).to_batches()
 
-    meta = spark.createDataFrame(
+    meta = _routing_relation(
+        spark,
         sorted((g, sorted(fs)) for g, fs in by_group.items()),
         "grp int, files array<string>",
     )
-    n = max(len(by_group), 1)
-    return meta.repartitionByRange(n, "grp").mapInArrow(agg, out_schema)
+    return meta.mapInArrow(agg, out_schema)
 
 
 def colocated_multi_join(
@@ -1554,16 +1572,15 @@ def colocated_multi_join(
                         target
                     ).to_batches()
 
-    # sub distinguishes a split group's chunks so the range
-    # partitioner spreads them one-per-task (the point of the split)
-    meta = spark.createDataFrame(
+    # sub distinguishes a split group's chunks; the one-row-per-slice
+    # routing relation spreads them one-per-task (the point of the
+    # split) with no exchange
+    meta = _routing_relation(
+        spark,
         [(g, i, fs) for i, (g, fs) in enumerate(tasks)],
         "grp int, sub int, files array<array<string>>",
     )
-    n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp", "sub").mapInArrow(
-        merge, out_schema
-    )
+    return meta.mapInArrow(merge, out_schema)
 
 
 def _split_skewed_groups(
@@ -1886,17 +1903,16 @@ def colocated_bucket_join(
                         target
                     ).to_batches()
 
-    # sub distinguishes a split group's chunks so the range
-    # partitioner spreads them one-per-task (the point of the split)
-    meta = spark.createDataFrame(
+    # sub distinguishes a split group's chunks; the one-row-per-slice
+    # routing relation spreads them one-per-task (the point of the
+    # split) with no exchange
+    meta = _routing_relation(
+        spark,
         [(g, i, lf, rf) for i, (g, lf, rf) in enumerate(tasks)],
         "grp int, sub int, left_files array<string>, "
         "right_files array<string>",
     )
-    n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp", "sub").mapInArrow(
-        merge, out_schema
-    )
+    return meta.mapInArrow(merge, out_schema)
 
 
 def colocated_aggregate_join(
@@ -2000,12 +2016,12 @@ def colocated_aggregate_join(
                         target
                     ).to_batches()
 
-    meta = spark.createDataFrame(
+    meta = _routing_relation(
+        spark,
         [(g, lf, rf) for g, lf, rf in tasks],
         "grp int, left_files array<string>, right_files array<string>",
     )
-    n = max(len(tasks), 1)
-    return meta.repartitionByRange(n, "grp").mapInArrow(merge, out_schema)
+    return meta.mapInArrow(merge, out_schema)
 
 
 #: router vocabulary -> (Acero fn, Spark fn) for serve_aggregate: only

@@ -117,6 +117,31 @@ def minhash_perm_arrays(num_perm: int):
     return a_mult, b_add
 
 
+def _minhash_min_agg(flat: DataFrame, num_perm: int) -> DataFrame:
+    """groupBy(id) → signature array: min over the ``num_perm``
+    multiply-shift permutations of the 32-bit hash column ``h``.
+
+    Built as ONE parsed SQL expression: the Column-API listcomp form
+    costs ~6 py4j round trips per permutation (~0.7 s of driver time
+    per plan build at num_perm=64 — profiled r12, dominated by socket
+    recv), while a single F.expr string parses JVM-side in one call.
+    Catalyst collapses the array-over-aggregates projection into the
+    Aggregate node either way, so the physical plan is unchanged; the
+    ``& 4294967295`` literal folds to the same LongType mask as the
+    old ``F.lit(0xFFFFFFFF)``.
+    """
+    a_mult, b_add = minhash_perm_arrays(num_perm)
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"min(({int(a_mult[j])}L * h + {int(b_add[j])}L) & 4294967295)"
+            for j in range(num_perm)
+        )
+        + ")"
+    ).alias("signature")
+    return flat.groupBy("id").agg(sig)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -152,8 +177,6 @@ def minhash_signatures(
     est_jaccard false positives 5x). ``A_j < 2^30`` keeps ``A_j·h <
     2^62``, so ANSI-mode long arithmetic cannot overflow.
     """
-    a_mult, b_add = minhash_perm_arrays(num_perm)
-    mask = F.lit(0xFFFFFFFF)
     # tiny-input, heavy-derivation: spread the shingle/hash chain
     # across cores before it starts (see repartition_for_compute)
     df = repartition_for_compute(df)
@@ -164,22 +187,7 @@ def minhash_signatures(
     flat = explode_nonempty(
         hashed, "h", F.array_distinct(_shingle_hashes(F.col("th"), shingle_n)), "id"
     )
-    mins = [
-        F.min(
-            (F.lit(int(a_mult[j])) * F.col("h") + F.lit(int(b_add[j]))).bitwiseAND(
-                mask
-            )
-        ).alias(f"m{j}")
-        for j in range(num_perm)
-    ]
-    return (
-        flat.groupBy("id")
-        .agg(*mins)
-        .select(
-            "id",
-            F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("signature"),
-        )
-    )
+    return _minhash_min_agg(flat, num_perm)
 
 
 def minhash_signatures_oph(
@@ -324,8 +332,6 @@ def minhash_signatures_portable(
     this tier is for cross-engine verification and for pipelines that
     need hash-stable signatures across heterogeneous engines.
     """
-    a_mult, b_add = minhash_perm_arrays(num_perm)
-    mask = F.lit(0xFFFFFFFF)
     df = repartition_for_compute(df)
     flat = explode_nonempty(
         df.select(F.col(id_col).alias("id"), F.col(text_col)),
@@ -336,47 +342,28 @@ def minhash_signatures_portable(
         "id",
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    mins = [
-        F.min(
-            (F.lit(int(a_mult[j])) * F.col("h") + F.lit(int(b_add[j]))).bitwiseAND(
-                mask
-            )
-        ).alias(f"m{j}")
-        for j in range(num_perm)
-    ]
-    return (
-        flat.groupBy("id")
-        .agg(*mins)
-        .select(
-            "id",
-            F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("signature"),
-        )
-    )
+    return _minhash_min_agg(flat, num_perm)
 
 
 def _band_buckets(
     signatures: DataFrame, *, num_perm: int, bands: int
 ) -> DataFrame:
-    """(id, band, bucket) relation: one row per document per LSH band."""
+    """(id, band, bucket) relation: one row per document per LSH band.
+
+    The per-band expression batch is ONE parsed selectExpr string —
+    same py4j round-trip rationale as ``_minhash_min_agg`` (the
+    Column-API form costs ~8 calls per band; profiled r12)."""
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
-    band_hashes = [
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            ),
-            F.lit(b),
-        )
+    band_hashes = ", ".join(
+        "xxhash64(concat_ws(',', transform("
+        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> cast(x as string))), {b})"
         for b in range(bands)
-    ]
-    return signatures.select(
-        "id",
-        F.posexplode(F.array(*band_hashes)).alias("band", "bucket"),
+    )
+    return signatures.selectExpr(
+        "id", f"posexplode(array({band_hashes})) as (band, bucket)"
     )
 
 
@@ -391,19 +378,14 @@ def _band_buckets_portable(
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
-    band_keys = [
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
+    band_keys = ", ".join(
+        "concat_ws(',', transform("
+        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+        "x -> cast(x as string)))"
         for b in range(bands)
-    ]
-    return signatures.select(
-        "id",
-        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
+    return signatures.selectExpr(
+        "id", f"posexplode(array({band_keys})) as (band, bucket)"
     )
 
 

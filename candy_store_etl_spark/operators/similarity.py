@@ -1201,9 +1201,15 @@ def ivf_query_index_log(
 
     from ..sources import table_log as tl
 
-    v = version if version is not None else tl.current_version(table_dir)
-    files = tl.snapshot_files(table_dir, version=v)
-    stats = tl.snapshot_file_stats(table_dir, version=v)
+    # ONE checkpoint-load + tail-replay for files, stats AND the
+    # committed schema (the chained snapshot_files+snapshot_file_stats
+    # form resolved the log twice per probe); planning reads under the
+    # committed schema also skips the per-read parquet schema-inference
+    # job — measured r12: 3 Spark jobs -> 1 per served version.
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
+
+    def _reader():
+        return spark.read.schema(schema) if schema is not None else spark.read
 
     def may_contain(path: str, col: str, val: int) -> bool:
         rng = _log_stat_range(stats, path, col)
@@ -1211,7 +1217,7 @@ def ivf_query_index_log(
 
     cent_files = [p for p in files if may_contain(p, "is_cent", 1)]
     cents = (
-        spark.read.parquet(*cent_files)
+        _reader().parquet(*cent_files)
         .filter(F.col("is_cent") == 1)
         .select("list_id", "c")
         .collect()
@@ -1241,13 +1247,13 @@ def ivf_query_index_log(
         # always-false filter yields an empty top-k instead of a
         # zero-path read error (read_snapshot_pruned's rule)
         cand = (
-            spark.read.parquet(files[0])
+            _reader().parquet(files[0])
             .filter(F.lit(False))
             .select("vid", "q")
         )
     else:
         cand = (
-            spark.read.parquet(*kept)
+            _reader().parquet(*kept)
             .filter((F.col("is_cent") == 0) & F.col("list_id").isin(probes))
             .select("vid", "q")
         )
@@ -1279,9 +1285,11 @@ def ivf_query_index_log_batch(
 
     from ..sources import table_log as tl
 
-    v = version if version is not None else tl.current_version(table_dir)
-    files = tl.snapshot_files(table_dir, version=v)
-    stats = tl.snapshot_file_stats(table_dir, version=v)
+    # one resolve + committed-schema reads (see ivf_query_index_log)
+    files, stats, schema = tl.snapshot_resolved(table_dir, version=version)
+
+    def _reader():
+        return spark.read.schema(schema) if schema is not None else spark.read
 
     def may_contain(path: str, col: str, val: int) -> bool:
         rng = _log_stat_range(stats, path, col)
@@ -1289,7 +1297,7 @@ def ivf_query_index_log_batch(
 
     cent_files = [p for p in files if may_contain(p, "is_cent", 1)]
     cents = (
-        spark.read.parquet(*cent_files)
+        _reader().parquet(*cent_files)
         .filter(F.col("is_cent") == 1)
         .select("list_id", "c")
         .collect()
@@ -1325,13 +1333,13 @@ def ivf_query_index_log_batch(
     )
     if not kept:
         cand = (
-            spark.read.parquet(files[0])
+            _reader().parquet(files[0])
             .filter(F.lit(False))
             .select("vid", "q", "list_id")
         )
     else:
         cand = (
-            spark.read.parquet(*kept)
+            _reader().parquet(*kept)
             .filter(
                 (F.col("is_cent") == 0)
                 & F.col("list_id").isin(union_probes)
