@@ -251,8 +251,16 @@ def _routing_relation(spark: SparkSession, rows: list, schema: str) -> DataFrame
     execution — pure fixed overhead on the serving path, measured r12
     at ~100-200 ms per co-located query at sf0.1. Row order is
     preserved (slice i = row i), which is all the skew-split planner
-    needs; the relation's contents are identical either way."""
-    n = max(len(rows), 1)
+    needs; the relation's contents are identical either way.
+
+    Task count is capped at 2x defaultParallelism: past that, extra
+    tasks buy no concurrency and each one pays a Python-worker round
+    trip (~20 ms measured) — a 112-chunk skew-split wave on 32 cores
+    ran 112 tasks for ~4 waves of real work. Chunks beyond the cap
+    share tasks as contiguous runs (chunk sizes are bounded by the
+    splitter, so runs stay balanced); on a cluster defaultParallelism
+    is total executor cores and the cap scales with it."""
+    n = max(1, min(len(rows), 2 * spark.sparkContext.defaultParallelism))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n), schema
     )

@@ -32,6 +32,28 @@ TPCH_TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+# footer-schema cache: spark.read.parquet(path) with no explicit schema
+# runs a one-task schema-inference job per call — a fixed ~50-85 ms tax
+# on EVERY load_table call (measured r12; a 6-table star paid it six
+# times per plan build). The footer schema is pure file METADATA, so it
+# caches keyed on (path, mtime_ns, size) — any rewrite of the file
+# invalidates the entry — and the scan is then planned with the exact
+# schema the footer would have yielded. This is metadata caching (the
+# same class as Spark's own file-index cache), never result caching:
+# every execution still reads the parquet data.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _parquet_file_schema(spark: SparkSession, path: str) -> T.StructType:
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
@@ -43,10 +65,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # precision above 2^53 where a double division would not), micros
         # arrive as TIMESTAMP_NTZ and are pinned to session-tz TIMESTAMP
         # so every downstream plan sees one ts type either way.
+        # (the conf must be set BEFORE the footer probe so nanos infer
+        # as long instead of failing the read)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        schema = _parquet_file_schema(spark, path)
+        df = spark.read.schema(schema).parquet(path)
         return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
-    return spark.read.parquet(path)
+    return spark.read.schema(_parquet_file_schema(spark, path)).parquet(path)
 
 
 def _normalize_ts(dtype: T.DataType) -> F.Column:
