@@ -288,20 +288,19 @@ def minhash_signatures_oph(
     staged = sparse.select("id", arr.alias("raw")).select(
         "id", "raw", F.concat("raw", "raw").alias("doubled")
     )
-    densified = F.array(
-        *[
-            F.coalesce(
-                F.element_at("raw", j + 1),
-                F.element_at(
-                    F.filter(
-                        F.slice("doubled", j + 2, num_perm - 1),
-                        lambda x: x.isNotNull(),
-                    ),
-                    1,
-                ),
-            )
+    # one parsed expression for the 64-way densification (the Column
+    # API form costs ~10 py4j round trips per bin — same rationale as
+    # _minhash_min_agg; element_at keeps the exact ANSI semantics of
+    # the original expression tree)
+    densified = F.expr(
+        "array("
+        + ", ".join(
+            f"coalesce(element_at(raw, {j + 1}), "
+            f"element_at(filter(slice(doubled, {j + 2}, {num_perm - 1}), "
+            "x -> x IS NOT NULL), 1))"
             for j in range(num_perm)
-        ]
+        )
+        + ")"
     )
     return staged.select("id", densified.alias("signature"))
 
@@ -550,17 +549,20 @@ def simhash(
         tokens(F.col(text_col)),
         "id",
     ).withColumn("h", tok_hash)
-    bit_sums = [
-        F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"b{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    agg = toked.groupBy("id").agg(*bit_sums)
-    fp: Column = F.lit(0).cast("long")
-    for b in range(_SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return agg.select("id", fp.alias("simhash"))
+    # the 48 conditional bit sums + fingerprint fold as ONE parsed
+    # aggregate expression (the Column-API listcomp + when-chain costs
+    # ~13 py4j round trips per bit — same rationale as
+    # _minhash_min_agg); arithmetic is identical, so fingerprints are
+    # bit-equal to the old form
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN sum((shiftright(h, {b}) & 1) * 2 - 1) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+            for b in range(_SIMHASH_BITS)
+        )
+    ).alias("simhash")
+    return toked.groupBy("id").agg(fp)
 
 
 def simhash_neardup_pairs(
