@@ -332,25 +332,37 @@ def serve_point_bloom_pruned(
             )
 
     ensure_scratch(root, _build, _intact)
-    rows = []
+    # routing metadata (route, files counts) is driver-resolved per
+    # probe with zero jobs; the per-phase aggregates stay LAZY and
+    # union into ONE plan, so the whole 3-phase query runs as one
+    # Spark job instead of one collect per phase (r12: 3 jobs -> 1)
+    parts = []
     for phase, probes, _ in _BLOOM_PROBES:
         # record_routes=False: shared regime fixture stays byte-stable
         df, info = serve(
             spark, t, probes, key_col="source", record_routes=False
         )
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"),
-        ).first()
-        rows.append((
-            phase, info["route"], info["files_scanned"],
-            info["files_total"], agg["n"], agg["c"],
-        ))
-    return spark.createDataFrame(
-        rows,
-        "phase long, route string, files_scanned long, "
-        "files_total long, n_docs long, total_chars long",
-    ).orderBy("phase")
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("n_chars"), F.lit(0))
+                .cast("long")
+                .alias("total_chars"),
+            ).select(
+                F.lit(phase).cast("long").alias("phase"),
+                F.lit(info["route"]).alias("route"),
+                F.lit(info["files_scanned"]).cast("long").alias(
+                    "files_scanned"
+                ),
+                F.lit(info["files_total"]).cast("long").alias("files_total"),
+                "n_docs",
+                "total_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("phase")
 
 
 # ---------------------------------------------------------------------------
@@ -431,34 +443,43 @@ def serve_offkey_bloom_indexed(
         tl.add_bloom_index(spark, td, ["o_orderkey"])
 
     ensure_scratch(root, _build, _intact)
-    rows = []
+    # lazily-unioned per-phase aggregates: one Spark job for all three
+    # probes instead of one collect per phase (routing metadata is
+    # driver-resolved with zero jobs — see serve_point_bloom_pruned)
+    parts = []
     for phase, probes in ((1, [577]), (2, [33, 901]), (3, [99999999])):
         # record_routes=False: shared regime fixture stays byte-stable
         df, info = serve(
             spark, t, probes, key_col="o_orderkey",
             record_routes=False,
         )
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                    .cast("long")
-                ),
-                F.lit(0),
-            ).alias("c"),
-        ).first()
-        rows.append((
-            phase, info["route"],
-            info["files_scanned"] < info["files_total"],
-            info["files_scanned"] <= len(probes),
-            agg["n"], agg["c"],
-        ))
-    return spark.createDataFrame(
-        rows,
-        "phase long, route string, pruned boolean, tight boolean, "
-        "n_rows long, cents long",
-    ).orderBy("phase")
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("cents"),
+            ).select(
+                F.lit(phase).cast("long").alias("phase"),
+                F.lit(info["route"]).alias("route"),
+                F.lit(
+                    info["files_scanned"] < info["files_total"]
+                ).alias("pruned"),
+                F.lit(
+                    info["files_scanned"] <= len(probes)
+                ).alias("tight"),
+                "n_rows",
+                "cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("phase")
 
 
 # ---------------------------------------------------------------------------
