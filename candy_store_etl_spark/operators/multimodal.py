@@ -113,19 +113,66 @@ def decode_media(
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # guide-§4 shape: per-row work is only the digest (C-speed
+        # sha256); the byte histograms for the WHOLE batch vectorize
+        # through one np.add.at over the concatenated buffers when the
+        # bin width divides 256 (bin index = byte // width matches
+        # np.histogram's uniform integer edges exactly — verified by
+        # the digest-pinned tests). The previous form ran np.histogram
+        # and a row-tuple append per row.
+        vec_bins = 256 % n_features == 0
+        bin_w = 256 // n_features if vec_bins else None
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for mid, buf in zip(pdf["media_id"], pdf["content"]):
-                if buf is None:
-                    rows.append((mid, None, None, None, None))
+            bufs = [
+                None if b is None else bytes(b) for b in pdf["content"]
+            ]
+            n = len(bufs)
+            width = [None] * n
+            height = [None] * n
+            frames = [None] * n
+            feats: list = [None] * n
+            valid: list[int] = []
+            lens: list[int] = []
+            for i, b in enumerate(bufs):
+                if b is None:
                     continue
-                w, h, nf, feat = _fake_decode(bytes(buf), n_features)
-                rows.append((mid, w, h, nf, feat.tolist()))
+                d = hashlib.sha256(b).digest()
+                width[i] = 16 + d[0] % 64
+                height[i] = 16 + d[1] % 64
+                frames[i] = 1 + d[2] % 8
+                valid.append(i)
+                lens.append(len(b))
+            if valid and vec_bins:
+                allb = np.frombuffer(
+                    b"".join(bufs[i] for i in valid), dtype=np.uint8
+                )
+                row_ids = np.repeat(np.arange(len(valid)), lens)
+                counts = np.zeros((len(valid), n_features), dtype=np.int64)
+                np.add.at(counts, (row_ids, allb // bin_w), 1)
+                denoms = np.maximum(np.asarray(lens), 1)
+                fm = (counts / denoms[:, None]).astype(np.float32)
+                for j, i in enumerate(valid):
+                    feats[i] = fm[j].tolist()
+            else:
+                for i in valid:
+                    hist, _ = np.histogram(
+                        np.frombuffer(bufs[i], dtype=np.uint8),
+                        bins=n_features,
+                        range=(0, 256),
+                    )
+                    feats[i] = (
+                        hist / max(len(bufs[i]), 1)
+                    ).astype(np.float32).tolist()
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "n_frames", "features"],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_frames": frames,
+                    "features": feats,
+                }
             )
 
     return media.select("media_id", "content").mapInPandas(
