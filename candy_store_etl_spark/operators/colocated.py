@@ -1754,9 +1754,10 @@ def colocated_bucket_join(
 
     The plan: a LOCAL metadata relation (one row per aligned bucket
     group, carrying both sides' file lists — a side's list may be
-    empty for outer/anti groups), range-repartitioned so groups
-    spread one-per-task — the only Exchange in the plan, over
-    ~file-name-sized rows — then ``mapInArrow`` reads each group's
+    empty for outer/anti groups), pre-sliced one row per task with no
+    exchange at all (``_routing_relation``; the former metadata
+    range-repartition paid a sampling job + shuffle per execution)
+    — then ``mapInArrow`` reads each group's
     files from BOTH tables and hash-joins them with Acero (columnar
     end-to-end; no pandas materialization). Equal keys share a
     bucket by construction (same hash, same n), so the union of

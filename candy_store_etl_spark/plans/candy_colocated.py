@@ -12,8 +12,9 @@ stage bucketed on its join key through the table log, so:
 - the per-order rollup + headers join of
   ``build_orders_with_profit`` (reference's SECOND full scan,
   `data_processor.py:310-326`) runs as ONE task wave over aligned
-  bucket groups (``colocated_aggregate_join``) — at 100 TB the only
-  exchange in that stage moves one metadata row per bucket group;
+  bucket groups (``colocated_aggregate_join``) — at 100 TB that
+  stage shuffles no table data at all (the routing relation arrives
+  pre-sliced one row per task);
 - every stage output is a versioned snapshot: yesterday's line items
   are one ``version=`` away (time travel), a re-run lands as a new
   atomic version instead of clobbering parquet in place, and

@@ -158,8 +158,9 @@ def _coloc_segment_rollup(joined: DataFrame) -> DataFrame:
     "spec committed into each table's log, so the join plans as one "
     "task per bucket reading both sides' files for exactly that key "
     "range and merging locally (Acero hash join, Arrow end-to-end). "
-    "The only "
-    "Exchange moves one metadata row per bucket; no parquet scan "
+    "The routing relation arrives pre-sliced one row per task with NO "
+    "exchange at all (r12: the metadata range-repartition and its "
+    "sampling job are gone); no parquet scan "
     "appears in the JVM plan at all (pinned in tests). The DuckDB "
     "oracle is the plain join+rollup — bucketing is a layout "
     "contract, never a semantics change. At 100 TB this is the SPJ "
@@ -304,8 +305,10 @@ def bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed by customer, so each task aggregates its bucket to "
     "completion locally (Acero group_by over the group's files) and "
     "emits FINAL per-customer sums — no partial/final split, no "
-    "shuffle of fact rows; the only exchange in the plan routes one "
-    "metadata row per bucket, and the top-10 head is a driver-side "
+    "shuffle of fact rows; the plan has NO exchange at all (r12: the "
+    "routing relation arrives pre-sliced one row per task — "
+    "scan/mapInArrow/TakeOrdered is the whole plan), and the top-10 "
+    "head is a driver-side "
     "TakeOrdered over already-final rows. This is the "
     "map-side-complete aggregation catalog bucketing enables, derived "
     "from the table log's committed spec.",
