@@ -1167,7 +1167,9 @@ def token_budget_head_selection_distributed(
         "n_chars",
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
-    n_part = 8
+    from ..sources.tpch import prefix_sum_partitions
+
+    n_part = prefix_sum_partitions(spark)
     ranged = docs.repartitionByRange(
         n_part, F.col("n_chars").desc(), F.col("doc_id")
     ).transform(tracked_cache)

@@ -161,7 +161,6 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NTILE_K = 8
-_NTILE_PARTS = 8
 
 
 def _global_row_number(
@@ -253,7 +252,11 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens(F.col("text"))).cast("long"), F.lit(0).cast("long")
         ).alias("n_toks"),
     )
-    rn = _global_row_number(d, [F.col("n_toks"), F.col("doc_id")], _NTILE_PARTS)
+    from ..sources.tpch import prefix_sum_partitions
+
+    rn = _global_row_number(
+        d, [F.col("n_toks"), F.col("doc_id")], prefix_sum_partitions(spark)
+    )
     # exact SQL NTILE(k) from (rank rn, total n): the first n % k
     # buckets hold ceil(n/k) = q+1 rows (q = n div k), the rest q
     bucket = F.expr(

@@ -371,7 +371,9 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    n_part = 8
+    from ..sources.tpch import prefix_sum_partitions
+
+    n_part = prefix_sum_partitions(spark)
     ranged = chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
     with_pid = ranged.withColumn("pid", F.spark_partition_id())
     w_local = (

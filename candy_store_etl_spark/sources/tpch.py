@@ -90,6 +90,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:
+    """Partition count for the distributed prefix-sum pattern
+    (repartitionByRange + local cumsum + p-row offset window): the
+    results are partition-count INVARIANT (offsets correct any split),
+    so the count is purely a parallelism choice — and a constant 8
+    was a local-mode artifact that would cap the pack/rank stages at 8
+    tasks on a 100-TB cluster (r12 optimization audit). Scale with the
+    cluster, floored so tiny local runs keep the multi-partition shape
+    the pattern exists to exercise."""
+    return max(floor, spark.sparkContext.defaultParallelism)
+
+
 def repartition_for_compute(df, min_partitions: int | None = None):
     """Unlock parallelism when a TINY scan feeds super-linear work.
 
