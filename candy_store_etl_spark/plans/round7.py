@@ -16,6 +16,8 @@ The round-6 verdict's maturity directives as driver-checkable rows:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -371,11 +373,34 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    from ..sources.tpch import prefix_sum_partitions
+    from ..sources.tpch import column_minmax, prefix_sum_partitions
 
     n_part = prefix_sum_partitions(spark)
-    ranged = chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # the prefix sum needs pid monotone in the global order key
+    # (doc_id, chunk_idx) — NOT a physical range exchange. Deriving pid
+    # from the data (equal-width doc_id buckets; all chunks of a doc
+    # share one) lets the local-cumsum window's own hash exchange do
+    # the ONLY shuffle, where repartitionByRange + spark_partition_id
+    # paid a sampling job + range exchange + a second hash exchange
+    # (Catalyst can't see that physical pids align). Bucket bounds come
+    # from parquet footer min/max (zero jobs); doc ids are dense, so
+    # equal-width ≈ row-balanced. Any monotone split yields identical
+    # bins (the offset window corrects the cut points), pinned by
+    # tests/test_partition_invariance.py.
+    bounds = column_minmax(os.path.join(sf_dir, "documents.parquet"), "doc_id")
+    if bounds is not None:
+        lo, hi = int(bounds[0]), int(bounds[1])
+        width = max(1, (hi - lo + n_part) // n_part)
+        with_pid = chunks.withColumn(
+            "pid",
+            F.least(
+                F.lit(n_part - 1),
+                F.expr(f"(doc_id - {lo}) div {width}").cast("int"),
+            ),
+        )
+    else:  # stats-less files: sampled range split (row-balanced)
+        ranged = chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
+        with_pid = ranged.withColumn("pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("pid")
         .orderBy("doc_id", "chunk_idx")

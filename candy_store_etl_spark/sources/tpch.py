@@ -90,6 +90,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# footer column-stats cache: same metadata class as the schema cache
+# above — parquet row-group min/max are file METADATA read driver-side
+# with zero Spark jobs, keyed on (path, mtime_ns, size, column) so any
+# file rewrite invalidates the entry. Used to derive deterministic
+# monotone bucket boundaries for the distributed prefix-sum pattern
+# (below) without repartitionByRange's per-execution sampling job.
+_MINMAX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def column_minmax(path: str, column: str) -> tuple | None:
+    """(min, max) of ``column`` across the parquet file's row groups,
+    from footer statistics only — no Spark job, no data read. Returns
+    None when any row group lacks min/max stats (callers must keep a
+    sampled-range fallback)."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, column)
+    if key in _MINMAX_CACHE:
+        return _MINMAX_CACHE[key]
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    lo = hi = None
+    for rg_i in range(meta.num_row_groups):
+        rg = meta.row_group(rg_i)
+        stats = None
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            if col.path_in_schema == column:
+                stats = col.statistics
+                break
+        if stats is None or not stats.has_min_max:
+            _MINMAX_CACHE[key] = None
+            return None
+        lo = stats.min if lo is None else min(lo, stats.min)
+        hi = stats.max if hi is None else max(hi, stats.max)
+    out = None if lo is None else (lo, hi)
+    _MINMAX_CACHE[key] = out
+    return out
+
+
 def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:
     """Partition count for the distributed prefix-sum pattern
     (repartitionByRange + local cumsum + p-row offset window): the

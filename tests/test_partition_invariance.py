@@ -82,6 +82,11 @@ REPRESENTATIVES = [
     "embedding_outlier_docs",
     "reservoir_sample_per_source",
     "collocation_pmi_top",
+    # r12 optimization: the funnel's pack stage now derives its
+    # prefix-sum pid from footer-stats doc_id buckets instead of a
+    # physical range exchange — bin assignment must stay independent
+    # of every parallelism knob
+    "pretraining_pipeline_funnel",
 ]
 
 

@@ -65,6 +65,26 @@ def test_funnel_deterministic_across_runs(spark, sf_correctness, funnel_rows):
     assert again == funnel_rows
 
 
+def test_funnel_pack_pid_path_equivalence(
+    spark, sf_correctness, funnel_rows, monkeypatch
+):
+    """The pack stage's deterministic footer-stats pid (equal-width
+    doc_id buckets, zero sampling job) must bin identically to the
+    sampled repartitionByRange fallback — any monotone split yields
+    the same global cumsum. Forcing the fallback by blanking the
+    footer stats must reproduce the funnel byte-for-byte."""
+    from candy_store_etl_spark.sources import tpch
+
+    monkeypatch.setattr(tpch, "column_minmax", lambda *a, **k: None)
+    fallback = [
+        tuple(r)
+        for r in QUERIES["pretraining_pipeline_funnel"]
+        .fn(spark, sf_correctness)
+        .collect()
+    ]
+    assert fallback == funnel_rows
+
+
 @pytest.fixture(scope="module")
 def refresh_rows(spark, sf_correctness):
     df = QUERIES["incremental_corpus_refresh"].fn(spark, sf_correctness)
