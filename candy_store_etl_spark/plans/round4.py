@@ -1170,9 +1170,17 @@ def token_budget_head_selection_distributed(
     from ..sources.tpch import prefix_sum_partitions
 
     n_part = prefix_sum_partitions(spark)
-    ranged = docs.repartitionByRange(
-        n_part, F.col("n_chars").desc(), F.col("doc_id")
-    ).transform(tracked_cache)
+    # two caches, each load-bearing (r12; see round6._global_row_number
+    # for the full reasoning): below the exchange = the boundary-
+    # sampling pass fills it, one corpus tokenization per execution
+    # instead of two; above the exchange = one pinned pid layout for
+    # the window and offset consumers (independently-sampled boundary
+    # sets otherwise corrupt the global cumsum).
+    ranged = tracked_cache(
+        tracked_cache(docs).repartitionByRange(
+            n_part, F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
     with_pid = ranged.withColumn("pid", F.spark_partition_id())
     # local ordered prefix sum inside each range partition
     w_local = (

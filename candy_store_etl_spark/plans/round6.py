@@ -176,8 +176,17 @@ def _global_row_number(
     single-task global sort."""
     from ..caching import tracked_cache
 
-    ranged = df.repartitionByRange(n_parts, *order_cols).transform(
-        tracked_cache
+    # TWO caches, each load-bearing (r12): the cache BELOW the range
+    # exchange makes the boundary-sampling pass fill it and the
+    # exchange read it, so an expensive child (e.g. a corpus
+    # tokenization) runs ONCE per execution instead of twice; the
+    # cache ABOVE the exchange pins ONE materialized pid layout for
+    # the two consumers (local ranks + offset counts) — without it
+    # they can land on independently-sampled boundary sets and the
+    # offsets silently disagree with the ranks (reproduced at
+    # local[4]/sf0.1 when the post-exchange cache was dropped).
+    ranged = tracked_cache(
+        tracked_cache(df).repartitionByRange(n_parts, *order_cols)
     )
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = (

@@ -215,3 +215,40 @@ def test_distributed_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, n
+
+
+def test_global_row_number_is_exact_permutation(spark):
+    """__rn must be exactly {1..n} in (order_cols) order on EVERY run.
+
+    Regression for the r12 near-miss: with the post-exchange cache
+    dropped, the rank window and the offset counts landed on
+    independently-sampled range boundaries and the 'global' ranks
+    silently stopped being a permutation (duplicated/shifted ranks,
+    nondeterministic across runs at local[4]/sf0.1). The pinned
+    invariant is the one that broke, checked on a corpus-sized input
+    across repeated runs."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.plans.round6 import _global_row_number
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id")) % 997).alias("score"),
+    )
+    want = [
+        r["doc_id"]
+        for r in df.orderBy("score", "doc_id").select("doc_id").collect()
+    ]
+    for _ in range(3):
+        got = (
+            _global_row_number(
+                df, [F.col("score"), F.col("doc_id")], n_parts=8
+            )
+            .select("__rn", "doc_id", "__n")
+            .collect()
+        )
+        assert all(r["__n"] == n for r in got)
+        assert sorted(r["__rn"] for r in got) == list(range(1, n + 1))
+        by_rn = {r["__rn"]: r["doc_id"] for r in got}
+        assert [by_rn[i] for i in range(1, n + 1)] == want
