@@ -18,6 +18,47 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+def materialize_overlapped(
+    outputs: dict[str, DataFrame] | list[DataFrame],
+    max_workers: int = 3,
+    sink=None,
+) -> None:
+    """Materialize independent outputs with overlapping Spark jobs
+    (optimization guide §2.6): actions are only sequential because the
+    driver calls them sequentially, so a small thread pool lets the
+    next job's tasks back-fill executors freed by the current job's
+    straggler tail. 2-3 jobs in flight is the guide's recommendation —
+    enough to fill the tail, not so many that they fight for cores.
+
+    Each write gets a thread-local job description so the UI stays
+    readable. ``sink`` defaults to the noop materializer; pass a
+    callable for real writes. Interleaved ABBA at sf0.1 (r12): the
+    candy pipeline's five outputs 3.00 s sequential vs 2.53 s
+    overlapped, median of 4."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if isinstance(outputs, dict):
+        items = list(outputs.items())
+    else:
+        items = [(f"output_{i}", df) for i, df in enumerate(outputs)]
+    if sink is None:
+        def sink(df):  # noqa: E306 — default: compute-and-discard
+            df.write.format("noop").mode("overwrite").save()
+
+    def one(item):
+        name, df = item
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"materialize: {name}")
+        try:
+            sink(df)
+        finally:
+            sc.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        # list() re-raises the first failure instead of swallowing it
+        list(pool.map(one, items))
+
+
 def save_single_csv(df: DataFrame, output_path: str, filename: str) -> str:
     """Write ``df`` as exactly one ``<output_path>/<filename>`` CSV."""
     os.makedirs(output_path, exist_ok=True)

@@ -238,3 +238,28 @@ def test_compaction_layout_enables_scan_skipping(spark, sf_correctness, tmp_path
         frag_scan,
         n_match,
     )
+
+
+def test_materialize_overlapped_runs_all_and_raises(spark):
+    """§2.6 overlap helper: every output is computed exactly as the
+    sequential loop would, and a failing output propagates instead of
+    being swallowed by the pool."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from candy_store_etl_spark.sources.sinks import materialize_overlapped
+
+    seen = []
+    outs = {
+        "a": spark.range(100).select(F.sum("id").alias("s")),
+        "b": spark.range(50).select(F.count("*").alias("c")),
+        "c": spark.range(10),
+    }
+    materialize_overlapped(outs, sink=lambda df: seen.append(df.count()))
+    assert sorted(seen) == [1, 1, 10]
+
+    bad = spark.range(5).select(
+        F.assert_true(F.col("id") < 3).alias("x")
+    )
+    with pytest.raises(Exception):
+        materialize_overlapped([bad, spark.range(3)])
