@@ -154,6 +154,19 @@ def _qty_to_int64(raw: np.ndarray, qty_col: str) -> np.ndarray:
     return raw.astype(np.int64)
 
 
+def grouped_map_buckets(spark) -> int:
+    """Bucket count for grouped-map / cogrouped Arrow stages: ~2 task
+    waves (2 × total cores) balances per-group Arrow overhead (fewer,
+    larger frames win — measured 3× over one-frame-per-product) against
+    parallelism and straggler back-fill. The former constant 64 was
+    this exact formula evaluated at local[32]; deriving it keeps the
+    local value and scales with the cluster (r12 optimization audit).
+    Results are bucket-count INVARIANT — the kernels work per key
+    inside each frame; bucketing only packs keys into frames
+    (tests/test_allocation.py pins unbucketed==16-bucket equality)."""
+    return max(16, 2 * spark.sparkContext.defaultParallelism)
+
+
 def allocate_greedy(
     items: DataFrame,
     stock: DataFrame,

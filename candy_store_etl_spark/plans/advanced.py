@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.allocation import allocate_greedy
+from ..operators.allocation import allocate_greedy, grouped_map_buckets
 from ..operators.multimodal import (
     attach_media_column,
     decode_media,
@@ -102,7 +102,7 @@ def inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         stock,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
-        buckets=64,
+        buckets=grouped_map_buckets(spark),
     )
 
 
@@ -139,7 +139,7 @@ def inventory_allocation_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         stock,
         chunks=2,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
-        buckets=64,
+        buckets=grouped_map_buckets(spark),
     )
 
 
@@ -294,7 +294,7 @@ def purchase_asof_signup_cogrouped(
         right_ts="signup_raw",
         out_col="signup_ts",
         schema=schema,
-        buckets=64,
+        buckets=grouped_map_buckets(spark),
     )
 
 

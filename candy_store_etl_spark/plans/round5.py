@@ -49,11 +49,13 @@ def inventory_allocation_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("product_id"),
         (F.col("p_size") * 40).alias("stock"),
     )
+    from ..operators.allocation import grouped_map_buckets
+
     return allocate_greedy_arrow(
         li,
         stock,
         order_by=("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"),
-        buckets=64,
+        buckets=grouped_map_buckets(spark),
     )
 
 
