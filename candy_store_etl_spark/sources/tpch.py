@@ -104,30 +104,39 @@ def column_minmax(path: str, column: str) -> tuple | None:
     from footer statistics only — no Spark job, no data read. Returns
     None when any row group lacks min/max stats (callers must keep a
     sampled-range fallback)."""
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, column)
-    if key in _MINMAX_CACHE:
-        return _MINMAX_CACHE[key]
-    import pyarrow.parquet as pq
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, column)
+        if key in _MINMAX_CACHE:
+            return _MINMAX_CACHE[key]
+        import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
-    lo = hi = None
-    for rg_i in range(meta.num_row_groups):
-        rg = meta.row_group(rg_i)
-        stats = None
-        for c_i in range(rg.num_columns):
-            col = rg.column(c_i)
-            if col.path_in_schema == column:
-                stats = col.statistics
-                break
-        if stats is None or not stats.has_min_max:
-            _MINMAX_CACHE[key] = None
-            return None
-        lo = stats.min if lo is None else min(lo, stats.min)
-        hi = stats.max if hi is None else max(hi, stats.max)
-    out = None if lo is None else (lo, hi)
-    _MINMAX_CACHE[key] = out
-    return out
+        meta = pq.ParquetFile(path).metadata
+        lo = hi = None
+        for rg_i in range(meta.num_row_groups):
+            rg = meta.row_group(rg_i)
+            stats = None
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                if col.path_in_schema == column:
+                    stats = col.statistics
+                    break
+            if stats is None or not stats.has_min_max:
+                _MINMAX_CACHE[key] = None
+                return None
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
+        out = None if lo is None else (lo, hi)
+        _MINMAX_CACHE[key] = out
+        return out
+    except OSError:
+        # missing path: let the caller's sampled-range fallback decide
+        return None
+    except Exception:
+        # a DIRECTORY dataset (the at-scale layout), an encrypted or
+        # stats-less footer, a non-parquet file — all mean "no cheap
+        # single-footer stats here", never an error on the query path
+        return None
 
 
 def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:

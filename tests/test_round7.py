@@ -386,3 +386,21 @@ def test_checkpoint_native_read_reports_tail_replay(spark, sf_correctness):
     for r in rows:
         assert r.checkpoint_version == 10
         assert r.entries_replayed == _TL_COMMITS - 1 - 10
+
+
+def test_column_minmax_degrades_to_none(tmp_path):
+    """Footer-stats probe: exact bounds from a real file; None (never a
+    raise) for a directory dataset — the at-scale layout — or a
+    missing/garbage path, so the funnel's sampled-range fallback takes
+    over instead of the query erroring."""
+    from candy_store_etl_spark.sources.tpch import column_minmax
+
+    real = "/root/testdata/sf0.001/documents.parquet"
+    lo, hi = column_minmax(real, "doc_id")
+    assert lo == 0 and hi > 0
+    assert column_minmax(real, "no_such_column") is None
+    assert column_minmax(str(tmp_path), "doc_id") is None  # directory
+    assert column_minmax(str(tmp_path / "nope.parquet"), "doc_id") is None
+    junk = tmp_path / "junk.parquet"
+    junk.write_bytes(b"not a parquet file")
+    assert column_minmax(str(junk), "doc_id") is None
