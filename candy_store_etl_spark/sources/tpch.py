@@ -36,21 +36,61 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 # runs a one-task schema-inference job per call — a fixed ~50-85 ms tax
 # on EVERY load_table call (measured r12; a 6-table star paid it six
 # times per plan build). The footer schema is pure file METADATA, so it
-# caches keyed on (path, mtime_ns, size) — any rewrite of the file
-# invalidates the entry — and the scan is then planned with the exact
+# caches keyed on the path with the (mtime_ns, size) stamp stored IN
+# the entry — any rewrite of the file replaces the entry in place
+# instead of stranding the old one (r12 advice: the (path, mtime,
+# size)-keyed form accumulated one dead entry per rewrite forever in a
+# resident engine) — and the scan is then planned with the exact
 # schema the footer would have yielded. This is metadata caching (the
 # same class as Spark's own file-index cache), never result caching:
-# every execution still reads the parquet data.
-_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+# every execution still reads the parquet data. A small LRU cap bounds
+# entries for paths that are DELETED rather than rewritten (ephemeral
+# scratch tables): one (stamp, value) tuple per live path, oldest-used
+# evicted past the cap.
+_META_CACHE_CAP = 4096
+
+
+class _FileMetaCache:
+    """path-keyed LRU of ((mtime_ns, size), value): replace-on-rewrite,
+    evict-least-recently-used past ``cap``. Not thread-safe by design —
+    all callers run on the driver's plan-construction thread, and a
+    raced duplicate compute is harmless (same metadata)."""
+
+    def __init__(self, cap: int = _META_CACHE_CAP) -> None:
+        from collections import OrderedDict
+
+        self.cap = cap
+        self._d: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+    def lookup(self, key: tuple, stamp: tuple):
+        """(hit, value): hit False when absent or the stamp changed."""
+        ent = self._d.get(key)
+        if ent is None or ent[0] != stamp:
+            return False, None
+        self._d.move_to_end(key)
+        return True, ent[1]
+
+    def store(self, key: tuple, stamp: tuple, value) -> None:
+        self._d[key] = (stamp, value)
+        self._d.move_to_end(key)
+        while len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+_SCHEMA_CACHE = _FileMetaCache()
 
 
 def _parquet_file_schema(spark: SparkSession, path: str) -> T.StructType:
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-    sch = _SCHEMA_CACHE.get(key)
-    if sch is None:
+    key = (os.path.abspath(path),)
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit, sch = _SCHEMA_CACHE.lookup(key, stamp)
+    if not hit:
         sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = sch
+        _SCHEMA_CACHE.store(key, stamp, sch)
     return sch
 
 
@@ -92,11 +132,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 # footer column-stats cache: same metadata class as the schema cache
 # above — parquet row-group min/max are file METADATA read driver-side
-# with zero Spark jobs, keyed on (path, mtime_ns, size, column) so any
-# file rewrite invalidates the entry. Used to derive deterministic
-# monotone bucket boundaries for the distributed prefix-sum pattern
-# (below) without repartitionByRange's per-execution sampling job.
-_MINMAX_CACHE: dict[tuple, tuple | None] = {}
+# with zero Spark jobs, keyed on (path, column) with the (mtime_ns,
+# size) stamp stored in the entry so any file rewrite REPLACES the
+# entry. Used to derive deterministic monotone bucket boundaries for
+# the distributed prefix-sum pattern (below) without
+# repartitionByRange's per-execution sampling job.
+_MINMAX_CACHE = _FileMetaCache()
+
+
+def _footer_metadata(path: str):
+    """The parquet file's footer metadata, or None for anything that
+    is not a single readable parquet file — a DIRECTORY dataset (the
+    at-scale layout), a non-parquet or corrupt file. Only the expected
+    error classes are swallowed (r12 advice: the blanket ``except
+    Exception`` silently converted programming errors in the stats
+    walk into 'no stats'); genuine bugs now raise."""
+    import pyarrow.lib
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata
+    except (OSError, pyarrow.lib.ArrowException, ValueError):
+        # missing path / directory / permission -> OSError;
+        # non-parquet or truncated footer -> ArrowInvalid (an
+        # ArrowException); empty-path edge cases -> ValueError
+        return None
 
 
 def column_minmax(path: str, column: str) -> tuple | None:
@@ -106,37 +167,74 @@ def column_minmax(path: str, column: str) -> tuple | None:
     sampled-range fallback)."""
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, column)
-        if key in _MINMAX_CACHE:
-            return _MINMAX_CACHE[key]
-        import pyarrow.parquet as pq
-
-        meta = pq.ParquetFile(path).metadata
-        lo = hi = None
-        for rg_i in range(meta.num_row_groups):
-            rg = meta.row_group(rg_i)
-            stats = None
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                if col.path_in_schema == column:
-                    stats = col.statistics
-                    break
-            if stats is None or not stats.has_min_max:
-                _MINMAX_CACHE[key] = None
-                return None
-            lo = stats.min if lo is None else min(lo, stats.min)
-            hi = stats.max if hi is None else max(hi, stats.max)
-        out = None if lo is None else (lo, hi)
-        _MINMAX_CACHE[key] = out
-        return out
     except OSError:
         # missing path: let the caller's sampled-range fallback decide
         return None
-    except Exception:
-        # a DIRECTORY dataset (the at-scale layout), an encrypted or
-        # stats-less footer, a non-parquet file — all mean "no cheap
-        # single-footer stats here", never an error on the query path
+    key = (os.path.abspath(path), column)
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit, cached = _MINMAX_CACHE.lookup(key, stamp)
+    if hit:
+        return cached
+    meta = _footer_metadata(path)
+    if meta is None:
+        _MINMAX_CACHE.store(key, stamp, None)
         return None
+    lo = hi = None
+    for rg_i in range(meta.num_row_groups):
+        rg = meta.row_group(rg_i)
+        stats = None
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            if col.path_in_schema == column:
+                stats = col.statistics
+                break
+        if stats is None or not stats.has_min_max:
+            _MINMAX_CACHE.store(key, stamp, None)
+            return None
+        lo = stats.min if lo is None else min(lo, stats.min)
+        hi = stats.max if hi is None else max(hi, stats.max)
+    out = None if lo is None else (lo, hi)
+    _MINMAX_CACHE.store(key, stamp, out)
+    return out
+
+
+# footer size-stats cache: same class again — num_rows and per-column
+# total_uncompressed_size are footer metadata, free to read driver-side
+_SIZESTATS_CACHE = _FileMetaCache()
+
+
+def column_size_stats(path: str, column: str) -> tuple | None:
+    """(num_rows, total_uncompressed_bytes_of_column) across the
+    parquet file's row groups, from footer metadata only — no Spark
+    job, no data read. None when the path is not a single readable
+    parquet file or the column is absent (callers must keep a
+    counting fallback)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (os.path.abspath(path), column)
+    stamp = (st.st_mtime_ns, st.st_size)
+    hit, cached = _SIZESTATS_CACHE.lookup(key, stamp)
+    if hit:
+        return cached
+    meta = _footer_metadata(path)
+    out = None
+    if meta is not None:
+        n_bytes = 0
+        seen = False
+        for rg_i in range(meta.num_row_groups):
+            rg = meta.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                if col.path_in_schema == column:
+                    n_bytes += col.total_uncompressed_size
+                    seen = True
+                    break
+        if seen or meta.num_row_groups == 0:
+            out = (meta.num_rows, n_bytes)
+    _SIZESTATS_CACHE.store(key, stamp, out)
+    return out
 
 
 def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:

@@ -404,3 +404,61 @@ def test_column_minmax_degrades_to_none(tmp_path):
     junk = tmp_path / "junk.parquet"
     junk.write_bytes(b"not a parquet file")
     assert column_minmax(str(junk), "doc_id") is None
+
+
+def test_meta_cache_bounded_and_invalidated_on_rewrite(tmp_path):
+    """The footer-metadata caches are BOUNDED (r13: a resident engine
+    over a churning warehouse must not accumulate dead entries
+    forever): rewriting a file replaces its entry in place, and entries
+    past the LRU cap evict oldest-first."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candy_store_etl_spark.sources import tpch
+
+    # replace-on-rewrite: same path, new content -> new value, ONE entry
+    cache = tpch._FileMetaCache(cap=4)
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"doc_id": [1, 2, 3]}), p)
+    before = len(tpch._MINMAX_CACHE)
+    assert tpch.column_minmax(str(p), "doc_id") == (1, 3)
+    assert len(tpch._MINMAX_CACHE) == before + 1
+    pq.write_table(pa.table({"doc_id": [10, 20]}), p)
+    # ensure the stamp moves even on coarse-mtime filesystems
+    os.utime(p, ns=(1, 1))
+    assert tpch.column_minmax(str(p), "doc_id") == (10, 20)
+    assert len(tpch._MINMAX_CACHE) == before + 1
+
+    # LRU eviction: cap 4, insert 6 -> oldest two gone, newest kept
+    for i in range(6):
+        cache.store((f"k{i}",), (0, 0), i)
+    assert len(cache) == 4
+    assert cache.lookup(("k0",), (0, 0)) == (False, None)
+    assert cache.lookup(("k1",), (0, 0)) == (False, None)
+    assert cache.lookup(("k5",), (0, 0)) == (True, 5)
+    # a lookup refreshes recency: touch k2, insert one more -> k3 evicts
+    cache.lookup(("k2",), (0, 0))
+    cache.store(("k6",), (0, 0), 6)
+    assert cache.lookup(("k2",), (0, 0)) == (True, 2)
+    assert cache.lookup(("k3",), (0, 0)) == (False, None)
+
+
+def test_column_size_stats_matches_footer(tmp_path):
+    """num_rows exact from the footer; byte totals positive for a real
+    column; None for junk paths and absent columns (callers keep their
+    counting fallback)."""
+    import pyarrow.parquet as pq
+
+    from candy_store_etl_spark.sources.tpch import column_size_stats
+
+    real = "/root/testdata/sf0.001/documents.parquet"
+    n_rows, n_bytes = column_size_stats(real, "text")
+    assert n_rows == pq.ParquetFile(real).metadata.num_rows
+    assert n_bytes > 0
+    assert column_size_stats(real, "no_such_column") is None
+    assert column_size_stats(str(tmp_path), "text") is None
+    junk = tmp_path / "junk.parquet"
+    junk.write_bytes(b"not a parquet file")
+    assert column_size_stats(str(junk), "text") is None
