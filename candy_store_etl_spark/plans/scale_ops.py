@@ -79,6 +79,39 @@ def bloom_m_for(n_elements: int) -> int:
 # benchmark slice: first md5 hex char == 'a' (deterministic 1/16 slice,
 # disjoint in expectation from benchmark_decontamination's '00'..'0f')
 _BLOOM_BENCH_CHAR = "a"
+_BLOOM_BENCH_FRACTION = 16  # one hex char value of sixteen
+
+# tokens() splits on whitespace, so every token consumes at least its
+# text plus a separator; 4 bytes/token deliberately OVERESTIMATES the
+# token count of real text (~5.5-6 bytes/token measured on the
+# corpus), which overestimates the gram count — the SAFE direction for
+# Bloom sizing: m one power of two too big costs nothing (the
+# broadcast position relation is bounded by 3n distinct positions
+# regardless of m), while an undersized m raises fpp. Measured r13:
+# estimate/actual = 1.4-1.9x across sf0.001-0.1.
+_BLOOM_BYTES_PER_TOKEN = 4
+
+
+def _bench_gram_estimate(spark, sf_dir: str, bench_grams) -> int:
+    """Upper-bound estimate of the benchmark slice's distinct gram
+    count, from parquet footer metadata only (zero Spark jobs): the
+    text column's uncompressed bytes bound the token count, token
+    positions bound the {_BLOOM_N}-gram count, and the md5 slice takes
+    1/16 of documents in expectation. Sizing only ever affects the
+    PRUNING rate, never results (the exact verification join removes
+    all false positives), so an estimate is safe wherever it lands —
+    but the fallback stays exact: stats-less layouts (directory
+    datasets) fall back to counting the gram relation, which doubles
+    as the cache-filling pass the r12 form always ran."""
+    from ..sources.tpch import column_size_stats, table_path
+
+    stats = column_size_stats(table_path(sf_dir, "documents"), "text")
+    if stats is None:
+        return bench_grams.count()
+    _n_rows, text_bytes = stats
+    return max(
+        1, text_bytes // _BLOOM_BYTES_PER_TOKEN // _BLOOM_BENCH_FRACTION
+    )
 
 _SQL_SHINGLES8 = f"""CASE WHEN len(toks) <= {_BLOOM_N}
       THEN [array_to_string(toks, ' ')]
@@ -138,7 +171,7 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(tracked_cache)
     )
 
-    m_bits = bloom_m_for(bench_grams.count())
+    m_bits = bloom_m_for(_bench_gram_estimate(spark, sf_dir, bench_grams))
 
     def positions(gram: F.Column) -> list[F.Column]:
         return [

@@ -94,10 +94,16 @@ def _parquet_file_schema(spark: SparkSession, path: str) -> T.StructType:
     return sch
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """The on-disk path of a testdata table — ONE definition, shared by
+    load_table and the footer-metadata probes so they cannot drift."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = table_path(sf_dir, name)
     if name == "events":
         # events.ts has shipped as both TIMESTAMP(NANOS) — which Spark 4
         # refuses to read natively — and TIMESTAMP(MICROS). Adapt to the
