@@ -398,20 +398,33 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"(doc_id - {lo}) div {width}").cast("int"),
             ),
         )
-    else:  # stats-less files: sampled range split (row-balanced)
-        ranged = chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
+        # pid is a PURE FUNCTION of doc_id here, so the offsets branch
+        # and the rank branch agree by construction — no pinned layout
+        # needed, the r12 cache of the windowed relation and its
+        # materialization pass go (the r12 corruption class was
+        # independently-SAMPLED boundary sets, impossible for a
+        # deterministic pid). Offsets aggregate the pre-window relation
+        # map-side: one p-row exchange.
+    else:  # stats-less files: sampled range split (row-balanced).
+        # spark_partition_id makes pid LAYOUT-dependent: caching the
+        # exchange output pins ONE materialized layout, and both
+        # consumers stamp pid over the SAME cached partitions — else
+        # ranks and offsets land on independently-sampled boundary
+        # sets and the global cumsum silently corrupts (reproduced
+        # r12; same discipline as round6._global_row_number).
+        ranged = tracked_cache(
+            chunks.repartitionByRange(n_part, "doc_id", "chunk_idx")
+        )
         with_pid = ranged.withColumn("pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("pid")
         .orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = tracked_cache(
-        with_pid.withColumn("local_cum", F.sum("chunk_toks").over(w_local))
-    )
+    local = with_pid.withColumn("local_cum", F.sum("chunk_toks").over(w_local))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("pid")
+        with_pid.groupBy("pid")
         .agg(F.sum("chunk_toks").alias("pt"))
         .select(
             "pid",
@@ -429,9 +442,19 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+    # COUNT(DISTINCT bin) == max(bin)+1: bins are GAP-FREE, because the
+    # exclusive prefix sum steps by chunk_toks in [1, _F_WIN] and
+    # _F_WIN < _F_BUDGET, so consecutive bins differ by at most 1 and
+    # bin 0 is always hit — floor((E+c)/B) <= floor(E/B)+1 whenever
+    # c < B. The max-aggregate drops the distinct's extra expand pass
+    # and exchange (r13; equality verified against the countDistinct
+    # form and the oracle at all three SFs). Empty chunk relations
+    # degrade via the coalesce: max is NULL, n8 must be 0.
     pack_counts = binned.agg(
         F.count(F.lit(1)).alias("n7"),
-        F.countDistinct("bin").alias("n8"),
+        F.coalesce(
+            F.max("bin") + F.lit(1), F.lit(0).cast("long")
+        ).alias("n8"),
     )
 
     names = [
