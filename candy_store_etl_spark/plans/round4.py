@@ -1167,21 +1167,49 @@ def token_budget_head_selection_distributed(
         "n_chars",
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
     )
-    from ..sources.tpch import prefix_sum_partitions
+    from ..sources.tpch import (
+        equal_height_bounds,
+        monotone_double_key,
+        pid_from_bounds,
+        prefix_sum_partitions,
+        table_path,
+    )
 
     n_part = prefix_sum_partitions(spark)
-    # two caches, each load-bearing (r12; see round6._global_row_number
-    # for the full reasoning): below the exchange = the boundary-
-    # sampling pass fills it, one corpus tokenization per execution
-    # instead of two; above the exchange = one pinned pid layout for
-    # the window and offset consumers (independently-sampled boundary
-    # sets otherwise corrupt the global cumsum).
-    ranged = tracked_cache(
-        tracked_cache(docs).repartitionByRange(
-            n_part, F.col("n_chars").desc(), F.col("doc_id")
-        )
+    # r13: pid from equal-height approx-quantile boundaries of a
+    # double key monotone in (n_chars DESC, doc_id) — a deterministic
+    # expression, so the range exchange, its per-execution sampling
+    # job and the post-exchange pinned-layout cache all disappear; the
+    # local-cumsum window's hash exchange is the only data-sized
+    # shuffle left (see round6._global_row_number). The boundary pass
+    # doubles as the cache fill, so the corpus tokenization still runs
+    # once per execution. Stats-less layouts keep the r12 sampled
+    # form: two caches, each load-bearing (below the exchange = the
+    # boundary-sampling pass fills it; above = one pinned pid layout
+    # so rank and offset consumers cannot land on independently-
+    # sampled boundary sets).
+    qkey = monotone_double_key(
+        F.col("n_chars"), F.col("doc_id"), sf_dir, descending=True
     )
-    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    bounds = None
+    if qkey is not None:
+        cached = tracked_cache(docs)
+        bounds = equal_height_bounds(
+            cached,
+            qkey,
+            n_part,
+            memo_path=table_path(sf_dir, "documents"),
+            memo_tag="token_budget_n_chars_desc",
+        )
+    if bounds is not None:
+        with_pid = cached.withColumn("pid", pid_from_bounds(bounds, qkey))
+    else:
+        ranged = tracked_cache(
+            tracked_cache(docs).repartitionByRange(
+                n_part, F.col("n_chars").desc(), F.col("doc_id")
+            )
+        )
+        with_pid = ranged.withColumn("pid", F.spark_partition_id())
     # local ordered prefix sum inside each range partition
     w_local = (
         Window.partitionBy("pid")

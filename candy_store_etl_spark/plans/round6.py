@@ -164,31 +164,69 @@ _NTILE_K = 8
 
 
 def _global_row_number(
-    df: DataFrame, order_cols: list, n_parts: int
+    df: DataFrame,
+    order_cols: list,
+    n_parts: int,
+    quantile_key=None,
+    memo_path: str | None = None,
+    memo_tag: str = "",
 ) -> DataFrame:
-    """Distributed global row_number over ``order_cols`` — the
-    repartitionByRange + local row_number + broadcast-offset pattern
-    (same shape as token_budget_head_selection_distributed's cumsum):
-    range partitions are order-disjoint, each computes a local
-    1-based row_number, per-partition counts cumsum into exclusive
-    offsets in a p-row window and join back broadcast. Adds a column
-    ``__rn`` (global 1-based rank) and ``__n`` (total rows) without a
-    single-task global sort."""
+    """Distributed global row_number over ``order_cols`` — range-
+    disjoint partitions each compute a local 1-based row_number;
+    per-partition counts cumsum into exclusive offsets in a p-row
+    window and join back broadcast. Adds a column ``__rn`` (global
+    1-based rank) and ``__n`` (total rows) without a single-task
+    global sort.
+
+    When ``quantile_key`` (a double-valued column monotone in the
+    ``order_cols`` order — sources.tpch.monotone_double_key) is given,
+    pid derives from equal-HEIGHT approx-quantile boundaries of that
+    key: a deterministic expression, so the range exchange AND the
+    post-exchange pinned-layout cache disappear — the local-rank
+    window's own hash exchange is the only data-sized shuffle left
+    (r13; the r12 form paid rangepartitioning + its sampling job +
+    the pid hash exchange). Equal-height bounds keep the split
+    row-balanced on long-tailed keys where the funnel's equal-width
+    trick would skew (guide §2.5)."""
     from ..caching import tracked_cache
 
-    # TWO caches, each load-bearing (r12): the cache BELOW the range
-    # exchange makes the boundary-sampling pass fill it and the
-    # exchange read it, so an expensive child (e.g. a corpus
-    # tokenization) runs ONCE per execution instead of twice; the
-    # cache ABOVE the exchange pins ONE materialized pid layout for
-    # the two consumers (local ranks + offset counts) — without it
-    # they can land on independently-sampled boundary sets and the
+    if quantile_key is not None:
+        from ..sources.tpch import equal_height_bounds, pid_from_bounds
+
+        d = tracked_cache(df)
+        # the boundary pass doubles as the cache fill — one evaluation
+        # of an expensive child (corpus tokenization) per execution,
+        # exactly like the sampled form's below-exchange cache
+        bounds = equal_height_bounds(
+            d, quantile_key, n_parts, memo_path=memo_path, memo_tag=memo_tag
+        )
+        if bounds is not None:
+            # pid is a pure function of the row, so rank and offset
+            # consumers agree by construction — the r12 corruption
+            # class (independently-sampled boundary sets) cannot
+            # occur and no pinned layout is needed
+            with_pid = d.withColumn(
+                "__pid", pid_from_bounds(bounds, quantile_key)
+            )
+            return _rank_with_offsets(with_pid, order_cols)
+
+    # sampled fallback: TWO caches, each load-bearing (r12): the cache
+    # BELOW the range exchange makes the boundary-sampling pass fill
+    # it and the exchange read it, so an expensive child (e.g. a
+    # corpus tokenization) runs ONCE per execution instead of twice;
+    # the cache ABOVE the exchange pins ONE materialized pid layout
+    # for the two consumers (local ranks + offset counts) — without
+    # it they can land on independently-sampled boundary sets and the
     # offsets silently disagree with the ranks (reproduced at
     # local[4]/sf0.1 when the post-exchange cache was dropped).
     ranged = tracked_cache(
         tracked_cache(df).repartitionByRange(n_parts, *order_cols)
     )
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    return _rank_with_offsets(with_pid, order_cols)
+
+
+def _rank_with_offsets(with_pid: DataFrame, order_cols: list) -> DataFrame:
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
@@ -261,10 +299,21 @@ def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens(F.col("text"))).cast("long"), F.lit(0).cast("long")
         ).alias("n_toks"),
     )
-    from ..sources.tpch import prefix_sum_partitions
+    from ..sources.tpch import (
+        monotone_double_key,
+        prefix_sum_partitions,
+        table_path,
+    )
 
     rn = _global_row_number(
-        d, [F.col("n_toks"), F.col("doc_id")], prefix_sum_partitions(spark)
+        d,
+        [F.col("n_toks"), F.col("doc_id")],
+        prefix_sum_partitions(spark),
+        quantile_key=monotone_double_key(
+            F.col("n_toks"), F.col("doc_id"), sf_dir
+        ),
+        memo_path=table_path(sf_dir, "documents"),
+        memo_tag="curriculum_n_toks",
     )
     # exact SQL NTILE(k) from (rank rn, total n): the first n % k
     # buckets hold ceil(n/k) = q+1 rows (q = n div k), the rest q

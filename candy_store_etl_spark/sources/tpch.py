@@ -255,6 +255,99 @@ def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:
     return max(floor, spark.sparkContext.defaultParallelism)
 
 
+# equal-height boundary memo: the distributed prefix-sum pattern needs
+# a pid MONOTONE in the global order key; boundaries are partitioning
+# METADATA, never results — the pattern's output is partition-count
+# AND boundary invariant (the p-row offset window corrects any split;
+# pinned by tests/test_partition_invariance.py and
+# test_global_row_number_is_exact_permutation) — so they memoize on
+# the backing file's identity exactly like the footer caches above
+# (r12 verdict item 6: "equal-height bounds from a cheap one-pass
+# approx histogram, cached like the footer stats"). Every execution
+# still scans and ranks the full data; only the boundary-derivation
+# job is amortized, the same class as repartitionByRange's sampling
+# pass that this replaces.
+_BOUNDS_CACHE = _FileMetaCache()
+
+
+def equal_height_bounds(
+    df: DataFrame,
+    key,
+    n_parts: int,
+    *,
+    memo_path: str | None = None,
+    memo_tag: str = "",
+) -> list[float] | None:
+    """``n_parts - 1`` equal-height boundaries of the double-valued
+    order ``key`` over ``df`` — one approx_percentile aggregate (the
+    pass doubles as the fill of any cache under ``df``). Returns None
+    when the relation is empty (callers fall back to the sampled range
+    split). ``memo_path`` + ``memo_tag`` memoize the boundaries on the
+    backing file's (mtime_ns, size) stamp; a missing/rewritten file
+    recomputes."""
+    from pyspark.sql import functions as F
+
+    key_id = (memo_tag, n_parts)
+    stamp = None
+    if memo_path is not None:
+        try:
+            st = os.stat(memo_path)
+            stamp = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            stamp = None
+    if stamp is not None:
+        mkey = (os.path.abspath(memo_path),) + key_id
+        hit, cached = _BOUNDS_CACHE.lookup(mkey, stamp)
+        if hit:
+            return cached
+    fractions = [i / n_parts for i in range(1, n_parts)]
+    row = df.select(
+        F.percentile_approx(
+            key, F.array(*[F.lit(f) for f in fractions])
+        ).alias("b")
+    ).first()
+    bounds = None if row is None or row[0] is None else [float(x) for x in row[0]]
+    if stamp is not None:
+        _BOUNDS_CACHE.store(mkey, stamp, bounds)
+    return bounds
+
+
+def pid_from_bounds(bounds: list[float], key):
+    """Bucket index of ``key`` against sorted ``bounds`` — a codegen
+    CASE chain (a higher-order filter over a literal array would run
+    the comparator interpreted per element, the lambda wall measured
+    in r12's bloom hash-fold revert). Monotone non-decreasing in
+    ``key`` by construction, which is the only property the prefix-sum
+    pattern needs; boundary ties land left, empty buckets are
+    harmless."""
+    from pyspark.sql import functions as F
+
+    pid = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        pid = F.when(key < F.lit(bounds[i]), F.lit(i)).otherwise(pid)
+    return pid.cast("int")
+
+
+def monotone_double_key(primary, doc_id, sf_dir: str, *, descending: bool = False):
+    """A DOUBLE-valued key monotone in the lexicographic order
+    ``(primary [DESC], doc_id ASC)``, for quantile boundary derivation:
+    ``±primary + (doc_id - lo) / (span + 1)`` keeps the tie-break
+    fraction in [0, 1) for ANY doc_id span (footer min/max, zero
+    jobs). Double rounding is monotone non-decreasing, so precision
+    loss can only merge adjacent keys into one bucket — never reorder
+    them. Returns None when the documents footer carries no doc_id
+    stats (callers fall back to the sampled range split)."""
+    from pyspark.sql import functions as F
+
+    bounds = column_minmax(table_path(sf_dir, "documents"), "doc_id")
+    if bounds is None:
+        return None
+    lo, hi = int(bounds[0]), int(bounds[1])
+    frac = (doc_id - F.lit(lo)).cast("double") / F.lit(float(hi - lo + 1))
+    base = primary.cast("double")
+    return (-base if descending else base) + frac
+
+
 def repartition_for_compute(df, min_partitions: int | None = None):
     """Unlock parallelism when a TINY scan feeds super-linear work.
 

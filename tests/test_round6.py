@@ -252,3 +252,51 @@ def test_global_row_number_is_exact_permutation(spark):
         assert sorted(r["__rn"] for r in got) == list(range(1, n + 1))
         by_rn = {r["__rn"]: r["doc_id"] for r in got}
         assert [by_rn[i] for i in range(1, n + 1)] == want
+
+
+def test_global_row_number_quantile_pid_is_exact_permutation(spark):
+    """The r13 quantile-pid path must give the identical permutation —
+    including under ADVERSARIAL boundaries (empty buckets, duplicated
+    cut points, all rows in one bucket): the offset window corrects
+    any monotone split, so ranks are boundary-invariant by design."""
+    import pyspark.sql.functions as F
+
+    from candy_store_etl_spark.plans.round6 import (
+        _global_row_number,
+        _rank_with_offsets,
+    )
+    from candy_store_etl_spark.sources.tpch import pid_from_bounds
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64(F.col("id")) % 997).alias("score"),
+    )
+    want = [
+        r["doc_id"]
+        for r in df.orderBy("score", "doc_id").select("doc_id").collect()
+    ]
+    # score spans [-996, 996]; doc_id tie-break folded into a double
+    # key the same way monotone_double_key builds it
+    key = F.col("score").cast("double") + F.col("doc_id").cast(
+        "double"
+    ) / F.lit(float(n))
+    order = [F.col("score"), F.col("doc_id")]
+
+    def check(rn_df):
+        got = rn_df.select("__rn", "doc_id", "__n").collect()
+        assert all(r["__n"] == n for r in got)
+        assert sorted(r["__rn"] for r in got) == list(range(1, n + 1))
+        by_rn = {r["__rn"]: r["doc_id"] for r in got}
+        assert [by_rn[i] for i in range(1, n + 1)] == want
+
+    # the real path: boundaries from the approx-quantile pass
+    check(_global_row_number(df, order, n_parts=8, quantile_key=key))
+    # adversarial monotone splits: skewed, degenerate, single-bucket
+    for bounds in (
+        [-900.0, -900.0, 0.0, 995.5],  # duplicated cut + empty bucket
+        [-10_000.0, 10_000.0],  # everything in the middle bucket
+        [0.5],  # one cut
+    ):
+        with_pid = df.withColumn("__pid", pid_from_bounds(bounds, key))
+        check(_rank_with_offsets(with_pid, order))
