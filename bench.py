@@ -399,6 +399,12 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        # r12 advice: the candy pipeline's timed loop switched from
+        # sequential to 3-thread overlapped output materialization in
+        # r12 (declared in OPTIMIZATION_r12.md); carrying the mode in
+        # the artifact keeps cross-round deltas attributable without
+        # reading prose.
+        "candy_materialization": "overlapped-3",
         "queries": timings,
         "sf": float(sf) if sf else None,
         "ambient_load_1m": round(ambient_load, 2),

@@ -256,11 +256,32 @@ def _routing_relation(spark: SparkSession, rows: list, schema: str) -> DataFrame
     Task count is capped at 2x defaultParallelism: past that, extra
     tasks buy no concurrency and each one pays a Python-worker round
     trip (~20 ms measured) — a 112-chunk skew-split wave on 32 cores
-    ran 112 tasks for ~4 waves of real work. Chunks beyond the cap
-    share tasks as contiguous runs (chunk sizes are bounded by the
-    splitter, so runs stay balanced); on a cluster defaultParallelism
-    is total executor cores and the cap scales with it."""
+    ran 112 tasks for ~4 waves of real work. On a cluster
+    defaultParallelism is total executor cores and the cap scales with
+    it. Rows beyond the cap share tasks ROUND-ROBIN (r12 advice):
+    callers enumerate a split group's chunks consecutively, so a
+    contiguous slicing would re-serialize several chunks of the same
+    heavy group into one task, partially defeating the split; striping
+    by index puts consecutive rows ~n slices apart. Results are
+    order-independent — every row is processed as its own unit and the
+    output is their union."""
     n = max(1, min(len(rows), 2 * spark.sparkContext.defaultParallelism))
+    if len(rows) > n:
+        m = len(rows)
+        # parallelize slices contiguously with sizes (k+1)m//n - km//n;
+        # matching each round-robin residue class to a slice of ITS
+        # size (both multisets hold exactly m%n ceil-sized members)
+        # aligns the boundaries exactly, so slice k holds indices
+        # {p, p+n, p+2n, ...} verbatim and consecutive rows can never
+        # share a task.
+        ceil_sz = -(-m // n)
+        big = [list(range(p, m, n)) for p in range(m % n)]
+        small = [list(range(p, m, n)) for p in range(m % n, n)]
+        order: list[int] = []
+        for k in range(n):
+            size_k = (k + 1) * m // n - k * m // n
+            order.extend((big if size_k == ceil_sz and big else small).pop(0))
+        rows = [rows[i] for i in order]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n), schema
     )

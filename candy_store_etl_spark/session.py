@@ -54,8 +54,13 @@ def build_session(
         # queries (minhash build 1.58 s -> 0.86 s, bloom decontaminate
         # 0.88 s -> 0.36 s). A resident engine building thousands of
         # plans pays this on every one; errors still raise with full
-        # JVM context, only the pretty call-site line is lost.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # JVM context, only the pretty call-site line is lost — and an
+        # interactive/debug consumer can recover it without editing
+        # source: SPARK_GRAFT_DF_DEBUG=true (r12 advice).
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -230,6 +230,49 @@ def session_event_stats(
     )
 
 
+def replay_state_partitions(spark) -> int:
+    """State-store partition count for a bounded replay: ``max(session
+    shuffle partitions, defaultParallelism)``, env-overridable via
+    ``SPARK_GRAFT_REPLAY_STATE_PARTITIONS``.
+
+    Scale posture, not a local tune (r13): a stateful stream fixes its
+    state-store instance count from ``spark.sql.shuffle.partitions``
+    at first checkpoint, so a session-default 200 CAPS state
+    parallelism at 200 stores on any cluster — on 100 TB state every
+    store becomes huge and the per-batch commit serializes over too
+    few tasks. Taking the max lifts the cap to the cluster's core
+    count while being the IDENTITY locally (32-core session: max(32,
+    32); vanilla 200-partition session on 8 cores: max(200, 8) = 200)
+    — deliberately so, because the r12 interleaved A/B measured that
+    SHRINKING the local count to the core count is slower (many tiny
+    HDFS-backed stores amortize per-batch planning; negative result
+    recorded in OPTIMIZATION_r12.md and not re-spent here)."""
+    import os as _os
+
+    override = _os.environ.get("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(current, spark.sparkContext.defaultParallelism)
+
+
+class _scoped_shuffle_partitions:
+    """Set ``spark.sql.shuffle.partitions`` for the duration of one
+    bounded replay, restoring the session value afterwards (replays in
+    this engine are serial; the runtime conf is session-wide)."""
+
+    def __init__(self, spark, n: int) -> None:
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def run_stream_foreach_batch(
     stream_df: DataFrame,
     batch_fn,
@@ -246,30 +289,34 @@ def run_stream_foreach_batch(
     epoch_id — idempotent writes keyed on it give effective
     exactly-once into non-transactional sinks.
     """
+    spark = stream_df.sparkSession
     writer = stream_df.writeStream.foreachBatch(batch_fn)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, replay_state_partitions(spark)):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, *, output_mode: str = "append"
 ) -> None:
     """Drive a bounded stream to completion into a memory table."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    spark = stream_df.sparkSession
+    with _scoped_shuffle_partitions(spark, replay_state_partitions(spark)):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 # ---------------------------------------------------------------------------

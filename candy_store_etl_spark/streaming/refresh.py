@@ -187,14 +187,17 @@ def run_landing_to_curated(
         .option("changeFeed", "true")
         .load()
     )
-    q = (
-        feed.writeStream.foreachBatch(
-            make_refresh_sink(curated_dir, qmin=qmin, metrics=metrics)
+    from .events import _scoped_shuffle_partitions, replay_state_partitions
+
+    with _scoped_shuffle_partitions(spark, replay_state_partitions(spark)):
+        q = (
+            feed.writeStream.foreachBatch(
+                make_refresh_sink(curated_dir, qmin=qmin, metrics=metrics)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if horizon is not None:
         tl.set_cdf_consumer_offset(landing_dir, consumer, horizon)

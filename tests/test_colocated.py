@@ -251,3 +251,36 @@ def test_multi_join_mixed_layout_and_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket counts differ"):
         co.colocated_multi_join(spark, [a, d])
+
+
+def test_routing_relation_stripes_over_cap(spark):
+    """Past the 2x-defaultParallelism task cap, consecutive routing
+    rows (a split group's chunks are enumerated consecutively) must
+    land in DIFFERENT slices — round-robin striping (r13; the r12
+    contiguous slicing could re-serialize several chunks of one heavy
+    group into a single task). Under the cap: one row per partition,
+    nothing shared. Contents are order-independent by contract, so
+    only the placement is asserted."""
+    from pyspark.sql import functions as F
+
+    from candy_store_etl_spark.operators.colocated import _routing_relation
+
+    dp = spark.sparkContext.defaultParallelism
+    cap = 2 * dp
+    m = cap * 3 + 1  # well past the cap, non-divisible
+    rows = [(i,) for i in range(m)]
+    df = _routing_relation(spark, rows, "idx int").withColumn(
+        "part", F.spark_partition_id()
+    )
+    got = {r["idx"]: r["part"] for r in df.collect()}
+    assert sorted(got) == list(range(m))  # nothing lost or duplicated
+    assert len(set(got.values())) == cap  # capped task count
+    # striping: consecutive original indices never share a slice
+    # (stripe stride is ~n; contiguous-run slicing would violate this
+    # for every in-run pair)
+    shared = sum(1 for i in range(m - 1) if got[i] == got[i + 1])
+    assert shared == 0, f"{shared} consecutive pairs share a slice"
+    # under the cap: exactly one row per partition
+    small = _routing_relation(spark, [(i,) for i in range(dp)], "idx int")
+    parts = small.withColumn("p", F.spark_partition_id()).collect()
+    assert len({r["p"] for r in parts}) == dp

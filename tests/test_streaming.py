@@ -830,3 +830,44 @@ def test_streaming_allocation_correct_across_arrow_chunk_boundaries(
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def test_replay_state_partitions_never_shrinks_locally(spark, monkeypatch):
+    """r13 scale posture: bounded replays size their state-store count
+    as max(session shuffle partitions, defaultParallelism) — the
+    IDENTITY locally (the r12 A/B measured shrinking to the core count
+    slower, so the local value must never go down), a lift on clusters
+    whose core count exceeds the session default. Env override pins an
+    explicit value; the scoped setter must restore the session conf."""
+    from candy_store_etl_spark.streaming.events import (
+        _scoped_shuffle_partitions,
+        replay_state_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", raising=False)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        # session default above the core count: unchanged (no shrink)
+        spark.conf.set("spark.sql.shuffle.partitions", str(dp + 100))
+        assert replay_state_partitions(spark) == dp + 100
+        # session default below the core count: lifted to the cores
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        assert replay_state_partitions(spark) == dp
+        # explicit override wins
+        monkeypatch.setenv("SPARK_GRAFT_REPLAY_STATE_PARTITIONS", "7")
+        assert replay_state_partitions(spark) == 7
+        monkeypatch.delenv("SPARK_GRAFT_REPLAY_STATE_PARTITIONS")
+        # the scoped setter restores the session value, even on error
+        spark.conf.set("spark.sql.shuffle.partitions", "123")
+        with _scoped_shuffle_partitions(spark, 456):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "456"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+        try:
+            with _scoped_shuffle_partitions(spark, 456):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
