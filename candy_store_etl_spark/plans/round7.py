@@ -373,7 +373,7 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    from ..sources.tpch import column_minmax, prefix_sum_partitions
+    from ..sources.tpch import funnel_pid_bounds, prefix_sum_partitions
 
     n_part = prefix_sum_partitions(spark)
     # the prefix sum needs pid monotone in the global order key
@@ -383,14 +383,15 @@ def pretraining_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONLY shuffle, where repartitionByRange + spark_partition_id
     # paid a sampling job + range exchange + a second hash exchange
     # (Catalyst can't see that physical pids align). Bucket bounds come
-    # from parquet footer min/max (zero jobs); doc ids are dense, so
-    # equal-width ≈ row-balanced. Any monotone split yields identical
-    # bins (the offset window corrects the cut points), pinned by
+    # from parquet footer min/max (zero jobs) GUARDED by a footer
+    # row-count density check (r13): sparse/clustered id spaces where
+    # equal-width would skew fall back to the sampled split, like
+    # stats-less files. Any monotone split yields identical bins (the
+    # offset window corrects the cut points), pinned by
     # tests/test_partition_invariance.py.
-    bounds = column_minmax(os.path.join(sf_dir, "documents.parquet"), "doc_id")
+    bounds = funnel_pid_bounds(sf_dir, n_part)
     if bounds is not None:
-        lo, hi = int(bounds[0]), int(bounds[1])
-        width = max(1, (hi - lo + n_part) // n_part)
+        lo, width = bounds
         with_pid = chunks.withColumn(
             "pid",
             F.least(

@@ -243,6 +243,29 @@ def column_size_stats(path: str, column: str) -> tuple | None:
     return out
 
 
+def funnel_pid_bounds(
+    sf_dir: str, n_part: int, *, min_density: float = 0.5
+) -> tuple | None:
+    """``(lo, width)`` for the funnel's equal-width doc_id prefix-sum
+    buckets, or None when the footer carries no doc_id stats OR the id
+    space is too SPARSE for equal-width to stay row-balanced —
+    ``num_rows / (hi - lo + 1) < min_density`` (r13 verdict item 8:
+    the dense-id assumption now has a zero-job guard; sparse or
+    clustered key spaces degrade to the sampled range split instead of
+    silently skewing the pack stage). Row counts come from the same
+    footer metadata as the min/max — no Spark job either way."""
+    path = table_path(sf_dir, "documents")
+    bounds = column_minmax(path, "doc_id")
+    if bounds is None:
+        return None
+    lo, hi = int(bounds[0]), int(bounds[1])
+    span = hi - lo + 1
+    stats = column_size_stats(path, "doc_id")
+    if stats is not None and span > 0 and stats[0] / span < min_density:
+        return None
+    return lo, max(1, (hi - lo + n_part) // n_part)
+
+
 def prefix_sum_partitions(spark: SparkSession, floor: int = 8) -> int:
     """Partition count for the distributed prefix-sum pattern
     (repartitionByRange + local cumsum + p-row offset window): the

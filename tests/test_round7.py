@@ -445,6 +445,39 @@ def test_meta_cache_bounded_and_invalidated_on_rewrite(tmp_path):
     assert cache.lookup(("k3",), (0, 0)) == (False, None)
 
 
+def test_funnel_pid_bounds_density_guard(tmp_path):
+    """r13 verdict item 8: equal-width doc_id buckets assume DENSE
+    ids. A sparse id space (footer num_rows far below the id span)
+    must return None so the funnel degrades to the sampled range
+    split instead of silently skewing the pack stage; dense ids keep
+    the zero-job footer bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candy_store_etl_spark.sources.tpch import funnel_pid_bounds
+
+    # the real testdata is dense: bounds present
+    assert funnel_pid_bounds("/root/testdata/sf0.001", 8) is not None
+
+    # sparse ids: 100 rows over a ~10^6 span -> density ~1e-4 -> None
+    d = tmp_path / "sparse"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [i * 10_000 for i in range(100)]}),
+        d / "documents.parquet",
+    )
+    assert funnel_pid_bounds(str(d), 8) is None
+
+    # dense ids in a scratch file: bounds usable and correctly sized
+    d2 = tmp_path / "dense"
+    d2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": list(range(100))}), d2 / "documents.parquet"
+    )
+    lo, width = funnel_pid_bounds(str(d2), 8)
+    assert lo == 0 and width == (100 + 7) // 8
+
+
 def test_column_size_stats_matches_footer(tmp_path):
     """num_rows exact from the footer; byte totals positive for a real
     column; None for junk paths and absent columns (callers keep their
