@@ -24,8 +24,19 @@ def main() -> None:
     names = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # session-conf A/B support (r13 verdict item 9): candidate confs
+    # that are NOT runtime-settable (shuffle codec) need a fresh
+    # session per side; the rotation driver passes them through the
+    # environment as "k=v;k=v"
+    extra = {}
+    for kv in os.environ.get("SPARK_GRAFT_AB_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = build_session(
-        "ab-session", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        "ab-session",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_map()
