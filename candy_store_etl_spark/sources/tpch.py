@@ -148,11 +148,11 @@ _MINMAX_CACHE = _FileMetaCache()
 
 def _footer_metadata(path: str):
     """The parquet file's footer metadata, or None for anything that
-    is not a single readable parquet file — a DIRECTORY dataset (the
-    at-scale layout), a non-parquet or corrupt file. Only the expected
-    error classes are swallowed (r12 advice: the blanket ``except
-    Exception`` silently converted programming errors in the stats
-    walk into 'no stats'); genuine bugs now raise."""
+    is not a single readable parquet file — a non-parquet or corrupt
+    file, a missing path. Only the expected error classes are
+    swallowed (r12 advice: the blanket ``except Exception`` silently
+    converted programming errors in the stats walk into 'no stats');
+    genuine bugs now raise."""
     import pyarrow.lib
 
     try:
@@ -166,39 +166,73 @@ def _footer_metadata(path: str):
         return None
 
 
+def _dataset_parts(path: str) -> list[str] | None:
+    """The parquet part files of ``path``: [path] for a single file,
+    the sorted ``*.parquet`` members for a DIRECTORY dataset (the
+    at-scale layout — r13: footer stats previously degraded to the
+    sampled fallback on exactly the layout scale runs use), or None
+    when the path is missing/empty. Driver-side listing only — the
+    same metadata class as Spark's own file index."""
+    if os.path.isdir(path):
+        try:
+            parts = sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+        except OSError:
+            return None
+        return parts or None
+    return [path] if os.path.exists(path) else None
+
+
+def _dataset_stamp(parts: list[str]) -> tuple | None:
+    """Invalidation stamp over every part file: any rewrite, addition
+    or removal changes it."""
+    out = []
+    for p in parts:
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        out.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def column_minmax(path: str, column: str) -> tuple | None:
-    """(min, max) of ``column`` across the parquet file's row groups,
-    from footer statistics only — no Spark job, no data read. Returns
-    None when any row group lacks min/max stats (callers must keep a
-    sampled-range fallback)."""
-    try:
-        st = os.stat(path)
-    except OSError:
+    """(min, max) of ``column`` across the dataset's row groups —
+    a single parquet file or a directory of part files (the at-scale
+    layout; r13) — from footer statistics only: no Spark job, no data
+    read. Returns None when any row group lacks min/max stats (callers
+    must keep a sampled-range fallback)."""
+    parts = _dataset_parts(path)
+    stamp = _dataset_stamp(parts) if parts else None
+    if stamp is None:
         # missing path: let the caller's sampled-range fallback decide
         return None
     key = (os.path.abspath(path), column)
-    stamp = (st.st_mtime_ns, st.st_size)
     hit, cached = _MINMAX_CACHE.lookup(key, stamp)
     if hit:
         return cached
-    meta = _footer_metadata(path)
-    if meta is None:
-        _MINMAX_CACHE.store(key, stamp, None)
-        return None
     lo = hi = None
-    for rg_i in range(meta.num_row_groups):
-        rg = meta.row_group(rg_i)
-        stats = None
-        for c_i in range(rg.num_columns):
-            col = rg.column(c_i)
-            if col.path_in_schema == column:
-                stats = col.statistics
-                break
-        if stats is None or not stats.has_min_max:
+    for part in parts:
+        meta = _footer_metadata(part)
+        if meta is None:
             _MINMAX_CACHE.store(key, stamp, None)
             return None
-        lo = stats.min if lo is None else min(lo, stats.min)
-        hi = stats.max if hi is None else max(hi, stats.max)
+        for rg_i in range(meta.num_row_groups):
+            rg = meta.row_group(rg_i)
+            stats = None
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                if col.path_in_schema == column:
+                    stats = col.statistics
+                    break
+            if stats is None or not stats.has_min_max:
+                _MINMAX_CACHE.store(key, stamp, None)
+                return None
+            lo = stats.min if lo is None else min(lo, stats.min)
+            hi = stats.max if hi is None else max(hi, stats.max)
     out = None if lo is None else (lo, hi)
     _MINMAX_CACHE.store(key, stamp, out)
     return out
@@ -211,23 +245,26 @@ _SIZESTATS_CACHE = _FileMetaCache()
 
 def column_size_stats(path: str, column: str) -> tuple | None:
     """(num_rows, total_uncompressed_bytes_of_column) across the
-    parquet file's row groups, from footer metadata only — no Spark
-    job, no data read. None when the path is not a single readable
-    parquet file or the column is absent (callers must keep a
-    counting fallback)."""
-    try:
-        st = os.stat(path)
-    except OSError:
+    dataset's row groups — a single parquet file or a directory of
+    part files (r13) — from footer metadata only: no Spark job, no
+    data read. None when the path is unreadable or the column is
+    absent from any part (callers must keep a counting fallback)."""
+    parts = _dataset_parts(path)
+    stamp = _dataset_stamp(parts) if parts else None
+    if stamp is None:
         return None
     key = (os.path.abspath(path), column)
-    stamp = (st.st_mtime_ns, st.st_size)
     hit, cached = _SIZESTATS_CACHE.lookup(key, stamp)
     if hit:
         return cached
-    meta = _footer_metadata(path)
-    out = None
-    if meta is not None:
-        n_bytes = 0
+    n_rows = 0
+    n_bytes = 0
+    out = (0, 0)
+    for part in parts:
+        meta = _footer_metadata(part)
+        if meta is None:
+            out = None
+            break
         seen = False
         for rg_i in range(meta.num_row_groups):
             rg = meta.row_group(rg_i)
@@ -237,8 +274,11 @@ def column_size_stats(path: str, column: str) -> tuple | None:
                     n_bytes += col.total_uncompressed_size
                     seen = True
                     break
-        if seen or meta.num_row_groups == 0:
-            out = (meta.num_rows, n_bytes)
+        if not (seen or meta.num_row_groups == 0):
+            out = None
+            break
+        n_rows += meta.num_rows
+        out = (n_rows, n_bytes)
     _SIZESTATS_CACHE.store(key, stamp, out)
     return out
 

@@ -399,11 +399,57 @@ def test_column_minmax_degrades_to_none(tmp_path):
     lo, hi = column_minmax(real, "doc_id")
     assert lo == 0 and hi > 0
     assert column_minmax(real, "no_such_column") is None
-    assert column_minmax(str(tmp_path), "doc_id") is None  # directory
+    assert column_minmax(str(tmp_path), "doc_id") is None  # EMPTY directory
     assert column_minmax(str(tmp_path / "nope.parquet"), "doc_id") is None
     junk = tmp_path / "junk.parquet"
     junk.write_bytes(b"not a parquet file")
     assert column_minmax(str(junk), "doc_id") is None
+
+
+def test_footer_stats_cover_directory_datasets(tmp_path):
+    """r13: the at-scale layout is a DIRECTORY of part files — footer
+    min/max and size stats must aggregate across parts (previously a
+    directory degraded every footer-stats consumer to its sampled
+    fallback on exactly the layout scale runs use), and any part
+    rewrite must invalidate the cached entry."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from candy_store_etl_spark.sources.tpch import (
+        column_minmax,
+        column_size_stats,
+        funnel_pid_bounds,
+    )
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": list(range(0, 50)), "text": ["a b"] * 50}),
+        d / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": list(range(50, 100)), "text": ["c d"] * 50}),
+        d / "part-1.parquet",
+    )
+    assert column_minmax(str(d), "doc_id") == (0, 99)
+    n_rows, n_bytes = column_size_stats(str(d), "text")
+    assert n_rows == 100 and n_bytes > 0
+    # dense ids across parts: the funnel's footer pid engages
+    assert funnel_pid_bounds(str(tmp_path), 8) == (0, (100 + 7) // 8)
+    # rewriting one part invalidates: range shrinks
+    pq.write_table(
+        pa.table({"doc_id": list(range(50, 60)), "text": ["e"] * 10}),
+        d / "part-1.parquet",
+    )
+    os.utime(d / "part-1.parquet", ns=(1, 1))
+    assert column_minmax(str(d), "doc_id") == (0, 59)
+    assert column_size_stats(str(d), "text")[0] == 60
+    # a junk member poisons the whole dataset to None (never a raise)
+    (d / "part-2.parquet").write_bytes(b"junk")
+    assert column_minmax(str(d), "doc_id") is None
+    assert column_size_stats(str(d), "text") is None
 
 
 def test_meta_cache_bounded_and_invalidated_on_rewrite(tmp_path):
