@@ -33,9 +33,26 @@ def build_session(
     ``spark-submit``; every other setting carries over unchanged.
     """
     n = cpus or DEFAULT_CPUS
+    # Python-worker path hygiene (r13, measured): pyspark's worker runs
+    # importlib.invalidate_caches() per TASK, and with $SPARK_HOME's
+    # pyspark.zip/py4j.zip on the worker path each call eagerly
+    # re-parses both archives' central directories (~60% of worker
+    # main(), ~156 ms cpu per task — the single largest per-task
+    # constant behind the 8-cores-beats-32 sf0.1 scaling block). The
+    # shipped sitecustomize prunes the zips at worker startup ONLY
+    # when an unpacked pyspark of the identical version resolves
+    # without them (see workerenv/sitecustomize.py); the env var
+    # below disables it. Cluster-valid: any deployment whose workers
+    # carry both a zip and an unpacked install pays the same per-task
+    # tax at any scale.
+    worker_site = os.path.join(os.path.dirname(__file__), "workerenv")
+    worker_pythonpath = os.pathsep.join(
+        p for p in (worker_site, os.environ.get("PYTHONPATH")) if p
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
