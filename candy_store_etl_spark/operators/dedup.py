@@ -236,10 +236,18 @@ def minhash_signatures_oph(
         # the WHOLE OPH construction (including circular borrowing) is
         # value-checked by the DuckDB oracle of
         # minhash_neardup_pairs_oph_portable
+        # tokens STAGED into a column before the shingle lambda (r13):
+        # window_join references the token array once per window token,
+        # and an interpreted lambda re-evaluates any non-column subtree
+        # per reference — staging makes each reference a bound-array
+        # read (plans/text.py _with_tokens discipline)
         flat = explode_nonempty(
-            df.select(F.col(id_col).alias("id"), F.col(text_col)),
+            df.select(
+                F.col(id_col).alias("id"),
+                tokens(F.col(text_col)).alias("__tk"),
+            ),
             "s",
-            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
+            F.array_distinct(word_shingles(F.col("__tk"), shingle_n)),
             "id",
         ).select(
             "id",
@@ -332,10 +340,13 @@ def minhash_signatures_portable(
     need hash-stable signatures across heterogeneous engines.
     """
     df = repartition_for_compute(df)
+    # tokens staged before the shingle lambda — see the OPH tier note
     flat = explode_nonempty(
-        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        df.select(
+            F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__tk")
+        ),
         "s",
-        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)),
+        F.array_distinct(word_shingles(F.col("__tk"), shingle_n)),
         "id",
     ).select(
         "id",

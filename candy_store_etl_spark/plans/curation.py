@@ -280,10 +280,15 @@ _SQL_SHINGLES5 = f"""CASE WHEN len(toks) <= {_DECON_N}
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tokens staged before the shingle lambda (r13; _with_tokens
+    # discipline — interpreted lambdas re-evaluate non-column subtrees
+    # per reference)
     staged = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__tk")
+    ).select(
         "doc_id",
         F.array_distinct(
-            word_shingles(tokens(F.col("text")), _DECON_N)
+            word_shingles(F.col("__tk"), _DECON_N)
         ).alias("grams"),
         (
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)

@@ -166,10 +166,11 @@ def _exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     DISTINCT shingle sets — the portable ground truth both engines
     compute identically (pairs sharing nothing have Jaccard 0 and
     cannot appear in either flag's premise)."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(word_shingles(tokens(F.col("text")))).alias("s"),
-    ).distinct()
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("__tk"))
+        .select("doc_id", F.explode(word_shingles(F.col("__tk"))).alias("s"))
+        .distinct()
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "s")
     b = sh.select(F.col("doc_id").alias("id_b"), "s")

@@ -151,12 +151,18 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tpch import repartition_for_compute
 
     # one 600 KB file feeds ~10^5 8-gram shingles — spread the
-    # derivation before it starts (measured 7 s single-core at sf0.1)
+    # derivation before it starts (measured 7 s single-core at sf0.1).
+    # tokens STAGED into a column before the shingle lambda (r13):
+    # window_join reads the token array once per window token, and an
+    # interpreted lambda re-evaluates any non-column subtree per
+    # reference (plans/text.py _with_tokens discipline).
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     staged = docs.select(
+        "doc_id", tokens(F.col("text")).alias("__tk")
+    ).select(
         "doc_id",
         F.array_distinct(
-            word_shingles(tokens(F.col("text")), _BLOOM_N)
+            word_shingles(F.col("__tk"), _BLOOM_N)
         ).alias("grams"),
         (
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
